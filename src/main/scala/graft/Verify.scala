@@ -37,6 +37,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full query-name list so harnesses can detect silently-failed dumps.
+    Files.writeString(Paths.get(s"$outDir/names.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
     spark.stop()
   }
 }

@@ -1,0 +1,503 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage: one verifiable query per SURVEY.md §2.2
+  * category (the surface the reference delegates to its host engine, and we
+  * delegate to Spark SQL / Catalyst).
+  *
+  * Scale notes (100 TB design), applied throughout:
+  *  - dimension⋈fact joins broadcast the dimension explicitly;
+  *  - fact⋈fact joins shuffle on the join key and rely on AQE for skew;
+  *  - aggregates are hash aggregates with map-side partial aggregation
+  *    (free with groupBy/agg);
+  *  - LIMIT is always preceded by a total order with a unique tiebreak, so
+  *    results are stable under any partitioning;
+  *  - double sums go through DECIMAL(18,2) so the result is exact and
+  *    independent of partition/merge order (a plain double sum differs in
+  *    the last ulps run-to-run at scale, which breaks both the oracle hash
+  *    and any cross-run comparison).
+  */
+object CoreQueries {
+
+  /** Order-independent exact sum of a double column: cast to decimal, sum
+    * exactly, cast back. Same construct on the DuckDB side. */
+  private def dsum(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  /** Deterministic mean built from the exact sum (avg(double) is
+    * merge-order dependent; this is not). */
+  private def davg(c: String): String =
+    s"ROUND(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c), 4)"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Scan + filter + projection + limit (reference example
+    // examples/query_from_catalog.rs:22 shape). Filter and projection
+    // reach the parquet scan (PushedFilters / ReadSchema in explain).
+    QueryDef.sql(
+      "q_scan_filter_project_limit",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber LIMIT 25""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(25)
+    },
+
+    // ------------------------------------------------------------------
+    // Hash aggregation with partial (map-side) aggregation — TPC-H Q1 shape.
+    QueryDef.sql(
+      "q_agg_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  ${davg("l_discount")} AS avg_disc,
+         |  CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr(dsum("l_quantity")).as("sum_qty"),
+          expr(dsum("l_extendedprice")).as("sum_base_price"),
+          expr(davg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ------------------------------------------------------------------
+    // Broadcast hash join: small dimension (customer) broadcast to the
+    // fact (orders) — no shuffle of the fact side at any scale.
+    QueryDef.sql(
+      "q_join_broadcast",
+      s"""SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS order_cnt,
+         |  ${dsum("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("order_cnt"),
+          expr(dsum("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ------------------------------------------------------------------
+    // Large-large join: lineitem ⋈ orders shuffles both sides on the key
+    // (sort-merge or shuffled-hash; AQE decides). The groupBy reuses no
+    // special partitioning — partial aggregation keeps the shuffle small.
+    QueryDef.sql(
+      "q_join_shuffle",
+      s"""SELECT o_orderpriority,
+         |  CAST(COUNT(*) AS BIGINT) AS line_cnt,
+         |  ${dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("line_cnt"),
+          expr(dsum("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ------------------------------------------------------------------
+    // Left outer join, counting unmatched right rows.
+    QueryDef.sql(
+      "q_join_left_outer",
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS row_cnt,
+        |  CAST(COUNT(o_orderkey) AS BIGINT) AS matched_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("row_cnt"), count(col("o_orderkey")).as("matched_cnt"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ------------------------------------------------------------------
+    // Semi join (EXISTS): customers that have at least one order.
+    QueryDef.sql(
+      "q_join_semi",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Anti join (NOT EXISTS): customers with no orders.
+    QueryDef.sql(
+      "q_join_anti",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // ------------------------------------------------------------------
+    // ROLLUP — hierarchical subtotals (grouping-set expansion in one pass).
+    QueryDef.sql(
+      "q_rollup",
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(COUNT(*) AS BIGINT) AS n, ${dsum("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), expr(dsum("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ------------------------------------------------------------------
+    // CUBE — all grouping combinations.
+    QueryDef.sql(
+      "q_cube",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n, ${dsum("l_quantity")} AS qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), expr(dsum("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // ------------------------------------------------------------------
+    // GROUPING SETS via the SQL entry point (spark.sql).
+    QueryDef.sql(
+      "q_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Window functions: rank / dense_rank / row_number with a unique
+    // tiebreak so results are total-ordered and deterministic.
+    QueryDef.sql(
+      "q_window_rank",
+      """SELECT c_custkey, c_mktsegment, rnk, rn FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(rank() OVER w AS INTEGER) AS rnk,
+        |    CAST(row_number() OVER w AS INTEGER) AS rn
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |) WHERE rnk <= 5 ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("c_custkey", "c_mktsegment", "rnk", "rn")
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // ------------------------------------------------------------------
+    // Window frames: running total + lag over an ordered per-key stream.
+    QueryDef.sql(
+      "q_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 50)
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev_orderkey", lag("o_orderkey", 1).over(w))
+        .select("o_custkey", "o_orderkey", "running_total", "prev_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Top-k: ORDER BY + LIMIT → TakeOrderedAndProject (no full sort, no
+    // single-node shuffle of the whole table).
+    QueryDef.sql(
+      "q_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ------------------------------------------------------------------
+    // Set operations.
+    QueryDef.sql(
+      "q_union",
+      """SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey AS nk FROM supplier
+        |) GROUP BY nk ORDER BY nk""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .unionAll(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n"))
+        .orderBy("nk")
+    },
+    QueryDef.sql(
+      "q_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+    QueryDef.sql(
+      "q_except",
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    // ------------------------------------------------------------------
+    // Distinct aggregation (expand + two-phase hash agg under the hood).
+    QueryDef.sql(
+      "q_count_distinct",
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // ------------------------------------------------------------------
+    // Approximate distinct (HLL++). Sketch internals differ from DuckDB's
+    // estimator, so this is a rows-only check; the spec asserts the
+    // estimate is within 5% of exact.
+    QueryDef.rowsOnly("q_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.01).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
+    // Scalar string functions.
+    QueryDef.sql(
+      "q_scalar_string",
+      """SELECT p_partkey, upper(p_name) AS un, CAST(length(p_name) AS INTEGER) AS ln,
+        |  substr(p_name, 1, 8) AS sn, concat(p_brand, '#', p_type) AS bt,
+        |  replace(p_type, ' ', '_') AS rt
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("un"),
+        length(col("p_name")).as("ln"),
+        substring(col("p_name"), 1, 8).as("sn"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("bt"),
+        regexp_replace(col("p_type"), " ", "_").as("rt"))
+        .orderBy("p_partkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Scalar date/time functions (timestamps rendered as strings so the
+    // oracle compare is precision-independent).
+    QueryDef.sql(
+      "q_scalar_date",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(year(l_shipdate) AS INTEGER) AS y,
+        |  CAST(month(l_shipdate) AS INTEGER) AS m,
+        |  CAST(day(l_shipdate) AS INTEGER) AS dd,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ds
+        |FROM lineitem WHERE l_quantity > 49
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 49)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          year(col("l_shipdate")).as("y"),
+          month(col("l_shipdate")).as("m"),
+          dayofmonth(col("l_shipdate")).as("dd"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ds"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ------------------------------------------------------------------
+    // Scalar math functions.
+    QueryDef.sql(
+      "q_scalar_math",
+      """SELECT p_partkey,
+        |  round(sqrt(p_retailprice), 4) AS sq,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  abs(p_size - 25) AS ab,
+        |  CAST(p_size % 7 AS INTEGER) AS md,
+        |  round(ln(p_retailprice), 4) AS lg
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        round(sqrt(col("p_retailprice")), 4).as("sq"),
+        floor(col("p_retailprice")).as("fl"),
+        ceil(col("p_retailprice")).as("ce"),
+        abs(col("p_size") - 25).as("ab"),
+        (col("p_size") % 7).as("md"),
+        round(log(col("p_retailprice")), 4).as("lg"))
+        .orderBy("p_partkey")
+    },
+
+    // ------------------------------------------------------------------
+    // JSON extraction (Spark-native JSON path; oracle reaches the same
+    // value via regexp so the check is engine-independent).
+    QueryDef.sql(
+      "q_json_extract",
+      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .orderBy("event_id")
+    },
+
+    // ------------------------------------------------------------------
+    // Array / higher-order functions over the embedding column. All
+    // order-independent measures (max/min/size/filter-count) so floats
+    // compare exactly across engines.
+    QueryDef.sql(
+      "q_array_hof",
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS mx,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS mn,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(array_max(col("embedding")).cast("double"), 4).as("mx"),
+        round(array_min(col("embedding")).cast("double"), 4).as("mn"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"))
+        .orderBy("vec_id")
+    },
+
+    // ------------------------------------------------------------------
+    // Nested types: struct construction + field access, map element
+    // access, array literal indexing. Oracle computes the equivalent
+    // scalars directly.
+    QueryDef.sql(
+      "q_complex_types",
+      """SELECT c_custkey, c_name AS sname, c_mktsegment AS mseg,
+        |  CAST(c_nationkey AS INTEGER) AS first_nk
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("s", struct(col("c_name").as("name"), col("c_acctbal").as("bal")))
+        .withColumn("m", map(lit("seg"), col("c_mktsegment")))
+        .withColumn("a", array(col("c_nationkey"), lit(-1)))
+        .select(
+          col("c_custkey"),
+          col("s.name").as("sname"),
+          element_at(col("m"), "seg").as("mseg"),
+          element_at(col("a"), 1).as("first_nk"))
+        .orderBy("c_custkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Time-bucketed aggregation (batch mirror of the streaming tumbling
+    // window; window('1 day') buckets align with date_trunc at UTC).
+    QueryDef.sql(
+      "q_time_window",
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  event_type, CAST(COUNT(*) AS BIGINT) AS n, ${dsum("value")} AS total
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), expr(dsum("value")).as("total"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("day", "event_type")
+    },
+
+    // ------------------------------------------------------------------
+    // Gap-based sessionization, expressed relationally (lag + conditional
+    // cumulative sum) — the batch twin of stateful streaming sessions.
+    QueryDef.sql(
+      "q_sessionize",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN CAST(epoch(ts) AS BIGINT)
+        |              - lag(CAST(epoch(ts) AS BIGINT))
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("is_new",
+          when(col("sec") - lag("sec", 1).over(w) > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (lit(1) + sum("is_new")).cast("bigint").as("n_sessions"))
+        .orderBy("user_id")
+    },
+
+    // ------------------------------------------------------------------
+    // Multi-way SQL join pipeline (TPC-H Q3 shape) through spark.sql.
+    QueryDef.sql(
+      "q_sql_revenue_topk",
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |       AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+          |       AS DOUBLE) AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |  JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey
+          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+    }
+  )
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines. No counterpart in the reference (which is a sharing
+  * connector); designed Spark-first for 100 TB:
+  *
+  *  - exact dedup = hash groupBy on content (one shuffle, map-side combine);
+  *  - near-dup = MinHash + LSH banding: candidates come from an equi-join
+  *    on (band, bandHash) buckets — NEVER an all-pairs cross join. At 1000
+  *    executors the bucket join shuffles only (docId, bandHash) pairs,
+  *    ~64/doc, and skewed buckets are capped (see `maxBucketSize`).
+  *  - SimHash = 64-bit signed-projection fingerprint; near-dups found by
+  *    banding the fingerprint into 16-bit chunks (Hamming ≤ 3 ⇒ at least
+  *    one of 4 chunks equal, by pigeonhole).
+  *
+  * Everything is expression-level (codegen'd built-ins + one hash pass);
+  * no UDFs in the hot path, no driver-side collects.
+  */
+object Dedup {
+
+  /** Word shingles of size n as a distinct array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    // transform over positions; slice(words, i+1, n) then join back to a
+    // string shingle; drop ragged tails shorter than n.
+    val idx = sequence(lit(0), greatest(size(words) - n, lit(0)))
+    array_distinct(
+      filter(
+        transform(idx, i => array_join(slice(words, i + 1, lit(n)), " ")),
+        s => size(split(s, " ")) === n))
+  }
+
+  /** 64 MinHash values for an array of shingle strings.
+    *
+    * h_i(S) = min_{s in S} ((a_i * xxhash64(s) + b_i) mod p), with fixed
+    * seeds so results are deterministic across runs/partitions. Computed
+    * entirely with higher-order functions (transform + array_min) — one
+    * projection, no shuffle, no UDF.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column = {
+    // 31-bit prime universe: h < 2^31 and a < 2^31 keep a*h+b < 2^63, so
+    // the arithmetic never overflows long under ANSI mode.
+    val p = lit(2147483629L)
+    val sigs = (0 until numHashes).map { i =>
+      val a = lit((1000003L * (i + 1) + 12345L) % 2147483629L)
+      val b = lit((777767777L * (i + 1) + 7L) % 2147483629L)
+      array_min(transform(shingleArr,
+        s => pmod(pmod(xxhash64(s), p) * a + b, p)))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH bands: split the signature into `bands` groups of `rowsPerBand`
+    * and hash each group. Equal band-hash ⇒ candidate pair. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(array_join(
+          transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+            x => x.cast("string")), ",")).as("bh"))
+    }: _*)
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
+    * Jaccard over the shingle sets. Returns (doc_a, doc_b, jaccard).
+    *
+    * @param maxBucketSize skew guard: an LSH bucket with more than this
+    *   many docs (a degenerate/boilerplate shingle cluster) would create
+    *   O(k²) candidate pairs; cap it. At 100 TB this is the difference
+    *   between a bounded join and an accidental cross product.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    val bandsDf = withSig
+      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    // Skew guard: drop pathological buckets before the self-join.
+    val bounded = bandsDf
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+
+    val candidates = bounded.as("x")
+      .join(bounded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sets = withSig.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens: bit j of the fingerprint is the sign
+    * of sum over tokens of (bit j of xxhash64(token) ? +1 : -1). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    // For each bit, count tokens with that bit set vs total.
+    val n = size(hashes)
+    val bitSums = (0 until 64).map { j =>
+      val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << j)) =!= 0L))
+      when(ones * 2 >= n, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitSums.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4 16-bit
+    * chunks; Hamming distance ≤ 3 guarantees ≥1 equal chunk (pigeonhole),
+    * so the candidate join is an equi-join on (chunkIdx, chunkValue). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("fp"))
+    val chunks = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("ci"),
+          col("fp").bitwiseAND(lit(0xFFFFL << (c * 16))).as("cv"))
+      }: _*)).as("ch"))
+      .select(col("doc_id"), col("fp"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // Exact dedup: one row per distinct text, keeping the smallest id.
+    // Hash groupBy — a single shuffle on the content hash at any scale.
+    QueryDef.sql(
+      "dedup_exact",
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    },
+
+    // Exact dedup via distinct over a normalized key (lower + squeezed
+    // whitespace) — the "normalize then dropDuplicates" pipeline stage.
+    QueryDef.sql(
+      "dedup_normalized",
+      """SELECT md5(lower(regexp_replace(text, ' +', ' '))) AS content_key,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("content_key",
+          md5(lower(regexp_replace(col("text"), " +", " "))))
+        .groupBy("content_key")
+        .agg(min("doc_id").as("keep_id"))
+        .orderBy("keep_id")
+    },
+
+    // MinHash+LSH near-dup pairs (not SQL-expressible → rows-only in the
+    // driver; MinHashLshSpec cross-checks against brute-force Jaccard).
+    QueryDef.rowsOnly("dedup_minhash_lsh") { (s, d) =>
+      minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash near-dup pairs (rows-only; SimHashSpec verifies recall).
+    QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
+      simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Exact n-gram Jaccard on LSH-pruned candidates, reported with the
+    // candidate count so the driver sees the scale path (LSH) not a
+    // cross-join. rows-only (DuckDB can't express the LSH pipeline).
+    QueryDef.rowsOnly("dedup_ngram_jaccard") { (s, d) =>
+      minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, shingleSize = 2)
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns with typed metadata, and run decode / feature-extraction as a
+  * partition-parallel pass with a real schema contract.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic stub (`fakeDecodeFeatures`); everything
+  * around it — binary column handling, schema, batch-shaped mapPartitions,
+  * partition sizing — is the real 100 TB design: media bytes never hit the
+  * driver, each partition streams its blobs through the decoder, and
+  * metadata (byte size, content hash, mime guess) is computed with
+  * codegen'd expressions before the expensive decode so corrupt/oversized
+  * payloads can be filtered early.
+  */
+object Multimodal {
+
+  /** Documents-as-binary view: the corpus text re-encoded as UTF-8 blobs
+    * stands in for image/audio payloads (same column shape: id + binary +
+    * metadata). */
+  def binaryView(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
+        col("source").as("origin"),
+        lit("text/plain").as("mime")).as("meta"))
+
+  /** STUB — stands in for a real image/audio decoder (no codec libs in
+    * this container). Deterministic fake: 4 "features" derived from byte
+    * statistics. The seam (Iterator[Row] => Iterator[Row], executed per
+    * partition) is exactly where a JNI/onnx decoder would slot in. */
+  def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
+    var s0 = 0L; var s1 = 0L
+    var i = 0
+    while (i < payload.length) {
+      s0 += payload(i) & 0xff
+      s1 += (payload(i) & 0xff).toLong * ((i % 97) + 1)
+      i += 1
+    }
+    val n = math.max(payload.length, 1)
+    Array(payload.length.toDouble, s0.toDouble / n, (s1 % 10007).toDouble,
+      ((s0 ^ s1) % 4093).toDouble)
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  /** Partition-parallel decode pass (mapPartitions, batch-shaped): the
+    * Scala equivalent of a `mapInPandas` decode UDF. */
+  def decodeFeatures(binary: DataFrame): DataFrame = {
+    val spark = binary.sparkSession
+    val rdd = binary.select("media_id", "payload", "meta.n_bytes").rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
+            fakeDecodeFeatures(payload))
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // Binary metadata extraction — expression-level (no decode), oracle-
+    // checked: byte length + sha256 + mime routing.
+    QueryDef.sql(
+      "mm_binary_meta",
+      """SELECT doc_id AS media_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS payload_sha, 'text/plain' AS mime
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      binaryView(Tables.documents(s, d)).select(
+        col("media_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        sha2(col("payload"), 256).as("payload_sha"),
+        col("meta.mime").as("mime"))
+        .orderBy("media_id")
+    },
+
+    // Stubbed decode + feature extraction through the partition-parallel
+    // seam (rows-only: the fake decoder is not SQL-expressible; the
+    // MultimodalSpec pins its outputs).
+    QueryDef.rowsOnly("mm_decode_features") { (s, d) =>
+      decodeFeatures(binaryView(Tables.documents(s, d)))
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 2), 4).as("mean_byte"),
+          element_at(col("features"), 3).as("weighted_mod"))
+        .orderBy("media_id")
+    }
+  )
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over the `embeddings` table
+  * (embedding: array<float>, 64-dim). No reference counterpart; designed
+  * Spark-first:
+  *
+  *  - dot products / norms are `zip_with` + `aggregate` higher-order
+  *    expressions — codegen'd, no UDF, no driver collect;
+  *  - brute-force top-k broadcasts the (small) query set and scans the
+  *    corpus once; per-query top-k via a window over the query id;
+  *  - the scale path is LSH-bucketed ANN: a 16-bit random-hyperplane
+  *    signature per vector, candidates restricted to matching buckets
+  *    (with multi-probe on 1-bit flips), exact cosine only within the
+  *    bucket. At 100 TB the bucket join replaces the N×Q cross product
+  *    with |bucket| × Q_bucket work, and the signature pass is a single
+  *    narrow projection.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (seeded) for LSH signatures. */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** n-bit LSH signature: bit p = sign(v · r_p) for seeded hyperplane r_p. */
+  def lshSignature(v: Column, numPlanes: Int = 16, dim: Int = 64): Column = {
+    val planes = hyperplanes(numPlanes, dim)
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * Queries are broadcast; corpus is scanned once. Self-matches excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk").cast("int").as("rk"))
+  }
+
+  /** Bucket keys for multi-table LSH: `numTables` independent signatures
+    * of `bitsPerTable` hyperplane bits each. Two vectors are candidates
+    * iff they share a bucket in ANY table (OR-amplification). */
+  def lshTableKeys(v: Column, numTables: Int, bitsPerTable: Int,
+      dim: Int = 64): Column = {
+    val planes = hyperplanes(numTables * bitsPerTable, dim)
+    array((0 until numTables).map { t =>
+      val sig = (0 until bitsPerTable).map { j =>
+        when(dot(v, typedLit(planes(t * bitsPerTable + j))) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      struct(lit(t).as("t"), sig.as("sig"))
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k (multi-table random-hyperplane LSH).
+    *
+    * Tuning note: these embeddings are near-isotropic gaussians (top-1
+    * cosine ≈ 0.35), the hardest case for LSH. 16 tables × 6 bits gives
+    * ~4-5× candidate pruning at ~0.5 recall@5 here; real text-embedding
+    * corpora are strongly clustered, where the same machinery prunes
+    * 100-1000× at high recall. At 100 TB the bucket join shuffles only
+    * (key, id) pairs and the per-bucket work is bounded; numTables scales
+    * the duplication factor linearly — the standard cost knob.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numTables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
+    def keyed(df: DataFrame, idAs: String, embAs: String) = df
+      .select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        explode(lshTableKeys(col("embedding"), numTables, bitsPerTable)).as("bk"))
+      .select(col(idAs), col(embAs), col("bk.t").as("t"), col("bk.sig").as("sig"))
+    val corpusKeys = keyed(corpus, "vec_id", "embedding")
+    val queryKeys = keyed(queries, "query_id", "q_emb")
+    val candidates = broadcast(queryKeys)
+      .join(corpusKeys, Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk").cast("int").as("rk"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // Exact per-vector L2 norm, computed through DECIMAL so the sum of
+    // squares is order-independent and matches DuckDB exactly.
+    QueryDef.sql(
+      "sim_vector_norm",
+      """SELECT vec_id, round(sqrt(CAST(SUM(
+        |    CAST(x AS DECIMAL(12,8)) * CAST(x AS DECIMAL(12,8))
+        |  ) AS DOUBLE)), 4) AS l2_norm
+        |FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // Products are DECIMAL(25,16), exactly representable in the
+      // DECIMAL(32,16) accumulator — the fold is exact, order-free.
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(sqrt(
+          aggregate(col("embedding"), lit(BigDecimal(0)).cast("decimal(32,16)"),
+            (acc, x) => (acc + x.cast("decimal(12,8)") * x.cast("decimal(12,8)"))
+              .cast("decimal(32,16)"))
+            .cast("double")), 4).as("l2_norm"))
+        .orderBy("vec_id")
+    },
+
+    // Brute-force exact top-5 cosine neighbors for 10 query vectors.
+    // rows-only: cross-engine float top-k tie order isn't stable; the
+    // SimilaritySpec verifies neighbor sets against an independent
+    // in-memory computation.
+    QueryDef.rowsOnly("sim_topk_brute") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // LSH-bucketed ANN top-5 for the same queries (the 100 TB path).
+    QueryDef.rowsOnly("sim_topk_ann") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      annTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // Label-centroid similarity: per-label mean vector via exact decimal
+    // element-wise sums (posexplode + groupBy), a common
+    // "cluster-then-search" building block. Oracle-checkable.
+    QueryDef.sql(
+      "sim_label_centroid_norm",
+      """SELECT label, round(sqrt(SUM(m * m)), 4) AS centroid_norm
+        |FROM (
+        |  SELECT label, i,
+        |    CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)
+        |  GROUP BY label, i
+        |) GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("label", "i")
+        .agg((sum(col("x").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+          .as("m"))
+        .groupBy("label")
+        .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+        .orderBy("label")
+    }
+  )
+}

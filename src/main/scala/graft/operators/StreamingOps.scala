@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface over the `events` table. The reference has
+  * no streaming (its CDF endpoint is a `todo!()`, reference
+  * src/client/mod.rs:384-386); this is north-star capability.
+  *
+  * Batch/stream parity is the design rule: the same aggregation expressed
+  * on `readStream` must equal the batch result — the driver's oracle
+  * checks exactly that (the streaming result's oracle is plain batch SQL).
+  * Executed with Trigger.AvailableNow into a memory sink for the
+  * verification harness; in production the same plan writes to a real sink
+  * with checkpointing, and the windowed variant carries a watermark so
+  * state is bounded at 100 TB/day rates.
+  */
+object StreamingOps {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The testdata events parquet carries TIMESTAMP(NANOS), which the file
+    * stream source's footer reader rejects (batch reads are fine). Stage
+    * a µs-precision copy once per sfDir and stream from that. */
+  private def stagedEventsDir(spark: SparkSession, sfDir: String): String =
+    staged.getOrElseUpdate(sfDir, {
+      val dir = s"/tmp/graft_stream_stage_${math.abs(sfDir.hashCode)}"
+      Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** Run a streaming transform over the events parquet to completion
+    * (AvailableNow) and return the final result as a DataFrame. */
+  def runToCompletion(spark: SparkSession, sfDir: String,
+      transform: DataFrame => DataFrame,
+      outputMode: String): DataFrame = {
+    val dir = stagedEventsDir(spark, sfDir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(dir)
+    val sink = s"graft_stream_sink_${counter.incrementAndGet()}"
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // Streaming grouped aggregation — must equal the batch answer.
+    QueryDef.sql(
+      "stream_agg_event_type",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      runToCompletion(s, d,
+        df => df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total")),
+        outputMode = "complete")
+        .orderBy("event_type")
+    },
+
+    // Streaming tumbling-window aggregation with a watermark (bounded
+    // state); result equals the batch date_trunc bucketing.
+    QueryDef.sql(
+      "stream_windowed_counts",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      runToCompletion(s, d,
+        df => df.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("n")),
+        outputMode = "complete")
+        .orderBy("day")
+    }
+  )
+}

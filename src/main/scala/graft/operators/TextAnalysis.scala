@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * token counting, quality scoring, language identification, content
+  * fingerprinting. All single-pass narrow projections built from codegen'd
+  * string/regexp/higher-order functions — no UDFs, so at 100 TB each is an
+  * embarrassingly parallel scan with full whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the documents corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish word-piece count: alphanumeric runs, the robust
+    * cross-engine token proxy. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+"))
+
+  /** Stopword ratio against a tiny embedded English list (pipeline
+    * quality signal; real deployments broadcast a larger list). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords: _*))) .cast("double") / size(toks)
+  }
+
+  /** Quality score in [0,1]: blend of length, mean token length and
+    * stopword presence — deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val meanLen = length(text).cast("double") / nTok
+    val stopR = stopwordRatio(text)
+    round(least(lit(1.0),
+      (least(nTok / 100, lit(1.0)) + least(meanLen / 8, lit(1.0)) +
+        least(stopR * 5, lit(1.0))) / 3), 4)
+  }
+
+  /** Heuristic language ID from stopword hits per language. Returns the
+    * language whose marker-word hit count is highest (ties → 'und'). The
+    * marker lists are deliberately tiny; the spec measures accuracy
+    * against the corpus `lang` label. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "with", "fast", "slow"),
+    "de" -> Seq("der", "die", "das", "und", "mit", "schnell"),
+    "fr" -> Seq("le", "la", "les", "et", "avec", "vite"),
+    "es" -> Seq("el", "los", "las", "con", "rapido"),
+    "zh" -> Seq("de5", "shi4", "he2"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = langMarkers.toSeq.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Deterministic rolling-hash fingerprint (polynomial over character
+    * codes, mod a 31-bit prime — acc*131+c stays < 2^39, no ANSI long
+    * overflow) of the lowercased text — the cheap shift-sensitive
+    * content signature. */
+  def rollingFingerprint(text: Column): Column = {
+    val p = lit(2147483629L)
+    aggregate(
+      transform(split(lower(text), ""), c => ascii(c).cast("bigint")),
+      lit(0L),
+      (acc, c) => pmod(acc * 131L + c, p))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // Token & character statistics with a quality signal. Oracle mirrors
+    // every step in DuckDB list/regexp functions.
+    QueryDef.sql(
+      "text_stats",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS mean_tok_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars_calc"),
+        size(toks).as("n_tokens"),
+        round(length(col("text")).cast("double") / size(toks), 4)
+          .as("mean_tok_len"),
+        round(stopwordRatio(col("text")), 4).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Regex token counting (BPE-ish alphanumeric runs).
+    QueryDef.sql(
+      "text_token_count",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER)
+        |    AS n_word_tokens,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
+        |    AS n_num_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexTokenCount(col("text")).cast("int").as("n_word_tokens"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("int").as("n_num_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Content fingerprint: md5 (oracle-checkable) — the exact-dedup key.
+    QueryDef.sql(
+      "text_fingerprint",
+      """SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling polynomial fingerprint (rows-only; spec asserts determinism
+    // and shift-sensitivity properties).
+    QueryDef.rowsOnly("text_rolling_fingerprint") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), rollingFingerprint(col("text")).as("fp64"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID + quality score (heuristics — rows-only; the spec
+    // checks langid accuracy against the `lang` label ≥ 50%).
+    QueryDef.rowsOnly("text_langid_quality") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), langId(col("text")).as("lang_pred"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-level quality aggregation by source (pipeline triage view).
+    QueryDef.sql(
+      "text_source_profile",
+      """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+        |  round(CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*), 4)
+        |    AS mean_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("bigint")).as("total_chars"),
+          round(sum(length(col("text")).cast("bigint")).cast("double")
+            / count(lit(1)), 4).as("mean_chars"))
+        .orderBy("source", "lang")
+    }
+  )
+}
