@@ -1,0 +1,119 @@
+package graft.sharing
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Delta Sharing protocol actions (reference src/client/action.rs) and the
+  * NDJSON response envelope (src/client/response.rs:140-177): a metadata /
+  * query response is newline-delimited JSON whose lines are
+  * `{"protocol":…}`, `{"metaData":…}`, then zero or more `{"file":…}`.
+  */
+
+/** `{minReaderVersion}` — gate on reader capability (action.rs:8-29). */
+final case class Protocol(minReaderVersion: Int)
+
+/** `{provider, options?}`; parquet is the only data format
+  * (action.rs:32-59). */
+final case class Format(provider: String)
+
+/** Table metadata (action.rs:65-79). */
+final case class Metadata(
+    id: String,
+    name: Option[String],
+    description: Option[String],
+    format: Format,
+    schemaString: String,
+    partitionColumns: Seq[String],
+    configuration: Map[String, String],
+    version: Option[String],
+    size: Option[Long],
+    numFiles: Option[Long])
+
+/** One data file with its pre-signed URL (action.rs:134-149). Null
+  * partition values arrive as JSON null and surface as empty string,
+  * matching `File::partition_values` (action.rs:168-173). */
+final case class FileAction(
+    url: String,
+    id: String,
+    partitionValues: Map[String, String],
+    size: Long,
+    stats: Option[String],
+    version: Option[Long],
+    timestamp: Option[Long],
+    expirationTimestamp: Option[Long])
+
+object Actions {
+  private val mapper = new ObjectMapper()
+
+  private def optText(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText())
+  private def optLong(n: JsonNode, f: String): Option[Long] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asLong())
+
+  def parseProtocol(n: JsonNode): Protocol =
+    Protocol(Option(n.get("minReaderVersion")).map(_.asInt()).getOrElse(
+      throw DeltaSharingException.parseResponse("protocol missing minReaderVersion")))
+
+  def parseMetadata(n: JsonNode): Metadata = Metadata(
+    id = optText(n, "id").getOrElse(
+      throw DeltaSharingException.parseResponse("metaData missing id")),
+    name = optText(n, "name"),
+    description = optText(n, "description"),
+    format = Format(Option(n.get("format")).flatMap(f => optText(f, "provider"))
+      .getOrElse("parquet")),
+    schemaString = optText(n, "schemaString").getOrElse(
+      throw DeltaSharingException.parseResponse("metaData missing schemaString")),
+    partitionColumns = Option(n.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+    configuration = Option(n.get("configuration"))
+      .map(c => c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty),
+    version = optText(n, "version"),
+    size = optLong(n, "size"),
+    numFiles = optLong(n, "numFiles"))
+
+  def parseFile(n: JsonNode): FileAction = FileAction(
+    url = optText(n, "url").getOrElse(
+      throw DeltaSharingException.parseResponse("file missing url")),
+    id = optText(n, "id").getOrElse(
+      throw DeltaSharingException.parseResponse("file missing id")),
+    partitionValues = Option(n.get("partitionValues"))
+      .map(p => p.properties().asScala.map { e =>
+        // JSON null partition value ⇒ empty string (⇒ NULL at read time)
+        e.getKey -> (if (e.getValue.isNull) "" else e.getValue.asText())
+      }.toMap).getOrElse(Map.empty),
+    size = optLong(n, "size").getOrElse(0L),
+    stats = optText(n, "stats"),
+    version = optLong(n, "version"),
+    timestamp = optLong(n, "timestamp"),
+    expirationTimestamp = optLong(n, "expirationTimestamp"))
+
+  /** Parse a metadata NDJSON body: protocol line + metaData line
+    * (reference get_table_metadata, client/mod.rs:283-319). */
+  def parseMetadataResponse(body: String): (Protocol, Metadata) = {
+    val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+    var protocol: Option[Protocol] = None
+    var metadata: Option[Metadata] = None
+    lines.foreach { line =>
+      val n = mapper.readTree(line)
+      if (n.has("protocol")) protocol = Some(parseProtocol(n.get("protocol")))
+      else if (n.has("metaData")) metadata = Some(parseMetadata(n.get("metaData")))
+    }
+    (protocol.getOrElse(throw DeltaSharingException.parseResponse(
+        "parsing protocol failed")),
+      metadata.getOrElse(throw DeltaSharingException.parseResponse(
+        "parsing metadata failed")))
+  }
+
+  /** Parse a query NDJSON body: protocol, metaData, then file lines
+    * (reference get_table_data, client/mod.rs:322-382). */
+  def parseQueryResponse(body: String): (Protocol, Metadata, Seq[FileAction]) = {
+    val (p, m) = parseMetadataResponse(body)
+    val files = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(mapper.readTree)
+      .filter(_.has("file"))
+      .map(n => parseFile(n.get("file")))
+      .toSeq
+    (p, m, files)
+  }
+}

@@ -1,0 +1,180 @@
+package graft.sharing
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** Delta Sharing REST client (reference src/client/mod.rs:33-396),
+  * re-expressed over `java.net.http.HttpClient`.
+  *
+  * Endpoints (all relative to the profile endpoint):
+  *  - GET  /shares                                     (paginated)
+  *  - GET  /shares/{share}
+  *  - GET  /shares/{share}/schemas                     (paginated)
+  *  - GET  /shares/{share}/schemas/{s}/tables          (paginated)
+  *  - GET  /shares/{share}/all-tables                  (paginated)
+  *  - GET  /shares/{share}/schemas/{s}/tables/{t}/version
+  *  - GET  /shares/{share}/schemas/{s}/tables/{t}/metadata
+  *  - POST /shares/{share}/schemas/{s}/tables/{t}/query
+  *
+  * Pagination: `maxResults`/`pageToken` query params, loop until the
+  * response has no / an empty `nextPageToken`
+  * (src/client/pagination.rs:10-73, loop shape mod.rs:83-95).
+  * Errors: HTTP 4xx → CLIENT_ERROR, 5xx → SERVER_ERROR, carrying the
+  * server's `{errorCode, message}` body (src/error.rs:72-89).
+  */
+final class DeltaSharingClient(val profile: Profile,
+    maxResultsPerPage: Option[Int] = None) {
+
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+  private val mapper = new ObjectMapper()
+
+  // ---- catalog listings -------------------------------------------------
+
+  def listShares(): Seq[Share] =
+    paginate(s"${profile.endpoint}/shares") { n =>
+      Option(n.get("items")).map(_.elements().asScala.map(item =>
+        Share(item.get("name").asText(),
+          Option(item.get("id")).filterNot(_.isNull).map(_.asText()))).toSeq)
+        .getOrElse(Seq.empty)
+    }
+
+  def getShare(share: String): Share = {
+    val n = getJson(s"${profile.endpoint}/shares/${enc(share)}")
+    val item = Option(n.get("share")).getOrElse(
+      throw DeltaSharingException.parseResponse("get share: missing share"))
+    Share(item.get("name").asText(),
+      Option(item.get("id")).filterNot(_.isNull).map(_.asText()))
+  }
+
+  def listSchemas(share: String): Seq[SchemaRef] =
+    paginate(s"${profile.endpoint}/shares/${enc(share)}/schemas") { n =>
+      Option(n.get("items")).map(_.elements().asScala.map(item =>
+        SchemaRef(item.get("share").asText(), item.get("name").asText())).toSeq)
+        .getOrElse(Seq.empty)
+    }
+
+  def listTables(schema: SchemaRef): Seq[TableRef] =
+    paginate(s"${profile.endpoint}/shares/${enc(schema.share)}/schemas/" +
+        s"${enc(schema.name)}/tables") { n =>
+      Option(n.get("items")).map(_.elements().asScala.map(parseTable).toSeq)
+        .getOrElse(Seq.empty)
+    }
+
+  def listAllTables(share: String): Seq[TableRef] =
+    paginate(s"${profile.endpoint}/shares/${enc(share)}/all-tables") { n =>
+      Option(n.get("items")).map(_.elements().asScala.map(parseTable).toSeq)
+        .getOrElse(Seq.empty)
+    }
+
+  private def parseTable(item: com.fasterxml.jackson.databind.JsonNode): TableRef =
+    TableRef(item.get("share").asText(), item.get("schema").asText(),
+      item.get("name").asText(),
+      Option(item.get("shareId")).filterNot(_.isNull).map(_.asText()),
+      Option(item.get("id")).filterNot(_.isNull).map(_.asText()))
+
+  // ---- table endpoints --------------------------------------------------
+
+  /** Table version from the `Delta-Table-Version` response header
+    * (reference src/client/mod.rs:251-280,443-450). */
+  def getTableVersion(table: TableRef,
+      startingTimestamp: Option[String] = None): Long = {
+    val base = tableUrl(table, "version")
+    val url = startingTimestamp.fold(base)(ts => s"$base?startingTimestamp=${enc(ts)}")
+    val resp = send(HttpRequest.newBuilder(URI.create(url))
+      .header("Authorization", profile.authorization).GET().build())
+    checkStatus(resp)
+    resp.headers().firstValue("Delta-Table-Version").map[Long](_.toLong)
+      .orElseThrow(() => DeltaSharingException.parseResponse(
+        "missing Delta-Table-Version header"))
+  }
+
+  /** Protocol + metadata, NDJSON (src/client/mod.rs:283-319). */
+  def getTableMetadata(table: TableRef): (Protocol, Metadata) = {
+    val resp = send(HttpRequest.newBuilder(URI.create(tableUrl(table, "metadata")))
+      .header("Authorization", profile.authorization).GET().build())
+    checkStatus(resp)
+    Actions.parseMetadataResponse(resp.body())
+  }
+
+  /** File listing with optional predicate + limit hints
+    * (src/client/mod.rs:322-382). Hints are best-effort; callers must
+    * re-apply filters and limits. */
+  def getTableData(table: TableRef, predicateHints: Option[String] = None,
+      limitHint: Option[Long] = None): (Protocol, Metadata, Seq[FileAction]) = {
+    val body = (predicateHints.map(p => "\"jsonPredicateHints\":" + jstr(p)) ++
+      limitHint.map(l => "\"limitHint\":\"" + l + "\"")).mkString("{", ",", "}")
+    val resp = send(HttpRequest.newBuilder(URI.create(tableUrl(table, "query")))
+      .header("Authorization", profile.authorization)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+    checkStatus(resp)
+    Actions.parseQueryResponse(resp.body())
+  }
+
+  // ---- plumbing ---------------------------------------------------------
+
+  private def tableUrl(t: TableRef, suffix: String): String =
+    s"${profile.endpoint}/shares/${enc(t.share)}/schemas/${enc(t.schema)}" +
+      s"/tables/${enc(t.name)}/$suffix"
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def send(req: HttpRequest): HttpResponse[String] =
+    try http.send(req, HttpResponse.BodyHandlers.ofString())
+    catch {
+      case e: Exception =>
+        throw DeltaSharingException.request(
+          s"request to ${req.uri()} failed: ${e.getMessage}", e)
+    }
+
+  private def checkStatus(resp: HttpResponse[String]): Unit = {
+    val code = resp.statusCode()
+    if (code >= 400) {
+      val msg = try {
+        val n = mapper.readTree(resp.body())
+        s"[${Option(n.get("errorCode")).map(_.asText).getOrElse("")}] " +
+          Option(n.get("message")).map(_.asText).getOrElse(resp.body())
+      } catch { case _: Exception => resp.body() }
+      if (code < 500) throw DeltaSharingException.client(s"$code $msg")
+      else throw DeltaSharingException.server(s"$code $msg")
+    }
+  }
+
+  private def getJson(url: String): com.fasterxml.jackson.databind.JsonNode = {
+    val resp = send(HttpRequest.newBuilder(URI.create(url))
+      .header("Authorization", profile.authorization).GET().build())
+    checkStatus(resp)
+    mapper.readTree(resp.body())
+  }
+
+  /** Pagination loop (reference src/client/mod.rs:83-95): follow
+    * nextPageToken until absent/empty. */
+  private def paginate[T](baseUrl: String)(
+      parse: com.fasterxml.jackson.databind.JsonNode => Seq[T]): Seq[T] = {
+    val acc = Seq.newBuilder[T]
+    var token: Option[String] = None
+    var first = true
+    while (first || token.exists(_.nonEmpty)) {
+      first = false
+      val params = (maxResultsPerPage.map(m => s"maxResults=$m") ++
+        token.filter(_.nonEmpty).map(t => s"pageToken=${enc(t)}")).mkString("&")
+      val url = if (params.isEmpty) baseUrl else s"$baseUrl?$params"
+      val n = getJson(url)
+      acc ++= parse(n)
+      token = Option(n.get("nextPageToken")).filterNot(_.isNull).map(_.asText())
+    }
+    acc.result()
+  }
+}

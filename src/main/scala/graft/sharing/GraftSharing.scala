@@ -1,0 +1,94 @@
+package graft.sharing
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.sharing.fs.SignedHttpFileSystem
+
+/** Connection-string entry point:
+  * `GraftSharing.read(spark, "<profile-path>#<share>.<schema>.<table>")`
+  * (reference src/datasource/table.rs:93-103).
+  *
+  * Execution model (SURVEY §3.2, Spark-first):
+  *  - driver: REST file listing (with optional predicate/limit hints);
+  *  - each file becomes a self-contained `graftshare://` path — Spark
+  *    plans one or more file partitions per file (NOT the reference's
+  *    all-files-in-one-partition scan, src/datasource/scan.rs:77);
+  *  - executors: Spark's vectorized parquet reader over HTTP Range
+  *    reads; projection/filter pushdown reach the parquet scan natively;
+  *  - partition values (strings outside the files) become constant
+  *    columns cast to the schema type per partition-value group, empty
+  *    string ⇒ NULL (src/datasource/scan.rs:191-229) — Catalyst folds
+  *    the per-group union back into parallel scans.
+  */
+object GraftSharing {
+
+  /** Parse `<profile>#<share>.<schema>.<table>`. */
+  def parseConnection(connStr: String): (String, TableRef) =
+    connStr.split("#") match {
+      case Array(profilePath, fqn) => (profilePath, TableRef.parse(fqn))
+      case _ => throw DeltaSharingException.parseSecurable(
+        "connection string must be <profile-path>#<share>.<schema>.<table>")
+    }
+
+  def read(spark: SparkSession, connStr: String): DataFrame = {
+    val (profilePath, table) = parseConnection(connStr)
+    readTable(spark, new DeltaSharingClient(Profile.fromPath(profilePath)), table)
+  }
+
+  /** Read a shared table; `filters` become best-effort server hints (the
+    * caller must still apply them — Inexact semantics) and `limitHint` is
+    * forwarded but not enforced. */
+  def readTable(spark: SparkSession, client: DeltaSharingClient,
+      table: TableRef, filters: Seq[Filter] = Seq.empty,
+      limitHint: Option[Long] = None): DataFrame = {
+    val (protocol, metadata, files) = {
+      val schemaForHints = DeltaSchema.fromSchemaString(
+        client.getTableMetadata(table)._2.schemaString)
+      client.getTableData(table,
+        PredicateHints.toHintJson(filters, schemaForHints), limitHint)
+    }
+    if (protocol.minReaderVersion > 1)
+      throw DeltaSharingException.other(
+        s"unsupported minReaderVersion ${protocol.minReaderVersion}")
+    val schema = DeltaSchema.fromSchemaString(metadata.schemaString)
+    dataFrameForFiles(spark, schema, metadata.partitionColumns, files)
+  }
+
+  /** Build the DataFrame for a listed file set. */
+  def dataFrameForFiles(spark: SparkSession, schema: StructType,
+      partitionColumns: Seq[String], files: Seq[FileAction]): DataFrame = {
+    SignedHttpFileSystem.register(spark.sparkContext.hadoopConfiguration)
+    val partSet = partitionColumns.toSet
+    val dataSchema = StructType(schema.fields.filterNot(f => partSet(f.name)))
+
+    if (files.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava, schema)
+    }
+
+    def pathOf(f: FileAction): String =
+      SignedHttpFileSystem.encode(f.url, f.size)
+
+    // One scan per distinct partition-value combination; the constant
+    // partition columns are appended with the typed cast (empty ⇒ NULL,
+    // matching reference deserialize_partition_values, scan.rs:191-229).
+    val groups = files.groupBy(_.partitionValues).toSeq
+    val parts = groups.map { case (pv, groupFiles) =>
+      var df = spark.read.schema(dataSchema)
+        .parquet(groupFiles.map(pathOf): _*)
+      partitionColumns.foreach { pc =>
+        val fieldType = schema(pc).dataType
+        val raw = pv.getOrElse(pc, "")
+        val value =
+          if (raw.isEmpty) lit(null).cast(fieldType)
+          else lit(raw).cast(fieldType)
+        df = df.withColumn(pc, value)
+      }
+      df.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+    parts.reduce(_ unionAll _)
+  }
+}

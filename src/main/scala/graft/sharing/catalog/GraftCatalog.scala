@@ -1,0 +1,119 @@
+package graft.sharing.catalog
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sharing._
+
+/** Delta Sharing catalog plugin: one catalog per share, schemas as
+  * namespaces, 3-part-name SQL (reference src/catalog/mod.rs:46-220).
+  *
+  * Registration:
+  * {{{
+  *   spark.sql.catalog.myshare          = graft.sharing.catalog.GraftCatalog
+  *   spark.sql.catalog.myshare.profile  = /path/to/profile.json
+  *   spark.sql.catalog.myshare.share    = share-name     (default: catalog name)
+  * }}}
+  * then `SELECT * FROM myshare.schema1.tbl`.
+  *
+  * Improvements over the reference (deliberate, SURVEY §3.3):
+  *  - `loadTable` caches (protocol, metadata) per table — the reference
+  *    re-fetches metadata on every lookup and re-parses the schema on
+  *    every `schema()` call (catalog/mod.rs:206-215, table.rs:105-114);
+  *  - failed lookups raise NoSuchTableException instead of silently
+  *    returning None (catalog/mod.rs:213-215 swallows errors).
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var share: String = _
+  private var client: DeltaSharingClient = _
+  private var profilePath: Option[String] = None
+  private val metadataCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Protocol, Metadata)]
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    share = Option(options.get("share")).getOrElse(name)
+    profilePath = Option(options.get("profile"))
+    val profile =
+      if (options.containsKey("profile.json")) Profile.fromJson(options.get("profile.json"))
+      else if (options.containsKey("profile")) Profile.fromPath(options.get("profile"))
+      else throw DeltaSharingException.profile(
+        s"catalog $name needs spark.sql.catalog.$name.profile")
+    client = new DeltaSharingClient(profile)
+  }
+
+  override def name(): String = catalogName
+
+  // ---- namespaces (= shared schemas) ------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    client.listSchemas(share).map(s => Array(s.name)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      client.listSchemas(share).exists(_.name == namespace(0))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = readOnly()
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = readOnly()
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly()
+
+  // ---- tables -----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    client.listTables(SchemaRef(share, namespace(0)))
+      .map(t => Identifier.of(namespace, t.name)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    if (ident.namespace().length != 1)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val ref = TableRef(share, ident.namespace()(0), ident.name())
+    try {
+      val (_, metadata) = metadataCache.getOrElseUpdate(ref.toString,
+        client.getTableMetadata(ref))
+      new GraftTable(client, ref, metadata, profilePath)
+    } catch {
+      case e: DeltaSharingException if e.kind == "CLIENT_ERROR" =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
+  }
+
+  override def invalidateTable(ident: Identifier): Unit =
+    metadataCache.remove(
+      TableRef(share, ident.namespace().headOption.getOrElse(""), ident.name()).toString)
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTable(ident); true }
+    catch { case _: Exception => false }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String]): Table = readOnly()
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly()
+  override def dropTable(ident: Identifier): Boolean = readOnly()
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly()
+
+  private def readOnly(): Nothing =
+    throw new UnsupportedOperationException(
+      "Delta Sharing catalogs are read-only (reference catalog/mod.rs:93-99)")
+}

@@ -1,0 +1,317 @@
+package graft.sharing.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.sharing.DeltaSchema
+
+/** In-process Delta Sharing server over local parquet files.
+  *
+  * Serves the full read-only protocol surface the reference client
+  * consumes (reference src/client/mod.rs endpoints): share/schema/table
+  * listings with `maxResults`/`pageToken` pagination, NDJSON
+  * metadata/query responses, bearer-token auth with the proper
+  * `{errorCode,message}` 4xx bodies, and "pre-signed" data URLs
+  * (signature + expiry query params) honoring HTTP Range requests — the
+  * executor read path.
+  *
+  * Used by the test suite and by ConnectorQueries to prove the whole
+  * client→scan path inside the driver's correctness gate. It is also a
+  * genuinely usable mini sharing server for local parquet data.
+  */
+final class LocalSharingServer(
+    bearerToken: String = "graft-test-token",
+    urlTtl: java.time.Duration = java.time.Duration.ofHours(1)) {
+
+  /** One served file + its partition values (empty string ⇒ null). */
+  final case class ServedFile(path: Path, partitionValues: Map[String, String])
+
+  final case class TableDef(
+      name: String,
+      schemaString: String,
+      partitionColumns: Seq[String],
+      files: Seq[ServedFile],
+      version: Long = 1L)
+
+  // share -> schema -> table name -> def
+  private var tree: Map[String, Map[String, Map[String, TableDef]]] = Map.empty
+  private val signingSecret = java.util.UUID.randomUUID().toString
+
+  /** Most recent query-endpoint hints, for test assertions. */
+  @volatile var lastPredicateHints: Option[String] = None
+  @volatile var lastLimitHint: Option[String] = None
+
+  private var server: HttpServer = _
+  @volatile private var started = false
+
+  def addTable(share: String, schema: String, table: TableDef): Unit =
+    synchronized {
+      val schemas = tree.getOrElse(share, Map.empty)
+      val tables = schemas.getOrElse(schema, Map.empty)
+      tree = tree.updated(share,
+        schemas.updated(schema, tables.updated(table.name, table)))
+    }
+
+  /** Register every `*.parquet` under dir as one unpartitioned table. */
+  def addParquetTable(share: String, schema: String, name: String,
+      dir: String, schemaString: String): Unit = {
+    val p = Paths.get(dir)
+    val files =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.toString)
+      else Seq(p)
+    addTable(share, schema,
+      TableDef(name, schemaString, Seq.empty,
+        files.map(f => ServedFile(f, Map.empty))))
+  }
+
+  def start(): Int = synchronized {
+    if (!started) {
+      server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", exchange => handle(exchange))
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+      server.start()
+      started = true
+    }
+    port
+  }
+
+  def port: Int = server.getAddress.getPort
+  def endpoint: String = s"http://127.0.0.1:$port/delta-sharing"
+
+  def profileJson: String =
+    s"""{"shareCredentialsVersion":1,"endpoint":"$endpoint","bearerToken":"$bearerToken"}"""
+
+  /** Write a profile file and return its path. */
+  def writeProfile(): String = {
+    val f = Files.createTempFile("graft-share-profile", ".json")
+    Files.writeString(f, profileJson)
+    f.toString
+  }
+
+  def stop(): Unit = synchronized {
+    if (started) { server.stop(0); started = false }
+  }
+
+  // -----------------------------------------------------------------------
+
+  private def handle(x: HttpExchange): Unit =
+    try route(x)
+    catch {
+      case e: Exception =>
+        respond(x, 500,
+          s"""{"errorCode":"INTERNAL_ERROR","message":${jstr(e.toString)}}""")
+    } finally x.close()
+
+  private def route(x: HttpExchange): Unit = {
+    val path = x.getRequestURI.getPath
+    // Data reads authenticate via the signature, not the bearer header
+    // (pre-signed URLs go straight to "storage", bypassing the server
+    // auth — same two-hop model as the reference, SURVEY §3.2).
+    if (path.startsWith("/data/")) return serveData(x)
+
+    val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
+    if (!auth.contains(s"Bearer $bearerToken"))
+      return respond(x, 401,
+        """{"errorCode":"UNAUTHENTICATED","message":"invalid bearer token"}""")
+
+    val rel = path.stripPrefix("/delta-sharing").stripPrefix("/")
+    val segs = rel.split('/').filter(_.nonEmpty).map(dec).toList
+    segs match {
+      case List("shares") => listPage(x, tree.keys.toSeq.sorted.map(shareJson))
+      case List("shares", s) =>
+        withShare(x, s)(_ => respond(x, 200, s"""{"share":${shareJson(s)}}"""))
+      case List("shares", s, "schemas") => withShare(x, s) { schemas =>
+        listPage(x, schemas.keys.toSeq.sorted.map(sc => schemaJson(s, sc)))
+      }
+      case List("shares", s, "schemas", sc, "tables") => withSchema(x, s, sc) { tables =>
+        listPage(x, tables.keys.toSeq.sorted.map(t => tableJson(s, sc, t)))
+      }
+      case List("shares", s, "all-tables") => withShare(x, s) { schemas =>
+        listPage(x, schemas.toSeq.sortBy(_._1).flatMap { case (sc, ts) =>
+          ts.keys.toSeq.sorted.map(t => tableJson(s, sc, t))
+        })
+      }
+      case List("shares", s, "schemas", sc, "tables", t, "version") =>
+        withTable(x, s, sc, t) { td =>
+          x.getResponseHeaders.set("Delta-Table-Version", td.version.toString)
+          respond(x, 200, "")
+        }
+      case List("shares", s, "schemas", sc, "tables", t, "metadata") =>
+        withTable(x, s, sc, t)(td =>
+          respondNdjson(x, Seq(protocolLine, metadataLine(td))))
+      case List("shares", s, "schemas", sc, "tables", t, "query") =>
+        withTable(x, s, sc, t) { td =>
+          val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          recordHints(body)
+          respondNdjson(x,
+            Seq(protocolLine, metadataLine(td)) ++ td.files.zipWithIndex.map {
+              case (f, i) => fileLine(td, f, i)
+            })
+        }
+      case _ =>
+        respond(x, 404,
+          """{"errorCode":"RESOURCE_DOES_NOT_EXIST","message":"no such endpoint"}""")
+    }
+  }
+
+  private def recordHints(body: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = if (body.trim.isEmpty) mapper.createObjectNode() else mapper.readTree(body)
+    lastPredicateHints =
+      Option(n.get("jsonPredicateHints")).filterNot(_.isNull).map(_.asText())
+    lastLimitHint = Option(n.get("limitHint")).filterNot(_.isNull).map(_.asText())
+  }
+
+  // ---- signed data serving (HTTP Range) ---------------------------------
+
+  private def sign(path: String, expires: Long): String =
+    Integer.toHexString(s"$signingSecret|$path|$expires".hashCode)
+
+  private def signedUrl(td: TableDef, f: ServedFile, idx: Int): String = {
+    val expires = System.currentTimeMillis() + urlTtl.toMillis
+    val p = s"/data/${td.name}/$idx/${f.path.getFileName}"
+    s"http://127.0.0.1:$port$p?expires=$expires&sig=${sign(p, expires)}"
+  }
+
+  private def lookupServed(path: String): Option[ServedFile] = {
+    // /data/<table>/<idx>/<filename>
+    path.split('/').filter(_.nonEmpty) match {
+      case Array("data", table, idx, _) =>
+        tree.valuesIterator.flatMap(_.valuesIterator).flatMap(_.get(table))
+          .flatMap(td => td.files.lift(idx.toInt)).nextOption()
+      case _ => None
+    }
+  }
+
+  private def serveData(x: HttpExchange): Unit = {
+    val path = x.getRequestURI.getPath
+    val query = Option(x.getRequestURI.getQuery).getOrElse("")
+    val params = query.split('&').filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    val expires = params.get("expires").map(_.toLong).getOrElse(0L)
+    val sig = params.getOrElse("sig", "")
+    if (sig != sign(path, expires))
+      return respond(x, 403, """{"errorCode":"FORBIDDEN","message":"bad signature"}""")
+    if (expires < System.currentTimeMillis())
+      return respond(x, 403, """{"errorCode":"FORBIDDEN","message":"url expired"}""")
+    lookupServed(path) match {
+      case None =>
+        respond(x, 404, """{"errorCode":"RESOURCE_DOES_NOT_EXIST","message":"no such file"}""")
+      case Some(f) =>
+        val all = Files.readAllBytes(f.path)
+        Option(x.getRequestHeaders.getFirst("Range")) match {
+          case Some(r) if r.startsWith("bytes=") =>
+            val Array(s, e) = r.stripPrefix("bytes=").split("-", 2)
+            val start = if (s.isEmpty) 0L else s.toLong
+            val end = if (e.isEmpty) all.length - 1L else math.min(e.toLong, all.length - 1L)
+            val slice = java.util.Arrays.copyOfRange(all, start.toInt, end.toInt + 1)
+            x.getResponseHeaders.set("Content-Range",
+              s"bytes $start-$end/${all.length}")
+            x.sendResponseHeaders(206, slice.length)
+            x.getResponseBody.write(slice)
+          case _ =>
+            x.sendResponseHeaders(200, all.length)
+            x.getResponseBody.write(all)
+        }
+    }
+  }
+
+  // ---- response builders ------------------------------------------------
+
+  private def protocolLine: String = """{"protocol":{"minReaderVersion":1}}"""
+
+  private def metadataLine(td: TableDef): String = {
+    val parts = td.partitionColumns.map(jstr).mkString("[", ",", "]")
+    s"""{"metaData":{"id":"${td.name}-id","format":{"provider":"parquet"},""" +
+      s""""schemaString":${jstr(td.schemaString)},"partitionColumns":$parts,""" +
+      s""""configuration":{},"version":${td.version}}}"""
+  }
+
+  private def fileLine(td: TableDef, f: ServedFile, idx: Int): String = {
+    val pv = f.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val expires = System.currentTimeMillis() + urlTtl.toMillis
+    s"""{"file":{"url":${jstr(signedUrl(td, f, idx))},"id":"${td.name}-$idx",""" +
+      s""""partitionValues":$pv,"size":${Files.size(f.path)},""" +
+      s""""version":${td.version},"expirationTimestamp":$expires}}"""
+  }
+
+  private def shareJson(s: String) = s"""{"name":${jstr(s)}}"""
+  private def schemaJson(share: String, s: String) =
+    s"""{"name":${jstr(s)},"share":${jstr(share)}}"""
+  private def tableJson(share: String, schema: String, t: String) =
+    s"""{"name":${jstr(t)},"schema":${jstr(schema)},"share":${jstr(share)}}"""
+
+  // ---- pagination -------------------------------------------------------
+
+  private def listPage(x: HttpExchange, items: Seq[String]): Unit = {
+    val query = Option(x.getRequestURI.getQuery).getOrElse("")
+    val params = query.split('&').filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> dec(v) }.toMap
+    val offset = params.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
+    val max = params.get("maxResults").flatMap(_.toIntOption).getOrElse(items.size)
+    val page = items.slice(offset, offset + max)
+    val next = offset + max
+    val tokenField =
+      if (next < items.size) s""","nextPageToken":"$next"""" else ""
+    respond(x, 200, s"""{"items":[${page.mkString(",")}]$tokenField}""")
+  }
+
+  // ---- helpers ----------------------------------------------------------
+
+  private def withShare(x: HttpExchange, s: String)(
+      f: Map[String, Map[String, TableDef]] => Unit): Unit =
+    tree.get(s) match {
+      case Some(schemas) => f(schemas)
+      case None => respond(x, 404,
+        s"""{"errorCode":"RESOURCE_DOES_NOT_EXIST","message":${jstr(s"share $s not found")}}""")
+    }
+
+  private def withSchema(x: HttpExchange, s: String, sc: String)(
+      f: Map[String, TableDef] => Unit): Unit =
+    withShare(x, s)(schemas => schemas.get(sc) match {
+      case Some(tables) => f(tables)
+      case None => respond(x, 404,
+        s"""{"errorCode":"RESOURCE_DOES_NOT_EXIST","message":${jstr(s"schema $sc not found")}}""")
+    })
+
+  private def withTable(x: HttpExchange, s: String, sc: String, t: String)(
+      f: TableDef => Unit): Unit =
+    withSchema(x, s, sc)(tables => tables.get(t) match {
+      case Some(td) => f(td)
+      case None => respond(x, 404,
+        s"""{"errorCode":"RESOURCE_DOES_NOT_EXIST","message":${jstr(s"table $t not found")}}""")
+    })
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+  }
+
+  private def respondNdjson(x: HttpExchange, lines: Seq[String]): Unit = {
+    val bytes = lines.mkString("\n").getBytes("UTF-8")
+    x.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    x.sendResponseHeaders(200, bytes.length)
+    x.getResponseBody.write(bytes)
+  }
+
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

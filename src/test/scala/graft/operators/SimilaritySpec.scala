@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  test("brute-force cosine matches an independent driver-side computation") {
+    val spark2 = spark
+    val vecs = emb.filter(col("vec_id") < 50)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val sparkSims = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 50),
+        emb.filter(col("vec_id") === 0), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val local = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosine(vecs(0L), v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(sparkSims.map(_._1).toSeq == local.map(_._1))
+    sparkSims.zip(local).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 1e-3)
+    }
+  }
+
+  test("ANN recall@5 is useful and the candidate set is pruned") {
+    val k = 5
+    val brute = Similarity.bruteForceTopK(emb, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    // near-isotropic gaussian embeddings are LSH's hardest case; the
+    // spec pins the machinery works and the tradeoff is real
+    assert(recall >= 0.25, s"ANN recall@5 $recall below floor")
+    assert(ann.size == brute.size) // still returns full top-k per query
+  }
+
+  test("ANN results are a subset of correct cosine ranking within candidates") {
+    val ann = Similarity.annTopK(emb, emb.filter(col("vec_id") === 3), 5)
+      .orderBy("rk").collect()
+    // ranks are 1..5 with strictly non-increasing similarity
+    assert(ann.map(_.getInt(3)).toSeq == (1 to 5))
+    val sims = ann.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("norms computed the decimal-exact way match double math") {
+    val row = emb.filter(col("vec_id") === 0)
+      .select(Similarity.norm(col("embedding")).as("n")).collect()(0)
+    val v = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val expected = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(row.getDouble(0) - expected) < 1e-6)
+  }
+}

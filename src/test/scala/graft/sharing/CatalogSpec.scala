@@ -1,0 +1,157 @@
+package graft.sharing
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkTestBase
+import graft.sharing.server.LocalSharingServer
+
+/** Catalog-first discovery + 3-part-name SQL (reference
+  * src/catalog/mod.rs:46-220, examples/catalog_list.rs), plus DSv2
+  * pushdown behavior through the GraftScanBuilder. */
+class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  private val server = new LocalSharingServer()
+
+  override def beforeAll(): Unit = {
+    def schemaOf(t: String) =
+      DeltaSchema.toSchemaString(spark.read.parquet(s"$sf0001/$t.parquet").schema)
+    server.addParquetTable("share1", "sales", "lineitem",
+      s"$sf0001/lineitem.parquet", schemaOf("lineitem"))
+    server.addParquetTable("share1", "sales", "orders",
+      s"$sf0001/orders.parquet", schemaOf("orders"))
+    server.addParquetTable("share1", "geo", "nation",
+      s"$sf0001/nation.parquet", schemaOf("nation"))
+    server.start()
+    spark.conf.set("spark.sql.catalog.share1",
+      "graft.sharing.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.share1.profile.json", server.profileJson)
+  }
+  override def afterAll(): Unit = server.stop()
+
+  test("SHOW NAMESPACES lists shared schemas") {
+    val ns = spark.sql("SHOW NAMESPACES IN share1").collect().map(_.getString(0))
+    assert(ns.toSet == Set("sales", "geo"))
+  }
+
+  test("SHOW TABLES lists shared tables") {
+    val ts = spark.sql("SHOW TABLES IN share1.sales").collect().map(_.getString(1))
+    assert(ts.toSet == Set("lineitem", "orders"))
+  }
+
+  test("3-part-name SQL query end-to-end") {
+    val n = spark.sql(
+      "SELECT count(*) FROM share1.sales.lineitem WHERE l_quantity < 10")
+      .collect()(0).getLong(0)
+    val expected = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_quantity") < 10).count()
+    assert(n == expected)
+  }
+
+  test("joins across shared tables by name") {
+    val df = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM share1.sales.lineitem l JOIN share1.sales.orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
+    assert(df.collect().map(_.getLong(1)).sum == 6000)
+  }
+
+  test("filter reaches the parquet scan and the server gets the hint") {
+    server.lastPredicateHints = None
+    val df = spark.sql(
+      "SELECT l_orderkey FROM share1.sales.lineitem WHERE l_quantity < 7.0")
+    val plan = df.queryExecution.executedPlan.toString
+    df.collect()
+    // data filter pushed into the parquet scan (row-group skipping)
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"))
+    // hint arrived at the sharing server
+    assert(server.lastPredicateHints.exists(h =>
+      h.contains("\"op\":\"lessThan\"") && h.contains("l_quantity")))
+  }
+
+  test("limit is forwarded as a hint but enforced by Spark (partial)") {
+    server.lastLimitHint = None
+    val rows = spark.sql(
+      "SELECT l_orderkey FROM share1.sales.lineitem LIMIT 13").collect()
+    assert(rows.length == 13)
+    assert(server.lastLimitHint.contains("13"))
+  }
+
+  test("projection pruning reaches the scan (ReadSchema)") {
+    val df = spark.sql("SELECT l_orderkey FROM share1.sales.lineitem")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && plan.contains("l_orderkey"))
+    assert(!plan.contains("l_extendedprice"))
+  }
+
+  test("unknown table raises a proper analysis error (no silent None)") {
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM share1.sales.nope").collect())
+    assert(e.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.contains("nope"))
+  }
+
+  test("catalog is read-only") {
+    intercept[Exception](
+      spark.sql("DROP TABLE share1.sales.lineitem"))
+  }
+
+  test("partition values become partition columns pruned by Catalyst") {
+    // customer split into two files, c_nationkey only in partitionValues
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-part").toString
+    val src = graft.Tables.customer(spark, sf0001)
+    src.filter(col("c_nationkey") === 0).drop("c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/g0")
+    src.filter(col("c_nationkey") === 1).drop("c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/g1")
+    import scala.jdk.CollectionConverters._
+    def parquetIn(sub: String) = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/$sub")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).next()
+
+    server.addTable("share1", "sales", server.TableDef(
+      "customer_part", DeltaSchema.toSchemaString(src.schema),
+      partitionColumns = Seq("c_nationkey"),
+      files = Seq(
+        server.ServedFile(parquetIn("g0"), Map("c_nationkey" -> "0")),
+        server.ServedFile(parquetIn("g1"), Map("c_nationkey" -> "1")))))
+
+    val df = spark.sql(
+      "SELECT c_custkey, c_nationkey FROM share1.sales.customer_part WHERE c_nationkey = 1")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(1) == 1))
+    assert(rows.length == src.filter(col("c_nationkey") === 1).count())
+    // Catalyst prunes the other file: partition filters appear in the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c_nationkey"))
+  }
+
+  test("expired URL is refreshed per-task via the RefreshSpec in the path") {
+    // TTL shorter than the plan→execute gap; the profile-path catalog
+    // embeds a RefreshSpec, so the read recovers by re-listing.
+    val shortServer = new LocalSharingServer(urlTtl = java.time.Duration.ofMillis(300))
+    val schema = spark.read.parquet(s"$sf0001/region.parquet").schema
+    shortServer.addParquetTable("sh", "sc", "region",
+      s"$sf0001/region.parquet", DeltaSchema.toSchemaString(schema))
+    shortServer.start()
+    try {
+      val profilePath = shortServer.writeProfile()
+      spark.conf.set("spark.sql.catalog.shortcat",
+        "graft.sharing.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.shortcat.profile", profilePath)
+      spark.conf.set("spark.sql.catalog.shortcat.share", "sh")
+      val df = spark.sql("SELECT count(*) AS n FROM shortcat.sc.region")
+      Thread.sleep(600) // the planned URLs are now expired
+      assert(df.collect()(0).getLong(0) == 5)
+    } finally shortServer.stop()
+  }
+
+  test("DataFrameReader format entry point") {
+    val profilePath = server.writeProfile()
+    val df = spark.read.format("graft-sharing")
+      .load(s"$profilePath#share1.geo.nation")
+    assert(df.count() == 25)
+    assert(df.schema.fieldNames.contains("n_name"))
+  }
+}

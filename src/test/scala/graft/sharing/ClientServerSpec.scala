@@ -1,0 +1,94 @@
+package graft.sharing
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sharing.server.LocalSharingServer
+
+/** Client ↔ server protocol tests, mirroring the reference's mock-server
+  * suite (src/client/mod.rs:452-831): endpoint shapes, pagination loops,
+  * NDJSON parsing, auth, and the 4xx/5xx error taxonomy. */
+class ClientServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val server = new LocalSharingServer()
+  private var client: DeltaSharingClient = _
+  private val lineitemSchema =
+    """{"type":"struct","fields":[
+      |{"name":"l_orderkey","type":"long","nullable":true,"metadata":{}},
+      |{"name":"l_quantity","type":"double","nullable":true,"metadata":{}}]}"""
+      .stripMargin.replaceAll("\n", "")
+
+  override def beforeAll(): Unit = {
+    server.addParquetTable("share1", "schema1", "lineitem",
+      "/root/testdata/sf0.001/lineitem.parquet", lineitemSchema)
+    server.addParquetTable("share1", "schema1", "orders",
+      "/root/testdata/sf0.001/orders.parquet", lineitemSchema)
+    server.addParquetTable("share1", "schema2", "nation",
+      "/root/testdata/sf0.001/nation.parquet", lineitemSchema)
+    server.addParquetTable("share2", "s", "region",
+      "/root/testdata/sf0.001/region.parquet", lineitemSchema)
+    server.start()
+    client = new DeltaSharingClient(Profile.fromJson(server.profileJson))
+  }
+  override def afterAll(): Unit = server.stop()
+
+  test("list shares") {
+    assert(client.listShares().map(_.name) == Seq("share1", "share2"))
+  }
+
+  test("list shares paginated one-per-page (mod.rs:518-552 shape)") {
+    val paged = new DeltaSharingClient(
+      Profile.fromJson(server.profileJson), maxResultsPerPage = Some(1))
+    assert(paged.listShares().map(_.name) == Seq("share1", "share2"))
+    assert(paged.listAllTables("share1").map(_.name) ==
+      Seq("lineitem", "orders", "nation"))
+  }
+
+  test("get share + missing share is CLIENT_ERROR (mod.rs:810-830)") {
+    assert(client.getShare("share1").name == "share1")
+    val e = intercept[DeltaSharingException](client.getShare("nope"))
+    assert(e.kind == "CLIENT_ERROR")
+    assert(e.getMessage.contains("RESOURCE_DOES_NOT_EXIST"))
+  }
+
+  test("list schemas / tables in schema / all tables") {
+    assert(client.listSchemas("share1").map(_.name) == Seq("schema1", "schema2"))
+    assert(client.listTables(SchemaRef("share1", "schema1")).map(_.name) ==
+      Seq("lineitem", "orders"))
+    val all = client.listAllTables("share1")
+    assert(all.map(t => s"${t.schema}.${t.name}") ==
+      Seq("schema1.lineitem", "schema1.orders", "schema2.nation"))
+  }
+
+  test("table version comes from Delta-Table-Version header") {
+    assert(client.getTableVersion(TableRef("share1", "schema1", "lineitem")) == 1L)
+  }
+
+  test("metadata NDJSON: protocol + metaData") {
+    val (p, m) = client.getTableMetadata(TableRef("share1", "schema1", "lineitem"))
+    assert(p.minReaderVersion == 1)
+    assert(m.format.provider == "parquet")
+    assert(DeltaSchema.fromSchemaString(m.schemaString).fieldNames.toSeq ==
+      Seq("l_orderkey", "l_quantity"))
+  }
+
+  test("query returns files with signed urls; hints are forwarded") {
+    val (_, _, files) = client.getTableData(
+      TableRef("share1", "schema1", "lineitem"),
+      predicateHints = Some("""{"op":"isNull","children":[]}"""),
+      limitHint = Some(25))
+    assert(files.nonEmpty)
+    assert(files.head.url.contains("sig="))
+    assert(files.head.size > 0)
+    assert(files.head.expirationTimestamp.exists(_ > System.currentTimeMillis()))
+    assert(server.lastPredicateHints.contains("""{"op":"isNull","children":[]}"""))
+    assert(server.lastLimitHint.contains("25"))
+  }
+
+  test("bad bearer token is a CLIENT_ERROR") {
+    val bad = new DeltaSharingClient(Profile.fromJson(
+      s"""{"shareCredentialsVersion":1,"endpoint":"${server.endpoint}","bearerToken":"wrong"}"""))
+    val e = intercept[DeltaSharingException](bad.listShares())
+    assert(e.kind == "CLIENT_ERROR")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.sharing
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema translation envelope (reference src/datasource/schema.rs). */
+class DeltaSchemaSpec extends AnyFunSuite {
+
+  test("primitive struct round-trips") {
+    val s = StructType(Seq(
+      StructField("s", StringType), StructField("l", LongType),
+      StructField("i", IntegerType), StructField("sh", ShortType),
+      StructField("b", ByteType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("bool", BooleanType),
+      StructField("bin", BinaryType), StructField("dt", DateType),
+      StructField("ts", TimestampType),
+      StructField("dec", DecimalType(38, 10))))
+    assert(DeltaSchema.fromSchemaString(DeltaSchema.toSchemaString(s)) == s)
+  }
+
+  test("nested array/map/struct preserved with nullability") {
+    val s = StructType(Seq(
+      StructField("arr", ArrayType(LongType, containsNull = false)),
+      StructField("m", MapType(StringType, DoubleType, valueContainsNull = true)),
+      StructField("st", StructType(Seq(StructField("x", StringType, nullable = false))))))
+    assert(DeltaSchema.fromSchemaString(s.json) == s)
+  }
+
+  test("decimal precision > 38 rejected (narrower than reference p<=76)") {
+    // Spark can't represent DecimalType(40,_); splice the JSON directly.
+    val json =
+      """{"type":"struct","fields":[{"name":"d","type":"decimal(40,2)","nullable":true,"metadata":{}}]}"""
+    val e = intercept[DeltaSharingException](DeltaSchema.fromSchemaString(json))
+    assert(e.getMessage.toLowerCase.contains("decimal"))
+  }
+
+  test("timestamp_ntz accepted (deliberate widening of schema.rs:261 TODO)") {
+    val json =
+      """{"type":"struct","fields":[{"name":"t","type":"timestamp_ntz","nullable":true,"metadata":{}}]}"""
+    assert(DeltaSchema.fromSchemaString(json).head.dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+  }
+
+  test("non-struct and garbage schemaStrings rejected") {
+    intercept[DeltaSharingException](DeltaSchema.fromSchemaString("\"long\""))
+    intercept[DeltaSharingException](DeltaSchema.fromSchemaString("not json"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sharing
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-string parity with the reference predicate serializer
+  * (src/datasource/expr.rs:252-336 — expected JSON at :276,318,333). */
+class PredicateHintsSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("hireDate", DateType),
+    StructField("id", IntegerType),
+    StructField("name", StringType),
+    StructField("score", DoubleType),
+    StructField("big", LongType),
+    StructField("bin", BinaryType)))
+
+  private def json(f: Filter): String =
+    PredicateHints.fromFilter(f, schema).get.json
+
+  test("equal with date literal renders YYYY-MM-DD (expr.rs:276)") {
+    // Date32(18746) in the reference test == 2021-04-29
+    val f = EqualTo("hireDate", java.sql.Date.valueOf("2021-04-29"))
+    assert(json(f) ==
+      """{"op":"equal","children":[{"op":"column","name":"hireDate","valueType":"date"},{"op":"literal","value":"2021-04-29","valueType":"date"}]}""")
+  }
+
+  test("and of equal + lessThan (expr.rs:318)") {
+    val f = And(EqualTo("hireDate", java.sql.Date.valueOf("2021-04-29")),
+      LessThan("id", 25))
+    assert(json(f) ==
+      """{"op":"and","children":[{"op":"equal","children":[{"op":"column","name":"hireDate","valueType":"date"},{"op":"literal","value":"2021-04-29","valueType":"date"}]},{"op":"lessThan","children":[{"op":"column","name":"id","valueType":"int"},{"op":"literal","value":"25","valueType":"int"}]}]}""")
+  }
+
+  test("not(isNull) (expr.rs:333)") {
+    assert(json(Not(IsNull("id"))) ==
+      """{"op":"not","children":[{"op":"isNull","children":[{"op":"column","name":"id","valueType":"int"}]}]}""")
+    // IsNotNull sugar produces the same tree (expr.rs IsNotNull branch)
+    assert(json(IsNotNull("id")) == json(Not(IsNull("id"))))
+  }
+
+  test("value types map like the reference (expr.rs:165-191)") {
+    assert(json(GreaterThan("score", 1.5)).contains("\"valueType\":\"double\""))
+    assert(json(LessThanOrEqual("big", 9L)).contains("\"valueType\":\"long\""))
+    assert(json(EqualTo("name", "x")).contains("\"valueType\":\"string\""))
+  }
+
+  test("unsupported columns/filters are not hinted") {
+    assert(PredicateHints.fromFilter(EqualTo("bin", Array[Byte](1)), schema).isEmpty)
+    assert(PredicateHints.fromFilter(StringContains("name", "x"), schema).isEmpty)
+    // OR with one unsupported side must drop entirely (over-pruning risk)
+    assert(PredicateHints.fromFilter(
+      Or(EqualTo("id", 1), StringContains("name", "x")), schema).isEmpty)
+    // AND keeps the supported side
+    assert(PredicateHints.fromFilter(
+      And(EqualTo("id", 1), StringContains("name", "x")), schema).get.json
+      .contains("\"op\":\"equal\""))
+  }
+
+  test("conjunction hint of multiple filters") {
+    val hint = PredicateHints.toHintJson(
+      Seq(EqualTo("id", 1), LessThan("score", 2.0)), schema)
+    assert(hint.get.startsWith("""{"op":"and","children":["""))
+    assert(PredicateHints.toHintJson(Seq(StringContains("name", "x")), schema).isEmpty)
+  }
+}

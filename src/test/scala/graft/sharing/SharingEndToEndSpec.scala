@@ -1,0 +1,115 @@
+package graft.sharing
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{EqualTo, LessThan}
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkTestBase
+import graft.sharing.server.LocalSharingServer
+
+/** Full-path test: local sharing server → REST client → signed URLs →
+  * graftshare FileSystem → Spark vectorized parquet scan. Mirrors the
+  * minimum end-to-end slice of SURVEY §7.3 and proves scan results are
+  * identical to reading the same parquet directly. */
+class SharingEndToEndSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  private val server = new LocalSharingServer()
+  private var client: DeltaSharingClient = _
+
+  override def beforeAll(): Unit = {
+    val schema = spark.read.parquet(s"$sf0001/lineitem.parquet").schema
+    server.addParquetTable("share1", "schema1", "lineitem",
+      s"$sf0001/lineitem.parquet", DeltaSchema.toSchemaString(schema))
+    server.start()
+    client = new DeltaSharingClient(Profile.fromJson(server.profileJson))
+  }
+  override def afterAll(): Unit = server.stop()
+
+  private def table = TableRef("share1", "schema1", "lineitem")
+
+  test("connector scan equals direct parquet read") {
+    val viaSharing = GraftSharing.readTable(spark, client, table)
+    val direct = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    assert(viaSharing.schema == direct.schema)
+    assert(viaSharing.count() == direct.count())
+    assert(viaSharing.exceptAll(direct).isEmpty)
+    assert(direct.exceptAll(viaSharing).isEmpty)
+  }
+
+  test("filters/limit forwarded as hints; results stay exact (Inexact semantics)") {
+    val df = GraftSharing.readTable(spark, client, table,
+      filters = Seq(LessThan("l_quantity", java.lang.Double.valueOf(10.0))),
+      limitHint = Some(25))
+    // server saw the hint
+    assert(server.lastPredicateHints.exists(_.contains("\"op\":\"lessThan\"")))
+    assert(server.lastLimitHint.contains("25"))
+    // hints are best-effort: engine-side filter still applied by caller
+    val filtered = df.filter(col("l_quantity") < 10)
+    val expected = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_quantity") < 10)
+    assert(filtered.count() == expected.count())
+  }
+
+  test("connection string entry point parses and reads") {
+    val profilePath = server.writeProfile()
+    val df = GraftSharing.read(spark, s"$profilePath#share1.schema1.lineitem")
+    assert(df.count() == 6000)
+  }
+
+  test("partition values become typed constant columns; empty string => NULL") {
+    // Serve a table whose partition column values live OUTSIDE the files
+    // (reference scan.rs:191-229 + test :271-300).
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val src = graft.Tables.customer(spark, sf0001)
+    src.filter(col("c_nationkey") === 0).drop("c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/g0")
+    src.filter(col("c_nationkey") === 1).drop("c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/g1")
+    import scala.jdk.CollectionConverters._
+    def parquetIn(sub: String) = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/$sub")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).next()
+
+    val fullSchema = src.schema // includes c_nationkey (int)
+    val partServer = new LocalSharingServer()
+    partServer.addTable("sh", "sc", partServer.TableDef(
+      "customer_part", DeltaSchema.toSchemaString(fullSchema),
+      partitionColumns = Seq("c_nationkey"),
+      files = Seq(
+        partServer.ServedFile(parquetIn("g0"), Map("c_nationkey" -> "0")),
+        partServer.ServedFile(parquetIn("g1"), Map("c_nationkey" -> "1")),
+        // empty partition value => NULL
+        partServer.ServedFile(parquetIn("g0"), Map("c_nationkey" -> "")))))
+    partServer.start()
+    try {
+      val c = new DeltaSharingClient(Profile.fromJson(partServer.profileJson))
+      val df = GraftSharing.readTable(spark, c, TableRef("sh", "sc", "customer_part"))
+      assert(df.schema("c_nationkey").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      val byKey = df.groupBy("c_nationkey").count()
+        .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+      val n0 = src.filter(col("c_nationkey") === 0).count()
+      val n1 = src.filter(col("c_nationkey") === 1).count()
+      assert(byKey(Some(0)) == n0)
+      assert(byKey(Some(1)) == n1)
+      assert(byKey(None) == n0) // the empty-string file surfaces as NULL
+    } finally partServer.stop()
+  }
+
+  test("expired signed URL fails with a clear error") {
+    val shortServer = new LocalSharingServer(
+      urlTtl = java.time.Duration.ofMillis(1))
+    val schema = spark.read.parquet(s"$sf0001/region.parquet").schema
+    shortServer.addParquetTable("sh", "sc", "region",
+      s"$sf0001/region.parquet", DeltaSchema.toSchemaString(schema))
+    shortServer.start()
+    try {
+      val c = new DeltaSharingClient(Profile.fromJson(shortServer.profileJson))
+      val df = GraftSharing.readTable(spark, c, TableRef("sh", "sc", "region"))
+      Thread.sleep(50) // URL now expired
+      val e = intercept[org.apache.spark.SparkException](df.count())
+      assert(e.getMessage.contains("403") ||
+        Option(e.getCause).exists(_.getMessage.contains("403")))
+    } finally shortServer.stop()
+  }
+}
