@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for the headline queries — the
+  * plan-shape audit trail (pushdown, broadcast, partial aggregation,
+  * codegen spans). Run: `sbt "runMain graft.PlanAudit" > PLANS.md`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val audit = Seq("q_scan_filter_project_limit", "q_agg_pricing_summary",
+      "q_join_broadcast", "q_join_shuffle", "q_topk", "q_window_rank",
+      "dedup_exact", "sim_topk_brute")
+    val qs = SparkEntry.queries
+    audit.foreach { name =>
+      println(s"\n## $name\n")
+      println("```")
+      println(qs(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}

@@ -40,6 +40,8 @@ object Verify {
     // Full query-name list so harnesses can detect silently-failed dumps.
     Files.writeString(Paths.get(s"$outDir/names.txt"),
       SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+    graft.operators.ConnectorQueries.stopAll()
     spark.stop()
+    sys.exit(0) // don't let stray non-daemon threads pin the JVM
   }
 }

@@ -21,6 +21,13 @@ object ConnectorQueries {
   private val servers =
     scala.collection.concurrent.TrieMap.empty[String, (LocalSharingServer, DeltaSharingClient)]
 
+  /** Stop all cached servers (mains call this before exiting — the
+    * HttpServer listener thread is non-daemon and would pin the JVM). */
+  def stopAll(): Unit = {
+    servers.values.foreach { case (srv, _) => srv.stop() }
+    servers.clear()
+  }
+
   private def shared(spark: SparkSession, sfDir: String): DeltaSharingClient =
     servers.getOrElseUpdate(sfDir, {
       val server = new LocalSharingServer()

@@ -45,11 +45,13 @@ object Dedup {
     // 31-bit prime universe: h < 2^31 and a < 2^31 keep a*h+b < 2^63, so
     // the arithmetic never overflows long under ANSI mode.
     val p = lit(2147483629L)
+    // Hash each shingle string ONCE; the 64 permutations are then cheap
+    // affine maps over the hashed array (64× fewer string hashes).
+    val hashed = transform(shingleArr, s => pmod(xxhash64(s), p))
     val sigs = (0 until numHashes).map { i =>
       val a = lit((1000003L * (i + 1) + 12345L) % 2147483629L)
       val b = lit((777767777L * (i + 1) + 7L) % 2147483629L)
-      array_min(transform(shingleArr,
-        s => pmod(pmod(xxhash64(s), p) * a + b, p)))
+      array_min(transform(hashed, h => pmod(h * a + b, p)))
     }
     array(sigs: _*)
   }
@@ -82,10 +84,19 @@ object Dedup {
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = docs
+    // Signatures feed the band explode, BOTH sides of the candidate
+    // self-join, and the jaccard verify — persist so the (expensive)
+    // shingle+minhash pass runs once, not once per branch. At 100 TB
+    // this materialization is a signature table written once and
+    // joined thrice; here MEMORY_AND_DISK serves the same role.
+    // Small parquet inputs arrive as a single split; the signature pass
+    // is CPU-bound per row, so spread it across the cluster first.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val withSig = docs.repartition(par)
       .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandsDf = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -135,7 +146,12 @@ object Dedup {
     * so the candidate join is an equi-join on (chunkIdx, chunkValue). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("fp"))
+    // persist: the fingerprint pass feeds both sides of the self-join;
+    // repartition first — the fingerprint is CPU-bound per row
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val fp = docs.repartition(par)
+      .select(col(idCol).as("doc_id"), simhash(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("ci"),

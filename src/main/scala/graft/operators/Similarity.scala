@@ -50,7 +50,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    val scored = corpus.select(col("vec_id"), col("embedding"))
+    val scored = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
       .join(q, col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("embedding"), col("q_emb")))
     val w = Window.partitionBy("query_id")
@@ -90,6 +92,7 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numTables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
     def keyed(df: DataFrame, idAs: String, embAs: String) = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as(idAs), col("embedding").as(embAs),
         explode(lshTableKeys(col("embedding"), numTables, bitsPerTable)).as("bk"))
       .select(col(idAs), col(embAs), col("bk.t").as("t"), col("bk.sig").as("sig"))

@@ -73,7 +73,10 @@ final class LocalSharingServer(
     if (!started) {
       server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
       server.createContext("/", exchange => handle(exchange))
-      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+      // daemon workers: an embedded test/demo server must never keep the
+      // host JVM alive (runMain would hang at exit otherwise)
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+        r => { val t = new Thread(r); t.setDaemon(true); t }))
       server.start()
       started = true
     }
