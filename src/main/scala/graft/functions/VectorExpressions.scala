@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused float-vector kernels as native Catalyst expressions.
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a,b,(x,y)=>x*y),0d,(s,v)=>s+v)`) materializes an
+  * intermediate array per row and walks it twice; these expressions emit
+  * a single fused loop in whole-stage codegen — the "custom Expression
+  * beats UDF beats everything" tier for the similarity-search hot path.
+  *
+  * Registered under `graft_dot` / `graft_cosine` via
+  * [[GraftFunctions.register]] (or `spark.sql.extensions=graft.functions.GraftExtensions`).
+  * Null elements inside vectors are treated as 0.0f; a null vector yields
+  * null (NullIntolerant).
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(FloatType, true) ||
+        left.dataType == ArrayType(FloatType, false)) {
+      if (right.dataType == ArrayType(FloatType, true) ||
+          right.dataType == ArrayType(FloatType, false))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> inputs, got ${right.dataType.sql}")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got ${left.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a,b) = dot(a,b) / (||a|| * ||b||) in one fused loop. Returns
+  * null for a null vector; 0.0 when either norm is zero. */
+case class CosineSimilarityFloat(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(FloatType, true) ||
+        left.dataType == ArrayType(FloatType, false)) {
+      if (right.dataType == ArrayType(FloatType, true) ||
+          right.dataType == ArrayType(FloatType, false))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> inputs, got ${right.dataType.sql}")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got ${left.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yv = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double $yv = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Idempotently register graft_dot / graft_cosine in the session's
+    * function registry so `expr("graft_cosine(a,b)")` resolves. */
+  def register(spark: SparkSession): Unit =
+    if (registered.add(String.valueOf(System.identityHashCode(spark)))) {
+      val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_dot",
+        exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("graft_cosine",
+        exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "built-in")
+    }
+
+  /** Column-level API (safe on any session once register() ran). */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` installs the
+  * vector kernels at session build time (the config-file route; code can
+  * also call GraftFunctions.register). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+      exprs => DotProductFloat(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarityFloat].getName, "graft_cosine"),
+      exprs => CosineSimilarityFloat(exprs(0), exprs(1))))
+  }
+}

@@ -477,6 +477,29 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // Built-in session_window (gap-based sessions as a first-class
+    // grouping — the same operator Structured Streaming uses for
+    // stateful sessionization). Oracle reproduces the semantics with a
+    // lag-based cumulative sum at microsecond precision.
+    QueryDef.sql(
+      "q_session_window",
+      """SELECT user_id, CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > 1800.0 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("user_id")
+    },
+
+    // ------------------------------------------------------------------
     // Multi-way SQL join pipeline (TPC-H Q3 shape) through spark.sql.
     QueryDef.sql(
       "q_sql_revenue_topk",

@@ -48,13 +48,17 @@ object Similarity {
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * Queries are broadcast; corpus is scanned once. Self-matches excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // fused codegen kernel (graft.functions.CosineSimilarityFloat) on the
+    // hot path — one loop per row instead of zip_with+aggregate arrays
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
     val scored = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"))
       .join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id"))
     scored
@@ -103,14 +107,41 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
       .distinct()
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id"))
     candidates
-      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("sim"), 4).as("sim"), col("rk").cast("int").as("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    * generation (multi-table, like annTopK) + exact fused-kernel cosine —
+    * the vector-space twin of MinHash dedup. Never an all-pairs product. */
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+      numTables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val keyed = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        explode(lshTableKeys(col("embedding"), numTables, bitsPerTable)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.t").as("t"), col("bk.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keyed.as("x").join(keyed.as("y"),
+        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.embedding").as("emb_a"), col("y.embedding").as("emb_b"))
+      .distinct()
+      .withColumn("cos", round(graft.functions.GraftFunctions.cosine(
+        col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -150,6 +181,14 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       annTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy("query_id", "rk")
+    },
+
+    // Embedding-cosine near-dup pairs over LSH buckets (rows-only; the
+    // SimilaritySpec validates every pair against the threshold and
+    // recall against brute force).
+    QueryDef.rowsOnly("dedup_embedding_cosine") { (s, d) =>
+      cosinePairs(Tables.embeddings(s, d), threshold = 0.3)
+        .orderBy("vec_a", "vec_b")
     },
 
     // Label-centroid similarity: per-label mean vector via exact decimal

@@ -57,6 +57,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("native codegen kernels match the higher-order-function formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val diff = emb.limit(200).as("a")
+      .crossJoin(emb.limit(20).select(col("embedding").as("e2"),
+        col("vec_id").as("v2")).as("b"))
+      .select(
+        abs(graft.functions.GraftFunctions.cosine(col("embedding"), col("e2")) -
+          Similarity.cosine(col("embedding"), col("e2"))).as("dc"),
+        abs(graft.functions.GraftFunctions.dot(col("embedding"), col("e2")) -
+          Similarity.dot(col("embedding"), col("e2"))).as("dd"))
+      .agg(max("dc"), max("dd")).collect()(0)
+    assert(diff.getDouble(0) < 1e-9, s"cosine kernel drift ${diff.getDouble(0)}")
+    assert(diff.getDouble(1) < 1e-9, s"dot kernel drift ${diff.getDouble(1)}")
+  }
+
+  test("cosine near-dup pairs: every pair clears the threshold; recall is real") {
+    val threshold = 0.3
+    val pairs = Similarity.cosinePairs(emb, threshold)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._2 >= threshold))
+    graft.functions.GraftFunctions.register(spark)
+    val brute = emb.as("a").crossJoin(
+        emb.select(col("vec_id").as("v2"), col("embedding").as("e2")).as("b"))
+      .filter(col("vec_id") < col("v2"))
+      .withColumn("c", graft.functions.GraftFunctions.cosine(col("embedding"), col("e2")))
+      .filter(col("c") >= threshold)
+      .count()
+    val recall = pairs.length.toDouble / brute
+    assert(recall >= 0.2, s"cosine-pair recall $recall")
+  }
+
   test("norms computed the decimal-exact way match double math") {
     val row = emb.filter(col("vec_id") === 0)
       .select(Similarity.norm(col("embedding")).as("n")).collect()(0)
