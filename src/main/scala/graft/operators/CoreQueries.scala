@@ -129,6 +129,67 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // Full outer join: row-preservation on both sides (nation keys that
+    // have customers, suppliers, both, or neither side null).
+    QueryDef.sql(
+      "q_join_full_outer",
+      """SELECT cnk, snk, CAST(COALESCE(cn, 0) AS BIGINT) AS cn,
+        |  CAST(COALESCE(sn, 0) AS BIGINT) AS sn
+        |FROM (SELECT c_nationkey AS cnk, COUNT(*) AS cn FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey AS snk, COUNT(*) AS sn FROM supplier GROUP BY 1) s
+        |  ON cnk = snk
+        |ORDER BY cnk NULLS FIRST, snk NULLS FIRST""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("cnk"))
+        .agg(count(lit(1)).as("cn"))
+      val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("sn"))
+      c.join(sup, col("cnk") === col("snk"), "full_outer")
+        .select(col("cnk"), col("snk"),
+          coalesce(col("cn"), lit(0L)).as("cn"),
+          coalesce(col("sn"), lit(0L)).as("sn"))
+        .orderBy(col("cnk").asc_nulls_first, col("snk").asc_nulls_first)
+    },
+
+    // ------------------------------------------------------------------
+    // Scalar subquery (decimal-exact mean so the comparison boundary is
+    // engine-independent).
+    QueryDef.sql(
+      "q_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > (
+          |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |         / COUNT(*) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Correlated subquery (decorrelated by Catalyst into a join):
+    // customers above their own nation's average balance.
+    QueryDef.sql(
+      "q_correlated_subquery",
+      """SELECT c_custkey FROM customer c1
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c_custkey FROM customer c1
+          |WHERE c_acctbal > (
+          |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
     // Semi join (EXISTS): customers that have at least one order.
     QueryDef.sql(
       "q_join_semi",

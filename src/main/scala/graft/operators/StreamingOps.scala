@@ -25,7 +25,7 @@ object StreamingOps {
   /** The testdata events parquet carries TIMESTAMP(NANOS), which the file
     * stream source's footer reader rejects (batch reads are fine). Stage
     * a µs-precision copy once per sfDir and stream from that. */
-  private def stagedEventsDir(spark: SparkSession, sfDir: String): String =
+  def stagedEventsDir(spark: SparkSession, sfDir: String): String =
     staged.getOrElseUpdate(sfDir, {
       val dir = s"/tmp/graft_stream_stage_${math.abs(sfDir.hashCode)}"
       Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
