@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word shingles of size n as a distinct array column. */
+  /** Word shingles of size n as a distinct array column (string form —
+    * readable, used by tests and small-scale analysis). */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, " ")
     // transform over positions; slice(words, i+1, n) then join back to a
@@ -34,24 +35,45 @@ object Dedup {
         s => size(split(s, " ")) === n))
   }
 
-  /** 64 MinHash values for an array of shingle strings.
+  private val P31 = 2147483629L
+
+  /** Word shingles of size n as DISTINCT 31-bit hashes — the production
+    * path: each word is hashed once, shingles are rolling combines of n
+    * word hashes (acc*131+h mod p), so no per-shingle string is ever
+    * materialized and downstream set ops (array_intersect for Jaccard)
+    * compare longs, not strings. Collisions in a 2^31 universe are
+    * negligible at shingle-set sizes (<1e-4 for 1k-shingle docs).
     *
-    * h_i(S) = min_{s in S} ((a_i * xxhash64(s) + b_i) mod p), with fixed
-    * seeds so results are deterministic across runs/partitions. Computed
-    * entirely with higher-order functions (transform + array_min) — one
-    * projection, no shuffle, no UDF.
-    */
-  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column = {
-    // 31-bit prime universe: h < 2^31 and a < 2^31 keep a*h+b < 2^63, so
-    // the arithmetic never overflows long under ANSI mode.
-    val p = lit(2147483629L)
-    // Hash each shingle string ONCE; the 64 permutations are then cheap
-    // affine maps over the hashed array (64× fewer string hashes).
-    val hashed = transform(shingleArr, s => pmod(xxhash64(s), p))
+    * Implementation note: built from `zip_with` over SHIFTED copies of
+    * the word-hash array, never `element_at` inside a lambda — Catalyst
+    * does not eliminate common subexpressions inside lambda bodies, so a
+    * per-element back-reference to the array would re-evaluate the whole
+    * word-hash pass per shingle (O(len²); measured 3-4× slower at sf0.1).
+    * zip_with pads the shorter side with nulls; the trailing ragged
+    * positions therefore combine to null and are filtered out. */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val wh = transform(split(text, " "), w => pmod(xxhash64(w), lit(P31)))
+    val combined = (1 until n).foldLeft(wh) { (acc, j) =>
+      zip_with(acc, slice(wh, lit(j + 1), size(wh)),
+        (a, b) => pmod(a * 131L + b, lit(P31)))
+    }
+    array_distinct(filter(combined, x => x.isNotNull))
+  }
+
+  /** 64 MinHash values for an array of 31-bit shingle hashes.
+    *
+    * h_i(S) = min_{h in S} ((a_i * h + b_i) mod p), with fixed seeds so
+    * results are deterministic across runs/partitions. Computed entirely
+    * with higher-order functions (transform + array_min) — one
+    * projection, no shuffle, no UDF. 31-bit universe: h < 2^31 and
+    * a < 2^31 keep a*h+b < 2^63, so the arithmetic never overflows long
+    * under ANSI mode. */
+  def minhashSignature(hashedShingles: Column, numHashes: Int = 64): Column = {
+    val p = lit(P31)
     val sigs = (0 until numHashes).map { i =>
-      val a = lit((1000003L * (i + 1) + 12345L) % 2147483629L)
-      val b = lit((777767777L * (i + 1) + 7L) % 2147483629L)
-      array_min(transform(hashed, h => pmod(h * a + b, p)))
+      val a = lit((1000003L * (i + 1) + 12345L) % P31)
+      val b = lit((777767777L * (i + 1) + 7L) % P31)
+      array_min(transform(hashedShingles, h => pmod(h * a + b, p)))
     }
     array(sigs: _*)
   }
@@ -93,7 +115,8 @@ object Dedup {
     // is CPU-bound per row, so spread it across the cluster first.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val withSig = docs.repartition(par)
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

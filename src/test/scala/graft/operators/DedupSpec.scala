@@ -10,11 +10,13 @@ class DedupSpec extends SparkTestBase {
 
   private lazy val docs = Tables.documents(spark, sf0001).cache()
 
-  /** Brute-force all-pairs word-shingle Jaccard — test oracle ONLY
-    * (O(n²), never the production path). */
+  /** Brute-force all-pairs shingle-hash Jaccard — test oracle ONLY
+    * (O(n²), never the production path). Uses the same shingle-hash
+    * function as the production pipeline, so the comparison is
+    * like-for-like. */
   private def brutePairs(threshold: Double, shingleSize: Int): Set[(Long, Long)] = {
     val sh = docs.select(col("doc_id"),
-      Dedup.shingles(col("text"), shingleSize).as("sh"))
+      Dedup.shingleHashes(col("text"), shingleSize).as("sh"))
     sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("j",
         size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /

@@ -1,0 +1,117 @@
+package graft.sharing
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the two serialization boundaries (SURVEY §5 test
+  * plan): schemaString ⇄ StructType round-trips for arbitrary supported
+  * schemas, and Filter → jsonPredicateHints always emits valid JSON with
+  * the reference grammar's node shapes. */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic sampling driver (no scalatest-scalacheck bridge in the
+    * offline dependency set — raw ScalaCheck generators, fixed seeds). */
+  private def forSamples[T](gen: Gen[T], n: Int = 100)(f: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(i.toLong), 100))
+    }
+
+  private val primitives: Gen[DataType] = Gen.oneOf(
+    StringType, LongType, IntegerType, ShortType, ByteType, FloatType,
+    DoubleType, BooleanType, BinaryType, DateType, TimestampType,
+    DecimalType(38, 10), DecimalType(10, 2))
+
+  private def dataTypeGen(depth: Int): Gen[DataType] =
+    if (depth <= 0) primitives
+    else Gen.frequency(
+      6 -> primitives,
+      1 -> Gen.lzy(dataTypeGen(depth - 1).map(ArrayType(_, true))),
+      1 -> Gen.lzy(dataTypeGen(depth - 1).map(MapType(StringType, _, true))),
+      1 -> Gen.lzy(structGen(depth - 1)))
+
+  private def fieldName: Gen[String] =
+    for {
+      h <- Gen.alphaChar
+      t <- Gen.listOfN(5, Gen.alphaNumChar)
+    } yield (h :: t).mkString
+
+  private def structGen(depth: Int): Gen[StructType] =
+    for {
+      n <- Gen.choose(1, 5)
+      names <- Gen.listOfN(n, fieldName).map(_.distinct).suchThat(_.nonEmpty)
+      types <- Gen.listOfN(names.size, dataTypeGen(depth))
+      nulls <- Gen.listOfN(names.size, Arbitrary.arbitrary[Boolean])
+    } yield StructType(names.lazyZip(types).lazyZip(nulls).map {
+      (nm, dt, nl) => StructField(nm, dt, nl)
+    })
+
+  test("schemaString round-trips for arbitrary supported schemas") {
+    forSamples(structGen(2)) { schema =>
+      assert(DeltaSchema.fromSchemaString(DeltaSchema.toSchemaString(schema))
+        == schema)
+    }
+  }
+
+  private val hintSchema = StructType(Seq(
+    StructField("s", StringType), StructField("i", IntegerType),
+    StructField("l", LongType), StructField("d", DoubleType),
+    StructField("b", BooleanType), StructField("dt", DateType)))
+
+  private val leafFilter: Gen[Filter] = Gen.oneOf(
+    Gen.alphaStr.map(v => EqualTo("s", v)),
+    Arbitrary.arbitrary[Int].map(v => LessThan("i", v)),
+    Arbitrary.arbitrary[Long].map(v => GreaterThan("l", v)),
+    Arbitrary.arbitrary[Double].map(v => LessThanOrEqual("d", v)),
+    Arbitrary.arbitrary[Boolean].map(v => GreaterThanOrEqual("b", v)),
+    Gen.choose(0, 20000).map(days =>
+      EqualTo("dt", java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(days.toLong)))),
+    Gen.oneOf(hintSchema.fieldNames.toSeq).map(IsNull(_)),
+    Gen.oneOf(hintSchema.fieldNames.toSeq).map(IsNotNull(_)))
+
+  private def filterGen(depth: Int): Gen[Filter] =
+    if (depth <= 0) leafFilter
+    else Gen.frequency(
+      4 -> leafFilter,
+      1 -> Gen.lzy(for {
+        l <- filterGen(depth - 1); r <- filterGen(depth - 1)
+      } yield And(l, r)),
+      1 -> Gen.lzy(for {
+        l <- filterGen(depth - 1); r <- filterGen(depth - 1)
+      } yield Or(l, r)),
+      1 -> Gen.lzy(filterGen(depth - 1).map(Not(_))))
+
+  test("predicate hints are always valid JSON in the reference grammar") {
+    val mapper = new ObjectMapper()
+    val validOps = Set("column", "literal", "isNull", "equal", "lessThan",
+      "lessThanOrEqual", "greaterThan", "greaterThanOrEqual", "and", "or", "not")
+    val validValueTypes = Set("bool", "int", "long", "string", "date",
+      "float", "double", "timestamp")
+    def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      assert(validOps.contains(n.get("op").asText()))
+      Option(n.get("valueType")).foreach(vt =>
+        assert(validValueTypes.contains(vt.asText())))
+      Option(n.get("children")).foreach(cs =>
+        cs.elements().forEachRemaining(walk(_)))
+    }
+    forSamples(filterGen(3)) { f =>
+      PredicateHints.fromFilter(f, hintSchema).foreach { op =>
+        walk(mapper.readTree(op.json)) // throws on malformed JSON
+      }
+    }
+  }
+
+  test("date literals always render ISO YYYY-MM-DD") {
+    forSamples(Gen.choose(0, 30000)) { days =>
+      val d = java.time.LocalDate.ofEpochDay(days.toLong)
+      val json = PredicateHints
+        .fromFilter(EqualTo("dt", java.sql.Date.valueOf(d)), hintSchema)
+        .get.json
+      assert(json.contains(s""""value":"$d""""))
+    }
+  }
+}
