@@ -24,7 +24,7 @@ object Bench {
     "q_sql_revenue_topk", "q_sessionize",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_brute", "sim_topk_ann", "sim_vector_norm",
-    "dedup_embedding_cosine", "q_session_window",
+    "dedup_embedding_cosine", "sim_topk_ivf", "q_session_window",
     "text_stats", "text_token_count", "text_source_profile",
     "mm_binary_meta")
 

@@ -119,6 +119,48 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rk").cast("int").as("rk"))
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest of `numCells` centroids once; a query probes only its
+    * `nprobe` closest cells and computes exact cosine within them.
+    *
+    * Centroids here are seeded gaussians (deterministic); at production
+    * scale they come from k-means over a sample and the cell assignment
+    * is a materialized column — the probe-time work per query is then
+    * |corpus| * nprobe / numCells exact comparisons instead of |corpus|.
+    * Cell assignment and probing are pure expressions (fused dot-product
+    * kernel); candidates flow through one equi-join on the cell id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 32, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val centroids = hyperplanes(numCells, dim, seed = 7L)
+    def cellScores(v: Column): Column =
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(dot(v, typedLit(c)).as("d"), lit(i).as("i"))
+      }: _*)
+    // struct ordering is lexicographic → array_max picks the best-dot cell
+    val corpusCells = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        array_max(cellScores(col("embedding"))).getField("i").as("cell"))
+    val queryProbes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(transform(
+          slice(reverse(array_sort(cellScores(col("embedding")))), 1, nprobe),
+          s => s.getField("i"))).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    broadcast(queryProbes)
+      .join(corpusCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk").cast("int").as("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     * generation (multi-table, like annTopK) + exact fused-kernel cosine —
     * the vector-space twin of MinHash dedup. Never an all-pairs product. */
@@ -180,6 +222,13 @@ object Similarity {
     QueryDef.rowsOnly("sim_topk_ann") { (s, d) =>
       val emb = Tables.embeddings(s, d)
       annTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // IVF ANN top-5 (probe-limited exact search — the second scale path).
+    QueryDef.rowsOnly("sim_topk_ivf") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy("query_id", "rk")
     },
 

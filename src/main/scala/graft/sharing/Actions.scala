@@ -105,6 +105,30 @@ object Actions {
         "parsing metadata failed")))
   }
 
+  /** One change-data-feed action: add / cdf / remove at a version. */
+  final case class ChangeAction(changeType: String, version: Long,
+    timestamp: Option[Long], file: FileAction)
+
+  /** Parse a table-changes NDJSON body: protocol, metaData, then
+    * add/cdf/remove lines (public Delta Sharing CDF wire format — the
+    * reference stubs this endpoint, src/client/mod.rs:384-386). */
+  def parseChangesResponse(body: String): (Protocol, Metadata, Seq[ChangeAction]) = {
+    val (p, m) = parseMetadataResponse(body)
+    val changes = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(mapper.readTree)
+      .flatMap { n =>
+        Seq("add", "cdf", "remove").collectFirst {
+          case t if n.has(t) =>
+            val inner = n.get(t)
+            ChangeAction(t,
+              optLong(inner, "version").getOrElse(0L),
+              optLong(inner, "timestamp"),
+              parseFile(inner))
+        }
+      }.toSeq
+    (p, m, changes)
+  }
+
   /** Parse a query NDJSON body: protocol, metaData, then file lines
     * (reference get_table_data, client/mod.rs:322-382). */
   def parseQueryResponse(body: String): (Protocol, Metadata, Seq[FileAction]) = {

@@ -114,6 +114,21 @@ final class DeltaSharingClient(val profile: Profile,
     Actions.parseQueryResponse(resp.body())
   }
 
+  /** Change data feed between versions (inclusive). The reference stubs
+    * this endpoint with `todo!()` (src/client/mod.rs:384-386); wire
+    * format follows the public Delta Sharing protocol. */
+  def getTableChanges(table: TableRef, startingVersion: Long,
+      endingVersion: Option[Long] = None)
+      : (Protocol, Metadata, Seq[Actions.ChangeAction]) = {
+    val params = (Seq(s"startingVersion=$startingVersion") ++
+      endingVersion.map(v => s"endingVersion=$v")).mkString("&")
+    val resp = send(HttpRequest.newBuilder(
+        URI.create(s"${tableUrl(table, "changes")}?$params"))
+      .header("Authorization", profile.authorization).GET().build())
+    checkStatus(resp)
+    Actions.parseChangesResponse(resp.body())
+  }
+
   // ---- plumbing ---------------------------------------------------------
 
   private def tableUrl(t: TableRef, suffix: String): String =

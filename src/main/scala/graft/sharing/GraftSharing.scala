@@ -57,6 +57,32 @@ object GraftSharing {
     dataFrameForFiles(spark, schema, metadata.partitionColumns, files)
   }
 
+  /** Read the change data feed between versions as a DataFrame with
+    * `_change_type` / `_commit_version` / `_commit_timestamp` metadata
+    * columns alongside the data — CDC-consumer shape. Each (type,
+    * version) group scans its files in parallel; Catalyst folds the
+    * per-group union back into concurrent scans. */
+  def readChanges(spark: SparkSession, client: DeltaSharingClient,
+      table: TableRef, startingVersion: Long,
+      endingVersion: Option[Long] = None): DataFrame = {
+    val (_, metadata, changes) =
+      client.getTableChanges(table, startingVersion, endingVersion)
+    val schema = DeltaSchema.fromSchemaString(metadata.schemaString)
+    val groups = changes.groupBy(c => (c.changeType, c.version, c.timestamp))
+    val parts = groups.toSeq.sortBy(g => (g._1._2, g._1._1)).map {
+      case ((changeType, version, ts), groupChanges) =>
+        dataFrameForFiles(spark, schema, metadata.partitionColumns,
+          groupChanges.map(_.file))
+          .withColumn("_change_type", lit(changeType))
+          .withColumn("_commit_version", lit(version))
+          .withColumn("_commit_timestamp", lit(ts.orNull).cast("long"))
+    }
+    if (parts.isEmpty)
+      throw DeltaSharingException.other(
+        s"no changes for $table in [$startingVersion, ${endingVersion.getOrElse("∞")}]")
+    parts.reduce(_ unionAll _)
+  }
+
   /** Build the DataFrame for a listed file set. */
   def dataFrameForFiles(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String], files: Seq[FileAction]): DataFrame = {

@@ -28,12 +28,17 @@ final class LocalSharingServer(
   /** One served file + its partition values (empty string ⇒ null). */
   final case class ServedFile(path: Path, partitionValues: Map[String, String])
 
+  /** One change-feed entry: what happened to a file at a version. */
+  final case class ChangeEntry(version: Long, changeType: String,
+      file: ServedFile, timestamp: Long = 1700000000000L)
+
   final case class TableDef(
       name: String,
       schemaString: String,
       partitionColumns: Seq[String],
       files: Seq[ServedFile],
-      version: Long = 1L)
+      version: Long = 1L,
+      changes: Seq[ChangeEntry] = Seq.empty)
 
   // share -> schema -> table name -> def
   private var tree: Map[String, Map[String, Map[String, TableDef]]] = Map.empty
@@ -147,6 +152,19 @@ final class LocalSharingServer(
       case List("shares", s, "schemas", sc, "tables", t, "metadata") =>
         withTable(x, s, sc, t)(td =>
           respondNdjson(x, Seq(protocolLine, metadataLine(td))))
+      case List("shares", s, "schemas", sc, "tables", t, "changes") =>
+        // Change data feed — the endpoint the reference stubs with
+        // todo!() (src/client/mod.rs:384-386); wire format follows the
+        // public Delta Sharing protocol (add/cdf/remove action lines).
+        withTable(x, s, sc, t) { td =>
+          val params = queryParams(x)
+          val from = params.get("startingVersion").flatMap(_.toLongOption).getOrElse(0L)
+          val to = params.get("endingVersion").flatMap(_.toLongOption)
+            .getOrElse(Long.MaxValue)
+          val lines = td.changes.filter(c => c.version >= from && c.version <= to)
+            .zipWithIndex.map { case (c, i) => changeLine(td, c, i) }
+          respondNdjson(x, Seq(protocolLine, metadataLine(td)) ++ lines)
+        }
       case List("shares", s, "schemas", sc, "tables", t, "query") =>
         withTable(x, s, sc, t) { td =>
           val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
@@ -182,14 +200,23 @@ final class LocalSharingServer(
   }
 
   private def lookupServed(path: String): Option[ServedFile] = {
-    // /data/<table>/<idx>/<filename>
+    // /data/<table>/<idx>/<filename> (idx ≥ 1000 addresses change files)
     path.split('/').filter(_.nonEmpty) match {
       case Array("data", table, idx, _) =>
         tree.valuesIterator.flatMap(_.valuesIterator).flatMap(_.get(table))
-          .flatMap(td => td.files.lift(idx.toInt)).nextOption()
+          .flatMap { td =>
+            val i = idx.toInt
+            if (i >= 1000) td.changes.lift(i - 1000).map(_.file)
+            else td.files.lift(i)
+          }.nextOption()
       case _ => None
     }
   }
+
+  private def queryParams(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getQuery).getOrElse("")
+      .split('&').filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> dec(v) }.toMap
 
   private def serveData(x: HttpExchange): Unit = {
     val path = x.getRequestURI.getPath
@@ -242,6 +269,19 @@ final class LocalSharingServer(
     s"""{"file":{"url":${jstr(signedUrl(td, f, idx))},"id":"${td.name}-$idx",""" +
       s""""partitionValues":$pv,"size":${Files.size(f.path)},""" +
       s""""version":${td.version},"expirationTimestamp":$expires}}"""
+  }
+
+  private def changeLine(td: TableDef, c: ChangeEntry, idx: Int): String = {
+    val f = c.file
+    val pv = f.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val expires = System.currentTimeMillis() + urlTtl.toMillis
+    val p = s"/data/${td.name}/${1000 + idx}/${f.path.getFileName}"
+    val url = s"http://127.0.0.1:$port$p?expires=$expires&sig=${sign(p, expires)}"
+    s"""{"${c.changeType}":{"url":${jstr(url)},"id":"${td.name}-chg-$idx",""" +
+      s""""partitionValues":$pv,"size":${Files.size(f.path)},""" +
+      s""""timestamp":${c.timestamp},"version":${c.version},""" +
+      s""""expirationTimestamp":$expires}}"""
   }
 
   private def shareJson(s: String) = s"""{"name":${jstr(s)}}"""

@@ -57,6 +57,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("IVF ANN: probes prune the corpus; recall@5 is useful") {
+    val k = 5
+    val brute = Similarity.bruteForceTopK(emb, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k, numCells = 32, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // isotropic gaussians again — nprobe/numCells = 1/4 of the corpus
+    // scanned; recall floor reflects that honest tradeoff
+    assert(recall >= 0.2, s"IVF recall@5 $recall below floor")
+    assert(ivf.size == brute.size)
+  }
+
   test("native codegen kernels match the higher-order-function formulation") {
     graft.functions.GraftFunctions.register(spark)
     val diff = emb.limit(200).as("a")

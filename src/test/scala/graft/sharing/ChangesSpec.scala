@@ -1,0 +1,87 @@
+package graft.sharing
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkTestBase
+import graft.sharing.server.LocalSharingServer
+
+/** Change-data-feed path — the endpoint the reference leaves as `todo!()`
+  * (src/client/mod.rs:384-386). Serves versioned add/remove entries and
+  * reads them back with _change_type/_commit_version metadata columns. */
+class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  private val server = new LocalSharingServer()
+  private var client: DeltaSharingClient = _
+  private var v1Rows: Long = 0
+  private var v2Rows: Long = 0
+
+  override def beforeAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val src = graft.Tables.orders(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+    src.filter(col("o_orderkey") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v1")
+    src.filter(col("o_orderkey") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v2")
+    v1Rows = spark.read.parquet(s"$dir/v1").count()
+    v2Rows = spark.read.parquet(s"$dir/v2").count()
+    def parquetIn(sub: String) = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/$sub")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).next()
+
+    server.addTable("sh", "sc", server.TableDef(
+      "orders_cdf", DeltaSchema.toSchemaString(src.schema),
+      partitionColumns = Seq.empty,
+      files = Seq(server.ServedFile(parquetIn("v1"), Map.empty),
+        server.ServedFile(parquetIn("v2"), Map.empty)),
+      version = 2L,
+      changes = Seq(
+        server.ChangeEntry(1L, "add",
+          server.ServedFile(parquetIn("v1"), Map.empty), 1700000001000L),
+        server.ChangeEntry(2L, "add",
+          server.ServedFile(parquetIn("v2"), Map.empty), 1700000002000L),
+        server.ChangeEntry(2L, "remove",
+          server.ServedFile(parquetIn("v1"), Map.empty), 1700000002000L))))
+    server.start()
+    client = new DeltaSharingClient(Profile.fromJson(server.profileJson))
+  }
+  override def afterAll(): Unit = server.stop()
+
+  private val table = TableRef("sh", "sc", "orders_cdf")
+
+  test("client parses add/remove change actions with versions") {
+    val (_, _, changes) = client.getTableChanges(table, 1L)
+    assert(changes.map(c => (c.changeType, c.version)) ==
+      Seq(("add", 1L), ("add", 2L), ("remove", 2L)))
+    assert(changes.forall(_.file.url.contains("sig=")))
+  }
+
+  test("startingVersion/endingVersion filter the feed") {
+    val (_, _, v2only) = client.getTableChanges(table, 2L)
+    assert(v2only.map(_.changeType).sorted == Seq("add", "remove"))
+    val (_, _, v1only) = client.getTableChanges(table, 1L, Some(1L))
+    assert(v1only.map(c => (c.changeType, c.version)) == Seq(("add", 1L)))
+  }
+
+  test("readChanges yields data rows tagged with change metadata") {
+    val df = GraftSharing.readChanges(spark, client, table, 1L)
+    assert(df.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    val byType = df.groupBy("_change_type", "_commit_version").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byType(("add", 1L)) == v1Rows)
+    assert(byType(("add", 2L)) == v2Rows)
+    assert(byType(("remove", 2L)) == v1Rows)
+    // data columns are readable alongside the metadata
+    assert(df.filter(col("_change_type") === "add")
+      .agg(org.apache.spark.sql.functions.countDistinct("o_orderkey"))
+      .collect()(0).getLong(0) == v1Rows + v2Rows)
+  }
+
+  test("empty range is a typed error") {
+    val e = intercept[DeltaSharingException](
+      GraftSharing.readChanges(spark, client, table, 99L))
+    assert(e.getMessage.contains("no changes"))
+  }
+}
