@@ -12,6 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Catalyst drives pushdown identically at any scale.
   */
 object Tables {
+  /** All driver-generated tables. `documents`/`embeddings` are present at
+    * every scale factor alongside the TPC-H-ish set even though
+    * TESTDATA.md lists only the latter — they back the LLM-pipeline
+    * operators (dedup, similarity, text analysis). */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
