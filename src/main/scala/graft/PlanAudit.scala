@@ -17,7 +17,7 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val audit = Seq("q_scan_filter_project_limit", "q_agg_pricing_summary",
       "q_join_broadcast", "q_join_shuffle", "q_topk", "q_window_rank",
-      "dedup_exact", "sim_topk_brute")
+      "dedup_exact", "sim_topk_brute", "sim_topk_ivf", "connector_filter_pushdown")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")
@@ -26,6 +26,8 @@ object PlanAudit {
         org.apache.spark.sql.execution.FormattedMode))
       println("```")
     }
+    graft.operators.ConnectorQueries.stopAll()
     spark.stop()
+    sys.exit(0) // embedded-server threads must not pin the JVM
   }
 }
