@@ -60,6 +60,23 @@ object Dedup {
     array_distinct(filter(combined, x => x.isNotNull))
   }
 
+  /** Character n-grams as DISTINCT 31-bit hashes (dedup signal robust to
+    * word-boundary edits; complements word shingles). Positions come
+    * from `sequence`; `substr` with column offsets keeps this a single
+    * codegen'd projection. `text` is a plain attribute, so referencing it
+    * per element is free (unlike computed arrays — see shingleHashes). */
+  def charNgramHashes(text: Column, n: Int): Column = {
+    val lower_ = lower(text)
+    val count = length(lower_) - (n - 1)
+    // sequence(1, stop) with stop < 1 would generate a DESCENDING range —
+    // guard short texts explicitly.
+    when(count >= 1,
+      array_distinct(
+        transform(sequence(lit(1), count),
+          i => pmod(xxhash64(substr(lower_, i, lit(n))), lit(P31)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** 64 MinHash values for an array of 31-bit shingle hashes.
     *
     * h_i(S) = min_{h in S} ((a_i * h + b_i) mod p), with fixed seeds so
@@ -104,7 +121,10 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      /** shingle-set builder: word shingles by default; pass
+        * `charNgramHashes(_, n)` for character n-gram Jaccard. */
+      shingler: (Column, Int) => Column = shingleHashes): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Signatures feed the band explode, BOTH sides of the candidate
     // self-join, and the jaccard verify — persist so the (expensive)
@@ -116,7 +136,7 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val withSig = docs.repartition(par)
       .select(col(idCol).as("doc_id"),
-        shingleHashes(col(textCol), shingleSize).as("sh"))
+        shingler(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -235,12 +255,13 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
-    // Exact n-gram Jaccard on LSH-pruned candidates, reported with the
-    // candidate count so the driver sees the scale path (LSH) not a
-    // cross-join. rows-only (DuckDB can't express the LSH pipeline).
+    // Exact character-5-gram Jaccard on LSH-pruned candidates — the
+    // word-boundary-robust dedup signal; candidates still come from LSH
+    // banding, never a cross-join. rows-only (DuckDB can't express the
+    // LSH pipeline); DedupSpec cross-checks against brute force.
     QueryDef.rowsOnly("dedup_ngram_jaccard") { (s, d) =>
       minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.5, shingleSize = 2)
+        threshold = 0.8, shingleSize = 5, shingler = charNgramHashes)
         .orderBy("doc_a", "doc_b")
     }
   )

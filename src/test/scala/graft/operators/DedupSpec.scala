@@ -59,6 +59,24 @@ class DedupSpec extends SparkTestBase {
       s"LSH produced $candidates candidates of $allPairs possible — not pruning")
   }
 
+  test("char-ngram jaccard pairs match brute-force char-ngram ground truth") {
+    val found = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.8, shingleSize = 5, shingler = Dedup.charNgramHashes)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"),
+      Dedup.charNgramHashes(col("text"), 5).as("sh"))
+    val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth)
+    assert(found.nonEmpty)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val deduped = docs.groupBy("text").agg(min("doc_id")).count()
     assert(deduped == docs.select("text").distinct().count())
