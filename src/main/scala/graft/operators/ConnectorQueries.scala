@@ -31,8 +31,6 @@ object ConnectorQueries {
   private def shared(spark: SparkSession, sfDir: String): DeltaSharingClient =
     servers.getOrElseUpdate(sfDir, {
       val server = new LocalSharingServer()
-      // events excluded: its TIMESTAMP(NANOS) needs the Tables.events
-      // conversion, which belongs to the local-read path, not the scan.
       val names = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents", "embeddings")
       names.foreach { n =>
@@ -40,6 +38,12 @@ object ConnectorQueries {
         server.addParquetTable("graft", "main", n, s"$sfDir/$n.parquet",
           DeltaSchema.toSchemaString(schema))
       }
+      // events is TIMESTAMP(NANOS); the sharing protocol's timestamp type
+      // is µs, so serve the µs-staged copy (what a conforming Delta
+      // Sharing server would expose).
+      val eventsDir = StreamingOps.stagedEventsDir(spark, sfDir)
+      server.addParquetTable("graft", "main", "events", eventsDir,
+        DeltaSchema.toSchemaString(spark.read.parquet(eventsDir).schema))
       server.start()
       (server, new DeltaSharingClient(Profile.fromJson(server.profileJson)))
     })._2
@@ -99,6 +103,23 @@ object ConnectorQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
         .orderBy("o_orderpriority")
+    },
+
+    // Timestamped table through the connector: time-bucketed aggregation
+    // over shared events (µs on the wire; the oracle reads the original
+    // nanos parquet — values agree because bucketing is µs-stable).
+    QueryDef.sql(
+      "connector_events_window",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
+      sharedTable(s, d, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("day", "event_type")
     },
 
     // 3-part-name SQL through the DSv2 catalog plugin (share → catalog,
