@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** Every verifiable unit of engine capability. */
   def allDefs: Seq[QueryDef] =
-    CoreQueries.defs ++ Dedup.defs ++ Similarity.defs ++
+    CoreQueries.defs ++ AsofJoin.defs ++ Dedup.defs ++ Similarity.defs ++
       TextAnalysis.defs ++ Multimodal.defs ++ StreamingOps.defs ++
       ConnectorQueries.defs
 
