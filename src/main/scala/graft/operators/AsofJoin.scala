@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   *
   * The right side must be unique per (key, time) — dedupe first (e.g.
   * groupBy(key, time).agg(max(...))) or ties are nondeterministic.
+  *
+  * NULL semantics: ASOF equality never matches NULL keys, so right rows
+  * with a NULL key or NULL time are dropped before the union (otherwise
+  * the window would group left NULL-key rows — including failed key
+  * casts — with them and hand over their values). Left rows always
+  * survive (left-join shape) with a NULL result. A legitimately-NULL
+  * `valueCol` on a matching right row is indistinguishable from "no
+  * match yet", so the previous non-null value is carried over —
+  * documented divergence from engines that track matches separately.
   */
 object AsofJoin {
 
@@ -37,9 +46,11 @@ object AsofJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
       .withColumn("__v", lit(null).cast(valueType))
-    val rSide = right.select(
-      col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(0).as("__tag"), col(valueCol).as("__v"))
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__tag"), col(valueCol).as("__v"))
     val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -520,8 +520,8 @@ object CoreQueries {
         |  CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions
         |FROM (
         |  SELECT user_id,
-        |    CASE WHEN CAST(epoch(ts) AS BIGINT)
-        |              - lag(CAST(epoch(ts) AS BIGINT))
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |              - lag(CAST(floor(epoch(ts)) AS BIGINT))
         |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              > 1800 THEN 1 ELSE 0 END AS is_new
         |  FROM events
@@ -541,7 +541,10 @@ object CoreQueries {
     // Built-in session_window (gap-based sessions as a first-class
     // grouping — the same operator Structured Streaming uses for
     // stateful sessionization). Oracle reproduces the semantics with a
-    // lag-based cumulative sum at microsecond precision.
+    // lag-based cumulative sum at microsecond precision. Spark's
+    // session_window spans [start, start+gap): an event exactly `gap`
+    // after its predecessor starts a NEW session, so the oracle splits
+    // at >= 1800, not > 1800.
     QueryDef.sql(
       "q_session_window",
       """SELECT user_id, CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions
@@ -549,7 +552,7 @@ object CoreQueries {
         |  SELECT user_id,
         |    CASE WHEN epoch(ts) - lag(epoch(ts))
         |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              > 1800.0 THEN 1 ELSE 0 END AS is_new
+        |              >= 1800.0 THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |) GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       Tables.events(s, d)

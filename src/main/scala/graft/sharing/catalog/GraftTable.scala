@@ -48,15 +48,22 @@ final class GraftTable(client: DeltaSharingClient, ref: TableRef,
 
 /** Pushdown negotiation (reference src/datasource/table.rs:174-213):
   *
-  *  - filters: translated to `jsonPredicateHints` for server-side file
-  *    pruning, then delegated to Spark's own ParquetScanBuilder, which
-  *    consumes partition filters (local, trustworthy pruning over the
-  *    actual file list) and keeps data filters as residuals — the
-  *    reference's Inexact semantics with strictly better local behavior;
+  *  - filters: recorded and reported fully-residual (the reference's
+  *    Inexact semantics, table.rs:207 — Spark keeps every filter above
+  *    the scan, so best-effort server pruning can never drop rows);
   *  - columns: delegated (vectorized reader prunes parquet columns);
   *  - limit: forwarded as `limitHint`, reported PARTIAL (`pushLimit`
   *    returns false) so Spark keeps the global limit, mirroring
   *    table.rs:127-137 + scan.rs:80.
+  *
+  * The server `query` POST is deferred to `build()`, AFTER Spark has
+  * pushed filters, limit, and columns — so the single request carries
+  * BOTH `jsonPredicateHints` and `limitHint` (pushing filters eagerly
+  * would fire the POST before `pushLimit` runs, and the limit hint would
+  * never reach the server). The recorded filters are then replayed into
+  * Spark's own ParquetScanBuilder, which still prunes hive-style
+  * partition directories locally and pushes data filters into the
+  * parquet reader — trustworthy local pruning on top of the hint.
   *
   * The scan itself IS Spark's ParquetScan over `graftshare://` paths that
   * embed the signed URLs (+ hive-style partition-value segments), so
@@ -84,8 +91,8 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
   private def hintJson: Option[String] =
     PredicateHints.toHintJsonFromCatalyst(catalystFilters, fullSchema)
 
-  /** List files with current hints and build the delegating parquet scan
-    * builder, replaying any recorded pushdown state. */
+  /** Fire the (single) query POST with all accumulated hints, then build
+    * the delegating parquet scan builder and replay recorded pushdowns. */
   private def freshDelegate(): ParquetScanBuilder = {
     SignedHttpFileSystem.register(spark.sparkContext.hadoopConfiguration)
     val hints = hintJson
@@ -109,32 +116,33 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
       Some(fullSchema), classOf[ParquetFileFormat])
     val b = table.newScanBuilder(optsWithBase).asInstanceOf[ParquetScanBuilder]
     requiredSchema.foreach(b.pruneColumns)
+    if (catalystFilters.nonEmpty) b.pushFilters(catalystFilters)
     delegate = Some(b)
     b
   }
 
-  private def current(): ParquetScanBuilder =
-    delegate.getOrElse(freshDelegate())
-
+  /** Inexact pushdown: record the filters for the hint, return ALL of
+    * them as residuals. No server round-trip yet. */
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     catalystFilters = filters
-    // (re)list files with the hints derived from these filters
-    freshDelegate().pushFilters(filters)
+    delegate = None
+    filters
   }
 
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    current().pushedFilters
+    delegate.map(_.pushedFilters).getOrElse(Array.empty)
 
   override def pruneColumns(schema: StructType): Unit = {
     requiredSchema = Some(schema)
-    current().pruneColumns(schema)
+    delegate.foreach(_.pruneColumns(schema))
   }
 
   /** PARTIAL limit: hint only; Spark keeps the global limit. */
   override def pushLimit(limit: Int): Boolean = {
     limitHint = Some(limit.toLong)
+    delegate = None
     false
   }
 
-  override def build(): Scan = current().build()
+  override def build(): Scan = delegate.getOrElse(freshDelegate()).build()
 }

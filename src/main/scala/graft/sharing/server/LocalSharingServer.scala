@@ -162,7 +162,7 @@ final class LocalSharingServer(
           val to = params.get("endingVersion").flatMap(_.toLongOption)
             .getOrElse(Long.MaxValue)
           val lines = td.changes.filter(c => c.version >= from && c.version <= to)
-            .zipWithIndex.map { case (c, i) => changeLine(td, c, i) }
+            .zipWithIndex.map { case (c, i) => changeLine(s, sc, td, c, i) }
           respondNdjson(x, Seq(protocolLine, metadataLine(td)) ++ lines)
         }
       case List("shares", s, "schemas", sc, "tables", t, "query") =>
@@ -171,7 +171,7 @@ final class LocalSharingServer(
           recordHints(body)
           respondNdjson(x,
             Seq(protocolLine, metadataLine(td)) ++ td.files.zipWithIndex.map {
-              case (f, i) => fileLine(td, f, i)
+              case (f, i) => fileLine(s, sc, td, f, i)
             })
         }
       case _ =>
@@ -190,25 +190,42 @@ final class LocalSharingServer(
 
   // ---- signed data serving (HTTP Range) ---------------------------------
 
-  private def sign(path: String, expires: Long): String =
-    Integer.toHexString(s"$signingSecret|$path|$expires".hashCode)
+  /** HMAC-SHA256 over path|expires with the per-server random secret —
+    * a real (if local) signature, not a protocol-shape stand-in. */
+  private def sign(path: String, expires: Long): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      signingSecret.getBytes("UTF-8"), "HmacSHA256"))
+    val out = mac.doFinal(s"$path|$expires".getBytes("UTF-8"))
+    java.util.Base64.getUrlEncoder.withoutPadding().encodeToString(out)
+  }
 
-  private def signedUrl(td: TableDef, f: ServedFile, idx: Int): String = {
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  private def dataPath(share: String, schema: String, td: TableDef,
+      fileName: String, idx: Int): String =
+    s"/data/${urlEnc(share)}/${urlEnc(schema)}/${urlEnc(td.name)}/$idx/${urlEnc(fileName)}"
+
+  private def signedUrl(share: String, schema: String, td: TableDef,
+      f: ServedFile, idx: Int): String = {
     val expires = System.currentTimeMillis() + urlTtl.toMillis
-    val p = s"/data/${td.name}/$idx/${f.path.getFileName}"
+    val p = dataPath(share, schema, td, f.path.getFileName.toString, idx)
     s"http://127.0.0.1:$port$p?expires=$expires&sig=${sign(p, expires)}"
   }
 
   private def lookupServed(path: String): Option[ServedFile] = {
-    // /data/<table>/<idx>/<filename> (idx ≥ 1000 addresses change files)
-    path.split('/').filter(_.nonEmpty) match {
-      case Array("data", table, idx, _) =>
-        tree.valuesIterator.flatMap(_.valuesIterator).flatMap(_.get(table))
+    // /data/<share>/<schema>/<table>/<idx>/<filename>; hierarchical
+    // lookup so same-named tables in different shares/schemas can never
+    // serve each other's bytes (idx ≥ 1000 addresses change files).
+    path.split('/').filter(_.nonEmpty).map(dec) match {
+      case Array("data", share, schema, table, idx, _) =>
+        tree.get(share).flatMap(_.get(schema)).flatMap(_.get(table))
           .flatMap { td =>
             val i = idx.toInt
             if (i >= 1000) td.changes.lift(i - 1000).map(_.file)
             else td.files.lift(i)
-          }.nextOption()
+          }
       case _ => None
     }
   }
@@ -219,7 +236,9 @@ final class LocalSharingServer(
       .map { kv => val Array(k, v) = kv.split("=", 2); k -> dec(v) }.toMap
 
   private def serveData(x: HttpExchange): Unit = {
-    val path = x.getRequestURI.getPath
+    // raw (still-encoded) path: signatures are computed over the exact
+    // path string embedded in the signed URL
+    val path = x.getRequestURI.getRawPath
     val query = Option(x.getRequestURI.getQuery).getOrElse("")
     val params = query.split('&').filter(_.contains("="))
       .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
@@ -262,21 +281,23 @@ final class LocalSharingServer(
       s""""configuration":{},"version":${td.version}}}"""
   }
 
-  private def fileLine(td: TableDef, f: ServedFile, idx: Int): String = {
+  private def fileLine(share: String, schema: String, td: TableDef,
+      f: ServedFile, idx: Int): String = {
     val pv = f.partitionValues.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val expires = System.currentTimeMillis() + urlTtl.toMillis
-    s"""{"file":{"url":${jstr(signedUrl(td, f, idx))},"id":"${td.name}-$idx",""" +
+    s"""{"file":{"url":${jstr(signedUrl(share, schema, td, f, idx))},"id":"${td.name}-$idx",""" +
       s""""partitionValues":$pv,"size":${Files.size(f.path)},""" +
       s""""version":${td.version},"expirationTimestamp":$expires}}"""
   }
 
-  private def changeLine(td: TableDef, c: ChangeEntry, idx: Int): String = {
+  private def changeLine(share: String, schema: String, td: TableDef,
+      c: ChangeEntry, idx: Int): String = {
     val f = c.file
     val pv = f.partitionValues.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val expires = System.currentTimeMillis() + urlTtl.toMillis
-    val p = s"/data/${td.name}/${1000 + idx}/${f.path.getFileName}"
+    val p = dataPath(share, schema, td, f.path.getFileName.toString, 1000 + idx)
     val url = s"http://127.0.0.1:$port$p?expires=$expires&sig=${sign(p, expires)}"
     s"""{"${c.changeType}":{"url":${jstr(url)},"id":"${td.name}-chg-$idx",""" +
       s""""partitionValues":$pv,"size":${Files.size(f.path)},""" +

@@ -78,6 +78,23 @@ class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(server.lastLimitHint.contains("13"))
   }
 
+  test("filter+limit: predicate hint sent, limit correctly NOT pushed") {
+    // With Inexact filter semantics a FilterExec stays above the scan, so
+    // Spark must not push the limit through it: a server that trimmed the
+    // file list to ~9 pre-filter rows could starve the post-filter limit.
+    // The query POST is still deferred to build(), so when a limit IS
+    // pushable (no residual filter, see previous test) it reaches the
+    // server even though Spark pushes filters first.
+    server.lastPredicateHints = None
+    server.lastLimitHint = None
+    val rows = spark.sql(
+      "SELECT l_orderkey FROM share1.sales.lineitem WHERE l_quantity < 30 LIMIT 9")
+      .collect()
+    assert(rows.length == 9)
+    assert(server.lastLimitHint.isEmpty)
+    assert(server.lastPredicateHints.exists(_.contains("l_quantity")))
+  }
+
   test("projection pruning reaches the scan (ReadSchema)") {
     val df = spark.sql("SELECT l_orderkey FROM share1.sales.lineitem")
     val plan = df.queryExecution.executedPlan.toString
