@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused text-hash kernels for the dedup pipeline.
+  *
+  * The higher-order-function formulations (64 separate
+  * `array_min(transform(...))` passes for MinHash, 64 `filter`+`size`
+  * passes for SimHash) are correct but generate enormous codegen units —
+  * multi-second janino compiles that dominate small benchmarks and real
+  * clusters' first-query latency, plus 64 array materializations per row.
+  * Each kernel here is one tight loop, compiled in milliseconds, with
+  * identical output values to the HOF versions (asserted by
+  * DedupSpec's parity tests).
+  */
+
+/** MinHash signature: for hash i, min over shingles h of
+  * (a_i*h + b_i) mod p with p = 2^31-19 (31-bit universe keeps a*h+b
+  * < 2^63: no overflow under ANSI). Returns array<bigint> of length
+  * `numHashes`; null input or empty shingle set → null. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  private val P31 = 2147483629L
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i => (1000003L * (i + 1) + 12345L) % P31)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i => (777767777L * (i + 1) + 7L) % P31)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    var nonNull = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        nonNull += 1
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val v = (as(i) * h + bs(i)) % P31
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (nonNull == 0) null else new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val nonNull = ctx.freshName("nonNull")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $nonNull = 0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$c.isNullAt($j)) {
+         |    $nonNull++;
+         |    long $h = $c.getLong($j);
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      long $v = ($aRef[$i] * $h + $bRef[$i]) % ${P31}L;
+         |      if ($v < $mins[$i]) $mins[$i] = $v;
+         |    }
+         |  }
+         |}
+         |if ($nonNull == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array of token hashes: bit j of the result is
+  * set iff at least half the tokens have bit j set (ones*2 >= n over
+  * non-null tokens — identical to the filter/size HOF formulation).
+  * Null input → null; empty input → 0 with all "majority" bits set by
+  * the >= convention is avoided by returning 0 explicitly. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var total = 0
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        total += 1
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (total == 0) 0L
+    else {
+      var fp = 0L
+      var i = 0
+      while (i < 64) {
+        if (counts(i) * 2 >= total) fp |= (1L << i)
+        i += 1
+      }
+      fp
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val total = ctx.freshName("total")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $counts = new int[64];
+         |int $total = 0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$c.isNullAt($j)) {
+         |    $total++;
+         |    long $h = $c.getLong($j);
+         |    for (int $i = 0; $i < 64; $i++) {
+         |      if ((($h >>> $i) & 1L) == 1L) $counts[$i]++;
+         |    }
+         |  }
+         |}
+         |long $fp = 0L;
+         |if ($total > 0) {
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ($counts[$i] * 2 >= $total) $fp |= (1L << $i);
+         |  }
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

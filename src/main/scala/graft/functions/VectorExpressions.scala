@@ -146,6 +146,25 @@ object GraftFunctions {
         exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_cosine",
         exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("graft_minhash",
+        exprs => MinHashSignature(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+      reg.createOrReplaceTempFunction("graft_simhash",
+        exprs => SimHash64(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("graft_plane_dots",
+        exprs => HyperplaneDots(exprs(0), Hyperplanes.generate(
+          exprs(1).eval().asInstanceOf[Number].intValue,
+          exprs(2).eval().asInstanceOf[Number].intValue,
+          exprs(3).eval().asInstanceOf[Number].longValue)), "built-in")
+      reg.createOrReplaceTempFunction("graft_lsh_keys",
+        exprs => {
+          val numTables = exprs(1).eval().asInstanceOf[Number].intValue
+          val bits = exprs(2).eval().asInstanceOf[Number].intValue
+          PackedLshKeys(exprs(0), Hyperplanes.generate(
+            numTables * bits,
+            exprs(3).eval().asInstanceOf[Number].intValue,
+            exprs(4).eval().asInstanceOf[Number].longValue), bits)
+        }, "built-in")
     }
 
   /** Column-level API (safe on any session once register() ran). */
@@ -153,6 +172,24 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  def minhash(shingleHashes: Column, numHashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash",
+      shingleHashes, org.apache.spark.sql.functions.lit(numHashes))
+  def simhash64(tokenHashes: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_simhash", tokenHashes)
+  /** All v·plane dots for `numPlanes` seeded gaussian planes. */
+  def planeDots(v: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    org.apache.spark.sql.functions.call_function("graft_plane_dots",
+      v, lit(numPlanes), lit(dim), lit(seed))
+  }
+  /** Packed multi-table LSH signature longs (numTables entries). */
+  def lshKeys(v: Column, numTables: Int, bitsPerTable: Int, dim: Int,
+      seed: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    org.apache.spark.sql.functions.call_function("graft_lsh_keys",
+      v, lit(numTables), lit(bitsPerTable), lit(dim), lit(seed))
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` installs the
@@ -168,5 +205,28 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarityFloat].getName, "graft_cosine"),
       exprs => CosineSimilarityFloat(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      exprs => SimHash64(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("graft_plane_dots"),
+      new ExpressionInfo(classOf[HyperplaneDots].getName, "graft_plane_dots"),
+      exprs => HyperplaneDots(exprs(0), Hyperplanes.generate(
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue,
+        exprs(3).eval().asInstanceOf[Number].longValue))))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_keys"),
+      new ExpressionInfo(classOf[PackedLshKeys].getName, "graft_lsh_keys"),
+      exprs => {
+        val numTables = exprs(1).eval().asInstanceOf[Number].intValue
+        val bits = exprs(2).eval().asInstanceOf[Number].intValue
+        PackedLshKeys(exprs(0), Hyperplanes.generate(
+          numTables * bits,
+          exprs(3).eval().asInstanceOf[Number].intValue,
+          exprs(4).eval().asInstanceOf[Number].longValue), bits)
+      }))
   }
 }

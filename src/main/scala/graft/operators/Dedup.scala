@@ -80,12 +80,14 @@ object Dedup {
   /** 64 MinHash values for an array of 31-bit shingle hashes.
     *
     * h_i(S) = min_{h in S} ((a_i * h + b_i) mod p), with fixed seeds so
-    * results are deterministic across runs/partitions. Computed entirely
-    * with higher-order functions (transform + array_min) — one
-    * projection, no shuffle, no UDF. 31-bit universe: h < 2^31 and
-    * a < 2^31 keep a*h+b < 2^63, so the arithmetic never overflows long
-    * under ANSI mode. */
-  def minhashSignature(hashedShingles: Column, numHashes: Int = 64): Column = {
+    * results are deterministic across runs/partitions. Reference HOF
+    * formulation (transform + array_min per hash) — kept for parity
+    * tests; the pipeline uses the native fused kernel
+    * [[graft.functions.MinHashSignature]], which computes the same
+    * values in one loop (64 HOF passes generate a multi-second janino
+    * compile and 64 array materializations per row). 31-bit universe:
+    * h < 2^31 and a < 2^31 keep a*h+b < 2^63 — no overflow under ANSI. */
+  def minhashSignatureHof(hashedShingles: Column, numHashes: Int = 64): Column = {
     val p = lit(P31)
     val sigs = (0 until numHashes).map { i =>
       val a = lit((1000003L * (i + 1) + 12345L) % P31)
@@ -93,6 +95,15 @@ object Dedup {
       array_min(transform(hashedShingles, h => pmod(h * a + b, p)))
     }
     array(sigs: _*)
+  }
+
+  /** Production MinHash: the fused native kernel (identical values to
+    * [[minhashSignatureHof]], asserted in DedupSpec). Registers the
+    * function on first use. */
+  def minhashSignature(spark: SparkSession, hashedShingles: Column,
+      numHashes: Int = 64): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.minhash(hashedShingles, numHashes)
   }
 
   /** LSH bands: split the signature into `bands` groups of `rowsPerBand`
@@ -133,25 +144,30 @@ object Dedup {
     // joined thrice; here MEMORY_AND_DISK serves the same role.
     // Small parquet inputs arrive as a single split; the signature pass
     // is CPU-bound per row, so spread it across the cluster first.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val withSig = docs.repartition(par)
       .select(col(idCol).as("doc_id"),
         shingler(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig", minhashSignature(spark, col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandsDf = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
 
-    // Skew guard: drop pathological buckets before the self-join.
-    val bounded = bandsDf
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    // Skew guard: drop pathological buckets before the self-join. The
+    // oversized-bucket list is tiny BY CONSTRUCTION (each entry holds
+    // > maxBucketSize docs), so it broadcasts at any input scale and the
+    // anti-join adds no shuffle of the big side — cheaper than a window
+    // (which would shuffle AND sort every (band,bh) group).
+    val oversized = bandsDf.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select("band", "bh")
+    val bounded = bandsDf.join(broadcast(oversized), Seq("band", "bh"),
+      "left_anti")
 
     val candidates = bounded.as("x")
       .join(bounded.as("y"),
@@ -172,8 +188,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: bit j of the fingerprint is the sign
-    * of sum over tokens of (bit j of xxhash64(token) ? +1 : -1). */
-  def simhash(text: Column): Column = {
+    * of sum over tokens of (bit j of xxhash64(token) ? +1 : -1). HOF
+    * reference formulation (64 filter+size passes) — kept for parity
+    * tests; the pipeline uses the fused [[graft.functions.SimHash64]]. */
+  def simhashHof(text: Column): Column = {
     val hashes = transform(split(text, " "), t => xxhash64(t))
     // For each bit, count tokens with that bit set vs total.
     val n = size(hashes)
@@ -184,6 +202,14 @@ object Dedup {
     bitSums.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Production SimHash: fused native kernel over the token-hash array
+    * (identical values to [[simhashHof]], asserted in DedupSpec). */
+  def simhash(spark: SparkSession, text: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.simhash64(
+      transform(split(text, " "), t => xxhash64(t)))
+  }
+
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4 16-bit
     * chunks; Hamming distance ≤ 3 guarantees ≥1 equal chunk (pigeonhole),
     * so the candidate join is an equi-join on (chunkIdx, chunkValue). */
@@ -191,9 +217,10 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // persist: the fingerprint pass feeds both sides of the self-join;
     // repartition first — the fingerprint is CPU-bound per row
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val fp = docs.repartition(par)
-      .select(col(idCol).as("doc_id"), simhash(col(textCol)).as("fp"))
+      .select(col(idCol).as("doc_id"), simhash(spark, col(textCol)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map { c =>

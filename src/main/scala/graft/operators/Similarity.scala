@@ -22,11 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic random hyperplanes (seeded) for LSH signatures. */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
+  /** Deterministic random hyperplanes (seeded) for LSH signatures —
+    * shared generator with the native kernels (same stream ⇒ identical
+    * planes ⇒ identical signatures either path). */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    graft.functions.Hyperplanes.generate(numPlanes, dim, seed).map(_.toSeq).toSeq
 
   /** Sequential-fold dot product of two float-array columns, in double. */
   def dot(a: Column, b: Column): Column =
@@ -70,8 +70,10 @@ object Similarity {
 
   /** Bucket keys for multi-table LSH: `numTables` independent signatures
     * of `bitsPerTable` hyperplane bits each. Two vectors are candidates
-    * iff they share a bucket in ANY table (OR-amplification). */
-  def lshTableKeys(v: Column, numTables: Int, bitsPerTable: Int,
+    * iff they share a bucket in ANY table (OR-amplification). HOF
+    * reference formulation — kept for kernel-parity tests; the pipeline
+    * uses [[graft.functions.PackedLshKeys]] via posexplode. */
+  def lshTableKeysHof(v: Column, numTables: Int, bitsPerTable: Int,
       dim: Int = 64): Column = {
     val planes = hyperplanes(numTables * bitsPerTable, dim)
     array((0 until numTables).map { t =>
@@ -81,6 +83,19 @@ object Similarity {
       }.reduce((x, y) => x.bitwiseOR(y))
       struct(lit(t).as("t"), sig.as("sig"))
     }: _*)
+  }
+
+  /** id + (t, sig) bucket rows for a vector frame: one fused-kernel
+    * projection + posexplode (the table index IS the array position). */
+  private def lshKeyed(df: DataFrame, idFrom: String, idAs: String,
+      embAs: String, numTables: Int, bitsPerTable: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idFrom).as(idAs), col("embedding").as(embAs),
+        posexplode(graft.functions.GraftFunctions.lshKeys(
+          col("embedding"), numTables, bitsPerTable, dim = 64, seed = 42L)))
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "sig")
   }
 
   /** LSH-bucketed approximate top-k (multi-table random-hyperplane LSH).
@@ -95,13 +110,10 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numTables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
-    def keyed(df: DataFrame, idAs: String, embAs: String) = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id").as(idAs), col("embedding").as(embAs),
-        explode(lshTableKeys(col("embedding"), numTables, bitsPerTable)).as("bk"))
-      .select(col(idAs), col(embAs), col("bk.t").as("t"), col("bk.sig").as("sig"))
-    val corpusKeys = keyed(corpus, "vec_id", "embedding")
-    val queryKeys = keyed(queries, "query_id", "q_emb")
+    val corpusKeys = lshKeyed(corpus, "vec_id", "vec_id", "embedding",
+      numTables, bitsPerTable)
+    val queryKeys = lshKeyed(queries, "vec_id", "query_id", "q_emb",
+      numTables, bitsPerTable)
     val candidates = broadcast(queryKeys)
       .join(corpusKeys, Seq("t", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -133,11 +145,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCells: Int = 32, nprobe: Int = 4, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val centroids = hyperplanes(numCells, dim, seed = 7L)
+    // one fused matrix-vector kernel for all centroid dots, then struct
+    // assembly from the result array (position = cell id)
     def cellScores(v: Column): Column =
-      array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(dot(v, typedLit(c)).as("d"), lit(i).as("i"))
-      }: _*)
+      transform(
+        graft.functions.GraftFunctions.planeDots(v, numCells, dim, seed = 7L),
+        (d, i) => struct(d.as("d"), i.cast("int").as("i")))
     // struct ordering is lexicographic → array_max picks the best-dot cell
     val corpusCells = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
@@ -167,12 +180,8 @@ object Similarity {
   def cosinePairs(corpus: DataFrame, threshold: Double,
       numTables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val keyed = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding"),
-        explode(lshTableKeys(col("embedding"), numTables, bitsPerTable)).as("bk"))
-      .select(col("vec_id"), col("embedding"),
-        col("bk.t").as("t"), col("bk.sig").as("sig"))
+    val keyed = lshKeyed(corpus, "vec_id", "vec_id", "embedding",
+        numTables, bitsPerTable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed.as("x").join(keyed.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&

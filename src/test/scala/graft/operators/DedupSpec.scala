@@ -77,6 +77,25 @@ class DedupSpec extends SparkTestBase {
     assert(found.nonEmpty)
   }
 
+  test("native minhash kernel matches the HOF formulation exactly") {
+    val sh = docs.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val both = sh.select(
+      Dedup.minhashSignature(spark, col("sh"), 64).as("native"),
+      Dedup.minhashSignatureHof(col("sh"), 64).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("native simhash kernel matches the HOF formulation exactly") {
+    val both = docs.select(
+      Dedup.simhash(spark, col("text")).as("native"),
+      Dedup.simhashHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val deduped = docs.groupBy("text").agg(min("doc_id")).count()
     assert(deduped == docs.select("text").distinct().count())

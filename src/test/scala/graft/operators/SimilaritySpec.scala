@@ -85,6 +85,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff.getDouble(1) < 1e-9, s"dot kernel drift ${diff.getDouble(1)}")
   }
 
+  test("native LSH-key kernel matches the HOF signature formulation exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    // native: array of packed longs, position = table; HOF: array of
+    // (t, sig) structs — compare per (t, sig) multiset per vector
+    val native = emb.select(col("vec_id"),
+        posexplode(graft.functions.GraftFunctions.lshKeys(
+          col("embedding"), 16, 6, 64, 42L)))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("sig"))
+    val hof = emb.select(col("vec_id"),
+        explode(Similarity.lshTableKeysHof(col("embedding"), 16, 6)).as("bk"))
+      .select(col("vec_id"), col("bk.t").as("t"), col("bk.sig").as("sig"))
+    assert(native.exceptAll(hof).count() == 0)
+    assert(hof.exceptAll(native).count() == 0)
+  }
+
   test("cosine near-dup pairs: every pair clears the threshold; recall is real") {
     val threshold = 0.3
     val pairs = Similarity.cosinePairs(emb, threshold)
