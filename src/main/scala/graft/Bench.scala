@@ -21,7 +21,8 @@ object Bench {
     "q_join_broadcast", "q_join_shuffle", "q_join_semi",
     "q_window_rank", "q_window_running", "q_topk", "q_rollup",
     "q_count_distinct", "q_scalar_string", "q_json_extract",
-    "q_sql_revenue_topk", "q_sessionize",
+    "q_sql_revenue_topk", "q_sessionize", "q_range_join", "q_pivot",
+    "q_percentile",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_brute", "sim_topk_ann", "sim_vector_norm",
     "dedup_embedding_cosine", "sim_topk_ivf", "q_session_window",

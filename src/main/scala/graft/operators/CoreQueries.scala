@@ -585,6 +585,66 @@ object CoreQueries {
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY o_orderkey
           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // PIVOT: long → wide reshaping with an explicit value list (the
+    // scalable form — an unlisted pivot needs a driver-side distinct
+    // pass first). Oracle is conditional aggregation.
+    QueryDef.sql(
+      "q_pivot",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    },
+
+    // ------------------------------------------------------------------
+    // Exact percentiles (linear interpolation — identical definition in
+    // Spark `percentile` and DuckDB `quantile_cont`).
+    QueryDef.sql(
+      "q_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.90), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.50)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.90)"), 4).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
+    // Ordered string aggregation (listagg). Deterministic because the
+    // collected list is sorted before joining — collect_list order is
+    // partition-dependent, so the sort is load-bearing.
+    QueryDef.sql(
+      "q_string_agg",
+      """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("suppliers"))
+        .orderBy("n_name")
     }
   )
 }

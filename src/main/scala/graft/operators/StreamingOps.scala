@@ -82,6 +82,20 @@ object StreamingOps {
           .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("n")),
         outputMode = "complete")
         .orderBy("day")
+    },
+
+    // Streaming deduplication (watermarked dropDuplicates — bounded
+    // state). The kept row per key is arrival-order-dependent, so the
+    // deterministic cross-engine check is the distinct-key count.
+    QueryDef.sql(
+      "stream_dedup_distinct",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct FROM (
+        |  SELECT DISTINCT user_id, event_type FROM events)""".stripMargin) { (s, d) =>
+      runToCompletion(s, d,
+        df => df.withWatermark("ts", "1 hour")
+          .dropDuplicates("user_id", "event_type"),
+        outputMode = "append")
+        .agg(count(lit(1)).as("n_distinct"))
     }
   )
 }

@@ -142,6 +142,31 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // PII-style masking: emails and long digit runs replaced with typed
+    // placeholder tokens — the standard pre-training redaction pass, as a
+    // single codegen'd projection. Oracle needs DuckDB's 'g' flag (Spark
+    // regexp_replace is global by default).
+    QueryDef.sql(
+      "text_pii_redact",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER)
+        |    AS n_num_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+          lit("[0-9]{4,}"), lit("<NUM>")).as("redacted"),
+        regexp_count(col("text"), lit("[0-9]{4,}")).cast("int")
+          .as("n_num_redactions"))
+        .orderBy("doc_id")
+    },
+
     // Corpus-level quality aggregation by source (pipeline triage view).
     QueryDef.sql(
       "text_source_profile",
