@@ -15,7 +15,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ AsofJoin.defs ++ RangeJoin.defs ++ Dedup.defs ++
       Similarity.defs ++ TextAnalysis.defs ++ Multimodal.defs ++
-      StreamingOps.defs ++ ConnectorQueries.defs
+      StreamingOps.defs ++ Sampling.defs ++ ConnectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

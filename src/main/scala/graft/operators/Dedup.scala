@@ -187,6 +187,57 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over an undirected edge list (doc_a, doc_b) —
+    * turns near-dup PAIRS into duplicate CLUSTERS, the final step of a
+    * dedup pipeline (keep one representative per component).
+    *
+    * Min-label propagation: every vertex starts labeled with its own id;
+    * each round every vertex takes the min label in its neighborhood;
+    * stop at fixpoint (the label sum is strictly decreasing, so equality
+    * means converged — no extra join needed for the check). Each round is
+    * one shuffle join + aggregate at any scale, and near-dup components
+    * are near-cliques (every pair passes the jaccard check), so this
+    * converges in 2-3 rounds. For adversarial long-chain graphs switch to
+    * the large-star/small-star algorithm (same join-shaped rounds,
+    * O(log n) convergence); the fixpoint loop here stops correctly either
+    * way. Labeled frames are persisted per round and released after —
+    * the iteration state is one (id, label) table, never driver-side.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // decimal(38) sum: overflow-proof under ANSI at any corpus size
+    def sumLabels(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var labelSum = sumLabels(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = sumLabels(next)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = nextSum.compareTo(labelSum) == 0
+      labelSum = nextSum
+      i += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** 64-bit SimHash over word tokens: bit j of the fingerprint is the sign
     * of sum over tokens of (bit j of xxhash64(token) ? +1 : -1). HOF
     * reference formulation (64 filter+size passes) — kept for parity
@@ -274,6 +325,18 @@ object Dedup {
     QueryDef.rowsOnly("dedup_minhash_lsh") { (s, d) =>
       minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Near-dup clusters: MinHash pairs → connected components → one row
+    // per clustered doc with its cluster id and the elected keeper (min
+    // id). rows-only (iterative graph algorithm; DedupSpec cross-checks
+    // against driver-side union-find).
+    QueryDef.rowsOnly("dedup_clusters") { (s, d) =>
+      val pairs = minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)
+      connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumn("is_keeper", (col("id") === col("cluster_id")).cast("int"))
+        .orderBy("cluster_id", "id")
     },
 
     // SimHash near-dup pairs (rows-only; SimHashSpec verifies recall).

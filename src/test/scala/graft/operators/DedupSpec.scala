@@ -77,6 +77,40 @@ class DedupSpec extends SparkTestBase {
     assert(found.nonEmpty)
   }
 
+  test("connected components match driver-side union-find on the same pairs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b")
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // every component's label is its min member
+    val byCluster = got.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    byCluster.foreach { case (label, minMember) => assert(label == minMember) }
+  }
+
+  test("chain graph converges to one component (propagation fixpoint)") {
+    import spark.implicits._
+    // path 1-2-3-...-8: worst case for label propagation; fixpoint loop
+    // must still converge (7 rounds < maxIter)
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == 8 && cc.forall(_._2 == 1L))
+  }
+
   test("native minhash kernel matches the HOF formulation exactly") {
     val sh = docs.select(col("doc_id"),
         Dedup.shingleHashes(col("text"), 3).as("sh"))
