@@ -44,10 +44,13 @@ object RangeJoin {
   }
 
   def defs: Seq[QueryDef] = Seq(
-    // Events joined to 12-hour order-activity windows (same deterministic
+    // Events joined to 1-hour order-activity windows (same deterministic
     // remap as q_asof_join), counted per order. Oracle is DuckDB's native
     // range join (IEJoin); the Spark side proves the bucketed equi-join
-    // produces the identical match set.
+    // produces the identical match set. (Interval length sets the
+    // query's INTRINSIC output size — avg overlap density × |points| —
+    // independent of the join algorithm; 1 h keeps the verified result
+    // in the millions, not hundreds of millions, at bench scale.)
     QueryDef.sql(
       "q_range_join",
       """WITH i AS (
@@ -55,7 +58,7 @@ object RangeJoin {
         |    TIMESTAMP '2024-01-01 00:00:00'
         |      + (o_orderkey % 720) * INTERVAL 1 HOUR AS s_ts,
         |    TIMESTAMP '2024-01-01 00:00:00'
-        |      + (o_orderkey % 720) * INTERVAL 1 HOUR + INTERVAL 12 HOUR AS e_ts
+        |      + (o_orderkey % 720) * INTERVAL 1 HOUR + INTERVAL 1 HOUR AS e_ts
         |  FROM orders)
         |SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM i JOIN events ev ON ev.ts >= i.s_ts AND ev.ts < i.e_ts
@@ -65,7 +68,7 @@ object RangeJoin {
           expr("timestamp'2024-01-01 00:00:00' + " +
             "make_interval(0, 0, 0, 0, CAST(o_orderkey % 720 AS INT), 0, 0)")
             .as("s_ts"))
-        .withColumn("e_ts", expr("s_ts + make_interval(0, 0, 0, 0, 12, 0, 0)"))
+        .withColumn("e_ts", expr("s_ts + make_interval(0, 0, 0, 0, 1, 0, 0)"))
       val points = Tables.events(s, d).select("event_id", "ts")
       pointInInterval(points, "ts", intervals, "s_ts", "e_ts",
           bucketSeconds = 3600L)
