@@ -630,6 +630,32 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // Custom typed Aggregator: bounded top-k per group WITHOUT sorting
+    // the group (map-side combined, k-entry state; see
+    // functions.TopKAggregator). Oracle is the window-rank formulation —
+    // same rows, very different physical plan.
+    QueryDef.sql(
+      "q_topk_agg",
+      """SELECT l_returnflag, rk, price, item_id FROM (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |    l_orderkey * 8 + l_linenumber AS item_id,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey * 8 + l_linenumber)
+        |      AS rk
+        |  FROM lineitem)
+        |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin) { (s, d) =>
+      val itemId = (col("l_orderkey") * 8 + col("l_linenumber")).cast("bigint")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(graft.functions.TopKAggregator.topK(
+          col("l_extendedprice"), itemId, 3).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk.entries")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.score").as("price"), col("col.id").as("item_id"))
+        .orderBy("l_returnflag", "rk")
+    },
+
+    // ------------------------------------------------------------------
     // Ordered string aggregation (listagg). Deterministic because the
     // collected list is sorted before joining — collect_list order is
     // partition-dependent, so the sort is load-bearing.
