@@ -114,17 +114,20 @@ object Similarity {
       numTables, bitsPerTable)
     val queryKeys = lshKeyed(queries, "vec_id", "query_id", "q_emb",
       numTables, bitsPerTable)
-    val candidates = broadcast(queryKeys)
-      .join(corpusKeys, Seq("t", "sig"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
-      .distinct()
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // Score BEFORE dedup: a pair found in several tables recomputes the
+    // (cheap) cosine, but the multi-table dedup then shuffles only
+    // narrow (query, vec, sim) rows — never the embedding arrays. The
+    // previous distinct-then-score order shuffled 64-float payloads.
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id"))
-    candidates
-      .withColumn("sim",
-        graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb")))
+    broadcast(queryKeys)
+      .join(corpusKeys, Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb"))
+          .as("sim"))
+      .groupBy("query_id", "vec_id").agg(max("sim").as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -183,14 +186,16 @@ object Similarity {
     val keyed = lshKeyed(corpus, "vec_id", "vec_id", "embedding",
         numTables, bitsPerTable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // score before dedup — the multi-table distinct then handles only
+    // narrow (a, b, cos) rows instead of shuffling embedding payloads
     keyed.as("x").join(keyed.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.embedding").as("emb_a"), col("y.embedding").as("emb_b"))
-      .distinct()
-      .withColumn("cos", round(graft.functions.GraftFunctions.cosine(
-        col("emb_a"), col("emb_b")), 4))
+        graft.functions.GraftFunctions.cosine(
+          col("x.embedding"), col("y.embedding")).as("cos_raw"))
+      .groupBy("vec_a", "vec_b").agg(max("cos_raw").as("cos_raw"))
+      .withColumn("cos", round(col("cos_raw"), 4))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
