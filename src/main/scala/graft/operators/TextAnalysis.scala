@@ -74,6 +74,37 @@ object TextAnalysis {
       (acc, c) => pmod(acc * 131L + c, p))
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing too many word
+    * n-grams with a held-out evaluation set. The benchmark's distinct
+    * shingle-hash set is small by definition (eval sets are thousands of
+    * docs, not billions) → broadcast; the corpus side is explode →
+    * broadcast-semi-join → groupBy, so the only shuffle carries (doc_id,
+    * hit) pairs for docs with at least one overlap — at 100 TB that is
+    * the contaminated sliver, not the corpus.
+    *
+    * @return (doc_id, n_total, n_hit, overlap_ratio, contaminated)
+    */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      shingleSize: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val sh = Dedup.shingleHashes(col(textCol), shingleSize)
+    val corpusSh = corpus.select(col(idCol).as("doc_id"), sh.as("shs"))
+      .withColumn("n_total", size(col("shs")))
+    val benchSh = benchmark
+      .select(explode(Dedup.shingleHashes(col(benchTextCol), shingleSize)).as("h"))
+      .distinct()
+    val hits = corpusSh
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+      .join(broadcast(benchSh), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpusSh.select("doc_id", "n_total")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("overlap_ratio",
+        round(col("n_hit") / greatest(col("n_total"), lit(1)), 4))
+      .withColumn("contaminated", (col("overlap_ratio") >= threshold).cast("int"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Token & character statistics with a quality signal. Oracle mirrors
     // every step in DuckDB list/regexp functions.
@@ -164,6 +195,19 @@ object TextAnalysis {
           lit("[0-9]{4,}"), lit("<NUM>")).as("redacted"),
         regexp_count(col("text"), lit("[0-9]{4,}")).cast("int")
           .as("n_num_redactions"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination against a deterministic held-out sample
+    // (5 docs/source): the sampled docs must flag themselves, and their
+    // near-dups surface through shared shingles. rows-only (shingle
+    // hashing is not SQL-expressible; TextMultimodalSpec pins recall).
+    QueryDef.rowsOnly("text_contamination") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bench = Sampling.stratifiedSample(docs, "source", col("doc_id"), 5)
+      contamination(docs, "doc_id", "text", bench, "text",
+          shingleSize = 8, threshold = 0.5)
+        .filter(col("n_hit") > 0)
         .orderBy("doc_id")
     },
 

@@ -39,6 +39,35 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(fps(0)._2 != fps(2)._2) // word order matters
   }
 
+  test("contamination flags the benchmark docs themselves at ratio 1.0") {
+    val bench = Sampling.stratifiedSample(docs, "source", col("doc_id"), 5)
+    val out = TextAnalysis.contamination(docs, "doc_id", "text",
+      bench, "text", shingleSize = 8, threshold = 0.5)
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = out.filter(col("contaminated") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every benchmark doc with >= 1 shingle is fully contained in the set
+    val selfRatios = out.filter(col("doc_id").isin(benchIds.toSeq: _*))
+      .filter(col("n_total") > 0)
+      .select("overlap_ratio").collect().map(_.getDouble(0))
+    assert(selfRatios.nonEmpty && selfRatios.forall(_ == 1.0))
+    assert(benchIds.subsetOf(flagged ++
+      out.filter(col("n_total") === 0).collect().map(_.getLong(0)).toSet))
+    // clean docs (no shared shingles) are not flagged
+    assert(out.filter(col("contaminated") === 1).count() < docs.count())
+  }
+
+  test("salted join equals the plain join (semantics preserved)") {
+    val li = Tables.lineitem(spark, sf0001).withColumnRenamed("l_orderkey", "jk")
+      .select("jk", "l_quantity")
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("jk"), col("o_orderpriority"))
+    val salted = SkewJoin.saltedInnerJoin(li, ord, "jk", salts = 8)
+    val plain = li.join(ord, "jk")
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.lineitem(spark, sf0001)
     val r = li.agg(
