@@ -630,6 +630,62 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // Window navigation functions: lag/lead/ntile/first_value in one
+    // pass over a single window spec (one shuffle + sort).
+    QueryDef.sql(
+      "q_window_navigation",
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_ok,
+        |  lead(o_orderkey) OVER w AS next_ok,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev_ok"),
+        lead("o_orderkey", 1).over(w).as("next_ok"),
+        ntile(4).over(w).as("quartile"),
+        first("o_orderkey").over(w).as("first_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ------------------------------------------------------------------
+    // Correlated NOT EXISTS through the SQL analyzer (decorrelates to an
+    // anti join — the SQL-level twin of q_join_anti's DataFrame form).
+    QueryDef.sql(
+      "q_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Lateral explode (LATERAL VIEW / generator join): word frequency via
+    // per-row token expansion — generate → groupBy, partial-agg'd.
+    QueryDef.sql(
+      "q_lateral_explode",
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    },
+
+    // ------------------------------------------------------------------
     // Custom typed Aggregator: bounded top-k per group WITHOUT sorting
     // the group (map-side combined, k-entry state; see
     // functions.TopKAggregator). Oracle is the window-rank formulation —

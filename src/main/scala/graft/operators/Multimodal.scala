@@ -87,6 +87,26 @@ object Multimodal {
         .orderBy("media_id")
     },
 
+    // Frame sampling: fixed-offset byte windows from each payload (the
+    // video-frame / audio-clip sampling shape: k offsets per blob, never
+    // the whole payload downstream), hashed for verification. Byte
+    // windows on the Spark side, character windows in the oracle — equal
+    // because the corpus is ASCII; real media bytes would keep the
+    // Spark-side semantics and drop the SQL oracle.
+    QueryDef.sql(
+      "mm_frame_sample",
+      """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+        |  md5(substring(text, CAST(1 + i*100 AS INTEGER), 16)) AS frame_md5
+        |FROM documents, generate_series(0, 2) t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+      binaryView(Tables.documents(s, d))
+        .select(col("media_id"), posexplode(array((0 until 3).map(i =>
+          md5(expr(s"substring(payload, ${1 + i * 100}, 16)"))): _*)))
+        .select(col("media_id"), col("pos").cast("int").as("frame_idx"),
+          col("col").as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // Stubbed decode + feature extraction through the partition-parallel
     // seam (rows-only: the fake decoder is not SQL-expressible; the
     // MultimodalSpec pins its outputs).

@@ -84,6 +84,23 @@ object StreamingOps {
         .orderBy("day")
     },
 
+    // Stream-static join: the streaming fact joins a static dimension
+    // (broadcast per micro-batch), then aggregates — the canonical
+    // enrichment topology. Result equals the batch join.
+    QueryDef.sql(
+      "stream_static_join",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      runToCompletion(s, d,
+        df => df.join(dim, df("user_id") === dim("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n")),
+        outputMode = "complete")
+        .orderBy("c_mktsegment")
+    },
+
     // Streaming deduplication (watermarked dropDuplicates — bounded
     // state). The kept row per key is arrival-order-dependent, so the
     // deterministic cross-engine check is the distinct-key count.

@@ -83,6 +83,26 @@ object GraftSharing {
     parts.reduce(_ unionAll _)
   }
 
+  /** Reconstruct a table snapshot by folding a change feed onto a base:
+    * per commit version (ascending), added rows union in and removed
+    * rows fall out (multiset semantics — `exceptAll`, so duplicate rows
+    * are removed once per removal, matching file-level CDF). Only the
+    * version LIST is collected to the driver (commit metadata, not
+    * data); each fold step stays a distributed union/anti-join. */
+  def applyChanges(base: DataFrame, changes: DataFrame): DataFrame = {
+    val dataCols = base.columns.toSeq
+    val versions = changes.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    versions.foldLeft(base) { (acc, v) =>
+      val cv = changes.filter(col("_commit_version") === v)
+      val added = cv.filter(col("_change_type") === "add")
+        .select(dataCols.map(col): _*)
+      val removed = cv.filter(col("_change_type") === "remove")
+        .select(dataCols.map(col): _*)
+      acc.unionAll(added).exceptAll(removed)
+    }
+  }
+
   /** Build the DataFrame for a listed file set. */
   def dataFrameForFiles(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String], files: Seq[FileAction]): DataFrame = {

@@ -79,6 +79,22 @@ class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
       .collect()(0).getLong(0) == v1Rows + v2Rows)
   }
 
+  test("applyChanges reconstructs the snapshot from base + feed") {
+    // base = empty table; v1 adds even orders, v2 adds odd + removes even
+    // → final snapshot must equal exactly the odd orders.
+    val src = graft.Tables.orders(spark, sf0001)
+    val base = src.limit(0)
+    val feed = GraftSharing.readChanges(spark, client, table, 1L)
+    val snapshot = GraftSharing.applyChanges(base, feed)
+    val expected = src.filter(col("o_orderkey") % 2 === 1)
+    assert(snapshot.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(snapshot).count() == 0)
+    // applying only v1 yields the even orders
+    val atV1 = GraftSharing.applyChanges(base,
+      feed.filter(col("_commit_version") === 1L))
+    assert(atV1.count() == v1Rows)
+  }
+
   test("empty range is a typed error") {
     val e = intercept[DeltaSharingException](
       GraftSharing.readChanges(spark, client, table, 99L))
