@@ -14,9 +14,9 @@ object SparkEntry {
   /** Every verifiable unit of engine capability. */
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ AsofJoin.defs ++ RangeJoin.defs ++ SkewJoin.defs ++
-      Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
-      Multimodal.defs ++ StreamingOps.defs ++ Sampling.defs ++
-      ConnectorQueries.defs
+      BucketedJoin.defs ++ Dedup.defs ++ Similarity.defs ++
+      TextAnalysis.defs ++ Multimodal.defs ++ StreamingOps.defs ++
+      Sampling.defs ++ ConnectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
