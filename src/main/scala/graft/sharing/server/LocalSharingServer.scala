@@ -146,8 +146,24 @@ final class LocalSharingServer(
       }
       case List("shares", s, "schemas", sc, "tables", t, "version") =>
         withTable(x, s, sc, t) { td =>
-          x.getResponseHeaders.set("Delta-Table-Version", td.version.toString)
-          respond(x, 200, "")
+          // startingTimestamp → earliest version whose change timestamp
+          // is at/after it (reference src/client/mod.rs:251-280 sends
+          // the param; Delta Sharing spec semantics).
+          queryParams(x).get("startingTimestamp") match {
+            case Some(ts) =>
+              val wanted = java.time.Instant.parse(ts).toEpochMilli
+              td.changes.filter(_.timestamp >= wanted)
+                .map(_.version).minOption match {
+                case Some(v) =>
+                  x.getResponseHeaders.set("Delta-Table-Version", v.toString)
+                  respond(x, 200, "")
+                case None => respond(x, 404,
+                  """{"errorCode":"RESOURCE_DOES_NOT_EXIST","message":"no version at or after startingTimestamp"}""")
+              }
+            case None =>
+              x.getResponseHeaders.set("Delta-Table-Version", td.version.toString)
+              respond(x, 200, "")
+          }
         }
       case List("shares", s, "schemas", sc, "tables", t, "metadata") =>
         withTable(x, s, sc, t)(td =>

@@ -64,6 +64,41 @@ class ClientServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.getTableVersion(TableRef("share1", "schema1", "lineitem")) == 1L)
   }
 
+  test("version honors startingTimestamp (earliest change at/after it)") {
+    import scala.jdk.CollectionConverters._
+    val f = java.nio.file.Paths.get("/root/testdata/sf0.001/region.parquet")
+    server.addTable("share1", "schema1", server.TableDef(
+      "versioned", lineitemSchema, Seq.empty,
+      files = Seq(server.ServedFile(f, Map.empty)), version = 3L,
+      changes = Seq(
+        server.ChangeEntry(1L, "add", server.ServedFile(f, Map.empty),
+          timestamp = 1700000001000L),
+        server.ChangeEntry(3L, "add", server.ServedFile(f, Map.empty),
+          timestamp = 1700000003000L))))
+    val t = TableRef("share1", "schema1", "versioned")
+    assert(client.getTableVersion(t) == 3L)
+    assert(client.getTableVersion(t,
+      Some(java.time.Instant.ofEpochMilli(1700000002000L).toString)) == 3L)
+    assert(client.getTableVersion(t,
+      Some(java.time.Instant.ofEpochMilli(1600000000000L).toString)) == 1L)
+    val e = intercept[DeltaSharingException](client.getTableVersion(t,
+      Some(java.time.Instant.ofEpochMilli(1800000000000L).toString)))
+    assert(e.kind == "CLIENT_ERROR")
+  }
+
+  test("HTTP 500 maps to SERVER_ERROR (error taxonomy, error.rs:72-89)") {
+    // a table whose backing file is missing: listings work, but the
+    // query endpoint fails server-side when sizing the file
+    server.addTable("share1", "schema1", server.TableDef(
+      "broken", lineitemSchema, Seq.empty,
+      files = Seq(server.ServedFile(
+        java.nio.file.Paths.get("/nonexistent/nope.parquet"), Map.empty))))
+    val e = intercept[DeltaSharingException](
+      client.getTableData(TableRef("share1", "schema1", "broken")))
+    assert(e.kind == "SERVER_ERROR")
+    assert(e.getMessage.contains("500"))
+  }
+
   test("metadata NDJSON: protocol + metaData") {
     val (p, m) = client.getTableMetadata(TableRef("share1", "schema1", "lineitem"))
     assert(p.minReaderVersion == 1)

@@ -36,6 +36,23 @@ class SharingEndToEndSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(direct.exceptAll(viaSharing).isEmpty)
   }
 
+  test("multi-file shared table scans in parallel (not the reference's 1 partition)") {
+    // split lineitem into 4 parquet files and serve as one table; the
+    // scan must produce multiple input partitions (reference plans ALL
+    // files into a single group — scan.rs:77 — and serializes the read)
+    val dir = java.nio.file.Files.createTempDirectory("graft-multifile").toString
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    server.addParquetTable("share1", "schema1", "lineitem4", dir,
+      DeltaSchema.toSchemaString(schema))
+    val df = GraftSharing.readTable(spark, client,
+      TableRef("share1", "schema1", "lineitem4"))
+    assert(df.rdd.getNumPartitions >= 4,
+      s"expected >= 4 scan partitions, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == spark.read.parquet(dir).count())
+  }
+
   test("filters/limit forwarded as hints; results stay exact (Inexact semantics)") {
     val df = GraftSharing.readTable(spark, client, table,
       filters = Seq(LessThan("l_quantity", java.lang.Double.valueOf(10.0))),
