@@ -101,6 +101,51 @@ object StreamingOps {
         .orderBy("c_mktsegment")
     },
 
+    // Custom stateful processing (flatMapGroupsWithState): gap-based
+    // sessionization with explicit per-user state (last event second +
+    // running session count) — the hand-rolled twin of session_window,
+    // for state logic the built-ins can't express. State is one (long,
+    // long) pair per user: bounded at any rate. Counts are cumulative
+    // and monotone, so the final value per user is the max across
+    // emissions; the oracle is the BATCH sessionization SQL.
+    QueryDef.sql(
+      "stream_stateful_sessions",
+      """SELECT user_id, CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |              - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val result = runToCompletion(s, d, df => {
+        import s.implicits._
+        val events = df.select(col("user_id"),
+            unix_timestamp(col("ts")).as("sec"), col("event_id"))
+          .as[(Long, Long, Long)]
+        events.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (user, it, state: GroupState[(Long, Long)]) =>
+              // sort within the batch; state carries (lastSec, count)
+              val sorted = it.toSeq.sortBy(e => (e._2, e._3))
+              var (last, count) = state.getOption.getOrElse((Long.MinValue, 0L))
+              sorted.foreach { case (_, sec, _) =>
+                if (last == Long.MinValue || sec - last > 1800) count += 1
+                last = sec
+              }
+              state.update((last, count))
+              Iterator.single((user, count))
+          }.toDF("user_id", "n_sessions")
+      }, outputMode = "append")
+      // monotone cumulative counts → max = final per user
+      result.groupBy("user_id")
+        .agg(max("n_sessions").as("n_sessions"))
+        .orderBy("user_id")
+    },
+
     // Streaming deduplication (watermarked dropDuplicates — bounded
     // state). The kept row per key is arrival-order-dependent, so the
     // deterministic cross-engine check is the distinct-key count.
