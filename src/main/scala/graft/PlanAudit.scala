@@ -17,7 +17,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val audit = Seq("q_scan_filter_project_limit", "q_agg_pricing_summary",
       "q_join_broadcast", "q_join_shuffle", "q_topk", "q_window_rank",
-      "dedup_exact", "sim_topk_brute", "sim_topk_ivf", "connector_filter_pushdown")
+      "dedup_exact", "sim_topk_brute", "sim_topk_ivf", "connector_filter_pushdown",
+      "q_range_join", "q_join_bucketed", "q_join_salted", "q_topk_agg",
+      "dedup_minhash_lsh", "q_lateral_explode")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")

@@ -327,6 +327,23 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // End-user dedup: keep exactly one representative per near-dup
+    // cluster (min doc_id) plus every unclustered doc — the "switch
+    // your corpus to the deduped view" call a pipeline actually makes.
+    // Left-anti join against the non-keeper members; no broadcast hint —
+    // at heavy duplication the drop set is a large fraction of the
+    // corpus, so let AQE choose (it broadcasts when actually small).
+    QueryDef.rowsOnly("dedup_keep_representatives") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      val dropIds = connectedComponents(pairs, "doc_a", "doc_b")
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    },
+
     // Near-dup clusters: MinHash pairs → connected components → one row
     // per clustered doc with its cluster id and the elected keeper (min
     // id). rows-only (iterative graph algorithm; DedupSpec cross-checks

@@ -101,6 +101,22 @@ class DedupSpec extends SparkTestBase {
     byCluster.foreach { case (label, minMember) => assert(label == minMember) }
   }
 
+  test("keep-representatives = corpus minus non-keeper cluster members") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expectedDropped = clusters.filter { case (id, c) => id != c }.map(_._1).toSet
+    val keep = Dedup.defs.find(_.name == "dedup_keep_representatives").get
+      .build(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keep == all -- expectedDropped)
+    // exactly one survivor per cluster
+    val byCluster = clusters.groupBy(_._2)
+    byCluster.foreach { case (label, members) =>
+      assert(members.map(_._1).toSet.intersect(keep) == Set(label))
+    }
+  }
+
   test("chain graph converges to one component (propagation fixpoint)") {
     import spark.implicits._
     // path 1-2-3-...-8: worst case for label propagation; fixpoint loop
