@@ -59,11 +59,13 @@ object Bench {
     }
     // One-time INGEST steps for the measured sf dir (bucketed table
     // staging, streaming µs copy) are layout/ingest cost, not query
-    // time — run them before the clock starts.
+    // time — run them before the clock starts. A staging failure is
+    // recorded: swallowing it would silently shift the ingest work into
+    // the timed query that retries it.
     try graft.operators.BucketedJoin.stageBucketed(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable => errors += s"stage_bucketed: ${e.getClass.getSimpleName}" }
     try graft.operators.StreamingOps.stagedEventsDir(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable => errors += s"stage_events: ${e.getClass.getSimpleName}" }
 
     val results = headline.flatMap { name =>
       qs.get(name).map { fn =>

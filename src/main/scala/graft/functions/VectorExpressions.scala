@@ -136,6 +136,29 @@ object GraftFunctions {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
+  /** Validated scalar parameter of a registered function: must be a
+    * foldable literal of the stated arity position — otherwise fail with
+    * a clear analysis-time message, not a deep Catalyst internal error
+    * (a user can call these from SQL with arbitrary expressions). */
+  private[functions] def litNumArgPublic(fn: String, exprs: Seq[Expression],
+      i: Int, what: String): Number = litNumArg(fn, exprs, i, what)
+
+  private def litNumArg(fn: String, exprs: Seq[Expression], i: Int,
+      what: String): Number = {
+    if (exprs.length <= i)
+      throw new IllegalArgumentException(
+        s"$fn: missing argument ${i + 1} ($what)")
+    val e = exprs(i)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} ($what) must be a literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} ($what) must be numeric, got $other")
+    }
+  }
+
   /** Idempotently register graft_dot / graft_cosine in the session's
     * function registry so `expr("graft_cosine(a,b)")` resolves. */
   def register(spark: SparkSession): Unit =
@@ -148,22 +171,22 @@ object GraftFunctions {
         exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_minhash",
         exprs => MinHashSignature(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+          litNumArg("graft_minhash", exprs, 1, "numHashes").intValue), "built-in")
       reg.createOrReplaceTempFunction("graft_simhash",
         exprs => SimHash64(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("graft_plane_dots",
         exprs => HyperplaneDots(exprs(0), Hyperplanes.generate(
-          exprs(1).eval().asInstanceOf[Number].intValue,
-          exprs(2).eval().asInstanceOf[Number].intValue,
-          exprs(3).eval().asInstanceOf[Number].longValue)), "built-in")
+          litNumArg("graft_plane_dots", exprs, 1, "numPlanes").intValue,
+          litNumArg("graft_plane_dots", exprs, 2, "dim").intValue,
+          litNumArg("graft_plane_dots", exprs, 3, "seed").longValue)), "built-in")
       reg.createOrReplaceTempFunction("graft_lsh_keys",
         exprs => {
-          val numTables = exprs(1).eval().asInstanceOf[Number].intValue
-          val bits = exprs(2).eval().asInstanceOf[Number].intValue
+          val numTables = litNumArg("graft_lsh_keys", exprs, 1, "numTables").intValue
+          val bits = litNumArg("graft_lsh_keys", exprs, 2, "bitsPerTable").intValue
           PackedLshKeys(exprs(0), Hyperplanes.generate(
             numTables * bits,
-            exprs(3).eval().asInstanceOf[Number].intValue,
-            exprs(4).eval().asInstanceOf[Number].longValue), bits)
+            litNumArg("graft_lsh_keys", exprs, 3, "dim").intValue,
+            litNumArg("graft_lsh_keys", exprs, 4, "seed").longValue), bits)
         }, "built-in")
     }
 
@@ -208,25 +231,26 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       exprs => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+        GraftFunctions.litNumArgPublic("graft_minhash", exprs, 1, "numHashes")
+          .intValue)))
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       exprs => SimHash64(exprs(0))))
     ext.injectFunction((FunctionIdentifier("graft_plane_dots"),
       new ExpressionInfo(classOf[HyperplaneDots].getName, "graft_plane_dots"),
       exprs => HyperplaneDots(exprs(0), Hyperplanes.generate(
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue,
-        exprs(3).eval().asInstanceOf[Number].longValue))))
+        GraftFunctions.litNumArgPublic("graft_plane_dots", exprs, 1, "numPlanes").intValue,
+        GraftFunctions.litNumArgPublic("graft_plane_dots", exprs, 2, "dim").intValue,
+        GraftFunctions.litNumArgPublic("graft_plane_dots", exprs, 3, "seed").longValue))))
     ext.injectFunction((FunctionIdentifier("graft_lsh_keys"),
       new ExpressionInfo(classOf[PackedLshKeys].getName, "graft_lsh_keys"),
       exprs => {
-        val numTables = exprs(1).eval().asInstanceOf[Number].intValue
-        val bits = exprs(2).eval().asInstanceOf[Number].intValue
+        val numTables = GraftFunctions.litNumArgPublic("graft_lsh_keys", exprs, 1, "numTables").intValue
+        val bits = GraftFunctions.litNumArgPublic("graft_lsh_keys", exprs, 2, "bitsPerTable").intValue
         PackedLshKeys(exprs(0), Hyperplanes.generate(
           numTables * bits,
-          exprs(3).eval().asInstanceOf[Number].intValue,
-          exprs(4).eval().asInstanceOf[Number].longValue), bits)
+          GraftFunctions.litNumArgPublic("graft_lsh_keys", exprs, 3, "dim").intValue,
+          GraftFunctions.litNumArgPublic("graft_lsh_keys", exprs, 4, "seed").longValue), bits)
       }))
   }
 }

@@ -24,7 +24,10 @@ object BucketedJoin {
     * persistent location) are dropped before writing. */
   def stageBucketed(spark: SparkSession, sfDir: String, buckets: Int = 8): Unit =
     staged.getOrElseUpdate(sfDir, {
-      val suffix = math.abs(sfDir.hashCode).toString
+      // name-UUID of the path: collision-free, hex-only (a raw hashCode
+      // can collide across sfDirs or go negative in the identifier)
+      val suffix = java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))
+        .toString.replace("-", "").take(12)
       def stage(table: String, df: org.apache.spark.sql.DataFrame,
           key: String): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS $table")

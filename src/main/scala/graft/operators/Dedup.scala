@@ -212,12 +212,14 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // decimal(38) sum: overflow-proof under ANSI at any corpus size
+    // decimal(38) sum: overflow-proof under ANSI at any corpus size;
+    // null (empty frame) → ZERO so a pair-free corpus short-circuits
     def sumLabels(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var labelSum = sumLabels(labels)
-    var converged = false
+    // no edges (clean corpus) → no vertices → nothing to propagate
+    var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
@@ -234,6 +236,12 @@ object Dedup {
       labelSum = nextSum
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents exited at maxIter=$maxIter without converging: " +
+          "components wider than the iteration budget are reported SPLIT " +
+          "(multiple cluster_ids). Raise maxIter or switch to " +
+          "large-star/small-star for long-chain graphs.")
     sym.unpersist(blocking = false)
     labels.withColumnRenamed("label", "cluster_id")
   }

@@ -24,10 +24,13 @@ object StreamingOps {
 
   /** The testdata events parquet carries TIMESTAMP(NANOS), which the file
     * stream source's footer reader rejects (batch reads are fine). Stage
-    * a µs-precision copy once per sfDir and stream from that. */
+    * a µs-precision copy once per sfDir and stream from that. The dir
+    * suffix is a name-UUID of the path — collision-free and always a
+    * valid identifier (Int hashCode can collide or be negative). */
   def stagedEventsDir(spark: SparkSession, sfDir: String): String =
     staged.getOrElseUpdate(sfDir, {
-      val dir = s"/tmp/graft_stream_stage_${math.abs(sfDir.hashCode)}"
+      val dir = "/tmp/graft_stream_stage_" + java.util.UUID
+        .nameUUIDFromBytes(sfDir.getBytes("UTF-8")).toString.take(8)
       Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
       dir
     })
@@ -41,6 +44,11 @@ object StreamingOps {
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream
       .schema(schema)
+      // One micro-batch for the whole staged dir (default is 1000 files
+      // per trigger): the stateful transforms sort within a batch, so
+      // cross-batch event-time disorder would silently skew their
+      // results against the batch oracles.
+      .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(dir)
     val sink = s"graft_stream_sink_${counter.incrementAndGet()}"
     val q = transform(stream).writeStream

@@ -88,8 +88,12 @@ object TextAnalysis {
       benchmark: DataFrame, benchTextCol: String,
       shingleSize: Int = 8, threshold: Double = 0.5): DataFrame = {
     val sh = Dedup.shingleHashes(col(textCol), shingleSize)
+    // persisted: the shingle projection (the operator's dominant cost)
+    // feeds both the hits branch and the n_total base — without this it
+    // would run twice
     val corpusSh = corpus.select(col(idCol).as("doc_id"), sh.as("shs"))
       .withColumn("n_total", size(col("shs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchSh = benchmark
       .select(explode(Dedup.shingleHashes(col(benchTextCol), shingleSize)).as("h"))
       .distinct()

@@ -151,14 +151,20 @@ final class LocalSharingServer(
           // the param; Delta Sharing spec semantics).
           queryParams(x).get("startingTimestamp") match {
             case Some(ts) =>
-              val wanted = java.time.Instant.parse(ts).toEpochMilli
-              td.changes.filter(_.timestamp >= wanted)
-                .map(_.version).minOption match {
-                case Some(v) =>
-                  x.getResponseHeaders.set("Delta-Table-Version", v.toString)
-                  respond(x, 200, "")
-                case None => respond(x, 404,
-                  """{"errorCode":"RESOURCE_DOES_NOT_EXIST","message":"no version at or after startingTimestamp"}""")
+              val parsed = try Some(java.time.Instant.parse(ts).toEpochMilli)
+                catch { case _: java.time.format.DateTimeParseException => None }
+              parsed match {
+                case None => respond(x, 400,
+                  """{"errorCode":"INVALID_PARAMETER_VALUE","message":"startingTimestamp must be an ISO-8601 instant"}""")
+                case Some(wanted) =>
+                  td.changes.filter(_.timestamp >= wanted)
+                    .map(_.version).minOption match {
+                    case Some(v) =>
+                      x.getResponseHeaders.set("Delta-Table-Version", v.toString)
+                      respond(x, 200, "")
+                    case None => respond(x, 404,
+                      """{"errorCode":"RESOURCE_DOES_NOT_EXIST","message":"no version at or after startingTimestamp"}""")
+                  }
               }
             case None =>
               x.getResponseHeaders.set("Delta-Table-Version", td.version.toString)

@@ -117,6 +117,12 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connected components of an empty pair set is empty (no NPE)") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(none, "doc_a", "doc_b").count() == 0)
+  }
+
   test("chain graph converges to one component (propagation fixpoint)") {
     import spark.implicits._
     // path 1-2-3-...-8: worst case for label propagation; fixpoint loop

@@ -84,6 +84,11 @@ class ClientServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[DeltaSharingException](client.getTableVersion(t,
       Some(java.time.Instant.ofEpochMilli(1800000000000L).toString)))
     assert(e.kind == "CLIENT_ERROR")
+    // malformed timestamp is the CLIENT's fault: 400, not a 500
+    val bad = intercept[DeltaSharingException](
+      client.getTableVersion(t, Some("2024-01-01")))
+    assert(bad.kind == "CLIENT_ERROR")
+    assert(bad.getMessage.contains("INVALID_PARAMETER_VALUE"))
   }
 
   test("HTTP 500 maps to SERVER_ERROR (error taxonomy, error.rs:72-89)") {
