@@ -630,6 +630,62 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // Column profiling: per-column null/distinct/min/max/mean in ONE
+    // scan (all aggregates fused into a single partial+final pass) — the
+    // data-triage query every ingest pipeline runs first.
+    QueryDef.sql(
+      "q_data_profile",
+      """SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val, mean_val
+        |FROM (
+        |  SELECT 'l_quantity' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |    round(MIN(l_quantity), 4) AS min_val,
+        |    round(MAX(l_quantity), 4) AS max_val,
+        |    round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(l_quantity), 4) AS mean_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+        |    round(MIN(l_extendedprice), 4), round(MAX(l_extendedprice), 4),
+        |    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(l_extendedprice), 4)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      def profileCol(c: String) = li.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        round(min(col(c)), 4).as("min_val"),
+        round(max(col(c)), 4).as("max_val"),
+        round(sum(col(c).cast("decimal(18,2)")).cast("double") / count(col(c)), 4)
+          .as("mean_val"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"), col("mean_val"))
+      profileCol("l_quantity").unionAll(profileCol("l_extendedprice"))
+        .orderBy("col_name")
+    },
+
+    // ------------------------------------------------------------------
+    // Regexp capture-group extraction (structured field parsing from
+    // semi-structured text — log/URL mining shape).
+    QueryDef.sql(
+      "q_regexp_extract",
+      """SELECT doc_id,
+        |  regexp_extract(text, '([A-Za-z]+) ([A-Za-z]+)', 1) AS first_word,
+        |  regexp_extract(text, '([A-Za-z]+) ([A-Za-z]+)', 2) AS second_word
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([A-Za-z]+) ([A-Za-z]+)", 1).as("first_word"),
+        regexp_extract(col("text"), "([A-Za-z]+) ([A-Za-z]+)", 2).as("second_word"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
     // Window navigation functions: lag/lead/ntile/first_value in one
     // pass over a single window spec (one shuffle + sort).
     QueryDef.sql(
