@@ -330,9 +330,11 @@ object Dedup {
 
     // MinHash+LSH near-dup pairs (not SQL-expressible → rows-only in the
     // driver; MinHashLshSpec cross-checks against brute-force Jaccard).
+    // (rows-only outputs are count-checked, so no final orderBy: a global
+    // sort's range-partitioner sampling would re-execute the whole
+    // un-persisted pipeline a second time.)
     QueryDef.rowsOnly("dedup_minhash_lsh") { (s, d) =>
       minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
-        .orderBy("doc_a", "doc_b")
     },
 
     // End-user dedup: keep exactly one representative per near-dup
@@ -361,13 +363,11 @@ object Dedup {
         threshold = 0.8)
       connectedComponents(pairs, "doc_a", "doc_b")
         .withColumn("is_keeper", (col("id") === col("cluster_id")).cast("int"))
-        .orderBy("cluster_id", "id")
     },
 
     // SimHash near-dup pairs (rows-only; SimHashSpec verifies recall).
     QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
       simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
-        .orderBy("doc_a", "doc_b")
     },
 
     // Exact character-5-gram Jaccard on LSH-pruned candidates — the
@@ -377,7 +377,6 @@ object Dedup {
     QueryDef.rowsOnly("dedup_ngram_jaccard") { (s, d) =>
       minhashPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8, shingleSize = 5, shingler = charNgramHashes)
-        .orderBy("doc_a", "doc_b")
     }
   )
 }

@@ -251,7 +251,6 @@ object Similarity {
     // recall against brute force).
     QueryDef.rowsOnly("dedup_embedding_cosine") { (s, d) =>
       cosinePairs(Tables.embeddings(s, d), threshold = 0.3)
-        .orderBy("vec_a", "vec_b")
     },
 
     // Label-centroid similarity: per-label mean vector via exact decimal
