@@ -104,6 +104,74 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** LSH band hashes: splits a minhash signature into `numBands`
+  * contiguous groups of `rowsPerBand` values and hashes each group with
+  * a 64-bit polynomial fold. Any deterministic group hash yields the
+  * same final near-dup pairs (equal sub-signatures collide identically;
+  * spurious collisions are eliminated by the exact-Jaccard verify), so
+  * this replaces the xxhash64(array_join(transform(slice(...)))) HOF
+  * stack — 16 string-building passes per row — with one loop. */
+case class LshBandHashes(child: Expression, numBands: Int, rowsPerBand: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lsh_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < rowsPerBand) {
+        val idx = b * rowsPerBand + j
+        val v = if (idx < sig.numElements() && !sig.isNullAt(idx))
+          sig.getLong(idx) else -1L
+        h = h * 1000003L ^ v
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $out = new long[$numBands];
+         |for (int $b = 0; $b < $numBands; $b++) {
+         |  long $h = 1125899906842597L;
+         |  for (int $j = 0; $j < $rowsPerBand; $j++) {
+         |    int $idx = $b * $rowsPerBand + $j;
+         |    long $v = ($idx < $c.numElements() && !$c.isNullAt($idx))
+         |      ? $c.getLong($idx) : -1L;
+         |    $h = $h * 1000003L ^ $v;
+         |  }
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandHashes =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over an array of token hashes: bit j of the result is
   * set iff at least half the tokens have bit j set (ones*2 >= n over
   * non-null tokens — identical to the filter/size HOF formulation).

@@ -174,6 +174,11 @@ object GraftFunctions {
           litNumArg("graft_minhash", exprs, 1, "numHashes").intValue), "built-in")
       reg.createOrReplaceTempFunction("graft_simhash",
         exprs => SimHash64(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("graft_lsh_bands",
+        exprs => LshBandHashes(exprs(0),
+          litNumArg("graft_lsh_bands", exprs, 1, "numBands").intValue,
+          litNumArg("graft_lsh_bands", exprs, 2, "rowsPerBand").intValue),
+        "built-in")
       reg.createOrReplaceTempFunction("graft_plane_dots",
         exprs => HyperplaneDots(exprs(0), Hyperplanes.generate(
           litNumArg("graft_plane_dots", exprs, 1, "numPlanes").intValue,
@@ -200,6 +205,12 @@ object GraftFunctions {
       shingleHashes, org.apache.spark.sql.functions.lit(numHashes))
   def simhash64(tokenHashes: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash", tokenHashes)
+  /** Band hashes of a minhash signature (numBands entries). */
+  def lshBands(sig: Column, numBands: Int, rowsPerBand: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    org.apache.spark.sql.functions.call_function("graft_lsh_bands",
+      sig, lit(numBands), lit(rowsPerBand))
+  }
   /** All v·plane dots for `numPlanes` seeded gaussian planes. */
   def planeDots(v: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
     import org.apache.spark.sql.functions.lit

@@ -107,8 +107,12 @@ object Dedup {
   }
 
   /** LSH bands: split the signature into `bands` groups of `rowsPerBand`
-    * and hash each group. Equal band-hash ⇒ candidate pair. */
-  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    * and hash each group. Equal band-hash ⇒ candidate pair. HOF
+    * formulation, kept for reference/tests; the pipeline uses the fused
+    * [[graft.functions.LshBandHashes]] kernel (same final pair set — the
+    * band hash only has to group equal sub-signatures together, and
+    * spurious collisions are removed by the exact-Jaccard verify). */
+  def lshBandsHof(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(array_join(
@@ -154,8 +158,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandsDf = withSig
-      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .select(col("doc_id"), posexplode(graft.functions.GraftFunctions
+        .lshBands(col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
 
     // Skew guard: drop pathological buckets before the self-join. The
     // oversized-bucket list is tiny BY CONSTRUCTION (each entry holds

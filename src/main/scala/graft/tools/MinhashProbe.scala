@@ -56,7 +56,7 @@ object MinhashProbe {
     val persisted = withSig.persist()
     time("persist sig") { persisted.count() }
     val bandsDf = persisted
-      .select(col("doc_id"), explode(Dedup.lshBands(col("sig"), 16, 4)).as("bk"))
+      .select(col("doc_id"), explode(Dedup.lshBandsHof(col("sig"), 16, 4)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     time("bands + window guard") {
       bandsDf.withColumn("bucket_n",
