@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * Everything is expression-level (codegen'd built-ins + one hash pass);
   * no UDFs in the hot path, no driver-side collects.
+  *
+  * Cache lifecycle: pipelines persist their signature frames
+  * (MEMORY_AND_DISK) because multiple branches consume them; entries are
+  * evicted LRU by Spark's storage manager under pressure. Long-lived
+  * sessions doing many dedup passes can reclaim eagerly with
+  * `spark.catalog.clearCache()` between corpora.
   */
 object Dedup {
 
