@@ -630,6 +630,24 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other — distinct join semantics from plain equality,
+    // still planned as a hash join on the wrapped key.
+    QueryDef.sql(
+      "q_join_nullsafe",
+      """SELECT s_name, n_name
+        |FROM supplier JOIN nation
+        |  ON nullif(s_nationkey % 5, 0) IS NOT DISTINCT FROM
+        |     nullif(n_nationkey % 5, 0)
+        |ORDER BY s_name, n_name""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d).join(Tables.nation(s, d),
+          nullif(col("s_nationkey") % 5, lit(0)) <=>
+            nullif(col("n_nationkey") % 5, lit(0)))
+        .select("s_name", "n_name")
+        .orderBy("s_name", "n_name")
+    },
+
+    // ------------------------------------------------------------------
     // Column profiling: per-column null/distinct/min/max/mean in ONE
     // scan (all aggregates fused into a single partial+final pass) — the
     // data-triage query every ingest pipeline runs first.

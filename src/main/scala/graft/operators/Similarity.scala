@@ -253,6 +253,39 @@ object Similarity {
       cosinePairs(Tables.embeddings(s, d), threshold = 0.3)
     },
 
+    // Int8 quantization of embeddings (symmetric max-abs scaling) — the
+    // memory/bandwidth lever for billion-vector ANN (4× smaller than
+    // f32). One narrow projection; floor(x+0.5) rounding is pinned
+    // identically in both engines (round() tie rules differ). The
+    // scalar digest (scale + L1 of the quantized vector) makes the
+    // whole quantized array oracle-checkable.
+    QueryDef.sql(
+      "q_quantize_embeddings",
+      """SELECT vec_id,
+        |  round(maxabs / 127.0, 6) AS scale,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> abs(CAST(floor(x / maxabs * 127.0 + 0.5) AS BIGINT))))
+        |    AS BIGINT) AS l1_q
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS maxabs
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("maxabs",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .select(
+          col("vec_id"),
+          round(col("maxabs") / 127.0, 6).as("scale"),
+          aggregate(
+            transform(col("embedding"), x =>
+              abs(floor(x.cast("double") / col("maxabs") * 127.0 + 0.5)
+                .cast("bigint"))),
+            lit(0L), (acc, v) => acc + v).as("l1_q"))
+        .orderBy("vec_id")
+    },
+
     // Label-centroid similarity: per-label mean vector via exact decimal
     // element-wise sums (posexplode + groupBy), a common
     // "cluster-then-search" building block. Oracle-checkable.

@@ -215,6 +215,53 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // TF-IDF relevance scoring: per-doc top-3 terms by tf·ln(N/df).
+    // Explode → (doc, term) counts → broadcast-size document-frequency
+    // table joined back → window top-k. At 100 TB the df table is
+    // vocabulary-sized (broadcast) and everything else is one shuffle
+    // on the term. ln() ulp drift across engines is absorbed by the
+    // 4-decimal round like every float aggregate here.
+    QueryDef.sql(
+      "q_tfidf_top_terms",
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 50),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM terms GROUP BY term),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM terms),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS score
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, round(score, 4) AS tfidf FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      val terms = Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"))
+      val n = terms.select(countDistinct("doc_id").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * log(col("n").cast("double") / col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), round(col("score"), 4).as("tfidf"))
+        .orderBy("doc_id", "term")
+    },
+
     // Corpus-level quality aggregation by source (pipeline triage view).
     QueryDef.sql(
       "text_source_profile",
