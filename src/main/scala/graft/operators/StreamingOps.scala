@@ -109,6 +109,37 @@ object StreamingOps {
         .orderBy("c_mktsegment")
     },
 
+    // Stream-stream join: views joined to the same user's purchases
+    // within the following hour, both sides watermarked so join state
+    // is bounded (Spark drops buffered rows once the watermark passes
+    // the time-range bound). The raw pairs land in the sink; the
+    // deterministic check aggregates them per user against a DuckDB
+    // range-join oracle.
+    QueryDef.sql(
+      "stream_stream_join",
+      """SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin) { (s, d) =>
+      runToCompletion(s, d, df => {
+        val views = df.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "2 hours")
+        val purchases = df.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") < col("v_ts") + expr("INTERVAL 1 HOUR"))
+      }, outputMode = "append")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+
     // Custom stateful processing (flatMapGroupsWithState): gap-based
     // sessionization with explicit per-user state (last event second +
     // running session count) — the hand-rolled twin of session_window,
