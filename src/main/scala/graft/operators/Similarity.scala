@@ -46,26 +46,31 @@ object Similarity {
   }
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
-    * Queries are broadcast; corpus is scanned once. Self-matches excluded. */
+    * Queries are broadcast; corpus is scanned once; per-query top-k via
+    * the bounded [[graft.functions.TopKAggregator]] — the shuffle
+    * carries k entries per (query, partition) instead of every scored
+    * candidate, and nothing is sorted (same tiebreak as the window
+    * formulation: sim desc, then smaller id). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // fused codegen kernel (graft.functions.CosineSimilarityFloat) on the
     // hot path — one loop per row instead of zip_with+aggregate arrays
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    val scored = corpus
+    corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"))
       .join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("sim",
-        graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rk").cast("int").as("rk"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb"))
+          .as("sim"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(col("sim"), col("vec_id"), k)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk.entries")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("sim"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** Bucket keys for multi-table LSH: `numTables` independent signatures
