@@ -123,9 +123,7 @@ object Similarity {
     // Score BEFORE dedup: a pair found in several tables recomputes the
     // (cheap) cosine, but the multi-table dedup then shuffles only
     // narrow (query, vec, sim) rows — never the embedding arrays. The
-    // previous distinct-then-score order shuffled 64-float payloads.
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id"))
+    // per-query top-k is the bounded aggregator (no candidate sort).
     broadcast(queryKeys)
       .join(corpusKeys, Seq("t", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -133,10 +131,13 @@ object Similarity {
         graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb"))
           .as("sim"))
       .groupBy("query_id", "vec_id").agg(max("sim").as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rk").cast("int").as("rk"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(col("sim"), col("vec_id"), k)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk.entries")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("sim"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
@@ -169,17 +170,19 @@ object Similarity {
         explode(transform(
           slice(reverse(array_sort(cellScores(col("embedding")))), 1, nprobe),
           s => s.getField("i"))).as("cell"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id"))
     broadcast(queryProbes)
       .join(corpusCells, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim",
-        graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rk").cast("int").as("rk"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb"))
+          .as("sim"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(col("sim"), col("vec_id"), k)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk.entries")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("sim"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
