@@ -672,18 +672,25 @@ object CoreQueries {
         |      / COUNT(l_extendedprice), 4)
         |  FROM lineitem)
         |ORDER BY col_name""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      def profileCol(c: String) = li.agg(
-        count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col(c))).as("n_null"),
-        countDistinct(col(c)).as("n_distinct"),
-        round(min(col(c)), 4).as("min_val"),
-        round(max(col(c)), 4).as("max_val"),
+      // genuinely one scan: every column's aggregates live in a single
+      // agg (multiple count-distincts expand in one pass), then stack()
+      // unpivots the single row into per-column rows
+      def stats(c: String, p: String) = Seq(
+        (count(lit(1)) - count(col(c))).as(s"${p}_null"),
+        countDistinct(col(c)).as(s"${p}_dist"),
+        round(min(col(c)), 4).as(s"${p}_min"),
+        round(max(col(c)), 4).as(s"${p}_max"),
         round(sum(col(c).cast("decimal(18,2)")).cast("double") / count(col(c)), 4)
-          .as("mean_val"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
-          col("n_distinct"), col("min_val"), col("max_val"), col("mean_val"))
-      profileCol("l_quantity").unionAll(profileCol("l_extendedprice"))
+          .as(s"${p}_mean"))
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("nr"),
+          (stats("l_quantity", "q") ++ stats("l_extendedprice", "e")): _*)
+        .selectExpr(
+          """stack(2,
+            |  'l_extendedprice', nr, e_null, e_dist, e_min, e_max, e_mean,
+            |  'l_quantity',      nr, q_null, q_dist, q_min, q_max, q_mean)
+            |AS (col_name, n_rows, n_null, n_distinct, min_val, max_val, mean_val)"""
+            .stripMargin)
         .orderBy("col_name")
     },
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity search over the `embeddings` table
@@ -45,6 +44,19 @@ object Similarity {
     }.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** (query_id, vec_id, sim) rows → the k best per query via the bounded
+    * aggregator, in the shared output contract (neighbor_id, sim, rk).
+    * One place to change the tiebreak/rounding for all three search
+    * paths. */
+  private def topKSelect(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(col("sim"), col("vec_id"), k)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk.entries")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("sim"),
+        (col("pos") + 1).cast("int").as("rk"))
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * Queries are broadcast; corpus is scanned once; per-query top-k via
     * the bounded [[graft.functions.TopKAggregator]] — the shuffle
@@ -64,13 +76,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb"))
           .as("sim"))
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAggregator.topK(col("sim"), col("vec_id"), k)
-        .as("tk"))
-      .select(col("query_id"), posexplode(col("tk.entries")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        round(col("col.score"), 4).as("sim"),
-        (col("pos") + 1).cast("int").as("rk"))
+      .transform(topKSelect(_, k))
   }
 
   /** Bucket keys for multi-table LSH: `numTables` independent signatures
@@ -131,13 +137,7 @@ object Similarity {
         graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb"))
           .as("sim"))
       .groupBy("query_id", "vec_id").agg(max("sim").as("sim"))
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAggregator.topK(col("sim"), col("vec_id"), k)
-        .as("tk"))
-      .select(col("query_id"), posexplode(col("tk.entries")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        round(col("col.score"), 4).as("sim"),
-        (col("pos") + 1).cast("int").as("rk"))
+      .transform(topKSelect(_, k))
   }
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
@@ -176,13 +176,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb"))
           .as("sim"))
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAggregator.topK(col("sim"), col("vec_id"), k)
-        .as("tk"))
-      .select(col("query_id"), posexplode(col("tk.entries")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        round(col("col.score"), 4).as("sim"),
-        (col("pos") + 1).cast("int").as("rk"))
+      .transform(topKSelect(_, k))
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
@@ -271,26 +265,31 @@ object Similarity {
       "q_quantize_embeddings",
       """SELECT vec_id,
         |  round(maxabs / 127.0, 6) AS scale,
-        |  CAST(list_sum(list_transform(embedding,
-        |    x -> abs(CAST(floor(x / maxabs * 127.0 + 0.5) AS BIGINT))))
-        |    AS BIGINT) AS l1_q
+        |  CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(list_sum(list_transform(embedding,
+        |         x -> abs(CAST(floor(x / maxabs * 127.0 + 0.5) AS BIGINT))))
+        |         AS BIGINT) END AS l1_q
         |FROM (
         |  SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
         |      AS maxabs
         |  FROM embeddings)
         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // all-zero vectors (padding / failed encodes) quantize to zeros:
+      // dividing by maxabs = 0 would be NaN in Spark and a cast error in
+      // DuckDB — guard explicitly on both sides
       Tables.embeddings(s, d)
         .withColumn("maxabs",
           array_max(transform(col("embedding"), x => abs(x.cast("double")))))
         .select(
           col("vec_id"),
           round(col("maxabs") / 127.0, 6).as("scale"),
-          aggregate(
-            transform(col("embedding"), x =>
-              abs(floor(x.cast("double") / col("maxabs") * 127.0 + 0.5)
-                .cast("bigint"))),
-            lit(0L), (acc, v) => acc + v).as("l1_q"))
+          when(col("maxabs") === 0, lit(0L)).otherwise(
+            aggregate(
+              transform(col("embedding"), x =>
+                abs(floor(x.cast("double") / col("maxabs") * 127.0 + 0.5)
+                  .cast("bigint"))),
+              lit(0L), (acc, v) => acc + v)).as("l1_q"))
         .orderBy("vec_id")
     },
 

@@ -229,36 +229,38 @@ object TextAnalysis {
         |tf AS (
         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
         |  FROM terms GROUP BY doc_id, term),
-        |df AS (
-        |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-        |  FROM terms GROUP BY term),
-        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM terms),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
         |scored AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS score
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(n.n / df.df), 4) AS tfidf
         |  FROM tf JOIN df USING (term), n)
-        |SELECT doc_id, term, round(score, 4) AS tfidf FROM (
-        |  SELECT doc_id, term, score,
+        |SELECT doc_id, term, tfidf FROM (
+        |  SELECT doc_id, term, tfidf,
         |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, term) AS rk
+        |      ORDER BY tfidf DESC, term) AS rk
         |  FROM scored)
         |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin) { (s, d) =>
-      val terms = Tables.documents(s, d)
+      // one explode pass: tf is the only consumer of raw terms; df and n
+      // both derive from (persisted) tf. Ranking uses the ROUNDED score
+      // so the rank-3 boundary can't flip on cross-engine ln() ulps.
+      val tf = Tables.documents(s, d)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = terms.groupBy("doc_id", "term")
+        .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"))
-      val df = terms.groupBy("term")
-        .agg(countDistinct("doc_id").as("df"))
-      val n = terms.select(countDistinct("doc_id").as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = tf.select(countDistinct("doc_id").as("n"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
       tf.join(broadcast(df), "term")
         .crossJoin(broadcast(n))
-        .withColumn("score",
-          col("tf") * log(col("n").cast("double") / col("df")))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("term"), round(col("score"), 4).as("tfidf"))
+        .select(col("doc_id"), col("term"), col("tfidf"))
         .orderBy("doc_id", "term")
     },
 

@@ -55,9 +55,12 @@ object MinhashProbe {
     }
     val persisted = withSig.persist()
     time("persist sig") { persisted.count() }
+    // same fused band kernel as the production pipeline
     val bandsDf = persisted
-      .select(col("doc_id"), explode(Dedup.lshBandsHof(col("sig"), 16, 4)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .select(col("doc_id"), posexplode(graft.functions.GraftFunctions
+        .lshBands(col("sig"), 16, 4)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
     time("bands + window guard") {
       bandsDf.withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
