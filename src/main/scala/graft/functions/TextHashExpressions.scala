@@ -104,6 +104,59 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Distinct character-n-gram hashes of the lowercased input, 31-bit
+  * universe, one pass. The HOF formulation
+  * (`transform(sequence(...), i => xxhash64(substr(lower(text), i, n)))`)
+  * re-evaluates `lower(text)` and copies a substring PER n-gram —
+  * Catalyst does not CSE computed values inside lambda bodies, so it is
+  * O(len²) in char operations; this kernel lowercases once and rolls a
+  * polynomial hash over the chars. First-occurrence order, like
+  * array_distinct. Interpreted eval (CodegenFallback): the set logic
+  * doesn't fit an expression template, and the op is one projection. */
+case class CharNgramHashes(child: Expression, n: Int)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val P31 = 2147483629L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val count = s.length - n + 1
+    if (count < 1) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < count) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = (h * 1000003L + s.charAt(i + j)) % P31
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+}
+
 /** LSH band hashes: splits a minhash signature into `numBands`
   * contiguous groups of `rowsPerBand` values and hashes each group with
   * a 64-bit polynomial fold. Any deterministic group hash yields the

@@ -174,6 +174,9 @@ object GraftFunctions {
           litNumArg("graft_minhash", exprs, 1, "numHashes").intValue), "built-in")
       reg.createOrReplaceTempFunction("graft_simhash",
         exprs => SimHash64(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("graft_char_ngrams",
+        exprs => CharNgramHashes(exprs(0),
+          litNumArg("graft_char_ngrams", exprs, 1, "n").intValue), "built-in")
       reg.createOrReplaceTempFunction("graft_lsh_bands",
         exprs => LshBandHashes(exprs(0),
           litNumArg("graft_lsh_bands", exprs, 1, "numBands").intValue,
@@ -205,6 +208,12 @@ object GraftFunctions {
       shingleHashes, org.apache.spark.sql.functions.lit(numHashes))
   def simhash64(tokenHashes: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash", tokenHashes)
+  /** Distinct lowercased character-n-gram hashes (31-bit universe). */
+  def charNgrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    org.apache.spark.sql.functions.call_function("graft_char_ngrams",
+      text, lit(n))
+  }
   /** Band hashes of a minhash signature (numBands entries). */
   def lshBands(sig: Column, numBands: Int, rowsPerBand: Int): Column = {
     import org.apache.spark.sql.functions.lit
