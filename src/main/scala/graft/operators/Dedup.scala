@@ -246,8 +246,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both edge directions from ONE pass over pairs (a union of two
+    // selects would re-execute the upstream pairs pipeline per branch)
+    val sym = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
