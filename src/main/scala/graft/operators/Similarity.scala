@@ -47,14 +47,17 @@ object Similarity {
   /** (query_id, vec_id, sim) rows → the k best per query via the bounded
     * aggregator, in the shared output contract (neighbor_id, sim, rk).
     * One place to change the tiebreak/rounding for all three search
-    * paths. */
+    * paths. Selection ranks on the ROUNDED similarity (ties → smaller
+    * id): raw-double ranking would let sub-ulp engine differences pick
+    * different neighbors at the k boundary, which is exactly what the
+    * cross-engine oracle would flag. */
   private def topKSelect(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
-      .agg(graft.functions.TopKAggregator.topK(col("sim"), col("vec_id"), k)
-        .as("tk"))
+      .agg(graft.functions.TopKAggregator.topK(
+        round(col("sim"), 4), col("vec_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk.entries")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
-        round(col("col.score"), 4).as("sim"),
+        col("col.score").as("sim"),
         (col("pos") + 1).cast("int").as("rk"))
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
@@ -224,11 +227,29 @@ object Similarity {
         .orderBy("vec_id")
     },
 
-    // Brute-force exact top-5 cosine neighbors for 10 query vectors.
-    // rows-only: cross-engine float top-k tie order isn't stable; the
-    // SimilaritySpec verifies neighbor sets against an independent
-    // in-memory computation.
-    QueryDef.rowsOnly("sim_topk_brute") { (s, d) =>
+    // Brute-force exact top-5 cosine neighbors for 10 query vectors —
+    // fully oracle-checked: both engines rank on the 4-decimal-rounded
+    // cosine with an id tiebreak, so selection can't flip on float ulps
+    // (SimilaritySpec additionally checks against an independent
+    // driver-side computation).
+    QueryDef.sql(
+      "sim_topk_brute",
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 4)
+        |      AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id AS neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+        |FROM (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, vec_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy("query_id", "rk")
