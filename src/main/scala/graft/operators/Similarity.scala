@@ -8,15 +8,15 @@ import org.apache.spark.sql.functions._
   * (embedding: array<float>, 64-dim). No reference counterpart; designed
   * Spark-first:
   *
-  *  - dot products / norms are `zip_with` + `aggregate` higher-order
-  *    expressions — codegen'd, no UDF, no driver collect;
-  *  - brute-force top-k broadcasts the (small) query set and scans the
-  *    corpus once; per-query top-k via a window over the query id;
-  *  - the scale path is LSH-bucketed ANN: a 16-bit random-hyperplane
-  *    signature per vector, candidates restricted to matching buckets
-  *    (with multi-probe on 1-bit flips), exact cosine only within the
-  *    bucket. At 100 TB the bucket join replaces the N×Q cross product
-  *    with |bucket| × Q_bucket work, and the signature pass is a single
+  *  - scoring runs through fused native kernels (graft_cosine,
+  *    graft_lsh_keys, graft_plane_dots) — no UDFs, no driver collects;
+  *  - brute-force top-k broadcasts the (small) query set, scans the
+  *    corpus once, and selects per-query top-k with the bounded
+  *    aggregator (k-entry state, no candidate sort);
+  *  - the scale paths are multi-table hyperplane LSH (candidates only
+  *    from matching buckets) and IVF (probe-limited exact search). At
+  *    100 TB the bucket join replaces the N×Q cross product with
+  *    |bucket| × Q_bucket work, and the signature pass is a single
   *    narrow projection.
   */
 object Similarity {
