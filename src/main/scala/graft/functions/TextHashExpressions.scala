@@ -130,9 +130,12 @@ case class CharNgramHashes(child: Expression, n: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toLowerCase.toString
-    val count = s.length - n + 1
+    // codepoints, not UTF-16 units: n-gram boundaries must not split
+    // surrogate pairs (Spark's substr — the HOF reference — is
+    // codepoint-indexed too)
+    val cps = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString.codePoints().toArray
+    val count = cps.length - n + 1
     if (count < 1) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
@@ -140,7 +143,7 @@ case class CharNgramHashes(child: Expression, n: Int)
       var h = 0L
       var j = 0
       while (j < n) {
-        h = (h * 1000003L + s.charAt(i + j)) % P31
+        h = (h * 1000003L + cps(i + j)) % P31
         j += 1
       }
       seen.add(h)

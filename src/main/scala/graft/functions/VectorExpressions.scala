@@ -262,6 +262,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         GraftFunctions.litNumArgPublic("graft_plane_dots", exprs, 1, "numPlanes").intValue,
         GraftFunctions.litNumArgPublic("graft_plane_dots", exprs, 2, "dim").intValue,
         GraftFunctions.litNumArgPublic("graft_plane_dots", exprs, 3, "seed").longValue))))
+    ext.injectFunction((FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramHashes].getName, "graft_char_ngrams"),
+      exprs => CharNgramHashes(exprs(0),
+        GraftFunctions.litNumArgPublic("graft_char_ngrams", exprs, 1, "n")
+          .intValue)))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[LshBandHashes].getName, "graft_lsh_bands"),
+      exprs => LshBandHashes(exprs(0),
+        GraftFunctions.litNumArgPublic("graft_lsh_bands", exprs, 1, "numBands").intValue,
+        GraftFunctions.litNumArgPublic("graft_lsh_bands", exprs, 2, "rowsPerBand").intValue)))
     ext.injectFunction((FunctionIdentifier("graft_lsh_keys"),
       new ExpressionInfo(classOf[PackedLshKeys].getName, "graft_lsh_keys"),
       exprs => {

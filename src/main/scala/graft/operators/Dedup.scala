@@ -154,7 +154,11 @@ object Dedup {
       maxBucketSize: Int = 1000,
       /** shingle-set builder: word shingles by default; pass
         * `charNgramHashes(_, n)` for character n-gram Jaccard. */
-      shingler: (Column, Int) => Column = shingleHashes): DataFrame = {
+      shingler: (Column, Int) => Column = shingleHashes,
+      /** signature-estimate prefilter margin under `threshold` (see the
+        * staged-verify note below); est stddev is sqrt(j(1-j)/64) ≈
+        * 0.05, so the default 0.3 is a ≥6σ guard for true pairs. */
+      estMargin: Double = 0.3): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Signatures feed the band explode, BOTH sides of the candidate
     // self-join, and the jaccard verify — persist so the (expensive)
@@ -164,6 +168,10 @@ object Dedup {
     // Small parquet inputs arrive as a single split; the signature pass
     // is CPU-bound per row, so spread it across the cluster first.
     val spark = docs.sparkSession
+    // register the native kernels on THIS frame's session (the shingler
+    // helpers can only reach SparkSession.active, which may differ in
+    // multi-session apps)
+    graft.functions.GraftFunctions.register(spark)
     val par = spark.sparkContext.defaultParallelism
     val withSig = docs.repartition(par)
       .select(col(idCol).as("doc_id"),
@@ -200,10 +208,12 @@ object Dedup {
     // Staged verify: the minhash-signature estimate (64-long compare)
     // prunes candidates before the exact Jaccard over full shingle sets
     // (hundreds of elements for char-gram shingles — banding surfaces
-    // MANY sub-threshold candidates there). The margin keeps the miss
-    // probability negligible: est stddev is sqrt(j(1-j)/64) ≈ 0.05, so
-    // 0.2 under the threshold is a ≥4σ guard for true pairs.
-    val estCut = math.max(0.0, threshold - 0.2)
+    // MANY sub-threshold candidates there). This makes recall
+    // PROBABILISTIC for pairs hugging the threshold — the same contract
+    // LSH banding already has — with miss probability ≤ ~1e-9 per true
+    // pair at the default 6σ margin; set estMargin >= threshold to
+    // disable the prefilter entirely.
+    val estCut = math.max(0.0, threshold - estMargin)
     val sigs = withSig.select(col("doc_id"), col("sig"))
     val estimated = candidates
       .join(sigs.withColumnRenamed("doc_id", "doc_a")

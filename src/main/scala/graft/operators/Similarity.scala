@@ -239,9 +239,14 @@ object Similarity {
         |  FROM embeddings WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.query_id, e.vec_id,
-        |    round(list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 4)
-        |      AS sim
+        |    CASE WHEN list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE) * x)) = 0
+        |           OR list_sum(list_transform(q.q_emb,
+        |             x -> CAST(x AS DOUBLE) * x)) = 0
+        |         THEN 0.0
+        |         ELSE round(list_cosine_similarity(
+        |           CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 4)
+        |    END AS sim
         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, vec_id AS neighbor_id, sim, CAST(rk AS INTEGER) AS rk
         |FROM (

@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.{Bench, SparkEntry}
+import graft.SparkEntry
 
 /** Runs EVERY registered query (headline or not) at the given SF with a
   * noop sink — the scale-regression smoke for operators that the bench

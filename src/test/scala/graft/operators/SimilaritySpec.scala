@@ -26,9 +26,12 @@ class SimilaritySpec extends SparkTestBase {
       .bruteForceTopK(emb.filter(col("vec_id") < 50),
         emb.filter(col("vec_id") === 0), k = 3)
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // selection ranks on the 4-decimal-rounded sim (id tiebreak) —
+    // mirror that here or raw-ulp order flips the boundary pick
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
     val local = vecs.toSeq.filter(_._1 != 0L)
       .map { case (id, v) => (id, cosine(vecs(0L), v)) }
-      .sortBy { case (id, s) => (-s, id) }.take(3)
+      .sortBy { case (id, s) => (-r4(s), id) }.take(3)
     assert(sparkSims.map(_._1).toSeq == local.map(_._1))
     sparkSims.zip(local).foreach { case ((_, s1), (_, s2)) =>
       assert(math.abs(s1 - s2) < 1e-3)
