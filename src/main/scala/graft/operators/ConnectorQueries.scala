@@ -44,6 +44,53 @@ object ConnectorQueries {
       val eventsDir = StreamingOps.stagedEventsDir(spark, sfDir)
       server.addParquetTable("graft", "main", "events", eventsDir,
         DeltaSchema.toSchemaString(spark.read.parquet(eventsDir).schema))
+
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      def parquetFiles(p: String): Seq[java.nio.file.Path] = {
+        val pp = Paths.get(p)
+        if (Files.isDirectory(pp))
+          Files.list(pp).iterator().asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        else Seq(pp)
+      }
+      val stage = Files.createTempDirectory("graft-connector-stage").toString
+
+      // CDF table over nation: v2 adds the n_nationkey<10 slice, v3
+      // removes the full base — so the change feed is nontrivial and the
+      // [2,3] snapshot fold must land on exactly the slice.
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      nation.filter(col("n_nationkey") < 10).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/nation_sub")
+      server.addTable("graft", "main", server.TableDef(
+        "nation_cdf", DeltaSchema.toSchemaString(nation.schema), Seq.empty,
+        files = parquetFiles(s"$sfDir/nation.parquet")
+          .map(f => server.ServedFile(f, Map.empty)),
+        version = 3,
+        changes =
+          parquetFiles(s"$stage/nation_sub")
+            .map(f => server.ChangeEntry(2, "add", server.ServedFile(f, Map.empty))) ++
+          parquetFiles(s"$sfDir/nation.parquet")
+            .map(f => server.ChangeEntry(3, "remove", server.ServedFile(f, Map.empty)))))
+
+      // Partitioned table: orders split by o_orderpriority with the
+      // partition column REMOVED from the files — its values travel as
+      // per-file partitionValues strings and must rematerialize as typed
+      // constant columns (reference scan.rs:160-229).
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val pris = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted
+      val partFiles = pris.zipWithIndex.flatMap { case (p, i) =>
+        val dir = s"$stage/orders_p$i"
+        orders.filter(col("o_orderpriority") === p).drop("o_orderpriority")
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        parquetFiles(dir).map(f =>
+          server.ServedFile(f, Map("o_orderpriority" -> p)))
+      }
+      server.addTable("graft", "main", server.TableDef(
+        "orders_part", DeltaSchema.toSchemaString(orders.schema),
+        partitionColumns = Seq("o_orderpriority"), files = partFiles.toSeq))
+
       server.start()
       (server, new DeltaSharingClient(Profile.fromJson(server.profileJson)))
     })._2
@@ -120,6 +167,59 @@ object ConnectorQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("day", "event_type")
+    },
+
+    // Partition-value materialization under the gate: the partition
+    // column exists ONLY as per-file partitionValues strings on the wire;
+    // grouping on it proves typed reconstitution (§2.1 row 7). Oracle
+    // reads the original unsplit orders.
+    QueryDef.sql(
+      "connector_partition_values",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      sharedTable(s, d, "orders_part")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("first_key"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Change data feed rows (the endpoint the reference stubs with
+    // todo!(), src/client/mod.rs:384-386): adds at v2 are the staged
+    // n_nationkey<10 slice, removes at v3 the full base. The oracle
+    // reconstructs the expected feed from the original nation table.
+    QueryDef.sql(
+      "connector_changes",
+      """SELECT n_nationkey, n_name, _change_type,
+        |  CAST(_commit_version AS BIGINT) AS _commit_version
+        |FROM (
+        |  SELECT n_nationkey, n_name, 'add' AS _change_type,
+        |    2 AS _commit_version FROM nation WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, 'remove', 3 FROM nation)
+        |ORDER BY _commit_version, n_nationkey""".stripMargin) { (s, d) =>
+      GraftSharing.readChanges(s, shared(s, d),
+          TableRef("graft", "main", "nation_cdf"), 2, Some(3))
+        .select(col("n_nationkey"), col("n_name"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy("_commit_version", "n_nationkey")
+    },
+
+    // CDF snapshot reconstruction: base ∪ v2-adds exceptAll v3-removes
+    // must collapse to exactly the added slice (multiset fold per
+    // version, GraftSharing.applyChanges).
+    QueryDef.sql(
+      "connector_cdf_snapshot",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 10 ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val client = shared(s, d)
+      val ref = TableRef("graft", "main", "nation_cdf")
+      val base = GraftSharing.readTable(s, client, ref)
+      val changes = GraftSharing.readChanges(s, client, ref, 2, Some(3))
+      GraftSharing.applyChanges(base, changes)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
     },
 
     // 3-part-name SQL through the DSv2 catalog plugin (share → catalog,

@@ -352,6 +352,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
   }
 
+  /** Shared oracle prefix: word-3-shingle Jaccard pairs (the
+    * dedup_minhash_lsh statement) → symmetric edges → recursive-CTE
+    * reachability → per-vertex min component label. DuckDB's recursive
+    * UNION dedupes rows, so the closure terminates; near-dup components
+    * are tiny cliques, so it stays small at oracle scale. */
+  private val clusterCte: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(words) - 1),
+      |      i -> array_to_string(words[i:i+2], ' '))) AS shs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+      |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
+      |        AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS id, dst AS r FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+      |), cc AS (
+      |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+      |)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     // Exact dedup: one row per distinct text, keeping the smallest id.
     // Hash groupBy — a single shuffle on the content hash at any scale.
@@ -382,12 +413,29 @@ object Dedup {
         .orderBy("keep_id")
     },
 
-    // MinHash+LSH near-dup pairs (not SQL-expressible → rows-only in the
-    // driver; MinHashLshSpec cross-checks against brute-force Jaccard).
-    // (rows-only outputs are count-checked, so no final orderBy: a global
-    // sort's range-partitioner sampling would re-execute the whole
-    // un-persisted pipeline a second time.)
-    QueryDef.rowsOnly("dedup_minhash_lsh") { (s, d) =>
+    // MinHash+LSH near-dup pairs. The oracle is the ALL-PAIRS exact
+    // word-3-shingle Jaccard — a statement the LSH path must match
+    // exactly, i.e. banding (16 bands × 4 rows: miss prob ≤ (1-s⁴)¹⁶ ≈
+    // 2e-4 at s=0.8) plus the 6σ estimate prefilter lose NOTHING on this
+    // corpus. Jaccard over 31-bit shingle hashes equals Jaccard over the
+    // shingle strings up to hash collisions (~1e-6/doc, deterministic).
+    // The oracle cross-join is fine at oracle scale; the Spark side never
+    // does it — that asymmetry is the point of LSH.
+    QueryDef.sql(
+      "dedup_minhash_lsh",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(words) - 1),
+        |      i -> array_to_string(words[i:i+2], ' '))) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |  WHERE len(words) >= 3)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+        |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
+        |      AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
     },
 
@@ -397,7 +445,14 @@ object Dedup {
     // Left-anti join against the non-keeper members; no broadcast hint —
     // at heavy duplication the drop set is a large fraction of the
     // corpus, so let AQE choose (it broadcasts when actually small).
-    QueryDef.rowsOnly("dedup_keep_representatives") { (s, d) =>
+    // Oracle: all-pairs Jaccard edges + recursive-CTE reachability — the
+    // distributed label propagation must land on the identical keeper set.
+    QueryDef.sql(
+      "dedup_keep_representatives",
+      s"""$clusterCte
+        |SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val pairs = minhashPairs(docs, "doc_id", "text", threshold = 0.8)
       val dropIds = connectedComponents(pairs, "doc_a", "doc_b")
@@ -410,9 +465,14 @@ object Dedup {
 
     // Near-dup clusters: MinHash pairs → connected components → one row
     // per clustered doc with its cluster id and the elected keeper (min
-    // id). rows-only (iterative graph algorithm; DedupSpec cross-checks
-    // against driver-side union-find).
-    QueryDef.rowsOnly("dedup_clusters") { (s, d) =>
+    // id). Oracle: recursive-CTE transitive closure over the same edge
+    // set, min over reachable ids ⇒ identical component labels (DedupSpec
+    // additionally cross-checks driver-side union-find).
+    QueryDef.sql(
+      "dedup_clusters",
+      s"""$clusterCte
+        |SELECT id, cluster_id, CAST(id = cluster_id AS INTEGER) AS is_keeper
+        |FROM cc ORDER BY id""".stripMargin) { (s, d) =>
       val pairs = minhashPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8)
       connectedComponents(pairs, "doc_a", "doc_b")
@@ -426,9 +486,24 @@ object Dedup {
 
     // Exact character-5-gram Jaccard on LSH-pruned candidates — the
     // word-boundary-robust dedup signal; candidates still come from LSH
-    // banding, never a cross-join. rows-only (DuckDB can't express the
-    // LSH pipeline); DedupSpec cross-checks against brute force.
-    QueryDef.rowsOnly("dedup_ngram_jaccard") { (s, d) =>
+    // banding, never a cross-join. Oracle: all-pairs char-5-gram Jaccard
+    // (same full-recall statement as dedup_minhash_lsh, over the far
+    // denser char-gram sets).
+    QueryDef.sql(
+      "dedup_ngram_jaccard",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(t) - 3),
+        |      i -> t[i:i+4])) AS shs
+        |  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+        |  WHERE length(t) >= 5)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+        |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
+        |      AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       minhashPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8, shingleSize = 5, shingler = charNgramHashes)
     }

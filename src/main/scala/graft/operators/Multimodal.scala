@@ -108,9 +108,25 @@ object Multimodal {
     },
 
     // Stubbed decode + feature extraction through the partition-parallel
-    // seam (rows-only: the fake decoder is not SQL-expressible; the
-    // MultimodalSpec pins its outputs).
-    QueryDef.rowsOnly("mm_decode_features") { (s, d) =>
+    // seam. The fake decoder is plain byte arithmetic and the corpus is
+    // ASCII (byte i == codepoint of char i+1), so the oracle replicates
+    // it exactly — proving the mapPartitions seam itself, not just the
+    // stub, preserves row identity and values. A real JNI/onnx decoder
+    // would drop the oracle and keep the seam. MultimodalSpec pins the
+    // stub's outputs independently.
+    QueryDef.sql(
+      "mm_decode_features",
+      """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  round(CAST(s0 AS DOUBLE) / greatest(length(text), 1), 4) AS mean_byte,
+        |  CAST(s1 % 10007 AS DOUBLE) AS weighted_mod
+        |FROM (
+        |  SELECT doc_id, text,
+        |    list_sum(list_transform(range(1, length(text)+1),
+        |      i -> CAST(unicode(text[i]) AS BIGINT))) AS s0,
+        |    list_sum(list_transform(range(1, length(text)+1),
+        |      i -> CAST(unicode(text[i]) AS BIGINT) * (((i-1) % 97) + 1))) AS s1
+        |  FROM documents)
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
       decodeFeatures(binaryView(Tables.documents(s, d)))
         .select(col("media_id"), col("n_bytes"),
           round(element_at(col("features"), 2), 4).as("mean_byte"),

@@ -160,17 +160,64 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
-    // Rolling polynomial fingerprint (rows-only; spec asserts determinism
-    // and shift-sensitivity properties).
-    QueryDef.rowsOnly("text_rolling_fingerprint") { (s, d) =>
+    // Rolling polynomial fingerprint. Oracle: the identical fold in
+    // DuckDB list_reduce over per-char codepoints (corpus is ASCII, so
+    // Spark ascii == DuckDB unicode per char; spec additionally asserts
+    // determinism and shift-sensitivity).
+    QueryDef.sql(
+      "text_rolling_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(t)+1),
+        |        i -> CAST(unicode(t[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 2147483629) AS fp64
+        |FROM (SELECT doc_id, lower(text) AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), rollingFingerprint(col("text")).as("fp64"))
         .orderBy("doc_id")
     },
 
-    // Language ID + quality score (heuristics — rows-only; the spec
-    // checks langid accuracy against the `lang` label ≥ 50%).
-    QueryDef.rowsOnly("text_langid_quality") { (s, d) =>
+    // Language ID + quality score. Both are deterministic arithmetic over
+    // token lists, so the oracle replicates them exactly: Spark's
+    // greatest() over (hits, lang) structs = DuckDB list_sort ascending,
+    // last element (struct comparison is field-order lexicographic in
+    // both engines). The spec additionally checks langid accuracy against
+    // the corpus `lang` label.
+    QueryDef.sql(
+      "text_langid_quality",
+      """SELECT doc_id,
+        |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+        |  round(least(1.0, (least(ntok/100, 1.0) + least(mean_len/8, 1.0)
+        |    + least(stop_r*5, 1.0)) / 3), 4) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    list_sort([
+        |      {'hits': len(list_filter(toks,
+        |         t -> t IN ('the','and','of','is','with','fast','slow'))),
+        |       'lang': 'en'},
+        |      {'hits': len(list_filter(toks,
+        |         t -> t IN ('der','die','das','und','mit','schnell'))),
+        |       'lang': 'de'},
+        |      {'hits': len(list_filter(toks,
+        |         t -> t IN ('le','la','les','et','avec','vite'))),
+        |       'lang': 'fr'},
+        |      {'hits': len(list_filter(toks,
+        |         t -> t IN ('el','los','las','con','rapido'))),
+        |       'lang': 'es'},
+        |      {'hits': len(list_filter(toks, t -> t IN ('de5','shi4','he2'))),
+        |       'lang': 'zh'}
+        |    ])[-1] AS best,
+        |    CAST(len(rtoks) AS DOUBLE) AS ntok,
+        |    CAST(length(text) AS DOUBLE) / len(rtoks) AS mean_len,
+        |    CAST(len(list_filter(rtoks,
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(rtoks) AS stop_r
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+        |        string_split(text, ' ') AS rtoks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), langId(col("text")).as("lang_pred"),
           qualityScore(col("text")).as("quality"))
@@ -204,9 +251,38 @@ object TextAnalysis {
 
     // Benchmark decontamination against a deterministic held-out sample
     // (5 docs/source): the sampled docs must flag themselves, and their
-    // near-dups surface through shared shingles. rows-only (shingle
-    // hashing is not SQL-expressible; TextMultimodalSpec pins recall).
-    QueryDef.rowsOnly("text_contamination") { (s, d) =>
+    // near-dups surface through shared shingles. Oracle: the same
+    // md5-ranked sample + 8-gram shingle-STRING overlap — hash matches
+    // equal string matches up to 31-bit collisions (negligible and
+    // deterministic). TextMultimodalSpec additionally pins recall.
+    QueryDef.sql(
+      "text_contamination",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(words) - 6),
+        |      i -> array_to_string(words[i:i+7], ' '))) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |), bench AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        |    FROM documents) WHERE rk <= 5
+        |), bsh AS (
+        |  SELECT DISTINCT unnest(sh.shs) AS h FROM sh JOIN bench USING (doc_id)
+        |), exploded AS (
+        |  SELECT doc_id AS e_doc, unnest(shs) AS h FROM sh
+        |), hits AS (
+        |  SELECT e_doc, CAST(COUNT(*) AS BIGINT) AS n_hit
+        |  FROM exploded JOIN bsh USING (h) GROUP BY e_doc
+        |)
+        |SELECT sh.doc_id, CAST(len(sh.shs) AS INTEGER) AS n_total, hits.n_hit,
+        |  round(CAST(hits.n_hit AS DOUBLE) / greatest(len(sh.shs), 1), 4)
+        |    AS overlap_ratio,
+        |  CAST(round(CAST(hits.n_hit AS DOUBLE) / greatest(len(sh.shs), 1), 4)
+        |    >= 0.5 AS INTEGER) AS contaminated
+        |FROM sh JOIN hits ON sh.doc_id = hits.e_doc
+        |WHERE hits.n_hit > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val bench = Sampling.stratifiedSample(docs, "source", col("doc_id"), 5)
       contamination(docs, "doc_id", "text", bench, "text",
