@@ -351,6 +351,53 @@ object CoreQueries {
         .orderBy("nk")
     },
 
+    // Multiset set-ops (ALL variants): intersectAll/exceptAll keep
+    // duplicate multiplicity — a different physical shape (left-anti /
+    // join on row counts) from the distinct variants above.
+    QueryDef.sql(
+      "q_setops_all",
+      """SELECT op, nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT 'intersect_all' AS op, nk FROM (
+        |    SELECT c_nationkey AS nk FROM customer
+        |    INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'except_all', nk FROM (
+        |    SELECT c_nationkey AS nk FROM customer
+        |    EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |) GROUP BY op, nk ORDER BY op, nk""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.intersectAll(su).withColumn("op", lit("intersect_all"))
+        .unionAll(c.exceptAll(su).withColumn("op", lit("except_all")))
+        .groupBy("op", "nk").agg(count(lit(1)).as("n"))
+        .select("op", "nk", "n")
+        .orderBy("op", "nk")
+    },
+
+    // RANGE window frame: the 30-day trailing revenue per customer —
+    // peers by ORDER-BY VALUE (all same-day orders share the frame), not
+    // by row position; deterministic regardless of tie order.
+    QueryDef.sql(
+      "q_window_range",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS total_30d
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(datediff(col("o_orderdate"), lit("1970-01-01")))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 50)
+        .withColumn("total_30d",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "total_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ------------------------------------------------------------------
     // Distinct aggregation (expand + two-phase hash agg under the hood).
     QueryDef.sql(

@@ -23,14 +23,25 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `big` and `small` on `key`, with the big side
-    * salted into `salts` sub-keys and the small side replicated. */
+    * salted into `salts` sub-keys and the small side replicated.
+    *
+    * The join is pinned to SHUFFLE_HASH: salting only exists because the
+    * small side is too big to broadcast, but Catalyst's size estimate
+    * for the replicated side ignores the `explode` fan-out and would
+    * happily broadcast `salts`× the small table (driver OOM at the
+    * scales that need salting — and a broadcast join wouldn't need salts
+    * in the first place). Shuffle-hash on (key, salt) is the intended
+    * physical shape: each hot key spread over `salts` tasks, hash table
+    * built from the replicated (still smaller per-partition) side, no
+    * sort of the big side. */
   def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
       pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
     val replSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedBig.join(replSmall, Seq(key, "__salt")).drop("__salt")
+    saltedBig.join(replSmall.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
   }
 
   def defs: Seq[QueryDef] = Seq(
