@@ -49,22 +49,27 @@ object ConnectorQueries {
       import scala.jdk.CollectionConverters._
       def parquetFiles(p: String): Seq[java.nio.file.Path] = {
         val pp = Paths.get(p)
-        if (Files.isDirectory(pp))
-          Files.list(pp).iterator().asScala
+        if (Files.isDirectory(pp)) {
+          val st = Files.list(pp)
+          try st.iterator().asScala
             .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-        else Seq(pp)
+          finally st.close()
+        } else Seq(pp)
       }
       val stage = Files.createTempDirectory("graft-connector-stage").toString
 
-      // CDF table over nation: v2 adds the n_nationkey<10 slice, v3
-      // removes the full base — so the change feed is nontrivial and the
-      // [2,3] snapshot fold must land on exactly the slice.
+      // CDF table over nation: v1 snapshot = full nation (served as the
+      // plain shared `nation` table above), v2 adds the n_nationkey<10
+      // slice, v3 removes the full base. The table's CURRENT files are
+      // the v3 snapshot (the slice) so a plain scan and the change feed
+      // are mutually consistent — fold(v1 snapshot, changes[2,3]) must
+      // equal the current files.
       val nation = spark.read.parquet(s"$sfDir/nation.parquet")
       nation.filter(col("n_nationkey") < 10).coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/nation_sub")
       server.addTable("graft", "main", server.TableDef(
         "nation_cdf", DeltaSchema.toSchemaString(nation.schema), Seq.empty,
-        files = parquetFiles(s"$sfDir/nation.parquet")
+        files = parquetFiles(s"$stage/nation_sub")
           .map(f => server.ServedFile(f, Map.empty)),
         version = 3,
         changes =
@@ -206,17 +211,20 @@ object ConnectorQueries {
         .orderBy("_commit_version", "n_nationkey")
     },
 
-    // CDF snapshot reconstruction: base ∪ v2-adds exceptAll v3-removes
-    // must collapse to exactly the added slice (multiset fold per
-    // version, GraftSharing.applyChanges).
+    // CDF snapshot reconstruction: v1 base ∪ v2-adds exceptAll
+    // v3-removes must collapse to exactly the added slice — which is
+    // also nation_cdf's CURRENT file list, so the fold provably agrees
+    // with a plain scan of the table at its version (multiset fold per
+    // version, GraftSharing.applyChanges). The v1 base is the plain
+    // shared `nation` table, read through the connector too.
     QueryDef.sql(
       "connector_cdf_snapshot",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey < 10 ORDER BY n_nationkey""".stripMargin) { (s, d) =>
       val client = shared(s, d)
-      val ref = TableRef("graft", "main", "nation_cdf")
-      val base = GraftSharing.readTable(s, client, ref)
-      val changes = GraftSharing.readChanges(s, client, ref, 2, Some(3))
+      val base = sharedTable(s, d, "nation")
+      val changes = GraftSharing.readChanges(s, client,
+        TableRef("graft", "main", "nation_cdf"), 2, Some(3))
       GraftSharing.applyChanges(base, changes)
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")

@@ -352,27 +352,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
   }
 
+  /** The word-3-shingle set CTE shared by every dedup oracle — ONE
+    * definition so the pair/cluster/representative oracles can never
+    * drift apart on shingle size or tokenization. */
+  private val wordShingleCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(words) - 1),
+      |      i -> array_to_string(words[i:i+2], ' '))) AS shs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3)""".stripMargin
+
+  /** All-pairs exact-Jaccard pair select over `sh` (threshold 0.8) —
+    * the dedup_minhash_lsh oracle statement, also the edge set of the
+    * cluster oracles. */
+  private val jaccardPairsSelect: String =
+    """SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+      |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
+      |      AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.8""".stripMargin
+
   /** Shared oracle prefix: word-3-shingle Jaccard pairs (the
     * dedup_minhash_lsh statement) → symmetric edges → recursive-CTE
     * reachability → per-vertex min component label. DuckDB's recursive
     * UNION dedupes rows, so the closure terminates; near-dup components
     * are tiny cliques, so it stays small at oracle scale. */
   private val clusterCte: String =
-    """WITH RECURSIVE sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(words) - 1),
-      |      i -> array_to_string(words[i:i+2], ' '))) AS shs
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-      |  WHERE len(words) >= 3
-      |), pairs AS (
-      |  SELECT doc_a, doc_b FROM (
-      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |      round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-      |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
-      |        AS jaccard
-      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |  WHERE jaccard >= 0.8
-      |), edges AS (
+    s"WITH RECURSIVE $wordShingleCte, pairs AS (\n$jaccardPairsSelect\n)" +
+    """, edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs
       |), reach AS (
@@ -423,19 +433,7 @@ object Dedup {
     // does it — that asymmetry is the point of LSH.
     QueryDef.sql(
       "dedup_minhash_lsh",
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(words) - 1),
-        |      i -> array_to_string(words[i:i+2], ' '))) AS shs
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-        |  WHERE len(words) >= 3)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-        |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
-        |      AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      s"WITH $wordShingleCte\n$jaccardPairsSelect ORDER BY doc_a, doc_b") { (s, d) =>
       minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
     },
 

@@ -121,10 +121,10 @@ object Multimodal {
         |  CAST(s1 % 10007 AS DOUBLE) AS weighted_mod
         |FROM (
         |  SELECT doc_id, text,
-        |    list_sum(list_transform(range(1, length(text)+1),
-        |      i -> CAST(unicode(text[i]) AS BIGINT))) AS s0,
-        |    list_sum(list_transform(range(1, length(text)+1),
-        |      i -> CAST(unicode(text[i]) AS BIGINT) * (((i-1) % 97) + 1))) AS s1
+        |    coalesce(list_sum(list_transform(range(1, length(text)+1),
+        |      i -> CAST(unicode(text[i]) AS BIGINT))), 0) AS s0,
+        |    coalesce(list_sum(list_transform(range(1, length(text)+1),
+        |      i -> CAST(unicode(text[i]) AS BIGINT) * (((i-1) % 97) + 1))), 0) AS s1
         |  FROM documents)
         |ORDER BY media_id""".stripMargin) { (s, d) =>
       decodeFeatures(binaryView(Tables.documents(s, d)))
