@@ -19,7 +19,8 @@ object PlanAudit {
       "q_join_broadcast", "q_join_shuffle", "q_topk", "q_window_rank",
       "dedup_exact", "sim_topk_brute", "sim_topk_ivf", "connector_filter_pushdown",
       "q_range_join", "q_join_bucketed", "q_join_salted", "q_topk_agg",
-      "dedup_minhash_lsh", "q_lateral_explode")
+      "dedup_minhash_lsh", "q_lateral_explode",
+      "connector_partition_values", "q_setops_all", "q_window_range")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")
