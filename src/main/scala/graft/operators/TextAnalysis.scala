@@ -340,6 +340,76 @@ object TextAnalysis {
         .orderBy("doc_id", "term")
     },
 
+    // Overlapping token-window chunking (size 64, stride 48) — the
+    // standard RAG / pretraining chunker. One posexplode over computed
+    // window starts; the chunk text never leaves the row (md5 digest
+    // makes it oracle-checkable). At 100 TB this is a narrow
+    // embarrassingly-parallel projection with ~n/stride fan-out.
+    QueryDef.sql(
+      "text_chunk_windows",
+      """SELECT doc_id, CAST(ci - 1 AS INTEGER) AS chunk_idx,
+        |  CAST(len(words[s:s+63]) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(words[s:s+63], ' ')) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id, words, ci, CAST(1 + (ci - 1) * 48 AS BIGINT) AS s
+        |  FROM (
+        |    SELECT doc_id, words,
+        |      unnest(range(1, greatest(
+        |        CAST(ceil((len(words) - 64) / 48.0) AS BIGINT), 0) + 2)) AS ci
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |          FROM documents)))
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      // starts 1, 49, 97, … until the window reaches the doc end:
+      // count = ceil(max(n-64,0)/48) + 1 — the tail is covered by a
+      // shorter final chunk, never dropped, never a redundant sub-chunk
+      val words = split(col("text"), " ")
+      val nChunksM1 = greatest(
+        ceil((size(col("words")) - 64).cast("double") / 48.0), lit(0L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), words.as("words"))
+        .select(col("doc_id"), col("words"),
+          posexplode(sequence(lit(1L), lit(1L) + lit(48L) * nChunksM1, lit(48L))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          size(slice(col("words"), col("col").cast("int"), lit(64))).cast("int")
+            .as("n_chunk_tokens"),
+          md5(array_join(slice(col("words"), col("col").cast("int"), lit(64)), " "))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sequence packing for fixed context windows (GPT-style: concatenate
+    // the token stream in doc_id order, slice into 256-token windows).
+    // Expressed relationally as ONE prefix-sum window — each doc learns
+    // its start offset and the window span it lands in; no sequential
+    // driver loop, identical layout on any engine. At 100 TB packing
+    // runs per-shard with the same prefix-sum inside each range
+    // partition.
+    QueryDef.sql(
+      "text_pack_offsets",
+      """SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(start AS BIGINT) AS start_offset,
+        |  CAST(start // 256 AS BIGINT) AS first_window,
+        |  CAST((start + n - 1) // 256 AS BIGINT) AS last_window
+        |FROM (
+        |  SELECT doc_id, n,
+        |    coalesce(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n"))
+        .withColumn("start", coalesce(sum("n").over(w), lit(0L)))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("start").as("start_offset"),
+          floor(col("start") / 256).as("first_window"),
+          floor((col("start") + col("n") - 1) / 256).as("last_window"))
+        .orderBy("doc_id")
+    },
+
     // Corpus-level quality aggregation by source (pipeline triage view).
     QueryDef.sql(
       "text_source_profile",
