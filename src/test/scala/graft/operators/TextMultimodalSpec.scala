@@ -92,6 +92,45 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(feats == again)
   }
 
+  test("chunk windows cover every token and never pad") {
+    val qs = graft.SparkEntry.queries
+    val chunks = qs("text_chunk_windows")(spark, sf0001)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("chunk_idx")).as("last_idx"),
+        sum("n_chunk_tokens").as("sum_tokens"),
+        max((col("chunk_idx") * 48 + col("n_chunk_tokens")).cast("bigint"))
+          .as("max_end"))
+    val joined = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .join(chunks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val n = r.getAs[Int]("n_tokens").toLong
+      // last chunk reaches the document end exactly — no dropped tail
+      assert(r.getAs[Long]("max_end") == n, s"doc ${r.get(0)}: end != $n")
+      // chunk count matches the ceil formula
+      val expected = math.max(math.ceil((n - 64).toDouble / 48).toLong, 0L) + 1
+      assert(r.getAs[Long]("n_chunks") == expected)
+      // indices are dense 0..k-1
+      assert(r.getAs[Int]("last_idx").toLong == expected - 1)
+    }
+  }
+
+  test("pack offsets form a gapless token stream with consistent spans") {
+    val out = graft.SparkEntry.queries("text_pack_offsets")(spark, sf0001)
+      .orderBy("doc_id").collect()
+    var expectedStart = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("start_offset") == expectedStart) // gapless concat
+      val first = r.getAs[Long]("first_window")
+      val last = r.getAs[Long]("last_window")
+      assert(first == r.getAs[Long]("start_offset") / 256)
+      assert(last >= first)
+      expectedStart += r.getAs[Long]("n_tokens")
+    }
+  }
+
   test("binary payload roundtrip preserves bytes (sha256 stable)") {
     val a = Multimodal.binaryView(docs)
       .select(sha2(col("payload"), 256).as("h")).orderBy("h")
