@@ -45,17 +45,9 @@ object ConnectorQueries {
       server.addParquetTable("graft", "main", "events", eventsDir,
         DeltaSchema.toSchemaString(spark.read.parquet(eventsDir).schema))
 
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      def parquetFiles(p: String): Seq[java.nio.file.Path] = {
-        val pp = Paths.get(p)
-        if (Files.isDirectory(pp)) {
-          val st = Files.list(pp)
-          try st.iterator().asScala
-            .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-          finally st.close()
-        } else Seq(pp)
-      }
+      import java.nio.file.Files
+      def parquetFiles(p: String): Seq[java.nio.file.Path] =
+        server.listParquet(p)
       val stage = Files.createTempDirectory("graft-connector-stage").toString
 
       // CDF table over nation: v1 snapshot = full nation (served as the

@@ -140,8 +140,13 @@ object Dedup {
     *
     * @param maxBucketSize skew guard: an LSH bucket with more than this
     *   many docs (a degenerate/boilerplate shingle cluster) would create
-    *   O(k²) candidate pairs; cap it. At 100 TB this is the difference
-    *   between a bounded join and an accidental cross product.
+    *   O(k²) candidate pairs; such buckets are chain-linked (consecutive
+    *   members, O(k) edges) instead — clusters stay connected, only the
+    *   pairwise listing is abridged for >cap cliques. At 100 TB this is
+    *   the difference between a bounded join and an accidental cross
+    *   product. The exact all-pairs oracle therefore certifies full pair
+    *   recall when no bucket exceeds the cap — DedupSpec asserts that
+    *   precondition on the gate corpus.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -186,11 +191,12 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bh")
 
-    // Skew guard: drop pathological buckets before the self-join. The
-    // oversized-bucket list is tiny BY CONSTRUCTION (each entry holds
-    // > maxBucketSize docs), so it broadcasts at any input scale and the
-    // anti-join adds no shuffle of the big side — cheaper than a window
-    // (which would shuffle AND sort every (band,bh) group).
+    // Skew guard: a bucket with more than maxBucketSize docs (degenerate
+    // boilerplate cluster) would turn the self-join into an accidental
+    // O(k²) cross product. The oversized-bucket list is tiny BY
+    // CONSTRUCTION (each entry holds > maxBucketSize docs), so it
+    // broadcasts at any input scale and the anti-join adds no shuffle of
+    // the big side — cheaper than a window over every (band,bh) group.
     val oversized = bandsDf.groupBy("band", "bh")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
@@ -198,12 +204,27 @@ object Dedup {
     val bounded = bandsDf.join(broadcast(oversized), Seq("band", "bh"),
       "left_anti")
 
-    val candidates = bounded.as("x")
+    val allPairs = bounded.as("x")
       .join(bounded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+
+    // Oversized buckets are CHAIN-LINKED instead of dropped: consecutive
+    // members by doc_id — O(k) edges instead of O(k²). A genuine near-dup
+    // mega-cluster stays CONNECTED (adjacent members pass the Jaccard
+    // verify), so the cluster/representative queries remain correct at
+    // any clique size; only the pairwise LISTING is abridged for such
+    // cliques (the window sorts only oversized-bucket members, a tiny
+    // fraction by construction).
+    val chainW = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bh").orderBy("doc_id")
+    val chained = bandsDf.join(broadcast(oversized), Seq("band", "bh"))
+      .withColumn("next_id", lead("doc_id", 1).over(chainW))
+      .filter(col("next_id").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("next_id").as("doc_b"))
+
+    val candidates = allPairs.unionByName(chained).distinct()
 
     // Staged verify: the minhash-signature estimate (64-long compare)
     // prunes candidates before the exact Jaccard over full shingle sets
@@ -363,6 +384,15 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
       |  WHERE len(words) >= 3)""".stripMargin
 
+  /** Char-5-gram variant of the shingle CTE (dedup_ngram_jaccard). */
+  private val charShingleCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, length(t) - 3),
+      |      i -> t[i:i+4])) AS shs
+      |  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+      |  WHERE length(t) >= 5)""".stripMargin
+
   /** All-pairs exact-Jaccard pair select over `sh` (threshold 0.8) —
     * the dedup_minhash_lsh oracle statement, also the edge set of the
     * cluster oracles. */
@@ -427,10 +457,13 @@ object Dedup {
     // word-3-shingle Jaccard — a statement the LSH path must match
     // exactly, i.e. banding (16 bands × 4 rows: miss prob ≤ (1-s⁴)¹⁶ ≈
     // 2e-4 at s=0.8) plus the 6σ estimate prefilter lose NOTHING on this
-    // corpus. Jaccard over 31-bit shingle hashes equals Jaccard over the
-    // shingle strings up to hash collisions (~1e-6/doc, deterministic).
-    // The oracle cross-join is fine at oracle scale; the Spark side never
-    // does it — that asymmetry is the point of LSH.
+    // corpus, and no LSH bucket exceeds the skew cap (asserted by
+    // DedupSpec — beyond the cap, >cap cliques are chain-linked and the
+    // pairwise listing is intentionally abridged). Jaccard over 31-bit
+    // shingle hashes equals Jaccard over the shingle strings up to hash
+    // collisions (~1e-6/doc, deterministic). The oracle cross-join is
+    // fine at oracle scale; the Spark side never does it — that
+    // asymmetry is the point of LSH.
     QueryDef.sql(
       "dedup_minhash_lsh",
       s"WITH $wordShingleCte\n$jaccardPairsSelect ORDER BY doc_a, doc_b") { (s, d) =>
@@ -486,22 +519,11 @@ object Dedup {
     // word-boundary-robust dedup signal; candidates still come from LSH
     // banding, never a cross-join. Oracle: all-pairs char-5-gram Jaccard
     // (same full-recall statement as dedup_minhash_lsh, over the far
-    // denser char-gram sets).
+    // denser char-gram sets — only the shingle CTE differs, the pair
+    // select is the shared constant).
     QueryDef.sql(
       "dedup_ngram_jaccard",
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, length(t) - 3),
-        |      i -> t[i:i+4])) AS shs
-        |  FROM (SELECT doc_id, lower(text) AS t FROM documents)
-        |  WHERE length(t) >= 5)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-        |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
-        |      AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      s"WITH $charShingleCte\n$jaccardPairsSelect ORDER BY doc_a, doc_b") { (s, d) =>
       minhashPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8, shingleSize = 5, shingler = charNgramHashes)
     }

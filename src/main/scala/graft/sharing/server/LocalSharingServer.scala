@@ -59,20 +59,24 @@ final class LocalSharingServer(
         schemas.updated(schema, tables.updated(table.name, table)))
     }
 
+  /** All `*.parquet` files under `p` (sorted), or `p` itself if it is a
+    * file — the one listing used everywhere a path becomes served files. */
+  def listParquet(p: String): Seq[Path] = {
+    val pp = Paths.get(p)
+    if (Files.isDirectory(pp)) {
+      val st = Files.list(pp)
+      try st.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      finally st.close()
+    } else Seq(pp)
+  }
+
   /** Register every `*.parquet` under dir as one unpartitioned table. */
   def addParquetTable(share: String, schema: String, name: String,
-      dir: String, schemaString: String): Unit = {
-    val p = Paths.get(dir)
-    val files =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala
-          .filter(_.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.toString)
-      else Seq(p)
+      dir: String, schemaString: String): Unit =
     addTable(share, schema,
       TableDef(name, schemaString, Seq.empty,
-        files.map(f => ServedFile(f, Map.empty))))
-  }
+        listParquet(dir).map(f => ServedFile(f, Map.empty))))
 
   def start(): Int = synchronized {
     if (!started) {
@@ -183,8 +187,12 @@ final class LocalSharingServer(
           val from = params.get("startingVersion").flatMap(_.toLongOption).getOrElse(0L)
           val to = params.get("endingVersion").flatMap(_.toLongOption)
             .getOrElse(Long.MaxValue)
-          val lines = td.changes.filter(c => c.version >= from && c.version <= to)
-            .zipWithIndex.map { case (c, i) => changeLine(s, sc, td, c, i) }
+          // index into the FULL changes list (lookupServed resolves
+          // idx-1000 against it) — indexing the filtered view would make
+          // a sub-range read serve the wrong file's bytes
+          val lines = td.changes.zipWithIndex
+            .filter { case (c, _) => c.version >= from && c.version <= to }
+            .map { case (c, i) => changeLine(s, sc, td, c, i) }
           respondNdjson(x, Seq(protocolLine, metadataLine(td)) ++ lines)
         }
       case List("shares", s, "schemas", sc, "tables", t, "query") =>

@@ -38,6 +38,42 @@ class DedupSpec extends SparkTestBase {
     assert(found.nonEmpty)
   }
 
+  test("no LSH bucket exceeds the skew cap (all-pairs oracle precondition)") {
+    // The DuckDB all-pairs oracle certifies FULL pair recall only while
+    // every (band, bandHash) bucket stays under maxBucketSize (oversized
+    // buckets are chain-linked, abridging the pairwise listing). Assert
+    // the precondition holds on the gate corpus so the certificate is
+    // sound.
+    graft.functions.GraftFunctions.register(spark)
+    val sig = docs.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignature(spark, col("sh"), 64))
+    val maxBucket = sig
+      .select(posexplode(graft.functions.GraftFunctions.lshBands(col("sig"), 16, 4)))
+      .groupBy("pos", "col").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket <= 1000, s"oversized LSH bucket ($maxBucket docs)")
+  }
+
+  test("oversized buckets chain-link: clusters survive the skew cap") {
+    // Force every bucket oversized (cap=1): all-pairs candidates are
+    // impossible, only the doc_id-adjacent chain remains — yet the true
+    // near-dup clusters must still come out connected.
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8,
+      maxBucketSize = 1)
+    val capped = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8),
+        "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same vertex set, same components (chains keep cliques connected
+    // whenever adjacent members pass the Jaccard verify — true for the
+    // corpus's near-identical duplicate groups)
+    assert(capped == full)
+  }
+
   test("simhash banding finds the near-dup clusters") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
