@@ -79,6 +79,21 @@ class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
       .collect()(0).getLong(0) == v1Rows + v2Rows)
   }
 
+  test("sub-range feed serves each change's own bytes (absolute indexing)") {
+    // From startingVersion=2 the feed is [add@2 v2file, remove@2 v1file];
+    // signed URLs must address the FULL changes list — indexing the
+    // filtered view served the v1 file's bytes for the add and vice
+    // versa (caught in round-4 review).
+    val df = GraftSharing.readChanges(spark, client, table, 2L)
+    val added = df.filter(col("_change_type") === "add")
+    val removed = df.filter(col("_change_type") === "remove")
+    assert(added.count() == v2Rows)
+    assert(removed.count() == v1Rows)
+    // v2 = odd orderkeys, v1 = even — the content proves which file
+    assert(added.filter(col("o_orderkey") % 2 === 0).count() == 0)
+    assert(removed.filter(col("o_orderkey") % 2 === 1).count() == 0)
+  }
+
   test("applyChanges reconstructs the snapshot from base + feed") {
     // base = empty table; v1 adds even orders, v2 adds odd + removes even
     // → final snapshot must equal exactly the odd orders.
