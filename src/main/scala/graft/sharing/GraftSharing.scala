@@ -44,17 +44,22 @@ object GraftSharing {
   def readTable(spark: SparkSession, client: DeltaSharingClient,
       table: TableRef, filters: Seq[Filter] = Seq.empty,
       limitHint: Option[Long] = None): DataFrame = {
-    val (protocol, metadata, files) = {
-      val schemaForHints = DeltaSchema.fromSchemaString(
-        client.getTableMetadata(table)._2.schemaString)
-      client.getTableData(table,
-        PredicateHints.toHintJson(filters, schemaForHints), limitHint)
-    }
+    val schemaForHints = DeltaSchema.fromSchemaString(
+      client.getTableMetadata(table)._2.schemaString)
+    val (protocol, metadata, files) = client.getTableData(table,
+      PredicateHints.toHintJson(filters, schemaForHints), limitHint)
     if (protocol.minReaderVersion > 1)
       throw DeltaSharingException.other(
         s"unsupported minReaderVersion ${protocol.minReaderVersion}")
     val schema = DeltaSchema.fromSchemaString(metadata.schemaString)
-    dataFrameForFiles(spark, schema, metadata.partitionColumns, files)
+    // Driver-side file skipping on per-file stats (SURVEY §4 improvement
+    // over the reference, which parses stats and ignores them): drop
+    // files whose min/max envelope provably excludes every pushed
+    // filter BEFORE any partition is planned. Purely an optimization —
+    // the engine-side residual filter still runs either way.
+    val ops = filters.flatMap(f => PredicateHints.fromFilter(f, schemaForHints))
+    dataFrameForFiles(spark, schema, metadata.partitionColumns,
+      StatsPruning.prune(files, ops))
   }
 
   /** Read the change data feed between versions as a DataFrame with

@@ -1,0 +1,149 @@
+package graft.sharing
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+import graft.sharing.PredicateHints.{ColumnOp, LiteralOp, NodeOp, Op}
+
+/** Driver-side (and server-side) file skipping on per-file column stats.
+  *
+  * The reference parses each file's Delta `stats` string but never uses
+  * it (src/client/action.rs:180-183; scan statistics are
+  * `Statistics::new_unknown`, src/datasource/scan.rs:154-156). This
+  * module is the SURVEY §4 improvement: evaluate the SAME predicate AST
+  * that travels as `jsonPredicateHints` against each file's
+  * min/max/nullCount envelope and drop files that provably contain no
+  * matching row — before any partition is planned. At 100 TB the file
+  * list is the driver's only per-file cost; skipping here removes whole
+  * network reads, not just rows.
+  *
+  * Three-valued interval logic, standard data-skipping semantics:
+  *  - `may`  over-approximates "some row might match" (never a false
+  *    skip: missing stats / unknown ops / truncated envelopes ⇒ true);
+  *  - `all`  under-approximates "every row matches" (needed only so
+  *    `not` stays sound: may(¬x) = ¬all(x), all(¬x) = ¬may(x)).
+  * A file is skipped iff `may` is definitively false.
+  */
+object StatsPruning {
+
+  /** Parsed Delta-style per-file stats (all fields optional — absent
+    * stats prune nothing). */
+  final case class FileStats(
+      numRecords: Option[Long],
+      minValues: Map[String, String],
+      maxValues: Map[String, String],
+      nullCount: Map[String, Long])
+
+  private val mapper = new ObjectMapper()
+
+  def parse(statsJson: String): Option[FileStats] =
+    try {
+      val n = mapper.readTree(statsJson)
+      def strMap(f: String): Map[String, String] =
+        Option(n.get(f)).filterNot(_.isNull).map { m =>
+          m.properties().asScala
+            .filterNot(_.getValue.isNull)
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty)
+      def longMap(f: String): Map[String, Long] =
+        Option(n.get(f)).filterNot(_.isNull).map { m =>
+          m.properties().asScala
+            .filterNot(_.getValue.isNull)
+            .map(e => e.getKey -> e.getValue.asLong()).toMap
+        }.getOrElse(Map.empty)
+      Some(FileStats(
+        Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong()),
+        strMap("minValues"), strMap("maxValues"), longMap("nullCount")))
+    } catch { case _: Exception => None }
+
+  /** Typed ordering per hint valueType. Date/timestamp stats are ISO
+    * strings, where lexicographic order IS chronological order; string
+    * and bool compare lexicographically like the engines do. */
+  private def cmp(a: String, b: String, valueType: String): Option[Int] =
+    valueType match {
+      case "int" | "long" | "float" | "double" =>
+        try Some(BigDecimal(a).compare(BigDecimal(b)))
+        catch { case _: NumberFormatException => None }
+      case _ => Some(a.compareTo(b))
+    }
+
+  /** (may-match, all-match) for `op` over a file's stats. */
+  private def eval(op: Op, st: FileStats): (Boolean, Boolean) = {
+    val unknown = (true, false)
+    def bounds(c: ColumnOp): (Option[String], Option[String]) =
+      (st.minValues.get(c.name), st.maxValues.get(c.name))
+    def binary(children: Seq[Op])(
+        may: (Option[Int], Option[Int]) => Option[Boolean],
+        all: (Option[Int], Option[Int]) => Option[Boolean]): (Boolean, Boolean) =
+      children match {
+        case Seq(c: ColumnOp, l: LiteralOp) =>
+          val (lo, hi) = bounds(c)
+          // cmpLo = sign(min - v), cmpHi = sign(max - v)
+          val cmpLo = lo.flatMap(cmp(_, l.value, l.valueType))
+          val cmpHi = hi.flatMap(cmp(_, l.value, l.valueType))
+          (may(cmpLo, cmpHi).getOrElse(true), all(cmpLo, cmpHi).getOrElse(false))
+        case _ => unknown
+      }
+    op match {
+      case NodeOp("equal", cs) => binary(cs)(
+        may = (lo, hi) => for (a <- lo; b <- hi) yield a <= 0 && b >= 0,
+        all = (lo, hi) => for (a <- lo; b <- hi) yield a == 0 && b == 0)
+      case NodeOp("lessThan", cs) => binary(cs)(
+        may = (lo, _) => lo.map(_ < 0),
+        all = (_, hi) => hi.map(_ < 0))
+      case NodeOp("lessThanOrEqual", cs) => binary(cs)(
+        may = (lo, _) => lo.map(_ <= 0),
+        all = (_, hi) => hi.map(_ <= 0))
+      case NodeOp("greaterThan", cs) => binary(cs)(
+        may = (_, hi) => hi.map(_ > 0),
+        all = (lo, _) => lo.map(_ > 0))
+      case NodeOp("greaterThanOrEqual", cs) => binary(cs)(
+        may = (_, hi) => hi.map(_ >= 0),
+        all = (lo, _) => lo.map(_ >= 0))
+      case NodeOp("isNull", Seq(c: ColumnOp)) =>
+        val nulls = st.nullCount.get(c.name)
+        (nulls.map(_ > 0).getOrElse(true),
+          (for (n <- nulls; t <- st.numRecords) yield n == t).getOrElse(false))
+      case NodeOp("not", Seq(x)) =>
+        val (m, a) = eval(x, st); (!a, !m)
+      case NodeOp("and", cs) =>
+        val r = cs.map(eval(_, st)); (r.forall(_._1), r.forall(_._2))
+      case NodeOp("or", cs) =>
+        val r = cs.map(eval(_, st)); (r.exists(_._1), r.exists(_._2))
+      case _ => unknown
+    }
+  }
+
+  /** True iff some row of a file with these stats might satisfy `op`. */
+  def mayMatch(op: Op, statsJson: Option[String]): Boolean =
+    statsJson.flatMap(parse) match {
+      case Some(st) => eval(op, st)._1
+      case None => true // no stats ⇒ never skip
+    }
+
+  /** Parse a `jsonPredicateHints` string back into an Op — the server
+    * side of the loop, so hints actually prune the served file list. */
+  def parseHintJson(json: String): Option[Op] =
+    try fromNode(mapper.readTree(json))
+    catch { case _: Exception => None }
+
+  private def fromNode(n: JsonNode): Option[Op] =
+    Option(n.get("op")).map(_.asText()).flatMap {
+      case "column" =>
+        for (nm <- Option(n.get("name")); vt <- Option(n.get("valueType")))
+          yield ColumnOp(nm.asText(), vt.asText())
+      case "literal" =>
+        for (v <- Option(n.get("value")); vt <- Option(n.get("valueType")))
+          yield LiteralOp(v.asText(), vt.asText())
+      case kind =>
+        val children = Option(n.get("children")).map(_.elements().asScala.toSeq)
+          .getOrElse(Seq.empty).map(fromNode)
+        if (children.exists(_.isEmpty)) None
+        else Some(NodeOp(kind, children.flatten))
+    }
+
+  /** Keep only files whose stats admit a match for every conjunct. */
+  def prune(files: Seq[FileAction], ops: Seq[Op]): Seq[FileAction] =
+    if (ops.isEmpty) files
+    else files.filter(f => ops.forall(op => mayMatch(op, f.stats)))
+}

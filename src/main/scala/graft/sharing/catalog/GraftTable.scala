@@ -97,7 +97,12 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
     SignedHttpFileSystem.register(spark.sparkContext.hadoopConfiguration)
     val hints = hintJson
     sentPredicateHints = hints
-    val (_, meta, files) = client.getTableData(ref, hints, limitHint)
+    val (_, meta, rawFiles) = client.getTableData(ref, hints, limitHint)
+    // driver-side stats skipping on the same predicate AST the hint
+    // carries (files the server listed anyway but whose min/max envelope
+    // excludes every filter) — the residual FilterExec still re-filters
+    val files = StatsPruning.prune(rawFiles,
+      catalystFilters.flatMap(PredicateHints.fromCatalyst(_, fullSchema)))
     val partCols = meta.partitionColumns
     val uid = java.util.UUID.randomUUID().toString.take(12)
     val paths = files.map { f =>

@@ -25,8 +25,12 @@ final class LocalSharingServer(
     bearerToken: String = "graft-test-token",
     urlTtl: java.time.Duration = java.time.Duration.ofHours(1)) {
 
-  /** One served file + its partition values (empty string ⇒ null). */
-  final case class ServedFile(path: Path, partitionValues: Map[String, String])
+  /** One served file + its partition values (empty string ⇒ null) and
+    * optional Delta-style stats JSON (numRecords/minValues/maxValues/
+    * nullCount) — when present, the query endpoint prunes on hints and
+    * clients can skip files driver-side. */
+  final case class ServedFile(path: Path, partitionValues: Map[String, String],
+      stats: Option[String] = None)
 
   /** One change-feed entry: what happened to a file at a version. */
   final case class ChangeEntry(version: Long, changeType: String,
@@ -199,8 +203,18 @@ final class LocalSharingServer(
         withTable(x, s, sc, t) { td =>
           val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
           recordHints(body)
+          // jsonPredicateHints actually prune here (files with stats that
+          // provably contain no matching row are not listed) — best-effort
+          // by protocol contract, so clients must still re-filter. Indices
+          // stay ABSOLUTE so signed paths are stable under pruning.
+          val hintOp = lastPredicateHints
+            .flatMap(graft.sharing.StatsPruning.parseHintJson)
+          val served = td.files.zipWithIndex.filter { case (f, _) =>
+            hintOp.forall(op =>
+              graft.sharing.StatsPruning.mayMatch(op, f.stats))
+          }
           respondNdjson(x,
-            Seq(protocolLine, metadataLine(td)) ++ td.files.zipWithIndex.map {
+            Seq(protocolLine, metadataLine(td)) ++ served.map {
               case (f, i) => fileLine(s, sc, td, f, i)
             })
         }
@@ -316,8 +330,9 @@ final class LocalSharingServer(
     val pv = f.partitionValues.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val expires = System.currentTimeMillis() + urlTtl.toMillis
+    val statsField = f.stats.map(s => s""""stats":${jstr(s)},""").getOrElse("")
     s"""{"file":{"url":${jstr(signedUrl(share, schema, td, f, idx))},"id":"${td.name}-$idx",""" +
-      s""""partitionValues":$pv,"size":${Files.size(f.path)},""" +
+      s""""partitionValues":$pv,"size":${Files.size(f.path)},$statsField""" +
       s""""version":${td.version},"expirationTimestamp":$expires}}"""
   }
 

@@ -1,6 +1,6 @@
 package graft.sharing
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 import org.apache.spark.sql.sources.{EqualTo, LessThan}
 import org.scalatest.BeforeAndAfterAll
 
@@ -111,6 +111,51 @@ class SharingEndToEndSpec extends SparkTestBase with BeforeAndAfterAll {
       assert(byKey(Some(1)) == n1)
       assert(byKey(None) == n0) // the empty-string file surfaces as NULL
     } finally partServer.stop()
+  }
+
+  test("per-file stats prune the scan to matching files only") {
+    // orders split into two halves by orderkey, each file carrying its
+    // min/max stats; a pushed filter must cut BOTH server-side (fewer
+    // file actions listed) and driver-side (fewer input files planned).
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    val src = graft.Tables.orders(spark, sf0001)
+    // TPC-H orderkeys are sparse — split at the actual median so both
+    // halves are non-empty
+    val mid = src.stat.approxQuantile("o_orderkey", Array(0.5), 0.0).head.toLong
+    src.filter(col("o_orderkey") < mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lo")
+    src.filter(col("o_orderkey") >= mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/hi")
+    val statsServer = new LocalSharingServer()
+    def statsOf(sub: String): String = {
+      val r = spark.read.parquet(s"$dir/$sub")
+        .agg(min("o_orderkey"), max("o_orderkey"), count(lit(1)))
+        .collect()(0)
+      s"""{"numRecords":${r.getLong(2)},"minValues":{"o_orderkey":${r.getLong(0)}},""" +
+        s""""maxValues":{"o_orderkey":${r.getLong(1)}},"nullCount":{"o_orderkey":0}}"""
+    }
+    statsServer.addTable("sh", "sc", statsServer.TableDef(
+      "orders_stats", DeltaSchema.toSchemaString(src.schema), Seq.empty,
+      files = Seq(
+        statsServer.ServedFile(statsServer.listParquet(s"$dir/lo").head,
+          Map.empty, Some(statsOf("lo"))),
+        statsServer.ServedFile(statsServer.listParquet(s"$dir/hi").head,
+          Map.empty, Some(statsOf("hi"))))))
+    statsServer.start()
+    try {
+      val c = new DeltaSharingClient(Profile.fromJson(statsServer.profileJson))
+      val ref = TableRef("sh", "sc", "orders_stats")
+      // no filter: both files planned
+      assert(GraftSharing.readTable(spark, c, ref).inputFiles.length == 2)
+      // filter under mid: only the lo file survives pruning, and the
+      // result still row-matches the plain filtered read
+      val filtered = GraftSharing.readTable(spark, c, ref,
+        filters = Seq(org.apache.spark.sql.sources.LessThan(
+          "o_orderkey", java.lang.Long.valueOf(mid))))
+      assert(filtered.inputFiles.length == 1)
+      assert(filtered.filter(col("o_orderkey") < mid).count() ==
+        src.filter(col("o_orderkey") < mid).count())
+    } finally statsServer.stop()
   }
 
   test("expired signed URL fails with a clear error") {
