@@ -308,6 +308,51 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Distribution window functions: ntile / percent_rank / cume_dist —
+    // the ranking family beyond rank/row_number (identical definitions
+    // in both engines; unique tiebreak keeps bucket edges deterministic).
+    QueryDef.sql(
+      "q_window_distribution",
+      """SELECT c_custkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cdist"))
+        .orderBy("c_custkey")
+    },
+
+    // Sliding (hopping) time windows: 2-hour windows every hour — each
+    // event lands in exactly two buckets. Spark's window() generates the
+    // copies inside the scan projection; the oracle replicates with an
+    // explicit 2-element unnest.
+    QueryDef.sql(
+      "q_sliding_window",
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    date_trunc('hour', ts) - unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR])
+        |      AS ws
+        |  FROM events)
+        |GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
+
     // ------------------------------------------------------------------
     // Top-k: ORDER BY + LIMIT → TakeOrderedAndProject (no full sort, no
     // single-node shuffle of the whole table).
