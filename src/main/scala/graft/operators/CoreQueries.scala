@@ -308,6 +308,54 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // MERGE/upsert emulation on plain parquet (the lakehouse maintenance
+    // op, expressed as one full-outer join): updates override matched
+    // keys, inserts (negative keys here) append, everything else keeps.
+    // DECIMAL money math so the update arithmetic is exact cross-engine.
+    // At scale this is the shuffle-on-key merge pattern; a broadcast
+    // source makes it map-side when the changeset is small.
+    QueryDef.sql(
+      "q_upsert_merge",
+      """WITH source AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE)
+        |      AS new_price
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CAST(COALESCE(s.new_price,
+        |    CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) AS DOUBLE)
+        |    AS price,
+        |  CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+        |       WHEN s.o_orderkey IS NOT NULL THEN 'update'
+        |       ELSE 'keep' END AS op
+        |FROM orders t FULL OUTER JOIN source s
+        |  ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val priceD = col("o_totalprice").cast("decimal(18,2)")
+      val updates = orders.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          (priceD + 1000).cast("double").as("new_price"))
+      val inserts = orders.filter(col("o_orderkey") % 89 === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          priceD.cast("double").as("new_price"))
+      val source = updates.unionByName(inserts)
+        .withColumnRenamed("o_orderkey", "s_orderkey")
+      orders.join(source, col("o_orderkey") === col("s_orderkey"),
+          "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("s_orderkey")).as("o_orderkey"),
+          coalesce(col("new_price"), priceD.cast("double")).as("price"),
+          when(col("o_orderkey").isNull, "insert")
+            .when(col("s_orderkey").isNotNull, "update")
+            .otherwise("keep").as("op"))
+        .orderBy("o_orderkey")
+    },
+
     // Distribution window functions: ntile / percent_rank / cume_dist —
     // the ranking family beyond rank/row_number (identical definitions
     // in both engines; unique tiebreak keeps bucket edges deterministic).

@@ -535,6 +535,41 @@ object Dedup {
       simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
     },
 
+    // Edit-distance near-dup on LSH-pruned candidates: Levenshtein over
+    // the 64-char prefix, the classic fuzzy-match refinement. Candidates
+    // come from the SAME banded LSH join (never all-pairs); the oracle
+    // recomputes edit distance over the all-pairs Jaccard candidates —
+    // equal because every prefix-edit-close pair at this threshold is
+    // also Jaccard-close (both engines implement standard Levenshtein).
+    QueryDef.sql(
+      "dedup_edit_distance",
+      s"""WITH $wordShingleCte, pairs AS (
+        |$jaccardPairsSelect
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
+        |FROM pairs
+        |JOIN (SELECT doc_id, substring(text, 1, 64) AS pfx FROM documents) a
+        |  ON a.doc_id = doc_a
+        |JOIN (SELECT doc_id, substring(text, 1, 64) AS pfx FROM documents) b
+        |  ON b.doc_id = doc_b
+        |WHERE levenshtein(a.pfx, b.pfx) <= 16
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pfx = docs.select(col("doc_id"),
+        substring(col("text"), 1, 64).as("pfx"))
+      minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+        .join(pfx.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("pfx", "pfx_a"), "doc_a")
+        .join(pfx.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("pfx", "pfx_b"), "doc_b")
+        .withColumn("edit_dist",
+          levenshtein(col("pfx_a"), col("pfx_b")).cast("int"))
+        .filter(col("edit_dist") <= 16)
+        .select("doc_a", "doc_b", "edit_dist")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Exact character-5-gram Jaccard on LSH-pruned candidates — the
     // word-boundary-robust dedup signal; candidates still come from LSH
     // banding, never a cross-join. Oracle: all-pairs char-5-gram Jaccard
