@@ -201,50 +201,40 @@ object Dedup {
     // CONSTRUCTION (each entry holds > maxBucketSize docs), so it
     // broadcasts at any input scale and the anti-join adds no shuffle of
     // the big side — cheaper than a window over every (band,bh) group.
-    // The oversized key list is driver-materialized ONCE — it is bucket
-    // METADATA, bounded by (band rows / cap) by construction, the same
-    // size class the previous broadcast shipped anyway. The common case
-    // (no oversized buckets) then pays nothing: no anti-join, no chain
-    // branch, one candidate self-join.
-    val oversizedKeys = bandsDf.groupBy("band", "bh")
+    // Skew guard, fully LAZY (constructing the pipeline runs no job —
+    // plan-only consumers like PlanAudit stay free): the oversized key
+    // list is a tiny aggregate BY CONSTRUCTION (each key holds > cap
+    // docs), persisted so its two consumers materialize it once, and
+    // broadcast so neither join reshuffles the band frame. When it is
+    // empty — the common case — AQE collapses both the anti-join (back
+    // to the plain frame) and the chain join (empty relation) at
+    // runtime.
+    val oversized = bandsDf.groupBy("band", "bh")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
-      .select("band", "bh").collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-
-    val candidates =
-      if (oversizedKeys.isEmpty) {
-        bandsDf.as("x")
-          .join(bandsDf.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-      } else {
-        import spark.implicits._
-        val oversized = broadcast(
-          oversizedKeys.toSeq.toDF("band", "bh"))
-        val bounded = bandsDf.join(oversized, Seq("band", "bh"), "left_anti")
-        val allPairs = bounded.as("x")
-          .join(bounded.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        // Oversized buckets are CHAIN-LINKED instead of dropped:
-        // consecutive members by doc_id — O(k) edges instead of O(k²). A
-        // genuine near-dup mega-cluster stays CONNECTED (adjacent members
-        // pass the Jaccard verify), so the cluster/representative queries
-        // remain correct at any clique size; only the pairwise LISTING is
-        // abridged for such cliques (the window sorts only
-        // oversized-bucket members, a tiny fraction by construction).
-        val chainW = org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bh").orderBy("doc_id")
-        val chained = bandsDf.join(oversized, Seq("band", "bh"))
-          .withColumn("next_id", lead("doc_id", 1).over(chainW))
-          .filter(col("next_id").isNotNull)
-          .select(col("doc_id").as("doc_a"), col("next_id").as("doc_b"))
-        allPairs.unionByName(chained).distinct()
-      }
+      .select("band", "bh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounded = bandsDf.join(broadcast(oversized), Seq("band", "bh"),
+      "left_anti")
+    val allPairs = bounded.as("x")
+      .join(bounded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Oversized buckets are CHAIN-LINKED instead of dropped: consecutive
+    // members by doc_id — O(k) edges instead of O(k²). A genuine near-dup
+    // mega-cluster stays CONNECTED (adjacent members pass the Jaccard
+    // verify), so the cluster/representative queries remain correct at
+    // any clique size; only the pairwise LISTING is abridged for such
+    // cliques (the window sorts only oversized-bucket members, a tiny
+    // fraction by construction).
+    val chainW = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bh").orderBy("doc_id")
+    val chained = bandsDf.join(broadcast(oversized), Seq("band", "bh"))
+      .withColumn("next_id", lead("doc_id", 1).over(chainW))
+      .filter(col("next_id").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("next_id").as("doc_b"))
+    val candidates = allPairs.unionByName(chained).distinct()
 
     // Staged verify: the minhash-signature estimate (64-long compare)
     // prunes candidates before the exact Jaccard over full shingle sets

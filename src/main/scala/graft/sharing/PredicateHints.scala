@@ -73,7 +73,18 @@ object PredicateHints {
   /** Translate one Spark Filter to an Op; None when not expressible in
     * the hint grammar (those filters simply aren't hinted — mirror of
     * `Op::from_expr` returning Err, expr.rs:92-154). */
-  def fromFilter(f: Filter, schema: StructType): Option[Op] = {
+  def fromFilter(f: Filter, schema: StructType): Option[Op] =
+    translateFilter(f, schema, lenient = true)
+
+  /** `lenient` permits collapsing And(a, untranslatable) to `a` — sound
+    * only in a POSITIVE context (matching rows of the conjunction also
+    * match `a`). Under Not the approximation inverts: not(a) is weaker
+    * than not(And(a, b)) is FALSE — not(a) can exclude rows the original
+    * predicate keeps, and a server or stats pruner acting on it would
+    * drop live files. So Not descends in strict mode: translate exactly
+    * or not at all. */
+  private def translateFilter(f: Filter, schema: StructType,
+      lenient: Boolean): Option[Op] = {
     def colOp(name: String): Option[(ColumnOp, String)] =
       schema.fields.find(_.name == name)
         .flatMap(fd => valueType(fd.dataType).map(vt => (ColumnOp(name, vt), vt)))
@@ -90,18 +101,20 @@ object PredicateHints {
       case IsNull(a) => colOp(a).map { case (c, _) => isNull(c) }
       case IsNotNull(a) => colOp(a).map { case (c, _) => not(isNull(c)) }
       case And(l, r) =>
-        (fromFilter(l, schema), fromFilter(r, schema)) match {
+        (translateFilter(l, schema, lenient),
+          translateFilter(r, schema, lenient)) match {
           case (Some(a), Some(b)) => Some(and(Seq(a, b)))
-          // one conjunct still prunes correctly on its own
-          case (Some(a), None) => Some(a)
-          case (None, Some(b)) => Some(b)
+          // one conjunct still prunes correctly on its own (positive ctx)
+          case (Some(a), None) if lenient => Some(a)
+          case (None, Some(b)) if lenient => Some(b)
           case _ => None
         }
       case Or(l, r) =>
         // OR must have BOTH sides or the hint would over-prune.
-        for (a <- fromFilter(l, schema); b <- fromFilter(r, schema))
+        for (a <- translateFilter(l, schema, lenient);
+             b <- translateFilter(r, schema, lenient))
           yield or(Seq(a, b))
-      case Not(c) => fromFilter(c, schema).map(not)
+      case Not(c) => translateFilter(c, schema, lenient = false).map(not)
       case _ => None
     }
   }
@@ -109,7 +122,13 @@ object PredicateHints {
   /** Translate a Catalyst expression tree to an Op (the DSv2
     * catalyst-filter pushdown path). Same envelope as `fromFilter`. */
   def fromCatalyst(e: org.apache.spark.sql.catalyst.expressions.Expression,
-      schema: StructType): Option[Op] = {
+      schema: StructType): Option[Op] =
+    translateCatalyst(e, schema, lenient = true)
+
+  /** Same strict-under-Not rule as [[translateFilter]]. */
+  private def translateCatalyst(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      schema: StructType, lenient: Boolean): Option[Op] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
 
     def colOf(x: ce.Expression): Option[ColumnOp] = x match {
@@ -149,16 +168,18 @@ object PredicateHints {
       case ce.IsNull(c) => colOf(c).map(isNull)
       case ce.IsNotNull(c) => colOf(c).map(x => not(isNull(x)))
       case ce.And(l, r) =>
-        (fromCatalyst(l, schema), fromCatalyst(r, schema)) match {
+        (translateCatalyst(l, schema, lenient),
+          translateCatalyst(r, schema, lenient)) match {
           case (Some(a), Some(b)) => Some(and(Seq(a, b)))
-          case (Some(a), None) => Some(a)
-          case (None, Some(b)) => Some(b)
+          case (Some(a), None) if lenient => Some(a)
+          case (None, Some(b)) if lenient => Some(b)
           case _ => None
         }
       case ce.Or(l, r) =>
-        for (a <- fromCatalyst(l, schema); b <- fromCatalyst(r, schema))
+        for (a <- translateCatalyst(l, schema, lenient);
+             b <- translateCatalyst(r, schema, lenient))
           yield or(Seq(a, b))
-      case ce.Not(c) => fromCatalyst(c, schema).map(not)
+      case ce.Not(c) => translateCatalyst(c, schema, lenient = false).map(not)
       case _ => None
     }
   }

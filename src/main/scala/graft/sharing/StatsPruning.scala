@@ -56,15 +56,55 @@ object StatsPruning {
         strMap("minValues"), strMap("maxValues"), longMap("nullCount")))
     } catch { case _: Exception => None }
 
-  /** Typed ordering per hint valueType. Date/timestamp stats are ISO
-    * strings, where lexicographic order IS chronological order; string
-    * and bool compare lexicographically like the engines do. */
+  private val IsoDate = """\d{4}-\d{2}-\d{2}""".r
+
+  /** Tolerant timestamp parse → epoch micros: accepts the formats the
+    * hint literals and Delta stats actually use ('2021-06-01 12:00:00.0',
+    * '2021-06-01T12:00:00Z', '...T12:00:00.000Z', offset forms). Mixed
+    * formats ordered lexicographically would mis-compare (space vs 'T',
+    * trailing 'Z' vs '.000Z') and silently skip live files — so anything
+    * unparsable compares as unknown, never pruning. */
+  private def parseTsMicros(s: String): Option[Long] =
+    try {
+      val t = s.trim.replace(' ', 'T')
+      val inst =
+        if (t.endsWith("Z") || t.lastIndexOf('+') > 10 ||
+            t.lastIndexOf('-') > 10)
+          java.time.OffsetDateTime.parse(t).toInstant
+        else
+          java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
+      Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+    } catch { case _: Exception => None }
+
+  /** Codepoint-wise compare — matches the UTF-8 binary order engines use
+    * for string min/max (Java's compareTo is UTF-16 code-unit order,
+    * which mis-orders supplementary characters). */
+  private def cmpCodepoints(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Typed ordering per hint valueType; None = don't prune. */
   private def cmp(a: String, b: String, valueType: String): Option[Int] =
     valueType match {
       case "int" | "long" | "float" | "double" =>
         try Some(BigDecimal(a).compare(BigDecimal(b)))
         catch { case _: NumberFormatException => None }
-      case _ => Some(a.compareTo(b))
+      case "date" =>
+        // uniform ISO yyyy-MM-dd on both sides ⇒ lexicographic IS
+        // chronological; any other shape compares as unknown
+        if (IsoDate.matches(a) && IsoDate.matches(b)) Some(a.compareTo(b))
+        else None
+      case "timestamp" =>
+        for (x <- parseTsMicros(a); y <- parseTsMicros(b))
+          yield java.lang.Long.compare(x, y)
+      case "string" | "bool" => Some(cmpCodepoints(a, b))
+      case _ => None
     }
 
   /** (may-match, all-match) for `op` over a file's stats. */

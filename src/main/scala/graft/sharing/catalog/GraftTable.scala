@@ -88,21 +88,25 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
   /** The hint JSON most recently sent to the server (for tests/explain). */
   @volatile var sentPredicateHints: Option[String] = None
 
-  private def hintJson: Option[String] =
-    PredicateHints.toHintJsonFromCatalyst(catalystFilters, fullSchema)
-
   /** Fire the (single) query POST with all accumulated hints, then build
     * the delegating parquet scan builder and replay recorded pushdowns. */
   private def freshDelegate(): ParquetScanBuilder = {
     SignedHttpFileSystem.register(spark.sparkContext.hadoopConfiguration)
-    val hints = hintJson
+    // translate ONCE; wire hint and stats pruning derive from the same
+    // Seq[Op] so they can never drift apart
+    val hintOps = catalystFilters.flatMap(
+      PredicateHints.fromCatalyst(_, fullSchema))
+    val hints = hintOps match {
+      case Seq() => None
+      case Seq(one) => Some(one.json)
+      case many => Some(PredicateHints.and(many).json)
+    }
     sentPredicateHints = hints
     val (_, meta, rawFiles) = client.getTableData(ref, hints, limitHint)
     // driver-side stats skipping on the same predicate AST the hint
     // carries (files the server listed anyway but whose min/max envelope
     // excludes every filter) — the residual FilterExec still re-filters
-    val files = StatsPruning.prune(rawFiles,
-      catalystFilters.flatMap(PredicateHints.fromCatalyst(_, fullSchema)))
+    val files = StatsPruning.prune(rawFiles, hintOps)
     val partCols = meta.partitionColumns
     val uid = java.util.UUID.randomUUID().toString.take(12)
     val paths = files.map { f =>

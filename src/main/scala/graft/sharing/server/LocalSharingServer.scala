@@ -202,12 +202,14 @@ final class LocalSharingServer(
       case List("shares", s, "schemas", sc, "tables", t, "query") =>
         withTable(x, s, sc, t) { td =>
           val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
-          recordHints(body)
+          // THIS request's hints — the @volatile lastPredicateHints copy
+          // is for test assertions only and races across worker threads
+          val (predHints, _) = recordHints(body)
           // jsonPredicateHints actually prune here (files with stats that
           // provably contain no matching row are not listed) — best-effort
           // by protocol contract, so clients must still re-filter. Indices
           // stay ABSOLUTE so signed paths are stable under pruning.
-          val hintOp = lastPredicateHints
+          val hintOp = predHints
             .flatMap(graft.sharing.StatsPruning.parseHintJson)
           val served = td.files.zipWithIndex.filter { case (f, _) =>
             hintOp.forall(op =>
@@ -224,12 +226,18 @@ final class LocalSharingServer(
     }
   }
 
-  private def recordHints(body: String): Unit = {
+  /** Parse this request's hints; also mirrored into the @volatile
+    * last* fields for test assertions (that copy races under concurrent
+    * queries — handlers must use the RETURNED values). */
+  private def recordHints(body: String): (Option[String], Option[String]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = if (body.trim.isEmpty) mapper.createObjectNode() else mapper.readTree(body)
-    lastPredicateHints =
+    val ph =
       Option(n.get("jsonPredicateHints")).filterNot(_.isNull).map(_.asText())
-    lastLimitHint = Option(n.get("limitHint")).filterNot(_.isNull).map(_.asText())
+    val lh = Option(n.get("limitHint")).filterNot(_.isNull).map(_.asText())
+    lastPredicateHints = ph
+    lastLimitHint = lh
+    (ph, lh)
   }
 
   // ---- signed data serving (HTTP Range) ---------------------------------

@@ -58,6 +58,23 @@ class PredicateHintsSpec extends AnyFunSuite {
       .contains("\"op\":\"equal\""))
   }
 
+  test("NOT over a partially-translatable AND is dropped (soundness)") {
+    // And(a, untranslatable) may collapse to `a` ONLY in a positive
+    // context; not(a) is NOT implied by Not(And(a, b)) — a pruner acting
+    // on it would skip files containing matching rows.
+    assert(PredicateHints.fromFilter(
+      Not(And(LessThan("id", 5), StringContains("name", "z"))),
+      schema).isEmpty)
+    // fully-translatable NOT still works
+    assert(PredicateHints.fromFilter(
+      Not(And(LessThan("id", 5), EqualTo("score", 1.0))), schema).nonEmpty)
+    // nested: Or under Not inherits strictness
+    assert(PredicateHints.fromFilter(
+      Not(Or(LessThan("id", 5),
+        And(EqualTo("score", 1.0), StringContains("name", "z")))),
+      schema).isEmpty)
+  }
+
   test("conjunction hint of multiple filters") {
     val hint = PredicateHints.toHintJson(
       Seq(EqualTo("id", 1), LessThan("score", 2.0)), schema)

@@ -71,6 +71,26 @@ class StatsPruningSpec extends AnyFunSuite {
       lessThan(col(), LiteralOp("abc", "double")), st)) // unparsable literal
   }
 
+  test("timestamps compare as instants across mixed formats") {
+    val c = ColumnOp("x", "timestamp")
+    // stats in ISO-Z with millis; literal in the java.sql space form
+    val st = Some(stats("\"2021-06-01T00:00:00.000Z\"",
+      "\"2021-06-01T23:59:59.000Z\""))
+    // lexicographic would see 'T' > ' ' and wrongly skip; instant
+    // comparison keeps the file (morning rows < noon exist)
+    assert(StatsPruning.mayMatch(
+      lessThan(c, LiteralOp("2021-06-01 12:00:00.0", "timestamp")), st))
+    // and still prunes a provable miss
+    assert(!StatsPruning.mayMatch(
+      greaterThan(c, LiteralOp("2021-06-02 00:00:00.0", "timestamp")), st))
+    // boundary equality across 'Z' vs '.000Z' renderings
+    assert(StatsPruning.mayMatch(
+      greaterThanOrEqual(c, LiteralOp("2021-06-01T23:59:59Z", "timestamp")), st))
+    // unparsable timestamp => unknown => keep
+    assert(StatsPruning.mayMatch(
+      lessThan(c, LiteralOp("junk", "timestamp")), st))
+  }
+
   test("hint JSON round-trips through the server-side parser") {
     val op = and(Seq(
       lessThan(ColumnOp("l_quantity", "double"), LiteralOp("5", "double")),
