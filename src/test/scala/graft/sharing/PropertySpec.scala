@@ -105,6 +105,73 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stats pruning never skips a file containing a matching row") {
+    // Soundness property for StatsPruning: random file contents (longs +
+    // nulls) + random predicate trees; whenever mayMatch says skip, a
+    // direct SQL-3VL evaluation over every row must find no match.
+    import graft.sharing.PredicateHints._
+    val colX = ColumnOp("x", "long")
+    def litOf(v: Long) = LiteralOp(v.toString, "long")
+    val leafGen: Gen[Op] = Gen.frequency(
+      5 -> (for {
+        v <- Gen.choose(-10L, 10L)
+        mk <- Gen.oneOf[(Op, Op) => Op](equal _, lessThan _,
+          lessThanOrEqual _, greaterThan _, greaterThanOrEqual _)
+      } yield mk(colX, litOf(v))),
+      1 -> Gen.const(isNull(colX)))
+    def opGen(depth: Int): Gen[Op] =
+      if (depth <= 0) leafGen
+      else Gen.frequency(
+        3 -> leafGen,
+        1 -> Gen.lzy(opGen(depth - 1).map(not)),
+        1 -> Gen.lzy(Gen.zip(opGen(depth - 1), opGen(depth - 1))
+          .map { case (a, b) => and(Seq(a, b)) }),
+        1 -> Gen.lzy(Gen.zip(opGen(depth - 1), opGen(depth - 1))
+          .map { case (a, b) => or(Seq(a, b)) }))
+    val fileGen: Gen[List[Option[Long]]] =
+      Gen.listOfN(6, Gen.option(Gen.choose(-10L, 10L)))
+
+    // SQL three-valued row evaluation (None = unknown)
+    def evalRow(op: Op, v: Option[Long]): Option[Boolean] = op match {
+      case NodeOp("isNull", _) => Some(v.isEmpty)
+      case NodeOp(kind, Seq(_: ColumnOp, l: LiteralOp)) =>
+        v.map { x =>
+          val c = x.compare(l.value.toLong)
+          kind match {
+            case "equal" => c == 0
+            case "lessThan" => c < 0
+            case "lessThanOrEqual" => c <= 0
+            case "greaterThan" => c > 0
+            case "greaterThanOrEqual" => c >= 0
+          }
+        }
+      case NodeOp("not", Seq(x)) => evalRow(x, v).map(!_)
+      case NodeOp("and", cs) =>
+        val r = cs.map(evalRow(_, v))
+        if (r.contains(Some(false))) Some(false)
+        else if (r.forall(_.contains(true))) Some(true) else None
+      case NodeOp("or", cs) =>
+        val r = cs.map(evalRow(_, v))
+        if (r.contains(Some(true))) Some(true)
+        else if (r.forall(_.contains(false))) Some(false) else None
+      case _ => None
+    }
+
+    forSamples(Gen.zip(opGen(3), fileGen), n = 500) { case (op, rows) =>
+      val present = rows.flatten
+      val minV = if (present.isEmpty) "" else s""""x":${present.min}"""
+      val maxV = if (present.isEmpty) "" else s""""x":${present.max}"""
+      val stats =
+        s"""{"numRecords":${rows.size},"minValues":{$minV},""" +
+          s""""maxValues":{$maxV},"nullCount":{"x":${rows.count(_.isEmpty)}}}"""
+      if (!StatsPruning.mayMatch(op, Some(stats))) {
+        val survivors = rows.filter(r => evalRow(op, r).contains(true))
+        assert(survivors.isEmpty,
+          s"pruned a file with matching rows: op=${op.json} rows=$rows")
+      }
+    }
+  }
+
   test("date literals always render ISO YYYY-MM-DD") {
     forSamples(Gen.choose(0, 30000)) { days =>
       val d = java.time.LocalDate.ofEpochDay(days.toLong)
