@@ -208,7 +208,10 @@ object Dedup {
     // broadcast so neither join reshuffles the band frame. When it is
     // empty — the common case — AQE collapses both the anti-join (back
     // to the plain frame) and the chain join (empty relation) at
-    // runtime.
+    // runtime. (AQE is on by default in Spark 3.2+/4.x and in every
+    // entry point here; with it force-disabled the empty chain branch
+    // degrades to one extra scan of the cached band frame, not a
+    // correctness issue.)
     val oversized = bandsDf.groupBy("band", "bh")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)

@@ -46,8 +46,11 @@ object GraftSharing {
       limitHint: Option[Long] = None): DataFrame = {
     val schemaForHints = DeltaSchema.fromSchemaString(
       client.getTableMetadata(table)._2.schemaString)
+    // translate ONCE; the wire hint and the stats pruning below derive
+    // from the same Seq[Op] so they can never drift apart
+    val ops = filters.flatMap(f => PredicateHints.fromFilter(f, schemaForHints))
     val (protocol, metadata, files) = client.getTableData(table,
-      PredicateHints.toHintJson(filters, schemaForHints), limitHint)
+      PredicateHints.toHintJson(ops), limitHint)
     if (protocol.minReaderVersion > 1)
       throw DeltaSharingException.other(
         s"unsupported minReaderVersion ${protocol.minReaderVersion}")
@@ -57,7 +60,6 @@ object GraftSharing {
     // files whose min/max envelope provably excludes every pushed
     // filter BEFORE any partition is planned. Purely an optimization —
     // the engine-side residual filter still runs either way.
-    val ops = filters.flatMap(f => PredicateHints.fromFilter(f, schemaForHints))
     dataFrameForFiles(spark, schema, metadata.partitionColumns,
       StatsPruning.prune(files, ops))
   }

@@ -67,6 +67,12 @@ object PredicateHints {
     // Date literals render as YYYY-MM-DD (expr.rs:106-115).
     case (d: java.sql.Date, "date") => d.toString
     case (d: java.time.LocalDate, "date") => d.toString
+    // Timestamp literals render as the UTC INSTANT (ISO-8601), matching
+    // the Catalyst path — java.sql.Timestamp.toString is JVM-default-
+    // zone wall-clock time, which a server or stats pruner comparing
+    // against UTC stats would evaluate hours off.
+    case (t: java.sql.Timestamp, "timestamp") => t.toInstant.toString
+    case (t: java.time.Instant, "timestamp") => t.toString
     case (v, _) => v.toString
   }
 
@@ -184,24 +190,17 @@ object PredicateHints {
     }
   }
 
-  /** Conjoin catalyst filters into one hint JSON. */
-  def toHintJsonFromCatalyst(
-      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-      schema: StructType): Option[String] =
-    filters.flatMap(fromCatalyst(_, schema)) match {
-      case Seq() => None
-      case Seq(one) => Some(one.json)
-      case many => Some(and(many).json)
-    }
+  /** Conjoin translated ops into one hint JSON — the single place the
+    * Seq()/one/many → JSON shape lives; every hint producer goes
+    * through here so wire format and pruning can't drift. */
+  def toHintJson(ops: Seq[Op]): Option[String] = ops match {
+    case Seq() => None
+    case Seq(one) => Some(one.json)
+    case many => Some(and(many).json)
+  }
 
   /** Conjoin all expressible filters into one hint JSON (reference scan
     * conjoins with `conjunction`, table.rs:182). */
-  def toHintJson(filters: Seq[Filter], schema: StructType): Option[String] = {
-    val ops = filters.flatMap(fromFilter(_, schema))
-    ops match {
-      case Seq() => None
-      case Seq(one) => Some(one.json)
-      case many => Some(and(many).json)
-    }
-  }
+  def toHintJson(filters: Seq[Filter], schema: StructType): Option[String] =
+    toHintJson(filters.flatMap(fromFilter(_, schema)))
 }

@@ -96,11 +96,7 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
     // Seq[Op] so they can never drift apart
     val hintOps = catalystFilters.flatMap(
       PredicateHints.fromCatalyst(_, fullSchema))
-    val hints = hintOps match {
-      case Seq() => None
-      case Seq(one) => Some(one.json)
-      case many => Some(PredicateHints.and(many).json)
-    }
+    val hints = PredicateHints.toHintJson(hintOps)
     sentPredicateHints = hints
     val (_, meta, rawFiles) = client.getTableData(ref, hints, limitHint)
     // driver-side stats skipping on the same predicate AST the hint

@@ -44,7 +44,9 @@ final class LocalSharingServer(
       version: Long = 1L,
       changes: Seq[ChangeEntry] = Seq.empty)
 
-  // share -> schema -> table name -> def
+  // share -> schema -> table name -> def; volatile: registered under
+  // synchronized by the caller thread, read by pooled worker threads
+  @volatile
   private var tree: Map[String, Map[String, Map[String, TableDef]]] = Map.empty
   private val signingSecret = java.util.UUID.randomUUID().toString
 
@@ -229,9 +231,11 @@ final class LocalSharingServer(
   /** Parse this request's hints; also mirrored into the @volatile
     * last* fields for test assertions (that copy races under concurrent
     * queries — handlers must use the RETURNED values). */
+  private val hintMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def recordHints(body: String): (Option[String], Option[String]) = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val n = if (body.trim.isEmpty) mapper.createObjectNode() else mapper.readTree(body)
+    val n = if (body.trim.isEmpty) hintMapper.createObjectNode()
+      else hintMapper.readTree(body)
     val ph =
       Option(n.get("jsonPredicateHints")).filterNot(_.isNull).map(_.asText())
     val lh = Option(n.get("limitHint")).filterNot(_.isNull).map(_.asText())

@@ -14,7 +14,8 @@ class PredicateHintsSpec extends AnyFunSuite {
     StructField("name", StringType),
     StructField("score", DoubleType),
     StructField("big", LongType),
-    StructField("bin", BinaryType)))
+    StructField("bin", BinaryType),
+    StructField("ts", TimestampType)))
 
   private def json(f: Filter): String =
     PredicateHints.fromFilter(f, schema).get.json
@@ -56,6 +57,19 @@ class PredicateHintsSpec extends AnyFunSuite {
     assert(PredicateHints.fromFilter(
       And(EqualTo("id", 1), StringContains("name", "x")), schema).get.json
       .contains("\"op\":\"equal\""))
+  }
+
+  test("timestamp literals render as UTC instants regardless of JVM zone") {
+    // java.sql.Timestamp.toString is default-zone wall-clock time; a
+    // pruner comparing it against UTC stats would evaluate hours off
+    val prev = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(
+      java.util.TimeZone.getTimeZone("America/Los_Angeles"))
+    try {
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.parse("2021-06-02T06:00:00Z"))
+      assert(json(LessThan("ts", ts)).contains("2021-06-02T06:00:00Z"))
+    } finally java.util.TimeZone.setDefault(prev)
   }
 
   test("NOT over a partially-translatable AND is dropped (soundness)") {
