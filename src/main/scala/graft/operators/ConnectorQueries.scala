@@ -79,14 +79,51 @@ object ConnectorQueries {
         .collect().map(_.getString(0)).sorted
       val partFiles = pris.zipWithIndex.flatMap { case (p, i) =>
         val dir = s"$stage/orders_p$i"
-        orders.filter(col("o_orderpriority") === p).drop("o_orderpriority")
-          .coalesce(1).write.mode("overwrite").parquet(dir)
+        val slice = orders.filter(col("o_orderpriority") === p)
+          .drop("o_orderpriority")
+        slice.coalesce(1).write.mode("overwrite").parquet(dir)
+        // real per-file stats → the query endpoint and the driver prune
+        // on them (SURVEY §4); computed once at staging time like a
+        // writer collecting footer stats
+        val st = slice.agg(min("o_orderkey"), max("o_orderkey"),
+          count(lit(1))).collect()(0)
+        val statsJson =
+          s"""{"numRecords":${st.getLong(2)},""" +
+            s""""minValues":{"o_orderkey":${st.getLong(0)}},""" +
+            s""""maxValues":{"o_orderkey":${st.getLong(1)}},""" +
+            s""""nullCount":{"o_orderkey":0}}"""
         parquetFiles(dir).map(f =>
-          server.ServedFile(f, Map("o_orderpriority" -> p)))
+          server.ServedFile(f, Map("o_orderpriority" -> p), Some(statsJson)))
       }
       server.addTable("graft", "main", server.TableDef(
         "orders_part", DeltaSchema.toSchemaString(orders.schema),
         partitionColumns = Seq("o_orderpriority"), files = partFiles.toSeq))
+
+      // Key-range-sliced copy with per-file stats: the layout where
+      // stats skipping actually bites (each file owns a disjoint
+      // o_orderkey range, so a key predicate excludes whole files).
+      val qs = orders.stat.approxQuantile("o_orderkey",
+        Array(0.25, 0.5, 0.75), 0.0).map(_.toLong)
+      val bounds = Long.MinValue +: qs.toSeq :+ Long.MaxValue
+      val rangeFiles = bounds.sliding(2).toSeq.zipWithIndex.flatMap {
+        case (Seq(lo, hi), i) =>
+        val dir = s"$stage/orders_r$i"
+        val slice = orders.filter(
+          col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        slice.coalesce(1).write.mode("overwrite").parquet(dir)
+        val st = slice.agg(min("o_orderkey"), max("o_orderkey"),
+          count(lit(1))).collect()(0)
+        val statsJson =
+          s"""{"numRecords":${st.getLong(2)},""" +
+            s""""minValues":{"o_orderkey":${st.getLong(0)}},""" +
+            s""""maxValues":{"o_orderkey":${st.getLong(1)}},""" +
+            s""""nullCount":{"o_orderkey":0}}"""
+        parquetFiles(dir).map(f =>
+          server.ServedFile(f, Map.empty, Some(statsJson)))
+      }
+      server.addTable("graft", "main", server.TableDef(
+        "orders_byrange", DeltaSchema.toSchemaString(orders.schema),
+        Seq.empty, files = rangeFiles.toSeq))
 
       server.start()
       (server, new DeltaSharingClient(Profile.fromJson(server.profileJson)))
@@ -180,6 +217,29 @@ object ConnectorQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), min("o_orderkey").as("first_key"))
         .orderBy("o_orderpriority")
+    },
+
+    // Stats-based file skipping under the gate: orders sliced into four
+    // disjoint o_orderkey ranges, each file carrying min/max stats; the
+    // pushed key predicate prunes whole files (server-side on the hint,
+    // driver-side on the same Op AST) and the result still hash-matches
+    // DuckDB over the unsliced table. Orderkeys are dense 0..N-1 at
+    // every SF, so < 300 sits inside the first quartile from sf0.001 up
+    // (q1 = 375 there) — exactly one slice survives, asserted by
+    // SharingEndToEndSpec.
+    QueryDef.sql(
+      "connector_stats_skipping",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_orderkey < 300""".stripMargin) { (s, d) =>
+      GraftSharing.readTable(s, shared(s, d),
+          TableRef("graft", "main", "orders_byrange"),
+          filters = Seq(org.apache.spark.sql.sources.LessThan(
+            "o_orderkey", java.lang.Long.valueOf(300L))))
+        .filter(col("o_orderkey") < 300)
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     },
 
     // Change data feed rows (the endpoint the reference stubs with

@@ -158,6 +158,14 @@ class SharingEndToEndSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally statsServer.stop()
   }
 
+  test("gate stats-skipping query plans only the matching range slice") {
+    // connector_stats_skipping pushes o_orderkey < 1000 against the
+    // 4-slice range layout — exactly one file may survive pruning
+    val df = graft.SparkEntry.queries("connector_stats_skipping")(spark, sf0001)
+    assert(df.inputFiles.length == 1,
+      s"expected 1 pruned input file, got ${df.inputFiles.length}")
+  }
+
   test("expired signed URL fails with a clear error") {
     val shortServer = new LocalSharingServer(
       urlTtl = java.time.Duration.ofMillis(1))
