@@ -308,6 +308,32 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Conditional aggregation (FILTER clause): several differently-
+    // filtered aggregates in ONE scan pass — the idiom that replaces N
+    // self-joins in reporting queries (Spark SQL supports FILTER
+    // syntax directly; both engines compute it as conditional partial
+    // aggregation).
+    QueryDef.sql(
+      "q_agg_filter",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_all,
+        |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_discounted,
+        |  CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_taxfree
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_af")
+      s.sql(
+        """SELECT l_returnflag,
+          |  COUNT(*) AS n_all,
+          |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+          |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_discounted,
+          |  COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree
+          |FROM graft_lineitem_af GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+
     // MERGE/upsert emulation on plain parquet (the lakehouse maintenance
     // op, expressed as one full-outer join): updates override matched
     // keys, inserts (negative keys here) append, everything else keeps.
