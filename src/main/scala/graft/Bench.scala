@@ -55,6 +55,7 @@ object Bench {
       qs.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        CacheRegistry.releaseAll()
       }
     }
     // One-time INGEST steps for the measured sf dir (bucketed table
@@ -77,7 +78,11 @@ object Bench {
           case e: Throwable =>
             errors += s"$name: ${e.getClass.getSimpleName}"
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // release operator-internal caches OUTSIDE the timed window —
+        // they'd otherwise accumulate across the whole run
+        CacheRegistry.releaseAll()
+        name -> elapsed
       }
     }
     val qJson = results.map { case (k, v) => f""""$k":$v%.3f""" }

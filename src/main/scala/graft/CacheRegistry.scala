@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Tracks intermediate frames that operators persist for intra-query
+  * reuse (MinHash signatures, LSH band/bucket frames, shingle
+  * projections, …) so harnesses can release them once the query's
+  * result is materialized.
+  *
+  * Operators stay LAZY — constructing a pipeline runs no job and cannot
+  * unpersist its own caches (the returned frame still depends on them),
+  * so each `persist` is registered here and `Verify`/`Bench` call
+  * [[releaseAll]] after each query's sink action. Without this, a run
+  * over all gate queries accumulates dozens of cached frames
+  * (MEMORY_AND_DISK) that survive until JVM exit.
+  */
+object CacheRegistry {
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Register an already-persisted frame for later release; returns it
+    * unchanged so call sites can chain `.persist(...).pipe(register)`. */
+  def register[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    frames += ds.toDF()
+    ds
+  }
+
+  /** Unpersist every registered frame (non-blocking) and clear the
+    * registry. Safe to call repeatedly; frames already unpersisted by
+    * their operator (e.g. connectedComponents' per-round labels) are
+    * no-ops. */
+  def releaseAll(): Unit = synchronized {
+    frames.foreach(df => try df.unpersist(blocking = false) catch { case _: Exception => () })
+    frames.clear()
+  }
+
+  /** Number of currently-registered frames (test hook). */
+  def size: Int = synchronized(frames.size)
+}

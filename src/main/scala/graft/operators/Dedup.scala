@@ -178,22 +178,22 @@ object Dedup {
     // multi-session apps)
     graft.functions.GraftFunctions.register(spark)
     val par = spark.sparkContext.defaultParallelism
-    val withSig = docs.repartition(par)
+    val withSig = graft.CacheRegistry.register(docs.repartition(par)
       .select(col(idCol).as("doc_id"),
         shingler(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(spark, col("sh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // persisted: three consumers (oversized-bucket count, the bounded
     // self-join, the oversized chain-link) would each re-run the band
     // explode otherwise; rows are narrow (doc_id, band, bh)
-    val bandsDf = withSig
+    val bandsDf = graft.CacheRegistry.register(withSig
       .select(col("doc_id"), posexplode(graft.functions.GraftFunctions
         .lshBands(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // Skew guard: a bucket with more than maxBucketSize docs (degenerate
     // boilerplate cluster) would turn the self-join into an accidental
@@ -212,11 +212,11 @@ object Dedup {
     // entry point here; with it force-disabled the empty chain branch
     // degrades to one extra scan of the cached band frame, not a
     // correctness issue.)
-    val oversized = bandsDf.groupBy("band", "bh")
+    val oversized = graft.CacheRegistry.register(bandsDf.groupBy("band", "bh")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
       .select("band", "bh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bounded = bandsDf.join(broadcast(oversized), Seq("band", "bh"),
       "left_anti")
     val allPairs = bounded.as("x")
@@ -366,9 +366,9 @@ object Dedup {
     // repartition first — the fingerprint is CPU-bound per row
     val spark = docs.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val fp = docs.repartition(par)
+    val fp = graft.CacheRegistry.register(docs.repartition(par)
       .select(col(idCol).as("doc_id"), simhash(spark, col(textCol)).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val chunks = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("ci"),

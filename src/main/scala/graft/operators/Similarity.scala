@@ -188,9 +188,10 @@ object Similarity {
   def cosinePairs(corpus: DataFrame, threshold: Double,
       numTables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val keyed = lshKeyed(corpus, "vec_id", "vec_id", "embedding",
-        numTables, bitsPerTable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = graft.CacheRegistry.register(
+      lshKeyed(corpus, "vec_id", "vec_id", "embedding",
+          numTables, bitsPerTable)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // score before dedup — the multi-table distinct then handles only
     // narrow (a, b, cos) rows instead of shuffling embedding payloads
     keyed.as("x").join(keyed.as("y"),

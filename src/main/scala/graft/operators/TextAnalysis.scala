@@ -91,9 +91,10 @@ object TextAnalysis {
     // persisted: the shingle projection (the operator's dominant cost)
     // feeds both the hits branch and the n_total base — without this it
     // would run twice
-    val corpusSh = corpus.select(col(idCol).as("doc_id"), sh.as("shs"))
-      .withColumn("n_total", size(col("shs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusSh = graft.CacheRegistry.register(
+      corpus.select(col(idCol).as("doc_id"), sh.as("shs"))
+        .withColumn("n_total", size(col("shs")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val benchSh = benchmark
       .select(explode(Dedup.shingleHashes(col(benchTextCol), shingleSize)).as("h"))
       .distinct()
@@ -320,12 +321,12 @@ object TextAnalysis {
       // one explode pass: tf is the only consumer of raw terms; df and n
       // both derive from (persisted) tf. Ranking uses the ROUNDED score
       // so the rank-3 boundary can't flip on cross-engine ln() ulps.
-      val tf = Tables.documents(s, d)
+      val tf = graft.CacheRegistry.register(Tables.documents(s, d)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = tf.select(countDistinct("doc_id").as("n"))
       val w = org.apache.spark.sql.expressions.Window

@@ -178,7 +178,10 @@ object StatsPruning {
       case kind =>
         val children = Option(n.get("children")).map(_.elements().asScala.toSeq)
           .getOrElse(Seq.empty).map(fromNode)
-        if (children.exists(_.isEmpty)) None
+        // Degenerate composites like {"op":"or"} would evaluate may=false and
+        // prune every file; fail open (ignore the hint) instead — hints are
+        // best-effort, never row-dropping.
+        if (children.isEmpty || children.exists(_.isEmpty)) None
         else Some(NodeOp(kind, children.flatten))
     }
 

@@ -159,7 +159,7 @@ class SharingEndToEndSpec extends SparkTestBase with BeforeAndAfterAll {
   }
 
   test("gate stats-skipping query plans only the matching range slice") {
-    // connector_stats_skipping pushes o_orderkey < 1000 against the
+    // connector_stats_skipping pushes o_orderkey < 300 against the
     // 4-slice range layout — exactly one file may survive pruning
     val df = graft.SparkEntry.queries("connector_stats_skipping")(spark, sf0001)
     assert(df.inputFiles.length == 1,

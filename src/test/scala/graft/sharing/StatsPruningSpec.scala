@@ -100,6 +100,17 @@ class StatsPruningSpec extends AnyFunSuite {
     assert(StatsPruning.parseHintJson("not json at all").isEmpty)
   }
 
+  test("degenerate composite hints are ignored, not evaluated") {
+    // {"op":"or"} with no children would evaluate may=false and prune
+    // EVERY file — the parser must fail open (None) on such hints
+    assert(StatsPruning.parseHintJson("""{"op":"or"}""").isEmpty)
+    assert(StatsPruning.parseHintJson("""{"op":"and","children":[]}""").isEmpty)
+    assert(StatsPruning.parseHintJson("""{"op":"not"}""").isEmpty)
+    // a well-formed sibling inside a degenerate parent is rejected whole
+    assert(StatsPruning.parseHintJson(
+      """{"op":"and","children":[{"op":"or"}]}""").isEmpty)
+  }
+
   test("prune keeps files without stats and drops provable misses") {
     def fa(id: String, st: Option[String]) = FileAction(
       url = s"http://x/$id", id = id, partitionValues = Map.empty,
