@@ -182,6 +182,63 @@ object Similarity {
       .transform(topKSelect(_, k))
   }
 
+  /** Distributed k-means (Lloyd's) over an embedding column — the
+    * "semantic clustering" stage of a training-data pipeline (cluster →
+    * balance/sample/dedup per cluster). Fully declarative and LAZY: the
+    * per-iteration centroid table is a k-row aggregate that stays in the
+    * plan (broadcast to the next assignment join), never on the driver —
+    * at 100 TB each iteration is one corpus scan + one narrow
+    * (cluster, dim) shuffle, and the cross join is k-row broadcast ×
+    * corpus, not a real cross product.
+    *
+    * Cross-engine determinism: initial centroids are the k lowest
+    * vec_ids; assignment ranks on the 4-decimal-rounded squared L2
+    * distance with a centroid-id tiebreak; recomputed centroid means go
+    * through exact DECIMAL sums rounded to 6 decimals — both engines see
+    * bit-identical centroid inputs every iteration, so the oracle can
+    * replay the whole algorithm.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val corpus = emb.repartition(par).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val init = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cen"))
+    def dist2(v: Column, cen: Column): Column =
+      aggregate(zip_with(v, cen, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // nearest centroid per vector: min over a struct orders by rounded
+    // distance first, centroid id second (the ulp-proof tiebreak)
+    def assign(cents: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          round(dist2(col("v"), col("cen")), 4).as("d"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"))).as("best"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"),
+          col("best.cid").as("cluster"), col("best.d").as("dist2"))
+    var assigned = assign(init)
+    for (_ <- 1 until iters) {
+      // exact decimal per-dimension means (order-free), rounded to 6dp so
+      // the next iteration's distances are computed from identical
+      // doubles in both engines
+      val next = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cluster", "i")
+        .agg(round(sum(col("x").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
+        .select(col("cluster").as("cid"),
+          transform(col("ms"), s => s.getField("m")).as("cen"))
+      assigned = assign(next)
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("dist2"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     * generation (multi-table, like annTopK) + exact fused-kernel cosine —
     * the vector-space twin of MinHash dedup. Never an all-pairs product. */
@@ -318,6 +375,48 @@ object Similarity {
                   .cast("bigint"))),
               lit(0L), (acc, v) => acc + v)).as("l1_q"))
         .orderBy("vec_id")
+    },
+
+    // Distributed k-means assignment (2 Lloyd iterations, k=8) — the
+    // semantic-clustering stage. The DuckDB oracle REPLAYS the entire
+    // algorithm (same init, rounded distances with id tiebreaks, exact
+    // decimal centroid means), so every assignment and final distance is
+    // hash-checked, not just row counts.
+    QueryDef.sql(
+      "sim_kmeans",
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cen
+        |  FROM emb WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (e.v[i] - c.cen[i]) * (e.v[i] - c.cen[i]))), 4) AS d
+        |  FROM emb e, c0 c),
+        |a1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid, d,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |    FROM s1) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT cid, list(m ORDER BY i) AS cen FROM (
+        |    SELECT cid, i,
+        |      round(CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE)
+        |        / COUNT(*), 6) AS m
+        |    FROM a1, generate_series(1, 64) t(i) GROUP BY cid, i)
+        |  GROUP BY cid),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (e.v[i] - c.cen[i]) * (e.v[i] - c.cen[i]))), 4) AS d
+        |  FROM emb e, c1 c)
+        |SELECT vec_id, cid AS cluster, d AS dist2 FROM (
+        |  SELECT vec_id, cid, d,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |  FROM s2) WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
     },
 
     // Label-centroid similarity: per-label mean vector via exact decimal

@@ -426,6 +426,83 @@ object TextAnalysis {
           round(sum(length(col("text")).cast("bigint")).cast("double")
             / count(lit(1)), 4).as("mean_chars"))
         .orderBy("source", "lang")
+    },
+
+    // Gopher-style document quality filter: the repetition + lexical
+    // signals (max-word dominance, distinct-word diversity, stopword
+    // presence, mean word length) behind large-scale pretraining corpus
+    // filtering. One explode + two-stage hash aggregation — the word
+    // shuffle carries narrow (doc_id, word) pairs with map-side combine,
+    // and every signal reduces in one pass; nothing per-doc is collected.
+    QueryDef.sql(
+      "text_gopher_quality",
+      """WITH wc AS (
+        |  SELECT doc_id, word, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY doc_id, word)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |  round(CAST(SUM(cnt * length(word)) AS DOUBLE) / SUM(cnt), 4)
+        |    AS mean_word_len,
+        |  round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS max_word_ratio,
+        |  round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS distinct_ratio,
+        |  round(CAST(SUM(CASE WHEN word IN
+        |      ('the','a','of','and','to','in','is') THEN cnt ELSE 0 END)
+        |    AS DOUBLE) / SUM(cnt), 4) AS stopword_ratio,
+        |  CAST(SUM(cnt) >= 20
+        |    AND CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) < 0.2
+        |    AND CAST(COUNT(*) AS DOUBLE) / SUM(cnt) > 0.2
+        |    AND SUM(CASE WHEN word IN
+        |      ('the','a','of','and','to','in','is') THEN cnt ELSE 0 END) > 0
+        |    AS INTEGER) AS keep
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val maxRatio = max("cnt").cast("double") / sum("cnt")
+      val distinctRatio = count(lit(1)).cast("double") / sum("cnt")
+      val stopHits = sum(when(col("word").isin(stopwords: _*), col("cnt"))
+        .otherwise(0L))
+      wc.groupBy("doc_id").agg(
+          sum("cnt").as("n_words"),
+          round(sum(col("cnt") * length(col("word"))).cast("double")
+            / sum("cnt"), 4).as("mean_word_len"),
+          round(maxRatio, 4).as("max_word_ratio"),
+          round(distinctRatio, 4).as("distinct_ratio"),
+          round(stopHits.cast("double") / sum("cnt"), 4).as("stopword_ratio"),
+          (sum("cnt") >= 20 && maxRatio < 0.2 && distinctRatio > 0.2 &&
+            stopHits > 0).cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-level heavy hitters: top-20 bigrams by DOCUMENT frequency
+    // (boilerplate / template detection — the exact counterpart of a
+    // count-min sketch pass). Per-doc DISTINCT bigrams keep the shuffle
+    // bounded by vocabulary, global counts map-side combine, and the
+    // top-k is TakeOrdered (no full sort). Ranked on (df, bigram) — a
+    // total order, so the LIMIT boundary is deterministic cross-engine.
+    QueryDef.sql(
+      "text_top_ngrams",
+      """SELECT ngram, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1]))) AS ngram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents))
+        |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      // zip_with pads the shorter side with null → the trailing
+      // (last-token, null) pair concat()s to null and is filtered out
+      val bigrams = array_distinct(filter(
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks), lit(1))),
+          (x, y) => concat(x, lit(" "), y)),
+        b => b.isNotNull))
+      Tables.documents(s, d)
+        .select(explode(bigrams).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram")).limit(20)
     }
   )
 }

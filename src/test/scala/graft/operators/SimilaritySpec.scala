@@ -120,6 +120,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"cosine-pair recall $recall")
   }
 
+  test("k-means: total assignment, valid clusters, Lloyd objective decreases") {
+    val k = 8
+    val one = Similarity.kmeansAssign(emb, k = k, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val two = Similarity.kmeansAssign(emb, k = k, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val n = emb.count()
+    // every vector assigned exactly once, to a real cluster
+    assert(two.length == n && two.map(_._1).distinct.length == n)
+    assert(two.forall { case (_, c, _) => c >= 0 && c < k })
+    // recomputing centroids (mean step) + reassigning can only lower the
+    // within-cluster SSE — Lloyd's monotonicity, up to 4dp rounding
+    val sse1 = one.map(_._3).sum
+    val sse2 = two.map(_._3).sum
+    assert(sse2 <= sse1 + 0.1, s"objective rose: $sse1 -> $sse2")
+    // the seeded-gaussian corpus is near-isotropic, but assignments must
+    // still use every centroid (empty clusters would signal a broken
+    // argmin or a degenerate init)
+    assert(two.map(_._2).distinct.length == k)
+  }
+
   test("norms computed the decimal-exact way match double math") {
     val row = emb.filter(col("vec_id") === 0)
       .select(Similarity.norm(col("embedding")).as("n")).collect()(0)
