@@ -132,6 +132,16 @@ object ConnectorQueries {
   private def sharedTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     GraftSharing.readTable(spark, shared(spark, sfDir), TableRef("graft", "main", name))
 
+  private val profilePaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val streamSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** A profile FILE for this sfDir's server (the streaming source
+    * resolves its client from a profile path, as an external consumer
+    * would). */
+  private def profileFor(spark: SparkSession, sfDir: String): String =
+    profilePaths.getOrElseUpdate(sfDir,
+      { shared(spark, sfDir); servers(sfDir)._1.writeProfile() })
+
   /** Register the DSv2 catalog for this sfDir's server (idempotent) and
     * return the catalog name. */
   private def catalogFor(spark: SparkSession, sfDir: String): String = {
@@ -258,6 +268,33 @@ object ConnectorQueries {
         |ORDER BY _commit_version, n_nationkey""".stripMargin) { (s, d) =>
       GraftSharing.readChanges(s, shared(s, d),
           TableRef("graft", "main", "nation_cdf"), 2, Some(3))
+        .select(col("n_nationkey"), col("n_name"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy("_commit_version", "n_nationkey")
+    },
+
+    // The change feed consumed as a STREAM (micro-batches keyed by table
+    // version, Trigger.AvailableNow, memory sink): must produce exactly
+    // the batch feed's rows — the same oracle as connector_changes
+    // certifies batch/stream parity through the full connector path.
+    QueryDef.sql(
+      "connector_cdf_stream",
+      """SELECT n_nationkey, n_name, _change_type,
+        |  CAST(_commit_version AS BIGINT) AS _commit_version
+        |FROM (
+        |  SELECT n_nationkey, n_name, 'add' AS _change_type,
+        |    2 AS _commit_version FROM nation WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, 'remove', 3 FROM nation)
+        |ORDER BY _commit_version, n_nationkey""".stripMargin) { (s, d) =>
+      val profilePath = profileFor(s, d)
+      val sink = s"connector_cdf_stream_sink_${streamSinkCounter.incrementAndGet()}"
+      val q = GraftSharing.readChangesStream(s, profilePath,
+          TableRef("graft", "main", "nation_cdf"), startingVersion = 2L)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
         .select(col("n_nationkey"), col("n_name"), col("_change_type"),
           col("_commit_version"))
         .orderBy("_commit_version", "n_nationkey")

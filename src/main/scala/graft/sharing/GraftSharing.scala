@@ -90,6 +90,20 @@ object GraftSharing {
     parts.reduce(_ unionAll _)
   }
 
+  /** Tail the change data feed as a STREAM: each micro-batch covers the
+    * newly committed versions `(cursor, latest]`, with the same
+    * `_change_type`/`_commit_version`/`_commit_timestamp` columns as
+    * [[readChanges]]. Offsets are table versions, checkpoint-recoverable;
+    * files are scanned by Spark's vectorized parquet reader (see
+    * [[graft.sharing.streaming.GraftCdfStreamProvider]]). */
+  def readChangesStream(spark: SparkSession, profilePath: String,
+      table: TableRef, startingVersion: Long): DataFrame =
+    spark.readStream
+      .format("graft-sharing-cdf")
+      .option("path", s"$profilePath#${table.share}.${table.schema}.${table.name}")
+      .option("startingVersion", startingVersion.toString)
+      .load()
+
   /** Reconstruct a table snapshot by folding a change feed onto a base:
     * per commit version (ascending), added rows union in and removed
     * rows fall out (multiset semantics — `exceptAll`, so duplicate rows

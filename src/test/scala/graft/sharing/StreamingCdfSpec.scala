@@ -1,0 +1,184 @@
+package graft.sharing
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkTestBase
+import graft.sharing.server.LocalSharingServer
+import graft.sharing.streaming.{GraftCdfMicroBatchStream, VersionOffset}
+
+/** Streaming CDF source: version-cursor micro-batches over the change
+  * feed (the endpoint the reference stubs with `todo!()`,
+  * src/client/mod.rs:384-386). Batch `readChanges` is the parity oracle.
+  */
+class StreamingCdfSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  private val server = new LocalSharingServer()
+  private var profilePath: String = _
+  private var client: DeltaSharingClient = _
+  private var dir: String = _
+
+  private val table = TableRef("sh", "sc", "orders_cdf")
+
+  private def parquetIn(sub: String) = server.listParquet(s"$dir/$sub").head
+
+  override def beforeAll(): Unit = {
+    val src = graft.Tables.orders(spark, sf0001)
+    dir = java.nio.file.Files.createTempDirectory("graft-cdf-stream").toString
+    src.filter(col("o_orderkey") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v1")
+    src.filter(col("o_orderkey") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v2")
+    src.filter(col("o_orderkey") < 100)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v3")
+
+    server.addTable("sh", "sc", server.TableDef(
+      "orders_cdf", DeltaSchema.toSchemaString(src.schema),
+      partitionColumns = Seq.empty,
+      files = Seq(server.ServedFile(parquetIn("v2"), Map.empty)),
+      version = 2L,
+      changes = Seq(
+        server.ChangeEntry(1L, "add",
+          server.ServedFile(parquetIn("v1"), Map.empty), 1700000001000L),
+        server.ChangeEntry(2L, "add",
+          server.ServedFile(parquetIn("v2"), Map.empty), 1700000002000L),
+        server.ChangeEntry(2L, "remove",
+          server.ServedFile(parquetIn("v1"), Map.empty), 1700000002000L))))
+    server.start()
+    profilePath = server.writeProfile()
+    client = new DeltaSharingClient(Profile.fromJson(server.profileJson))
+  }
+  override def afterAll(): Unit = server.stop()
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run the CDF stream to completion (AvailableNow) into a fresh memory
+    * sink; returns the sink table. */
+  private def runStream(startingVersion: Long,
+      checkpoint: Option[String] = None): DataFrame = {
+    val sink = s"cdf_stream_sink_${sinkCounter.incrementAndGet()}"
+    val writer = GraftSharing
+      .readChangesStream(spark, profilePath, table, startingVersion)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  test("stream equals batch readChanges (full parity, metadata included)") {
+    val streamed = runStream(1L)
+    val batch = GraftSharing.readChanges(spark, client, table, 1L)
+    assert(streamed.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    assert(streamed.exceptAll(batch.select(streamed.columns.map(col): _*))
+      .count() == 0)
+    assert(batch.select(streamed.columns.map(col): _*).exceptAll(streamed)
+      .count() == 0)
+    // timestamps materialized (typed long partition segment)
+    assert(streamed.filter(col("_commit_timestamp") === 1700000001000L)
+      .select("_commit_version").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
+  test("startingVersion skips already-consumed history") {
+    val streamed = runStream(2L)
+    assert(streamed.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // add@2 carries odd orderkeys only (the v2 file)
+    assert(streamed.filter(col("_change_type") === "add")
+      .filter(col("o_orderkey") % 2 === 0).count() == 0)
+  }
+
+  test("checkpoint restart resumes the version cursor, not the history") {
+    // the memory sink forbids recovery; a parquet file sink is the
+    // realistic checkpointed topology (append-only, exactly-once)
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft-cdf-ckpt").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-cdf-out").toString
+    def runToFiles(): DataFrame = {
+      val q = GraftSharing
+        .readChangesStream(spark, profilePath, table, 1L)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", checkpoint).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+    }
+    val first = runToFiles()
+    assert(first.select("_commit_version").distinct().count() == 2)
+    val firstCount = first.count()
+
+    // no new commits: restarting from the checkpoint is a no-op batch
+    assert(runToFiles().count() == firstCount)
+
+    // commit v3 on the server, then restart again from the SAME
+    // checkpoint: only v3 flows through
+    val src = graft.Tables.orders(spark, sf0001)
+    server.addTable("sh", "sc", server.TableDef(
+      "orders_cdf", DeltaSchema.toSchemaString(src.schema),
+      partitionColumns = Seq.empty,
+      files = Seq(server.ServedFile(parquetIn("v2"), Map.empty),
+        server.ServedFile(parquetIn("v3"), Map.empty)),
+      version = 3L,
+      changes = Seq(
+        server.ChangeEntry(1L, "add",
+          server.ServedFile(parquetIn("v1"), Map.empty), 1700000001000L),
+        server.ChangeEntry(2L, "add",
+          server.ServedFile(parquetIn("v2"), Map.empty), 1700000002000L),
+        server.ChangeEntry(2L, "remove",
+          server.ServedFile(parquetIn("v1"), Map.empty), 1700000002000L),
+        server.ChangeEntry(3L, "add",
+          server.ServedFile(parquetIn("v3"), Map.empty), 1700000003000L))))
+    val all = runToFiles()
+    assert(all.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // versions 1-2 were NOT reprocessed; v3 arrived exactly once
+    assert(all.filter(col("_commit_version") < 3).count() == firstCount)
+    assert(all.filter(col("_commit_version") === 3).count() ==
+      src.filter(col("o_orderkey") < 100).count())
+  }
+
+  test("table partition values ride alongside the CDF metadata columns") {
+    val src = graft.Tables.orders(spark, sf0001)
+    val slice = src.filter(col("o_orderkey") < 50).drop("o_orderpriority")
+    slice.coalesce(1).write.mode("overwrite").parquet(s"$dir/part")
+    server.addTable("sh", "sc", server.TableDef(
+      "orders_cdf_part", DeltaSchema.toSchemaString(src.schema),
+      partitionColumns = Seq("o_orderpriority"),
+      files = Seq.empty,
+      version = 1L,
+      changes = Seq(server.ChangeEntry(1L, "add",
+        server.ServedFile(parquetIn("part"),
+          Map("o_orderpriority" -> "1-URGENT")), 1700000001000L))))
+    val sink = s"cdf_stream_sink_part_${sinkCounter.incrementAndGet()}"
+    val q = GraftSharing.readChangesStream(spark, profilePath,
+        TableRef("sh", "sc", "orders_cdf_part"), 1L)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(sink)
+    // partition column sits between the data and CDF metadata columns,
+    // typed and constant; data columns decode from the file bytes
+    assert(got.columns.toSeq.takeRight(4) == Seq("o_orderpriority",
+      "_change_type", "_commit_version", "_commit_timestamp"))
+    assert(got.select("o_orderpriority").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("1-URGENT"))
+    assert(got.count() == slice.count())
+    assert(got.agg(max("o_orderkey")).collect()(0).getLong(0) == 49L)
+  }
+
+  test("offset serde roundtrips and rejects malformed json") {
+    val stream = new GraftCdfMicroBatchStream(client, table,
+      client.getTableMetadata(table)._2,
+      graft.sharing.streaming.GraftCdfStream.cdfSchema(
+        client.getTableMetadata(table)._2), 1L)
+    assert(stream.deserializeOffset(VersionOffset(7L).json) == VersionOffset(7L))
+    assert(stream.deserializeOffset("""{ "version" : -1 }""") == VersionOffset(-1L))
+    intercept[DeltaSharingException](stream.deserializeOffset("""{"ver":1}"""))
+  }
+}
