@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for multi-dimensional file skipping.
+  *
+  * A single-column sort gives perfect min/max pruning on one key and
+  * none on any other; interleaving the bits of two keys (Morton /
+  * Z-order) gives a 1-D sort key whose ranges stay tight on BOTH
+  * dimensions — the standard layout trick behind multi-column data
+  * skipping. Writing 100 TB as
+  * `df.repartitionByRange(N, zorderKey).sortWithinPartitions(zorderKey)`
+  * yields files whose per-file min/max stats prune on either predicate
+  * column (the same stats `StatsPruning` consumes on the read side).
+  *
+  * The interleave is pure integer bit-arithmetic
+  * (`shiftright`/`&`/`<<` folded over 16 bit positions), fully
+  * codegen'd, overflow-free under ANSI (results < 2^32) — and exactly
+  * replicable in any engine, so the gate hash-checks it.
+  */
+object Layout {
+
+  /** Morton (Z-order) interleave of the low 16 bits of two non-negative
+    * keys: bit i of `x` lands at position 2i, bit i of `y` at 2i+1. */
+  def zorder16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  def defs: Seq[QueryDef] = Seq(
+    // Z-order layout audit. Real layouts first QUANTIZE each column to a
+    // bounded grid (range/quantile bucket ids), then interleave the grid
+    // coordinates; here the grid map is `key mod 256` (dense synthetic
+    // keys ⇒ uniform over the full 8-bit grid at every SF). Bucket =
+    // top 6 bits of the 16-bit Morton code — the range buckets a
+    // zorder-sorted write would produce — and each bucket's span on
+    // BOTH grid axes is ≤ 2^5 (3 of 8 bits pinned per axis, asserted in
+    // LayoutSpec): the property that lets per-file min/max stats prune
+    // on either predicate column. The oracle replays the exact bit math.
+    QueryDef.sql(
+      "q_zorder_layout",
+      """WITH z AS (
+        |  SELECT o_custkey % 256 AS cx, o_orderkey % 256 AS cy,
+        |    list_sum(list_transform(generate_series(0, 15), i ->
+        |      (((o_custkey % 256) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+        |        + (((o_orderkey % 256) >> i) & 1)
+        |          * (CAST(1 AS BIGINT) << (2 * i + 1))))
+        |      AS zkey
+        |  FROM orders)
+        |SELECT CAST(zkey >> 10 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(cx) AS BIGINT) AS cust_cell_min,
+        |  CAST(MAX(cx) AS BIGINT) AS cust_cell_max,
+        |  CAST(MIN(cy) AS BIGINT) AS order_cell_min,
+        |  CAST(MAX(cy) AS BIGINT) AS order_cell_max
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      orders
+        .withColumn("cx", col("o_custkey") % 256)
+        .withColumn("cy", col("o_orderkey") % 256)
+        .withColumn("zkey", zorder16(col("cx"), col("cy")))
+        .groupBy(shiftright(col("zkey"), 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("cx").as("cust_cell_min"), max("cx").as("cust_cell_max"),
+          min("cy").as("order_cell_min"), max("cy").as("order_cell_max"))
+        .orderBy("bucket")
+    }
+  )
+}

@@ -59,6 +59,53 @@ object Sampling {
         .orderBy("split")
     },
 
+    // Temperature-weighted corpus mixing (the pretraining source-
+    // balancing step): source s with n_s docs gets an integer quota
+    // ceil(3·n_s^(1/2)) — i.e. p(s) ∝ n_s^α with α=0.5, flattening the
+    // natural distribution toward uniform — and keeps exactly its quota
+    // of docs, chosen by md5 order. Integer quotas + hash ranking mean
+    // BOTH engines select the identical doc set: no float threshold on
+    // the keep decision anywhere. At 100 TB: one count agg (broadcast
+    // back, 20 rows), one window rank per source partition — the same
+    // shuffle stratifiedSample already pays; no driver participation.
+    // sqrt/ceil are IEEE-correctly-rounded so the quota itself is also
+    // engine-stable.
+    QueryDef.sql(
+      "q_temperature_mix",
+      """WITH quota AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    LEAST(COUNT(*), CAST(ceil(3 * sqrt(COUNT(*))) AS BIGINT)) AS q
+        |  FROM documents GROUP BY source),
+        |ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        |  FROM documents)
+        |SELECT r.source, CAST(q.n_docs AS BIGINT) AS n_docs,
+        |  CAST(q.q AS BIGINT) AS quota,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
+        |FROM ranked r JOIN quota q ON r.source = q.source
+        |WHERE r.rk <= q.q
+        |GROUP BY r.source, q.n_docs, q.q
+        |ORDER BY r.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val quota = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("q", least(col("n_docs"),
+          ceil(lit(3) * sqrt(col("n_docs"))).cast("long")))
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")))
+      docs.withColumn("rk", row_number().over(w))
+        .join(broadcast(quota), "source")
+        .filter(col("rk") <= col("q"))
+        .groupBy("source", "n_docs", "q")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"))
+        .select(col("source"), col("n_docs"), col("q").as("quota"),
+          col("n_kept"), col("kept_id_sum"))
+        .orderBy("source")
+    },
+
     // Deterministic stratified sample: 5 docs per source by md5 order —
     // oracle reproduces the window ranking exactly.
     QueryDef.sql(

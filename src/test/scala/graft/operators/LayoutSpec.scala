@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LayoutSpec extends SparkTestBase {
+
+  test("zorder16 interleaves bits exactly (reference pairs)") {
+    import spark.implicits._
+    // (x, y, expected morton code) — hand-computed: bit i of x → 2i,
+    // bit i of y → 2i+1
+    val cases = Seq(
+      (0L, 0L, 0L),
+      (1L, 0L, 1L),
+      (0L, 1L, 2L),
+      (1L, 1L, 3L),
+      (5L, 3L, 27L),        // x=101 → 010001, y=011 → 001010 ⇒ 011011
+      (65535L, 0L, 0x55555555L),
+      (0L, 65535L, 0xAAAAAAAAL),
+      (65535L, 65535L, 0xFFFFFFFFL))
+    val got = cases.toDF("x", "y", "want")
+      .withColumn("z", Layout.zorder16(col("x"), col("y")))
+      .collect()
+    got.foreach(r => assert(r.getAs[Long]("z") == r.getAs[Long]("want"),
+      s"(${r.getLong(0)}, ${r.getLong(1)})"))
+  }
+
+  test("z-order buckets are locality-preserving on both grid axes") {
+    val buckets = graft.Tables.orders(spark, sf0001)
+      .withColumn("cx", col("o_custkey") % 256)
+      .withColumn("cy", col("o_orderkey") % 256)
+      .withColumn("z", Layout.zorder16(col("cx"), col("cy")))
+      .groupBy(shiftright(col("z"), 10).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (max("cx") - min("cx")).as("cx_span"),
+        (max("cy") - min("cy")).as("cy_span"))
+      .collect()
+    // dense keys cover the grid, so many distinct range buckets form
+    assert(buckets.length > 16)
+    // every bucket confines BOTH grid axes: the top 6 bits of the
+    // 16-bit Morton code pin 3 of 8 bits per axis ⇒ span < 2^5 —
+    // the property that lets per-file min/max stats prune on either
+    // predicate column after a zorder-sorted write.
+    buckets.foreach { r =>
+      assert(r.getAs[Long]("cx_span") < 32,
+        s"bucket ${r.get(0)} cx_span ${r.get(2)}")
+      assert(r.getAs[Long]("cy_span") < 32,
+        s"bucket ${r.get(0)} cy_span ${r.get(3)}")
+    }
+  }
+}
