@@ -20,7 +20,8 @@ object PlanAudit {
       "dedup_exact", "sim_topk_brute", "sim_topk_ivf", "connector_filter_pushdown",
       "q_range_join", "q_join_bucketed", "q_join_salted", "q_topk_agg",
       "dedup_minhash_lsh", "q_lateral_explode",
-      "connector_partition_values", "q_setops_all", "q_window_range")
+      "connector_partition_values", "q_setops_all", "q_window_range",
+      "q_temperature_mix", "q_zorder_layout", "sim_kmeans")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")
