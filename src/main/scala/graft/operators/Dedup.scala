@@ -331,6 +331,9 @@ object Dedup {
           "(multiple cluster_ids). Raise maxIter or switch to " +
           "large-star/small-star for long-chain graphs.")
     sym.unpersist(blocking = false)
+    // the converged labels frame backs the returned result — release it
+    // with the query's other operator caches, not at JVM exit
+    graft.CacheRegistry.register(labels)
     labels.withColumnRenamed("label", "cluster_id")
   }
 

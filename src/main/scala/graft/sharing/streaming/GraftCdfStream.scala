@@ -49,25 +49,31 @@ final class GraftCdfStreamProvider extends TableProvider
 
   override def shortName(): String = "graft-sharing-cdf"
 
+  // Spark calls inferSchema then getTable on the same provider instance
+  // per load(); resolve (client, metadata) once and reuse — one REST
+  // round-trip per stream start, not one per callback.
+  private val resolved = scala.collection.concurrent.TrieMap
+    .empty[String, (DeltaSharingClient, TableRef, Metadata)]
+
   private def connect(options: CaseInsensitiveStringMap)
-      : (DeltaSharingClient, TableRef) = {
+      : (DeltaSharingClient, TableRef, Metadata) = {
     val path = Option(options.get("path")).getOrElse(
       throw DeltaSharingException.parseSecurable(
         "graft-sharing-cdf needs a path of the form <profile>#<share>.<schema>.<table>"))
-    val (profilePath, ref) = GraftSharing.parseConnection(path)
-    (new DeltaSharingClient(Profile.fromPath(profilePath)), ref)
+    resolved.getOrElseUpdate(path, {
+      val (profilePath, ref) = GraftSharing.parseConnection(path)
+      val client = new DeltaSharingClient(Profile.fromPath(profilePath))
+      (client, ref, client.getTableMetadata(ref)._2)
+    })
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (client, ref) = connect(options)
-    GraftCdfStream.cdfSchema(client.getTableMetadata(ref)._2)
-  }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftCdfStream.cdfSchema(connect(options)._3)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val (client, ref) = connect(options)
-    val (_, metadata) = client.getTableMetadata(ref)
+    val (client, ref, metadata) = connect(options)
     val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
       .getOrElse(throw DeltaSharingException.parseSecurable(
         "graft-sharing-cdf requires option startingVersion"))
@@ -164,12 +170,24 @@ final class GraftCdfMicroBatchStream(client: DeltaSharingClient,
     }
   }
 
+  /** For batches with zero partitions (version advanced by a
+    * metadata-only commit, or an empty offset range): the exec still
+    * instantiates a reader factory for its RDD, so hand it one that can
+    * never legitimately be asked for a reader. */
+  private object EmptyBatchFactory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[
+            org.apache.spark.sql.catalyst.InternalRow] =
+      throw new IllegalStateException(
+        "reader requested for an empty CDF micro-batch")
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[VersionOffset].version + 1
     val to = end.asInstanceOf[VersionOffset].version
-    if (from > to) { plannedFactory = None; return Array.empty }
+    if (from > to) { plannedFactory = Some(EmptyBatchFactory); return Array.empty }
     val (_, meta, changes) = client.getTableChanges(ref, from, Some(to))
-    if (changes.isEmpty) { plannedFactory = None; return Array.empty }
+    if (changes.isEmpty) { plannedFactory = Some(EmptyBatchFactory); return Array.empty }
 
     SignedHttpFileSystem.register(spark.sparkContext.hadoopConfiguration)
     val partCols = meta.partitionColumns

@@ -31,7 +31,7 @@ object ScaleSmoke {
           failed += q.name
           println(s"SMOKE ${q.name} FAILED: ${e.getClass.getSimpleName}: " +
             s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
-      }
+      } finally graft.CacheRegistry.releaseAll()
     }
     println(if (failed.isEmpty) "SMOKE ALL OK"
       else s"SMOKE FAILED: ${failed.mkString(", ")}")

@@ -27,7 +27,7 @@ class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       "graft.sharing.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.share1.profile.json", server.profileJson)
   }
-  override def afterAll(): Unit = server.stop()
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
 
   test("SHOW NAMESPACES lists shared schemas") {
     val ns = spark.sql("SHOW NAMESPACES IN share1").collect().map(_.getString(0))

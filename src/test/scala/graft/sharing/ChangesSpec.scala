@@ -46,7 +46,7 @@ class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
     server.start()
     client = new DeltaSharingClient(Profile.fromJson(server.profileJson))
   }
-  override def afterAll(): Unit = server.stop()
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
 
   private val table = TableRef("sh", "sc", "orders_cdf")
 

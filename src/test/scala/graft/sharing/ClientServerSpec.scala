@@ -30,7 +30,7 @@ class ClientServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     server.start()
     client = new DeltaSharingClient(Profile.fromJson(server.profileJson))
   }
-  override def afterAll(): Unit = server.stop()
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
 
   test("list shares") {
     assert(client.listShares().map(_.name) == Seq("share1", "share2"))

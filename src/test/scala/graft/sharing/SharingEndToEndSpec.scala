@@ -23,7 +23,7 @@ class SharingEndToEndSpec extends SparkTestBase with BeforeAndAfterAll {
     server.start()
     client = new DeltaSharingClient(Profile.fromJson(server.profileJson))
   }
-  override def afterAll(): Unit = server.stop()
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
 
   private def table = TableRef("share1", "schema1", "lineitem")
 

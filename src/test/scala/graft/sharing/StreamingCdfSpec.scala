@@ -50,7 +50,7 @@ class StreamingCdfSpec extends SparkTestBase with BeforeAndAfterAll {
     profilePath = server.writeProfile()
     client = new DeltaSharingClient(Profile.fromJson(server.profileJson))
   }
-  override def afterAll(): Unit = server.stop()
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -141,6 +141,27 @@ class StreamingCdfSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(all.filter(col("_commit_version") < 3).count() == firstCount)
     assert(all.filter(col("_commit_version") === 3).count() ==
       src.filter(col("o_orderkey") < 100).count())
+    val allCount = all.count()
+
+    // metadata-only commit: the version advances but the feed has no
+    // change actions for it — the stream must emit an EMPTY batch, not
+    // crash on a reader factory for zero partitions
+    server.addTable("sh", "sc", server.TableDef(
+      "orders_cdf", DeltaSchema.toSchemaString(src.schema),
+      partitionColumns = Seq.empty,
+      files = Seq(server.ServedFile(parquetIn("v2"), Map.empty),
+        server.ServedFile(parquetIn("v3"), Map.empty)),
+      version = 4L,
+      changes = Seq(
+        server.ChangeEntry(1L, "add",
+          server.ServedFile(parquetIn("v1"), Map.empty), 1700000001000L),
+        server.ChangeEntry(2L, "add",
+          server.ServedFile(parquetIn("v2"), Map.empty), 1700000002000L),
+        server.ChangeEntry(2L, "remove",
+          server.ServedFile(parquetIn("v1"), Map.empty), 1700000002000L),
+        server.ChangeEntry(3L, "add",
+          server.ServedFile(parquetIn("v3"), Map.empty), 1700000003000L))))
+    assert(runToFiles().count() == allCount)
   }
 
   test("table partition values ride alongside the CDF metadata columns") {
