@@ -28,7 +28,9 @@ object Bench {
     "sim_topk_brute", "sim_topk_ann", "sim_vector_norm",
     "dedup_embedding_cosine", "sim_topk_ivf", "q_session_window",
     "text_stats", "text_token_count", "text_source_profile",
-    "mm_binary_meta")
+    "mm_binary_meta",
+    "sim_kmeans", "text_gopher_quality", "text_top_ngrams",
+    "q_temperature_mix", "q_zorder_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
