@@ -300,6 +300,22 @@ object ConnectorQueries {
         .orderBy("_commit_version", "n_nationkey")
     },
 
+    // TIME TRAVEL: the query body pins `version: 1` (public Delta
+    // Sharing protocol; the reference stubs all history with todo!()).
+    // nation_cdf's CURRENT snapshot is the n_nationkey<10 slice (v3);
+    // the server rewinds its change log — the v2-added slice drops out,
+    // the v3-removed base comes back — so v1 must equal the FULL
+    // original nation table, which is exactly what the oracle reads.
+    QueryDef.sql(
+      "connector_time_travel",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      GraftSharing.readTable(s, shared(s, d),
+          TableRef("graft", "main", "nation_cdf"), versionAsOf = Some(1L))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
     // CDF snapshot reconstruction: v1 base ∪ v2-adds exceptAll
     // v3-removes must collapse to exactly the added slice — which is
     // also nation_cdf's CURRENT file list, so the fold provably agrees

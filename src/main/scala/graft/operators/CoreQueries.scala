@@ -974,6 +974,82 @@ object CoreQueries {
         .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
           .as("suppliers"))
         .orderBy("n_name")
+    },
+
+    // ------------------------------------------------------------------
+    // UNPIVOT / melt: wide measures → long (variable, value) pairs via
+    // Dataset.unpivot — a narrow 4× row fan-out with no shuffle; the
+    // relational dual of q_pivot. Oracle expresses the same reshape as
+    // a UNION ALL so it runs on any ANSI engine.
+    QueryDef.sql(
+      "q_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure,
+        |  CAST(value AS DOUBLE) AS value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |    l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |    l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |    l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+        |    l_tax FROM lineitem)
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          col("value").cast("double").as("value"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    // ------------------------------------------------------------------
+    // Semi-structured VARIANT (Spark 4): parse_json once, then typed
+    // variant_get extraction — the open-schema ingestion path (shredding
+    // happens at scan time, no per-row regex). The oracle extracts the
+    // same field with ANSI-portable string ops, so a hash match proves
+    // the variant path agrees with a plain-text parse.
+    QueryDef.sql(
+      "q_variant_json",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("bigint").as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // ------------------------------------------------------------------
+    // Salted (two-phase) aggregation: the skew-proof decomposition of a
+    // hot-key groupBy — phase 1 aggregates on (key, salt) so a hot key
+    // spreads over 16 reducers, phase 2 folds the partials. Decimal
+    // partials make the result identical to the one-phase plan, which is
+    // exactly what the oracle runs.
+    QueryDef.sql(
+      "q_salted_agg",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,2)")).as("pv"))
+        .groupBy("event_type")
+        .agg(sum(col("pn")).cast("bigint").as("n"),
+          sum(col("pv")).cast("double").as("total"))
+        .orderBy("event_type")
     }
   )
 }

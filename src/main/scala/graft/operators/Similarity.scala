@@ -439,6 +439,50 @@ object Similarity {
         .groupBy("label")
         .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
         .orderBy("label")
+    },
+
+    // ------------------------------------------------------------------
+    // Johnson–Lindenstrauss random projection 64 → 8 dims with ±1
+    // (Achlioptas 2003) weights, the dimensionality-reduction front end
+    // for coarse ANN / clustering at scale: one narrow codegen'd
+    // projection, no shuffle, 8× less vector bandwidth downstream. The
+    // sign matrix is seeded from md5 (rpSign) so any engine regenerates
+    // it; both sides evaluate the SAME literal signs with the same
+    // left-to-right fold, so the doubles agree exactly and round(4) only
+    // guards the float→double widening.
+    QueryDef.sql(
+      "sim_random_projection",
+      {
+        val cols = (0 until 8).map { j =>
+          val terms = (0 until 64).map(i =>
+            s"(CAST(embedding[${i + 1}] AS DOUBLE) * ${rpSign(j, i)}.0)")
+          s"round(${terms.mkString(" + ")}, 4) AS p$j"
+        }
+        s"""SELECT vec_id, ${cols.mkString(", ")}
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }) { (s, d) =>
+      val projected = (0 until 8).map(j =>
+        round(projectionCol(j, 64), 4).as(s"p$j"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: projected: _*)
+        .orderBy("vec_id")
     }
   )
+
+  /** ±1 JL projection weight, seeded from md5 so the matrix is
+    * reproducible by construction on any engine: +1 iff the high nibble
+    * of md5("rp_<outDim>_<inDim>") is even. */
+  def rpSign(j: Int, i: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_${j}_${i}".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 0x1) == 0) 1 else -1
+  }
+
+  /** Output dimension `j` of the ±1 projection: a left-to-right sum of
+    * signed elements (fold order is part of the cross-engine contract —
+    * float addition is not associative). */
+  def projectionCol(j: Int, dim: Int): Column =
+    (0 until dim).map(i =>
+      element_at(col("embedding"), i + 1).cast("double") *
+        lit(rpSign(j, i).toDouble)).reduce(_ + _)
 }

@@ -503,6 +503,58 @@ object TextAnalysis {
         .select(explode(bigrams).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("ngram")).limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // Cross-corpus duplicate SPAN removal (exact-substring dedup à la
+    // Lee et al. 2022, span-granular): cut every doc into non-overlapping
+    // 10-word spans, keep only each span's globally FIRST occurrence
+    // (min doc-position over all docs containing that exact span), and
+    // report per doc how much was cut plus a digest of the cleaned text.
+    // One shuffle keyed by span text (production keys on a 128-bit span
+    // digest to shrink shuffle width — md5 here because the oracle must
+    // replay it), one per-doc re-aggregation; never pairwise. The
+    // first-occurrence rule is a total order (doc_id*1000+span_idx, span
+    // count per doc is bounded by doc length/10 « 1000), so ties are
+    // impossible and the kept set is engine-independent.
+    QueryDef.sql(
+      "text_dedup_spans",
+      """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  md5(coalesce(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY si), '')) AS clean_md5
+        |FROM (
+        |  SELECT doc_id, si, span,
+        |    min(doc_id * 1000 + si) OVER (PARTITION BY span)
+        |      = doc_id * 1000 + si AS kept
+        |  FROM (
+        |    SELECT doc_id, si,
+        |      array_to_string(w[1 + (si - 1) * 10 : si * 10], ' ') AS span
+        |    FROM (
+        |      SELECT doc_id, w,
+        |        unnest(range(1, CAST(ceil(len(w) / 10.0) AS BIGINT) + 1)) AS si
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents))))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(1L),
+            ceil(size(col("w")).cast("double") / 10.0).cast("bigint"))))
+        .select(col("doc_id"), (col("pos") + 1).as("si"),
+          array_join(slice(col("w"),
+            (col("pos") * 10 + 1).cast("int"), lit(10)), " ").as("span"))
+      val owner = org.apache.spark.sql.expressions.Window.partitionBy("span")
+      spans
+        .withColumn("rank", col("doc_id") * 1000 + col("si"))
+        .withColumn("kept", min(col("rank")).over(owner) === col("rank"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dup_spans"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("si"), col("span"))))),
+            x => x("span")), " ")).as("clean_md5"))
+        .orderBy("doc_id")
     }
   )
 }

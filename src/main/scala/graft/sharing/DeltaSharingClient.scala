@@ -100,12 +100,16 @@ final class DeltaSharingClient(val profile: Profile,
   }
 
   /** File listing with optional predicate + limit hints
-    * (src/client/mod.rs:322-382). Hints are best-effort; callers must
+    * (src/client/mod.rs:322-382) and optional time travel (`version` in
+    * the query body per the public Delta Sharing protocol — history the
+    * reference leaves `todo!()`). Hints are best-effort; callers must
     * re-apply filters and limits. */
   def getTableData(table: TableRef, predicateHints: Option[String] = None,
-      limitHint: Option[Long] = None): (Protocol, Metadata, Seq[FileAction]) = {
+      limitHint: Option[Long] = None,
+      version: Option[Long] = None): (Protocol, Metadata, Seq[FileAction]) = {
     val body = (predicateHints.map(p => "\"jsonPredicateHints\":" + jstr(p)) ++
-      limitHint.map(l => "\"limitHint\":\"" + l + "\"")).mkString("{", ",", "}")
+      limitHint.map(l => "\"limitHint\":\"" + l + "\"") ++
+      version.map(v => "\"version\":" + v)).mkString("{", ",", "}")
     val resp = send(HttpRequest.newBuilder(URI.create(tableUrl(table, "query")))
       .header("Authorization", profile.authorization)
       .header("Content-Type", "application/json")

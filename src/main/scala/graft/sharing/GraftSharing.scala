@@ -40,17 +40,20 @@ object GraftSharing {
 
   /** Read a shared table; `filters` become best-effort server hints (the
     * caller must still apply them — Inexact semantics) and `limitHint` is
-    * forwarded but not enforced. */
+    * forwarded but not enforced. `versionAsOf` pins the read to a past
+    * table version (Delta Sharing time travel — the snapshot the server
+    * reconstructs from its change log). */
   def readTable(spark: SparkSession, client: DeltaSharingClient,
       table: TableRef, filters: Seq[Filter] = Seq.empty,
-      limitHint: Option[Long] = None): DataFrame = {
+      limitHint: Option[Long] = None,
+      versionAsOf: Option[Long] = None): DataFrame = {
     val schemaForHints = DeltaSchema.fromSchemaString(
       client.getTableMetadata(table)._2.schemaString)
     // translate ONCE; the wire hint and the stats pruning below derive
     // from the same Seq[Op] so they can never drift apart
     val ops = filters.flatMap(f => PredicateHints.fromFilter(f, schemaForHints))
     val (protocol, metadata, files) = client.getTableData(table,
-      PredicateHints.toHintJson(ops), limitHint)
+      PredicateHints.toHintJson(ops), limitHint, versionAsOf)
     if (protocol.minReaderVersion > 1)
       throw DeltaSharingException.other(
         s"unsupported minReaderVersion ${protocol.minReaderVersion}")

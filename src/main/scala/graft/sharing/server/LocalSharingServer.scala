@@ -206,21 +206,37 @@ final class LocalSharingServer(
           val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
           // THIS request's hints — the @volatile lastPredicateHints copy
           // is for test assertions only and races across worker threads
-          val (predHints, _) = recordHints(body)
-          // jsonPredicateHints actually prune here (files with stats that
-          // provably contain no matching row are not listed) — best-effort
-          // by protocol contract, so clients must still re-filter. Indices
-          // stay ABSOLUTE so signed paths are stable under pruning.
-          val hintOp = predHints
-            .flatMap(graft.sharing.StatsPruning.parseHintJson)
-          val served = td.files.zipWithIndex.filter { case (f, _) =>
-            hintOp.forall(op =>
-              graft.sharing.StatsPruning.mayMatch(op, f.stats))
+          val (predHints, _, versionReq) = recordHints(body)
+          versionReq match {
+            case Some(v) if v > td.version =>
+              respond(x, 400,
+                s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
+                  jstr(s"requested version $v is newer than table version ${td.version}")}}""")
+            case _ =>
+              // Time travel (Delta Sharing protocol `version` in the query
+              // body — history the reference stubs entirely): the file list
+              // as of the requested version, rewound from the change log.
+              val effectiveVersion = versionReq.getOrElse(td.version)
+              val base =
+                if (effectiveVersion == td.version) td.files.zipWithIndex
+                else filesAt(td, effectiveVersion)
+              // jsonPredicateHints actually prune here (files with stats
+              // that provably contain no matching row are not listed) —
+              // best-effort by protocol contract, so clients must still
+              // re-filter. Indices stay ABSOLUTE so signed paths are stable
+              // under pruning.
+              val hintOp = predHints
+                .flatMap(graft.sharing.StatsPruning.parseHintJson)
+              val served = base.filter { case (f, _) =>
+                hintOp.forall(op =>
+                  graft.sharing.StatsPruning.mayMatch(op, f.stats))
+              }
+              respondNdjson(x,
+                Seq(protocolLine, metadataLine(td, effectiveVersion)) ++
+                  served.map { case (f, i) =>
+                    fileLine(s, sc, td, f, i, effectiveVersion)
+                  })
           }
-          respondNdjson(x,
-            Seq(protocolLine, metadataLine(td)) ++ served.map {
-              case (f, i) => fileLine(s, sc, td, f, i)
-            })
         }
       case _ =>
         respond(x, 404,
@@ -228,20 +244,44 @@ final class LocalSharingServer(
     }
   }
 
-  /** Parse this request's hints; also mirrored into the @volatile
-    * last* fields for test assertions (that copy races under concurrent
-    * queries — handlers must use the RETURNED values). */
+  /** Parse this request's hints + time-travel version; also mirrored
+    * into the @volatile last* fields for test assertions (that copy
+    * races under concurrent queries — handlers must use the RETURNED
+    * values). */
   private val hintMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def recordHints(body: String): (Option[String], Option[String]) = {
+  private def recordHints(body: String): (Option[String], Option[String], Option[Long]) = {
     val n = if (body.trim.isEmpty) hintMapper.createObjectNode()
       else hintMapper.readTree(body)
     val ph =
       Option(n.get("jsonPredicateHints")).filterNot(_.isNull).map(_.asText())
     val lh = Option(n.get("limitHint")).filterNot(_.isNull).map(_.asText())
+    val vr = Option(n.get("version")).filterNot(_.isNull).map(_.asLong())
     lastPredicateHints = ph
     lastLimitHint = lh
-    (ph, lh)
+    (ph, lh, vr)
+  }
+
+  /** The table's file list as of version `v`, rewound from the current
+    * snapshot against the change log. A path's state at `v` is its state
+    * just BEFORE its earliest change with version > v: before an "add"
+    * it was absent, before a "remove" it was present. Paths with no
+    * later changes keep their current membership. Indices stay
+    * resolvable by `lookupServed` — surviving current files keep their
+    * absolute index, resurrected files address their change entry
+    * (idx ≥ 1000). */
+  private def filesAt(td: TableDef, v: Long): Seq[(ServedFile, Int)] = {
+    val firstLater: Map[Path, (ChangeEntry, Int)] = td.changes.zipWithIndex
+      .filter { case (c, _) => c.version > v }
+      .groupBy { case (c, _) => c.file.path }
+      .map { case (p, cs) => p -> cs.minBy { case (c, _) => c.version } }
+    val kept = td.files.zipWithIndex.filterNot {
+      case (f, _) => firstLater.contains(f.path)
+    }
+    val resurrected = firstLater.valuesIterator.collect {
+      case (c, i) if c.changeType == "remove" => (c.file, 1000 + i)
+    }.toSeq.sortBy(_._2)
+    kept ++ resurrected
   }
 
   // ---- signed data serving (HTTP Range) ---------------------------------
@@ -330,22 +370,24 @@ final class LocalSharingServer(
 
   private def protocolLine: String = """{"protocol":{"minReaderVersion":1}}"""
 
-  private def metadataLine(td: TableDef): String = {
+  private def metadataLine(td: TableDef): String = metadataLine(td, td.version)
+
+  private def metadataLine(td: TableDef, asOf: Long): String = {
     val parts = td.partitionColumns.map(jstr).mkString("[", ",", "]")
     s"""{"metaData":{"id":"${td.name}-id","format":{"provider":"parquet"},""" +
       s""""schemaString":${jstr(td.schemaString)},"partitionColumns":$parts,""" +
-      s""""configuration":{},"version":${td.version}}}"""
+      s""""configuration":{},"version":$asOf}}"""
   }
 
   private def fileLine(share: String, schema: String, td: TableDef,
-      f: ServedFile, idx: Int): String = {
+      f: ServedFile, idx: Int, asOf: Long): String = {
     val pv = f.partitionValues.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val expires = System.currentTimeMillis() + urlTtl.toMillis
     val statsField = f.stats.map(s => s""""stats":${jstr(s)},""").getOrElse("")
     s"""{"file":{"url":${jstr(signedUrl(share, schema, td, f, idx))},"id":"${td.name}-$idx",""" +
       s""""partitionValues":$pv,"size":${Files.size(f.path)},$statsField""" +
-      s""""version":${td.version},"expirationTimestamp":$expires}}"""
+      s""""version":$asOf,"expirationTimestamp":$expires}}"""
   }
 
   private def changeLine(share: String, schema: String, td: TableDef,

@@ -141,6 +141,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(two.map(_._2).distinct.length == k)
   }
 
+  test("random projection of a one-hot vector reads out the sign matrix") {
+    // projecting e_i yields exactly rpSign(j, i) in output dim j — any
+    // off-by-one in element indexing or sign seeding fails this
+    val spark2 = spark
+    import spark2.implicits._
+    val oneHots = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(64)(k => if (k == i) 1.0f else 0.0f)))
+    val df = oneHots.toDF("vec_id", "embedding")
+    val out = (0 until 8).map(j => Similarity.projectionCol(j, 64).as(s"p$j"))
+    val rows = df.select(col("vec_id") +: out: _*)
+      .collect().map(r => r.getLong(0) -> (0 until 8).map(j => r.getDouble(j + 1)))
+      .toMap
+    for (i <- 0 until 64; j <- 0 until 8)
+      assert(rows(i.toLong)(j) == Similarity.rpSign(j, i).toDouble,
+        s"sign mismatch at in=$i out=$j")
+  }
+
+  test("random projection roughly preserves scaled norms (JL property)") {
+    // E[|Px|²] = k·|x|² for ±1 projections; with k=8 the per-vector
+    // estimate is noisy, so assert the CORPUS-level ratio is within 25%
+    val projected = emb.select(
+      Similarity.norm(col("embedding")).as("n"),
+      (0 until 8).map(j => Similarity.projectionCol(j, 64))
+        .map(c => c * c).reduce(_ + _).as("pn2"))
+    val agg = projected.agg(
+      sum(col("pn2")).as("sum_p"), sum(col("n") * col("n")).as("sum_n"))
+      .collect()(0)
+    val ratio = agg.getDouble(0) / (8.0 * agg.getDouble(1))
+    assert(ratio > 0.75 && ratio < 1.25, s"JL norm ratio $ratio")
+  }
+
   test("norms computed the decimal-exact way match double math") {
     val row = emb.filter(col("vec_id") === 0)
       .select(Similarity.norm(col("embedding")).as("n")).collect()(0)

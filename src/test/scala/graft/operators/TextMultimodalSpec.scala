@@ -131,6 +131,37 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("span dedup keeps exactly one global copy of every span") {
+    // run the gate query's span pipeline invariants directly: total
+    // kept spans == distinct span texts in the corpus, and a doc whose
+    // spans are all unique rebuilds to its original text digest
+    val q = graft.SparkEntry.queries("text_dedup_spans")(spark, sf0001)
+    val byDoc = q.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+    // distinct spans across the corpus == sum of kept (n_spans - n_dup)
+    val distinctSpans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(posexplode(sequence(lit(1L),
+        ceil(size(col("w")).cast("double") / 10.0).cast("bigint"))),
+        col("w"))
+      .select(array_join(slice(col("w"),
+        (col("pos") * 10 + 1).cast("int"), lit(10)), " ").as("span"))
+      .distinct().count()
+    val totalKept = byDoc.values.map(v => v._1 - v._2).sum
+    assert(totalKept == distinctSpans,
+      s"kept $totalKept != distinct spans $distinctSpans")
+
+    // every dup-free doc's cleaned digest equals md5 of its own text
+    val cleanDocs = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = byDoc.filter { case (_, (_, dups, _)) => dups == 0 }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, (_, _, cleanMd5)) =>
+      assert(cleanMd5 == cleanDocs(id), s"doc $id digest changed with 0 dups")
+    }
+  }
+
   test("binary payload roundtrip preserves bytes (sha256 stable)") {
     val a = Multimodal.binaryView(docs)
       .select(sha2(col("payload"), 256).as("h")).orderBy("h")

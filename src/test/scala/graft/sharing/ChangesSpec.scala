@@ -110,6 +110,34 @@ class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(atV1.count() == v1Rows)
   }
 
+  test("time travel rewinds the snapshot from the change log") {
+    // current (v2) files: [v1file, v2file]; changes: add@1 v1file,
+    // add@2 v2file, remove@2 v1file.
+    // v1 = just the v1 file (even orders): the v2 add drops out, the v2
+    // remove of v1file resurrects it.
+    val atV1 = GraftSharing.readTable(spark, client, table,
+      versionAsOf = Some(1L))
+    assert(atV1.count() == v1Rows)
+    assert(atV1.filter(col("o_orderkey") % 2 === 1).count() == 0)
+    // v0 predates every change — the earliest later change to each path
+    // is an "add", so the table was EMPTY (the remove@2 must NOT
+    // resurrect a file whose add@1 is also being rewound).
+    val atV0 = GraftSharing.readTable(spark, client, table,
+      versionAsOf = Some(0L))
+    assert(atV0.count() == 0)
+    // pinning the current version is identical to a plain read
+    val atV2 = GraftSharing.readTable(spark, client, table,
+      versionAsOf = Some(2L))
+    assert(atV2.count() ==
+      GraftSharing.readTable(spark, client, table).count())
+  }
+
+  test("time travel to a future version is a typed client error") {
+    val e = intercept[DeltaSharingException](
+      GraftSharing.readTable(spark, client, table, versionAsOf = Some(99L)))
+    assert(e.getMessage.contains("newer than table version"))
+  }
+
   test("empty range is a typed error") {
     val e = intercept[DeltaSharingException](
       GraftSharing.readChanges(spark, client, table, 99L))
