@@ -30,7 +30,9 @@ object Bench {
     "text_stats", "text_token_count", "text_source_profile",
     "mm_binary_meta",
     "sim_kmeans", "text_gopher_quality", "text_top_ngrams",
-    "q_temperature_mix", "q_zorder_layout")
+    "q_temperature_mix", "q_zorder_layout",
+    "text_dedup_spans", "sim_random_projection", "q_unpivot",
+    "q_salted_agg", "q_variant_json")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

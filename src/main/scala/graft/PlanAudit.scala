@@ -21,7 +21,9 @@ object PlanAudit {
       "q_range_join", "q_join_bucketed", "q_join_salted", "q_topk_agg",
       "dedup_minhash_lsh", "q_lateral_explode",
       "connector_partition_values", "q_setops_all", "q_window_range",
-      "q_temperature_mix", "q_zorder_layout", "sim_kmeans")
+      "q_temperature_mix", "q_zorder_layout", "sim_kmeans",
+      "text_dedup_spans", "sim_random_projection", "q_salted_agg",
+      "q_unpivot")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")
