@@ -542,6 +542,23 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // Approximate percentile (t-digest-style quantile sketch): the
+    // mergeable-summary path for quantiles over data too large to sort.
+    // Sketch internals are engine-specific → rows-only; the spec pins
+    // each estimate against the exact percentile within the accuracy
+    // bound.
+    QueryDef.rowsOnly("q_approx_percentile") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("apx"))
+        .select(col("l_returnflag"),
+          element_at(col("apx"), 1).as("p50"),
+          element_at(col("apx"), 2).as("p90"),
+          element_at(col("apx"), 3).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     // ------------------------------------------------------------------
     // Scalar string functions.
     QueryDef.sql(

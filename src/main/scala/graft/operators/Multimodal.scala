@@ -132,6 +132,41 @@ object Multimodal {
           round(element_at(col("features"), 2), 4).as("mean_byte"),
           element_at(col("features"), 3).as("weighted_mod"))
         .orderBy("media_id")
+    },
+
+    // ViT-style patch extraction: tile the WHOLE payload into 64-byte
+    // patches with raster-order grid coordinates (4 patches per pretend
+    // row) — the tokenization step of an image-transformer ingest, where
+    // each patch becomes one input token. Unlike mm_frame_sample (fixed
+    // probe offsets), this is the complete tiling: the tail patch is
+    // clipped, never padded, and n_bytes records the clip. Narrow
+    // ~len/64 fan-out, no shuffle before the sink. Byte windows on the
+    // Spark side, char windows in the oracle — equal on the ASCII
+    // corpus.
+    QueryDef.sql(
+      "mm_image_patches",
+      """SELECT doc_id AS media_id, CAST(pi AS INTEGER) AS patch_idx,
+        |  CAST(pi // 4 AS INTEGER) AS prow, CAST(pi % 4 AS INTEGER) AS pcol,
+        |  CAST(length(substring(text, CAST(1 + pi*64 AS INTEGER), 64)) AS INTEGER) AS n_bytes,
+        |  md5(substring(text, CAST(1 + pi*64 AS INTEGER), 64)) AS patch_md5
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1))) AS pi
+        |  FROM documents)
+        |ORDER BY media_id, patch_idx""".stripMargin) { (s, d) =>
+      val nPatches = greatest(
+        ceil(length(col("payload")).cast("double") / 64.0).cast("bigint"), lit(1L))
+      binaryView(Tables.documents(s, d))
+        .select(col("media_id"), col("payload"),
+          posexplode(sequence(lit(0L), nPatches - 1)))
+        .select(col("media_id"), col("col").cast("int").as("patch_idx"),
+          floor(col("col") / 4).cast("int").as("prow"),
+          pmod(col("col"), lit(4)).cast("int").as("pcol"),
+          length(expr("substring(payload, CAST(1 + col*64 AS INT), 64)"))
+            .cast("int").as("n_bytes"),
+          md5(expr("substring(payload, CAST(1 + col*64 AS INT), 64)"))
+            .as("patch_md5"))
+        .orderBy("media_id", "patch_idx")
     }
   )
 }

@@ -506,6 +506,47 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Unigram language-model scoring (the perplexity-style quality
+    // filter): build the corpus term-frequency table, join it back to
+    // the token stream, and score each doc by mean negative log
+    // probability — high NLL = rare-token-dense = likely noise. Two
+    // shuffles total (term agg + doc re-agg); the TF table is
+    // vocabulary-sized (≪ corpus at 100 TB) so the scoring join
+    // broadcasts in production. Cross-engine exactness: ln is rounded
+    // to 6 decimals PER TOKEN (absorbs last-ulp libm differences),
+    // then summed as DECIMAL — order-free and bit-stable.
+    QueryDef.sql(
+      "text_unigram_logprob",
+      """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(-SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS nll
+        |FROM (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)) tok
+        |JOIN (SELECT term, COUNT(*) AS cnt FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS term
+        |        FROM documents) GROUP BY term) tf USING (term)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS term
+        |        FROM documents))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = tf.agg(sum(col("cnt")).cast("bigint").as("n"))
+      tok.join(tf, "term")
+        .crossJoin(broadcast(total))
+        .withColumn("lp",
+          round(log(col("cnt").cast("double") / col("n").cast("double")), 6)
+            .cast("decimal(18,6)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round((-sum(col("lp"))).cast("double") / count(lit(1)), 4).as("nll"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
     // Cross-corpus duplicate SPAN removal (exact-substring dedup à la
     // Lee et al. 2022, span-granular): cut every doc into non-overlapping
     // 10-word spans, keep only each span's globally FIRST occurrence

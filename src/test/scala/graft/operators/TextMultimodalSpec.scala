@@ -77,6 +77,65 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(err < 0.05, s"HLL error $err")
   }
 
+  test("approx_percentile brackets the exact percentile per group") {
+    val q = graft.SparkEntry.queries("q_approx_percentile")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val li = Tables.lineitem(spark, sf0001)
+    Seq(0.5, 0.9, 0.99).zipWithIndex.foreach { case (p, i) =>
+      val exact = li.groupBy("l_returnflag")
+        .agg(expr(s"percentile(l_extendedprice, $p)").as("x"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (flag, ex) =>
+        val approx = q(flag)(i)
+        // accuracy=10000 on ~6k rows/group → near-exact; 1% relative
+        // tolerance is generous headroom
+        assert(math.abs(approx - ex) / ex < 0.01,
+          s"flag=$flag p=$p approx=$approx exact=$ex")
+      }
+    }
+  }
+
+  test("unigram NLL: common-token docs score lower than rare-token docs") {
+    val scored = graft.SparkEntry.queries("text_unigram_logprob")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // driver-side replication for one doc: NLL = -mean ln(freq/total)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tf = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = toks.length.toDouble
+    val doc0 = toks.filter(_._1 == 0L).map(_._2)
+    val expected = -doc0.map(t =>
+      BigDecimal(math.log(tf(t) / n)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble).sum / doc0.length
+    assert(math.abs(scored(0L) - expected) < 1e-3,
+      s"doc0 nll ${scored(0L)} vs replicated $expected")
+    // corpus-level sanity: scores are positive and vary
+    assert(scored.values.forall(_ > 0))
+    assert(scored.values.toSet.size > 10)
+  }
+
+  test("image patches tile the payload completely and in order") {
+    val patches = graft.SparkEntry.queries("mm_image_patches")(spark, sf0001)
+      .filter(col("media_id") === 0).collect()
+    val text = docs.filter(col("doc_id") === 0)
+      .collect()(0).getAs[String]("text")
+    val expectedN = math.max(math.ceil(text.length / 64.0).toInt, 1)
+    assert(patches.length == expectedN)
+    // full tiling: byte counts sum to the payload length, tail clipped
+    assert(patches.map(_.getAs[Int]("n_bytes")).sum == text.length)
+    // raster grid: patch 5 sits at row 1, col 1 when the doc is long
+    patches.find(_.getAs[Int]("patch_idx") == 5).foreach { p =>
+      assert(p.getAs[Int]("prow") == 1 && p.getAs[Int]("pcol") == 1)
+    }
+    // first patch digest equals md5 of the first 64 chars (ASCII corpus)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.take(64).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(patches.minBy(_.getAs[Int]("patch_idx")).getAs[String]("patch_md5") == h)
+  }
+
   test("multimodal decode: schema contract + deterministic stub features") {
     val out = Multimodal.decodeFeatures(Multimodal.binaryView(docs))
     assert(out.schema == Multimodal.featureSchema)
