@@ -335,6 +335,22 @@ object ConnectorQueries {
         .orderBy("n_nationkey")
     },
 
+    // SQL time travel through the catalog plugin: Spark's native
+    // `VERSION AS OF` syntax routes to GraftCatalog.loadTable(ident,
+    // version) and pins every server query to that snapshot. v1 of
+    // nation_cdf is the full original nation table (see
+    // connector_time_travel), which is what the oracle reads.
+    QueryDef.sql(
+      "connector_catalog_time_travel",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val cat = catalogFor(s, d)
+      s.sql(
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM $cat.main.nation_cdf VERSION AS OF 1
+           |ORDER BY n_nationkey""".stripMargin)
+    },
+
     // 3-part-name SQL through the DSv2 catalog plugin (share → catalog,
     // schema → namespace; reference src/catalog/mod.rs:46-220) with the
     // vectorized ParquetScan underneath.

@@ -96,6 +96,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** SQL time travel: `SELECT … FROM cat.schema.tbl VERSION AS OF n` —
+    * Catalyst routes the version literal here; the scan pins every
+    * server query to that version (snapshot rewound from the change
+    * log). The reference has no history support at all. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (ident.namespace().length != 1)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(
+      throw DeltaSharingException.other(
+        s"VERSION AS OF must be a numeric table version, got '$version'"))
+    val ref = TableRef(share, ident.namespace()(0), ident.name())
+    try {
+      val (_, metadata) = metadataCache.getOrElseUpdate(ref.toString,
+        client.getTableMetadata(ref))
+      new GraftTable(client, ref, metadata, profilePath, versionAsOf = Some(v))
+    } catch {
+      case e: DeltaSharingException if e.kind == "CLIENT_ERROR" =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
+  }
+
+  /** `TIMESTAMP AS OF` needs latest-version-at-or-before semantics the
+    * sharing protocol's version endpoint cannot express (it returns the
+    * earliest version at-or-after a timestamp) — refuse loudly rather
+    * than silently shifting the snapshot forward. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported for Delta Sharing tables; " +
+        "use VERSION AS OF <n>")
+
   override def invalidateTable(ident: Identifier): Unit =
     metadataCache.remove(
       TableRef(share, ident.namespace().headOption.getOrElse(""), ident.name()).toString)

@@ -20,15 +20,19 @@ import graft.sharing._
 import graft.sharing.fs.SignedHttpFileSystem
 
 /** DSv2 table over a shared Delta table (reference
-  * src/datasource/table.rs:144-218). Read-only batch scans. */
+  * src/datasource/table.rs:144-218). Read-only batch scans;
+  * `versionAsOf` pins every server query to a past version (SQL
+  * `VERSION AS OF` routes here through GraftCatalog). */
 final class GraftTable(client: DeltaSharingClient, ref: TableRef,
-    metadata: Metadata, profilePath: Option[String] = None)
+    metadata: Metadata, profilePath: Option[String] = None,
+    versionAsOf: Option[Long] = None)
   extends Table with SupportsRead {
 
   private val fullSchema: StructType =
     DeltaSchema.fromSchemaString(metadata.schemaString)
 
-  override def name(): String = ref.toString
+  override def name(): String =
+    versionAsOf.fold(ref.toString)(v => s"$ref@v$v")
   override def schema(): StructType = fullSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -43,7 +47,8 @@ final class GraftTable(client: DeltaSharingClient, ref: TableRef,
       metadata.numFiles.map(n => "delta.numFiles" -> n.toString)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(client, ref, metadata, fullSchema, options, profilePath)
+    new GraftScanBuilder(client, ref, metadata, fullSchema, options,
+      profilePath, versionAsOf)
 }
 
 /** Pushdown negotiation (reference src/datasource/table.rs:174-213):
@@ -73,7 +78,8 @@ final class GraftTable(client: DeltaSharingClient, ref: TableRef,
   */
 final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
     metadata: Metadata, fullSchema: StructType,
-    options: CaseInsensitiveStringMap, profilePath: Option[String] = None)
+    options: CaseInsensitiveStringMap, profilePath: Option[String] = None,
+    versionAsOf: Option[Long] = None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -98,7 +104,8 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
       PredicateHints.fromCatalyst(_, fullSchema))
     val hints = PredicateHints.toHintJson(hintOps)
     sentPredicateHints = hints
-    val (_, meta, rawFiles) = client.getTableData(ref, hints, limitHint)
+    val (_, meta, rawFiles) =
+      client.getTableData(ref, hints, limitHint, versionAsOf)
     // driver-side stats skipping on the same predicate AST the hint
     // carries (files the server listed anyway but whose min/max envelope
     // excludes every filter) — the residual FilterExec still re-filters
@@ -109,7 +116,7 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
       SignedHttpFileSystem.encode(f.url, f.size,
         partCols.map(pc => pc -> f.partitionValues.getOrElse(pc, "")), uid,
         refresh = profilePath.map(pp => SignedHttpFileSystem.RefreshSpec(
-          pp, ref.share, ref.schema, ref.name, f.id)))
+          pp, ref.share, ref.schema, ref.name, f.id, versionAsOf)))
     }
     // common synthetic base so hive-style k=v segments become partitions
     val optsWithBase = {

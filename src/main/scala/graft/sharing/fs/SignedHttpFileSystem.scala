@@ -124,18 +124,26 @@ object SignedHttpFileSystem {
     * bearer token itself is never embedded in paths or logs).
     */
   final case class RefreshSpec(profilePath: String, share: String,
-      schema: String, table: String, fileId: String) {
+      schema: String, table: String, fileId: String,
+      /** version-pinned (time travel) read: a refresh must re-list the
+        * SAME snapshot, or an executor racing a table update would read
+        * files from a different version than the plan. */
+      version: Option[Long] = None) {
     def serialized: String =
-      Seq(profilePath, share, schema, table, fileId).map(
+      (Seq(profilePath, share, schema, table, fileId) ++
+        version.map(_.toString)).map(
         java.net.URLEncoder.encode(_, "UTF-8")).mkString("|")
   }
 
   object RefreshSpec {
-    def deserialize(s: String): RefreshSpec = {
-      val Array(p, sh, sc, t, id) = s.split('|').map(
-        java.net.URLDecoder.decode(_, "UTF-8"))
-      RefreshSpec(p, sh, sc, t, id)
-    }
+    def deserialize(s: String): RefreshSpec =
+      s.split('|').map(java.net.URLDecoder.decode(_, "UTF-8")) match {
+        case Array(p, sh, sc, t, id) => RefreshSpec(p, sh, sc, t, id)
+        case Array(p, sh, sc, t, id, v) =>
+          RefreshSpec(p, sh, sc, t, id, Some(v.toLong))
+        case _ => throw new IllegalArgumentException(
+          s"malformed refresh spec: $s")
+      }
   }
 
   private[fs] def decodeRefresh(p: Path): Option[RefreshSpec] = {
@@ -273,7 +281,8 @@ object SignedHttpInputStream {
       val client = new graft.sharing.DeltaSharingClient(
         graft.sharing.Profile.fromPath(spec.profilePath))
       val (_, _, files) = client.getTableData(
-        graft.sharing.TableRef(spec.share, spec.schema, spec.table))
+        graft.sharing.TableRef(spec.share, spec.schema, spec.table),
+        version = spec.version)
       files.find(_.id == spec.fileId).map(_.url).getOrElse(
         throw new java.io.IOException(
           s"file ${spec.fileId} no longer listed for ${spec.table} on refresh"))

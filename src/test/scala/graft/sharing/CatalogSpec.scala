@@ -22,6 +22,22 @@ class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       s"$sf0001/orders.parquet", schemaOf("orders"))
     server.addParquetTable("share1", "geo", "nation",
       s"$sf0001/nation.parquet", schemaOf("nation"))
+    // versioned table for SQL time travel: v1 = full nation, v2 replaced
+    // it with the n_nationkey<10 slice (current snapshot)
+    val nation = spark.read.parquet(s"$sf0001/nation.parquet")
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft-cat-hist").toString
+    nation.filter(col("n_nationkey") < 10).coalesce(1)
+      .write.mode("overwrite").parquet(histDir)
+    val slice = server.listParquet(histDir)
+      .map(f => server.ServedFile(f, Map.empty))
+    val base = server.listParquet(s"$sf0001/nation.parquet")
+      .map(f => server.ServedFile(f, Map.empty))
+    server.addTable("share1", "geo", server.TableDef(
+      "nation_hist", schemaOf("nation"), Seq.empty, files = slice,
+      version = 2,
+      changes = slice.map(f => server.ChangeEntry(2, "add", f)) ++
+        base.map(f => server.ChangeEntry(2, "remove", f))))
     server.start()
     spark.conf.set("spark.sql.catalog.share1",
       "graft.sharing.catalog.GraftCatalog")
@@ -100,6 +116,31 @@ class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema") && plan.contains("l_orderkey"))
     assert(!plan.contains("l_extendedprice"))
+  }
+
+  test("VERSION AS OF pins the snapshot; plain read sees the current one") {
+    val nationRows = spark.read.parquet(s"$sf0001/nation.parquet").count()
+    val current = spark.sql(
+      "SELECT count(*) FROM share1.geo.nation_hist").collect()(0).getLong(0)
+    val atV1 = spark.sql(
+      "SELECT count(*) FROM share1.geo.nation_hist VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    assert(current == 10)
+    assert(atV1 == nationRows)
+  }
+
+  test("VERSION AS OF a future version fails with the protocol error") {
+    val e = intercept[Exception](spark.sql(
+      "SELECT count(*) FROM share1.geo.nation_hist VERSION AS OF 99").collect())
+    assert(e.getMessage.contains("newer than table version"))
+  }
+
+  test("TIMESTAMP AS OF is refused loudly (semantics unexpressible)") {
+    val e = intercept[Exception](spark.sql(
+      """SELECT count(*) FROM share1.geo.nation_hist
+        |TIMESTAMP AS OF '2024-01-01 00:00:00'""".stripMargin).collect())
+    assert(e.getMessage.contains("VERSION AS OF") ||
+      e.getMessage.contains("TIMESTAMP AS OF"))
   }
 
   test("unknown table raises a proper analysis error (no silent None)") {
