@@ -33,7 +33,8 @@ object Bench {
     "q_temperature_mix", "q_zorder_layout",
     "text_dedup_spans", "sim_random_projection", "q_unpivot",
     "q_salted_agg", "q_variant_json",
-    "text_unigram_logprob", "mm_image_patches", "q_approx_percentile")
+    "text_unigram_logprob", "mm_image_patches", "q_approx_percentile",
+    "q_map_funcs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -994,6 +994,39 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // Map type + higher-order map functions: build a linenumber→quantity
+    // map per order (map_from_entries over collected pairs), then read
+    // it back with element_at / size / map_filter. The oracle certifies
+    // the same semantics relationally (maps aren't parquet-comparable
+    // across engines, so the outputs are the extracted scalars).
+    QueryDef.sql(
+      "q_map_funcs",
+      """SELECT l_orderkey, CAST(COUNT(*) AS INTEGER) AS n_items,
+        |  CAST(SUM(CASE WHEN l_linenumber = 1 THEN q END) AS DOUBLE) AS qty1,
+        |  CAST(SUM(CASE WHEN q > 25 THEN 1 ELSE 0 END) AS INTEGER) AS n_hi
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |  FROM lineitem WHERE l_orderkey < 500 GROUP BY 1, 2)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      // map keys must be unique: pre-aggregate per (order, linenumber)
+      // — linenumbers repeat within an order in this corpus
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("q"))
+        .groupBy("l_orderkey")
+        .agg(map_from_entries(collect_list(
+          struct(col("l_linenumber"), col("q")))).as("m"))
+        .select(col("l_orderkey"),
+          size(col("m")).as("n_items"),
+          element_at(col("m"), lit(1)).as("qty1"),
+          size(map_filter(col("m"), (_, v) => v > 25)).as("n_hi"))
+        .orderBy("l_orderkey")
+    },
+
+    // ------------------------------------------------------------------
     // UNPIVOT / melt: wide measures → long (variable, value) pairs via
     // Dataset.unpivot — a narrow 4× row fan-out with no shuffle; the
     // relational dual of q_pivot. Oracle expresses the same reshape as

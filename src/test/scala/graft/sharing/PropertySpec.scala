@@ -172,6 +172,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("time-travel rewind equals forward replay for random change logs") {
+    // simulate a valid delta log forward (adds of absent files, removes
+    // of present ones), register the FINAL state + full log, then check
+    // the server's rewind answers every historical version exactly
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-tt-prop")
+    val paths = (0 until 6).map { i =>
+      val p = dir.resolve(s"f$i.parquet")
+      Files.write(p, Array[Byte](1, 2, 3)); p
+    }
+    val server = new graft.sharing.server.LocalSharingServer()
+    val schemaStr =
+      """{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}"""
+    val cases = (1 to 25).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      var state = Set.empty[Int]
+      val log = Seq.newBuilder[(Long, String, Int)]
+      val states = scala.collection.mutable.Map(0L -> state)
+      val maxV = 4L
+      (1L to maxV).foreach { v =>
+        (0 until 6).foreach { i =>
+          if (rnd.nextDouble() < 0.3) {
+            if (state.contains(i)) { log += ((v, "remove", i)); state -= i }
+            else { log += ((v, "add", i)); state += i }
+          }
+        }
+        states(v) = state
+      }
+      val name = s"t$seed"
+      server.addTable("p", "s", server.TableDef(name, schemaStr, Seq.empty,
+        files = state.toSeq.sorted.map(i =>
+          server.ServedFile(paths(i), Map.empty)),
+        version = maxV,
+        changes = log.result().map { case (v, op, i) =>
+          server.ChangeEntry(v, op, server.ServedFile(paths(i), Map.empty))
+        }))
+      (name, states.toMap)
+    }
+    server.start()
+    val client = new DeltaSharingClient(Profile.fromJson(server.profileJson))
+    try cases.foreach { case (name, states) =>
+      states.foreach { case (v, expected) =>
+        val (_, _, files) =
+          client.getTableData(TableRef("p", "s", name), version = Some(v))
+        val got = files.map(_.url.split('/').last.split('?').head).toSet
+        val want = expected.map(i => s"f$i.parquet")
+        assert(got == want, s"table $name at v$v: got $got want $want")
+      }
+    } finally server.stop()
+  }
+
   test("date literals always render ISO YYYY-MM-DD") {
     forSamples(Gen.choose(0, 30000)) { days =>
       val d = java.time.LocalDate.ofEpochDay(days.toLong)
