@@ -118,6 +118,21 @@ class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(!plan.contains("l_extendedprice"))
   }
 
+  test("small shared table auto-broadcasts (stats reach the planner)") {
+    // the reference reports NO statistics (table.rs:215-217 returns
+    // None) so its host engine can never pick a broadcast join; our
+    // delegated ParquetScan reports file-size stats from the signed
+    // paths, and Catalyst broadcasts the tiny nation side unprompted
+    val plan = spark.sql(
+      """SELECT n_name, count(*) AS n
+        |FROM share1.sales.orders o JOIN share1.geo.nation nt
+        |  ON o.o_orderkey % 25 = nt.n_nationkey
+        |GROUP BY n_name""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join for the tiny shared side:\n$plan")
+  }
+
   test("VERSION AS OF pins the snapshot; plain read sees the current one") {
     val nationRows = spark.read.parquet(s"$sf0001/nation.parquet").count()
     val current = spark.sql(
