@@ -316,6 +316,35 @@ object ConnectorQueries {
         .orderBy("n_nationkey")
     },
 
+    // Streaming AGGREGATION over the CDF source: the stream feeds a
+    // stateful groupBy (complete mode), proving the MicroBatchStream
+    // composes with downstream stateful operators rather than only
+    // dumping rows. Oracle aggregates the same reconstructed feed.
+    QueryDef.sql(
+      "connector_cdf_stream_agg",
+      """SELECT _change_type, CAST(_commit_version AS BIGINT) AS _commit_version,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(n_nationkey) AS BIGINT) AS min_key
+        |FROM (
+        |  SELECT n_nationkey, 'add' AS _change_type, 2 AS _commit_version
+        |  FROM nation WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT n_nationkey, 'remove', 3 FROM nation)
+        |GROUP BY 1, 2 ORDER BY _commit_version, _change_type""".stripMargin) { (s, d) =>
+      val profilePath = profileFor(s, d)
+      val sink = s"connector_cdf_stream_agg_sink_${streamSinkCounter.incrementAndGet()}"
+      val q = GraftSharing.readChangesStream(s, profilePath,
+          TableRef("graft", "main", "nation_cdf"), startingVersion = 2L)
+        .groupBy("_change_type", "_commit_version")
+        .agg(count(lit(1)).as("n"), min("n_nationkey").as("min_key"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("_change_type"), col("_commit_version"),
+          col("n"), col("min_key"))
+        .orderBy("_commit_version", "_change_type")
+    },
+
     // CDF snapshot reconstruction: v1 base ∪ v2-adds exceptAll
     // v3-removes must collapse to exactly the added slice — which is
     // also nation_cdf's CURRENT file list, so the fold provably agrees

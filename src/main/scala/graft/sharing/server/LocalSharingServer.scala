@@ -36,6 +36,10 @@ final class LocalSharingServer(
   final case class ChangeEntry(version: Long, changeType: String,
       file: ServedFile, timestamp: Long = 1700000000000L)
 
+  /** `changes` is assumed to be the COMPLETE history (no log
+    * truncation/vacuum), which is what makes time-travel rewind valid
+    * for any version 0..`version`; a server with a truncated log would
+    * additionally have to reject versions before its retention floor. */
   final case class TableDef(
       name: String,
       schemaString: String,
