@@ -335,7 +335,10 @@ object ConnectorQueries {
       val q = GraftSharing.readChangesStream(s, profilePath,
           TableRef("graft", "main", "nation_cdf"), startingVersion = 2L)
         .groupBy("_change_type", "_commit_version")
-        .agg(count(lit(1)).as("n"), min("n_nationkey").as("min_key"))
+        // n_nationkey is int32 in the parquet — widen to match the
+        // oracle's BIGINT or the gate's schema check fails
+        .agg(count(lit(1)).as("n"),
+          min("n_nationkey").cast("bigint").as("min_key"))
         .writeStream.format("memory").queryName(sink).outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()

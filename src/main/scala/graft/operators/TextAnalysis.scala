@@ -555,8 +555,9 @@ object TextAnalysis {
     // One shuffle keyed by span text (production keys on a 128-bit span
     // digest to shrink shuffle width — md5 here because the oracle must
     // replay it), one per-doc re-aggregation; never pairwise. The
-    // first-occurrence rule is a total order (doc_id*1000+span_idx, span
-    // count per doc is bounded by doc length/10 « 1000), so ties are
+    // first-occurrence rule is a total order (doc_id*1e9+span_idx —
+    // collision-free for any document under 10 billion words, i.e. all
+    // of them, and any corpus under ~9 billion docs), so ties are
     // impossible and the kept set is engine-independent.
     QueryDef.sql(
       "text_dedup_spans",
@@ -565,8 +566,8 @@ object TextAnalysis {
         |  md5(coalesce(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY si), '')) AS clean_md5
         |FROM (
         |  SELECT doc_id, si, span,
-        |    min(doc_id * 1000 + si) OVER (PARTITION BY span)
-        |      = doc_id * 1000 + si AS kept
+        |    min(doc_id * 1000000000 + si) OVER (PARTITION BY span)
+        |      = doc_id * 1000000000 + si AS kept
         |  FROM (
         |    SELECT doc_id, si,
         |      array_to_string(w[1 + (si - 1) * 10 : si * 10], ' ') AS span
@@ -586,7 +587,7 @@ object TextAnalysis {
             (col("pos") * 10 + 1).cast("int"), lit(10)), " ").as("span"))
       val owner = org.apache.spark.sql.expressions.Window.partitionBy("span")
       spans
-        .withColumn("rank", col("doc_id") * 1000 + col("si"))
+        .withColumn("rank", col("doc_id") * 1000000000L + col("si"))
         .withColumn("kept", min(col("rank")).over(owner) === col("rank"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),

@@ -91,9 +91,15 @@ final class DeltaSharingClient(val profile: Profile,
         "missing Delta-Table-Version header"))
   }
 
-  /** Protocol + metadata, NDJSON (src/client/mod.rs:283-319). */
-  def getTableMetadata(table: TableRef): (Protocol, Metadata) = {
-    val resp = send(HttpRequest.newBuilder(URI.create(tableUrl(table, "metadata")))
+  /** Protocol + metadata, NDJSON (src/client/mod.rs:283-319).
+    * `version` pins the metadata to a past table version (time travel) —
+    * required for version-pinned reads, where the CURRENT schema may
+    * not describe the rewound files. */
+  def getTableMetadata(table: TableRef,
+      version: Option[Long] = None): (Protocol, Metadata) = {
+    val base = tableUrl(table, "metadata")
+    val url = version.fold(base)(v => s"$base?version=$v")
+    val resp = send(HttpRequest.newBuilder(URI.create(url))
       .header("Authorization", profile.authorization).GET().build())
     checkStatus(resp)
     Actions.parseMetadataResponse(resp.body())

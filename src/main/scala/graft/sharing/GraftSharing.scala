@@ -48,7 +48,7 @@ object GraftSharing {
       limitHint: Option[Long] = None,
       versionAsOf: Option[Long] = None): DataFrame = {
     val schemaForHints = DeltaSchema.fromSchemaString(
-      client.getTableMetadata(table)._2.schemaString)
+      client.getTableMetadata(table, versionAsOf)._2.schemaString)
     // translate ONCE; the wire hint and the stats pruning below derive
     // from the same Seq[Op] so they can never drift apart
     val ops = filters.flatMap(f => PredicateHints.fromFilter(f, schemaForHints))

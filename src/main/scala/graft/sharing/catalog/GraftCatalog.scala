@@ -82,37 +82,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     client.listTables(SchemaRef(share, namespace(0)))
       .map(t => Identifier.of(namespace, t.name)).toArray
 
-  override def loadTable(ident: Identifier): Table = {
-    if (ident.namespace().length != 1)
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    val ref = TableRef(share, ident.namespace()(0), ident.name())
-    try {
-      val (_, metadata) = metadataCache.getOrElseUpdate(ref.toString,
-        client.getTableMetadata(ref))
-      new GraftTable(client, ref, metadata, profilePath)
-    } catch {
-      case e: DeltaSharingException if e.kind == "CLIENT_ERROR" =>
-        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    }
-  }
+  override def loadTable(ident: Identifier): Table =
+    loadTableInternal(ident, None)
 
   /** SQL time travel: `SELECT … FROM cat.schema.tbl VERSION AS OF n` —
     * Catalyst routes the version literal here; the scan pins every
     * server query to that version (snapshot rewound from the change
-    * log). The reference has no history support at all. */
+    * log), and the METADATA fetch is version-pinned too, so rewound
+    * files decode with the schema as of that version, not today's. The
+    * reference has no history support at all. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (ident.namespace().length != 1)
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse(
       throw DeltaSharingException.other(
         s"VERSION AS OF must be a numeric table version, got '$version'"))
+    loadTableInternal(ident, Some(v))
+  }
+
+  private def loadTableInternal(ident: Identifier,
+      versionAsOf: Option[Long]): Table = {
+    if (ident.namespace().length != 1)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val ref = TableRef(share, ident.namespace()(0), ident.name())
+    val cacheKey = versionAsOf.fold(ref.toString)(v => s"$ref@v$v")
     try {
-      val (_, metadata) = metadataCache.getOrElseUpdate(ref.toString,
-        client.getTableMetadata(ref))
-      new GraftTable(client, ref, metadata, profilePath, versionAsOf = Some(v))
+      val (_, metadata) = metadataCache.getOrElseUpdate(cacheKey,
+        client.getTableMetadata(ref, versionAsOf))
+      new GraftTable(client, ref, metadata, profilePath, versionAsOf)
     } catch {
-      case e: DeltaSharingException if e.kind == "CLIENT_ERROR" =>
+      // only a missing table maps to NoSuchTable; other 4xx (e.g. a
+      // future VERSION AS OF) must surface their real message
+      case e: DeltaSharingException if e.kind == "CLIENT_ERROR" &&
+          e.getMessage.contains("RESOURCE_DOES_NOT_EXIST") =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }
   }

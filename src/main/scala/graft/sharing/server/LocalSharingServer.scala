@@ -186,8 +186,22 @@ final class LocalSharingServer(
           }
         }
       case List("shares", s, "schemas", sc, "tables", t, "metadata") =>
-        withTable(x, s, sc, t)(td =>
-          respondNdjson(x, Seq(protocolLine, metadataLine(td))))
+        withTable(x, s, sc, t) { td =>
+          // optional `version` query param (Delta Sharing time travel):
+          // metadata as of that version — this fixture has one
+          // schemaString per table, so only the version field varies,
+          // but the validation mirrors the query endpoint's
+          queryParams(x).get("version").flatMap(_.toLongOption) match {
+            case Some(v) if v > td.version =>
+              respond(x, 400,
+                s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
+                  jstr(s"requested version $v is newer than table version ${td.version}")}}""")
+            case Some(v) =>
+              respondNdjson(x, Seq(protocolLine, metadataLine(td, v)))
+            case None =>
+              respondNdjson(x, Seq(protocolLine, metadataLine(td)))
+          }
+        }
       case List("shares", s, "schemas", sc, "tables", t, "changes") =>
         // Change data feed — the endpoint the reference stubs with
         // todo!() (src/client/mod.rs:384-386); wire format follows the
@@ -275,8 +289,12 @@ final class LocalSharingServer(
     * absolute index, resurrected files address their change entry
     * (idx ≥ 1000). */
   private def filesAt(td: TableDef, v: Long): Seq[(ServedFile, Int)] = {
+    // only add/remove change MEMBERSHIP; a "cdf" entry describes row
+    // changes within a surviving file and must neither veto nor
+    // resurrect it
     val firstLater: Map[Path, (ChangeEntry, Int)] = td.changes.zipWithIndex
-      .filter { case (c, _) => c.version > v }
+      .filter { case (c, _) =>
+        c.version > v && (c.changeType == "add" || c.changeType == "remove") }
       .groupBy { case (c, _) => c.file.path }
       .map { case (p, cs) => p -> cs.minBy { case (c, _) => c.version } }
     val kept = td.files.zipWithIndex.filterNot {

@@ -132,6 +132,16 @@ class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
       GraftSharing.readTable(spark, client, table).count())
   }
 
+  test("metadata fetch can be version-pinned") {
+    val (_, metaV1) = client.getTableMetadata(table, Some(1L))
+    assert(metaV1.version.contains("1"))
+    val (_, metaNow) = client.getTableMetadata(table)
+    assert(metaNow.version.contains("2"))
+    val e = intercept[DeltaSharingException](
+      client.getTableMetadata(table, Some(99L)))
+    assert(e.getMessage.contains("newer than table version"))
+  }
+
   test("time travel to a future version is a typed client error") {
     val e = intercept[DeltaSharingException](
       GraftSharing.readTable(spark, client, table, versionAsOf = Some(99L)))
