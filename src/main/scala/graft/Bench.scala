@@ -74,30 +74,42 @@ object Bench {
     try graft.operators.StreamingOps.stagedEventsDir(spark, sfDir)
     catch { case e: Throwable => errors += s"stage_events: ${e.getClass.getSimpleName}" }
 
+    // Median-of-N: this host shows migrating ~20 s contention windows that
+    // poison a contiguous block of a single-shot run (observed two rounds
+    // in a row on byte-identical code). Three interleaved-in-time runs per
+    // query and the median filters any one-off window; min is reported too
+    // as the contention-free floor.
+    val runsPerQuery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = headline.flatMap { name =>
       qs.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try {
-          // noop sink: full plan executes (scan→…→result), nothing lands.
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch {
-          case e: Throwable =>
-            errors += s"$name: ${e.getClass.getSimpleName}"
-        }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // release operator-internal caches OUTSIDE the timed window —
-        // they'd otherwise accumulate across the whole run
-        CacheRegistry.releaseAll()
-        name -> elapsed
+        val times = (1 to runsPerQuery).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            // noop sink: full plan executes (scan→…→result), nothing lands.
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          } catch {
+            case e: Throwable =>
+              errors += s"$name: ${e.getClass.getSimpleName}"
+          }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // release operator-internal caches OUTSIDE the timed window —
+          // they'd otherwise accumulate across the whole run
+          CacheRegistry.releaseAll()
+          elapsed
+        }.sorted
+        name -> (times(times.length / 2), times.head)
       }
     }
-    val qJson = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qJson = results.map { case (k, (med, _)) => f""""$k":$med%.3f""" }
+      .mkString("{", ",", "}")
+    val qMinJson = results.map { case (k, (_, mn)) => f""""$k":$mn%.3f""" }
       .mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2._1).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"queries":$qJson,"queries_min":$qMinJson,"errors":$errJson,"sf":"$sfDir"}""")
     graft.operators.ConnectorQueries.stopAll()
     spark.stop()
     sys.exit(0) // don't let stray non-daemon threads pin the JVM

@@ -48,9 +48,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Full query-name list so harnesses can detect silently-failed dumps.
+    // Query-name list so harnesses can detect silently-failed dumps —
+    // only the SELECTED names under a filter, or a filtered local run
+    // would misreport every unselected query as a silent failure.
     Files.writeString(Paths.get(s"$outDir/names.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+      SparkEntry.queries.keys.toSeq
+        .filter(n => only.forall(_.contains(n))).sorted.mkString("\n"))
     graft.operators.ConnectorQueries.stopAll()
     spark.stop()
     sys.exit(0) // don't let stray non-daemon threads pin the JVM

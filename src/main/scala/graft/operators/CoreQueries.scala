@@ -533,29 +533,56 @@ object CoreQueries {
 
     // ------------------------------------------------------------------
     // Approximate distinct (HLL++). Sketch internals differ from DuckDB's
-    // estimator, so this is a rows-only check; the spec asserts the
-    // estimate is within 5% of exact.
-    QueryDef.rowsOnly("q_approx_distinct") { (s, d) =>
+    // estimator, so the raw estimate can't hash-match across engines;
+    // instead the query emits the EXACT distinct count (oracle-replayable)
+    // plus a thresholded error check of the sketch against it — the
+    // rows+schema+hash gate then certifies the sketch is within its
+    // advertised 5% bound, not merely that some rows came back.
+    QueryDef.sql(
+      "q_approx_distinct",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  1 AS err_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey", 0.01).as("approx_parts"))
+        .agg(approx_count_distinct("l_partkey", 0.01).as("apx"),
+          countDistinct("l_partkey").as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("apx") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.05).cast("int").as("err_ok"))
         .orderBy("l_returnflag")
     },
 
-    // Approximate percentile (t-digest-style quantile sketch): the
-    // mergeable-summary path for quantiles over data too large to sort.
-    // Sketch internals are engine-specific → rows-only; the spec pins
-    // each estimate against the exact percentile within the accuracy
-    // bound.
-    QueryDef.rowsOnly("q_approx_percentile") { (s, d) =>
+    // Approximate percentile (quantile sketch): the mergeable-summary
+    // path for quantiles over data too large to sort. Same pinning
+    // pattern as q_approx_distinct: emit the EXACT interpolated
+    // percentiles (both engines implement the standard p·(n-1) linear
+    // interpolation, so they hash-match at 2dp) plus a thresholded
+    // relative-error check of the sketch (accuracy=10000 ⇒ rank error
+    // ≤ 1e-4·n; 1% value tolerance is generous headroom on this data).
+    QueryDef.sql(
+      "q_approx_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_exact,
+        |  1 AS err_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val errOk = (1 to 3).map { i =>
+        abs(element_at(col("apx"), i) - element_at(col("ex"), i)) /
+          element_at(col("ex"), i) <= 0.01
+      }.reduce(_ && _)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_percentile(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("apx"))
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("apx"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ex"))
         .select(col("l_returnflag"),
-          element_at(col("apx"), 1).as("p50"),
-          element_at(col("apx"), 2).as("p90"),
-          element_at(col("apx"), 3).as("p99"))
+          round(element_at(col("ex"), 1), 2).as("p50_exact"),
+          round(element_at(col("ex"), 2), 2).as("p90_exact"),
+          round(element_at(col("ex"), 3), 2).as("p99_exact"),
+          errOk.cast("int").as("err_ok"))
         .orderBy("l_returnflag")
     },
 

@@ -526,9 +526,36 @@ object Dedup {
         .withColumn("is_keeper", (col("id") === col("cluster_id")).cast("int"))
     },
 
-    // SimHash near-dup pairs (rows-only; SimHashSpec verifies recall).
-    QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
-      simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+    // SimHash near-dup pairs, pinned to a checkable quality summary:
+    // ground truth is the exact word-3-shingle Jaccard≥0.8 pair set —
+    // the oracle computes it all-pairs at gate scale, Spark computes the
+    // SAME set via the MinHash+LSH path (full recall on this corpus,
+    // certified by the dedup_minhash_lsh gate) — and the output asserts
+    // SimHash recall on that truth set ≥ 0.5 as a checked column, the
+    // floor DedupSpec pins. The raw pair rows remain covered by
+    // DedupSpec's hamming/recall assertions.
+    QueryDef.sql(
+      "dedup_simhash",
+      s"""WITH $wordShingleCte, pairs AS (
+        |$jaccardPairsSelect
+        |)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_true_pairs, 1 AS recall_ok
+        |FROM pairs""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val found = simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select("doc_a", "doc_b")
+      val truth = minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select("doc_a", "doc_b")
+      val stats = truth
+        .join(found.withColumn("f", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          sum(coalesce(col("f"), lit(0))).as("n_hits"))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(stats)
+        .select(col("n_docs"), col("n_true_pairs"),
+          when(col("n_true_pairs") === 0, lit(1))
+            .otherwise((col("n_hits").cast("double") / col("n_true_pairs")
+              >= 0.5).cast("int")).as("recall_ok"))
     },
 
     // Edit-distance near-dup on LSH-pruned candidates: Levenshtein over
