@@ -107,13 +107,72 @@ object GraftSharing {
       .option("startingVersion", startingVersion.toString)
       .load()
 
-  /** Reconstruct a table snapshot by folding a change feed onto a base:
+  /** Reconstruct a table snapshot by applying a change feed onto a base:
     * per commit version (ascending), added rows union in and removed
-    * rows fall out (multiset semantics — `exceptAll`, so duplicate rows
-    * are removed once per removal, matching file-level CDF). Only the
-    * version LIST is collected to the driver (commit metadata, not
-    * data); each fold step stays a distributed union/anti-join. */
+    * rows fall out (multiset semantics: duplicate rows are removed once
+    * per removal, matching file-level CDF).
+    *
+    * CONSTANT plan depth, independent of the version count. The naive
+    * per-version `unionAll`/`exceptAll` fold (kept below as
+    * [[applyChangesFold]], the semantic oracle) builds an O(#versions)
+    * plan — at hundreds of commits the analyzer/lineage cost alone
+    * becomes a driver-side bottleneck. Instead, note that per distinct
+    * row value the fold is the queue recursion
+    * `c_v = max(c_{v-1} + adds_v − removes_v, 0)`, whose closed form
+    * over per-version deltas δ with prefix sums S is
+    * `c_final = S_n + max(base_count, −min_k S_k)`. One aggregation
+    * keyed on row identity + `_commit_version`, one `array_sort` over
+    * the (tiny) per-row version list, and a null-safe full-outer join
+    * against base counts compute exactly that — a fixed number of
+    * shuffles at any history length, all distributed on row identity. */
   def applyChanges(base: DataFrame, changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataCols = base.columns.toSeq
+    // (row value, version) → net delta, then per row value the
+    // version-ascending delta list (array_sort orders structs by their
+    // first field, `v` — unique per row after the two-key groupBy)
+    val perRow = changes
+      .filter(col("_change_type").isin("add", "remove"))
+      .select(dataCols.map(col) :+ col("_commit_version").as("_v") :+
+        when(col("_change_type") === "add", 1L).otherwise(-1L).as("_d"): _*)
+      .groupBy((dataCols :+ "_v").map(col): _*)
+      .agg(sum(col("_d")).as("_delta"))
+      .groupBy(dataCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("_v").as("v"),
+        col("_delta").as("d")))).as("_ds"))
+    val baseCounts = base.groupBy(dataCols.map(col): _*)
+      .agg(count(lit(1)).as("_b"))
+    // null-safe join: CDF rows with NULL data columns must line up with
+    // equal base rows, exactly as exceptAll treats NULL = NULL
+    val joinCond = dataCols.map(c => baseCounts(c) <=> perRow(c))
+      .reduce(_ && _)
+    baseCounts.join(perRow, joinCond, "full_outer")
+      .select(
+        dataCols.map(c => coalesce(baseCounts(c), perRow(c)).as(c)) ++ Seq(
+          coalesce(col("_b"), lit(0L)).as("_b"),
+          coalesce(col("_ds"),
+            array().cast("array<struct<v:bigint,d:bigint>>")).as("_ds")): _*)
+      // running (prefix sum, running min) over the version-ordered
+      // deltas; including S_0 = 0 in the min is harmless since the base
+      // count is never negative
+      .withColumn("_acc",
+        aggregate(col("_ds"), struct(lit(0L).as("s"), lit(0L).as("m")),
+          (acc, x) => {
+            val s2 = acc.getField("s") + x.getField("d")
+            struct(s2.as("s"), least(acc.getField("m"), s2).as("m"))
+          }))
+      .withColumn("_n",
+        col("_acc.s") + greatest(col("_b"), -col("_acc.m")))
+      .filter(col("_n") > 0)
+      .withColumn("_i", explode(sequence(lit(1L), col("_n"))))
+      .select(dataCols.map(col): _*)
+  }
+
+  /** The per-version `unionAll`/`exceptAll` fold — the readable semantic
+    * statement of [[applyChanges]], kept as its test oracle. O(#versions)
+    * plan depth: do not use on long histories. */
+  private[sharing] def applyChangesFold(base: DataFrame,
+      changes: DataFrame): DataFrame = {
     val dataCols = base.columns.toSeq
     val versions = changes.select("_commit_version").distinct()
       .collect().map(_.getLong(0)).sorted

@@ -46,7 +46,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       else if (options.containsKey("profile")) Profile.fromPath(options.get("profile"))
       else throw DeltaSharingException.profile(
         s"catalog $name needs spark.sql.catalog.$name.profile")
-    client = new DeltaSharingClient(profile)
+    // optional page-size knob for the catalog listings — without it a
+    // share with thousands of tables lists in one giant page request
+    val maxResults = Option(options.get("maxResults")).map(raw =>
+      raw.toIntOption.filter(_ > 0).getOrElse(throw DeltaSharingException.other(
+        s"spark.sql.catalog.$name.maxResults must be a positive integer, got '$raw'")))
+    client = new DeltaSharingClient(profile, maxResults)
   }
 
   override def name(): String = catalogName
@@ -117,22 +122,55 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  /** `TIMESTAMP AS OF` needs latest-version-at-or-before semantics the
-    * sharing protocol's version endpoint cannot express (it returns the
-    * earliest version at-or-after a timestamp) — refuse loudly rather
-    * than silently shifting the snapshot forward. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF is not supported for Delta Sharing tables; " +
-        "use VERSION AS OF <n>")
+  /** SQL time travel by timestamp: `… TIMESTAMP AS OF t`. The sharing
+    * protocol's version endpoint answers "earliest version AT-OR-AFTER a
+    * timestamp", while TIMESTAMP AS OF wants "latest AT-OR-BEFORE" — so
+    * ask for the first version strictly AFTER the target instant: its
+    * predecessor is the wanted snapshot, and a RESOURCE_DOES_NOT_EXIST
+    * (nothing after) means the target is at/after the last commit, i.e.
+    * the current version. Version 0 as the first-after means the target
+    * predates the table's history — a hard error, like Delta's. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val ref = TableRef(share, ident.namespace().headOption.getOrElse(""),
+      ident.name())
+    // Catalyst passes TIMESTAMP AS OF in MICROSECONDS since the epoch
+    val instant = java.time.Instant.ofEpochMilli(timestamp / 1000L)
+    val after = instant.plusMillis(1L).toString
+    val v =
+      try {
+        val firstAfter = client.getTableVersion(ref, Some(after))
+        if (firstAfter <= 0)
+          throw DeltaSharingException.other(
+            s"TIMESTAMP AS OF $instant is before the earliest version of $ref")
+        firstAfter - 1
+      } catch {
+        case e: DeltaSharingException if e.kind == "CLIENT_ERROR" &&
+            e.getMessage.contains("RESOURCE_DOES_NOT_EXIST") =>
+          client.getTableVersion(ref)
+      }
+    loadTableInternal(ident, Some(v))
+  }
 
-  override def invalidateTable(ident: Identifier): Unit =
-    metadataCache.remove(
-      TableRef(share, ident.namespace().headOption.getOrElse(""), ident.name()).toString)
+  /** Evict BOTH the latest-snapshot entry and every `@vN` version-pinned
+    * entry for the table — removing only the base key would leave stale
+    * pinned metadata resurrectable forever (the cache is unbounded). */
+  override def invalidateTable(ident: Identifier): Unit = {
+    val base = TableRef(share, ident.namespace().headOption.getOrElse(""),
+      ident.name()).toString
+    metadataCache.keys
+      .filter(k => k == base || k.startsWith(s"$base@v"))
+      .foreach(metadataCache.remove)
+  }
 
+  /** Only a confirmed missing table is `false`; a 500 / auth failure /
+    * network outage propagates — reporting "does not exist" for an
+    * unreachable server would let callers silently drop real tables. */
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true }
-    catch { case _: Exception => false }
+    catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+        false
+    }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],

@@ -56,7 +56,17 @@ final class SignedHttpFileSystem extends FileSystem {
       new FileStatus(0, true, 1, 0, System.currentTimeMillis(), f)
     }
 
-  override def listStatus(f: Path): Array[FileStatus] = Array(getFileStatus(f))
+  /** Leaf file paths list as themselves (they're self-contained). A
+    * synthetic directory has no enumerable children — the file set lives
+    * in the sharing server's listing, not in the path space — so listing
+    * one throws instead of echoing the directory as its own child, which
+    * would infinite-loop any recursive lister. Scans never hit this:
+    * Spark receives explicit leaf paths from the connector. */
+  override def listStatus(f: Path): Array[FileStatus] =
+    if (SignedHttpFileSystem.isFilePath(f)) Array(getFileStatus(f))
+    else throw new UnsupportedOperationException(
+      s"graftshare directories are synthetic and cannot be listed: $f " +
+        "(file paths are self-contained; obtain them from the sharing listing)")
 
   override def setWorkingDirectory(d: Path): Unit = ()
   override def getWorkingDirectory: Path = new Path("graftshare:///")
@@ -208,18 +218,22 @@ final class SignedHttpInputStream(url: String, size: Long, chunkSize: Int,
   private var buf: Array[Byte] = Array.emptyByteArray
   private var bufStart = 0L
   private var activeUrl = refresh.flatMap(r =>
-    SignedHttpInputStream.freshUrls.get(r.fileId)).getOrElse(url)
-  private var refreshAttempted = false
+    SignedHttpInputStream.freshUrls.get(SignedHttpInputStream.cacheKey(r)))
+    .getOrElse(url)
 
-  private def fetchRange(start: Long, end: Long): Array[Byte] = {
+  /** Up to TWO refresh attempts per range read: the first may return a
+    * CACHED fresh URL (populated by another stream's listing); if that
+    * one has expired too, the second attempt passes it as the failed URL,
+    * which invalidates the cache entry and forces a real re-list. */
+  private def fetchRange(start: Long, end: Long,
+      refreshAttempts: Int = 0): Array[Byte] = {
     val req = HttpRequest.newBuilder(URI.create(activeUrl))
       .header("Range", s"bytes=$start-$end").GET().build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
     if (resp.statusCode() >= 400) {
-      if (resp.statusCode() < 500 && refresh.isDefined && !refreshAttempted) {
-        refreshAttempted = true
-        activeUrl = SignedHttpInputStream.refreshUrl(refresh.get)
-        return fetchRange(start, end)
+      if (resp.statusCode() < 500 && refresh.isDefined && refreshAttempts < 2) {
+        activeUrl = SignedHttpInputStream.refreshUrl(refresh.get, activeUrl)
+        return fetchRange(start, end, refreshAttempts + 1)
       }
       throw new java.io.IOException(
         s"HTTP ${resp.statusCode()} reading range $start-$end (signed URL may have expired)")
@@ -272,19 +286,65 @@ final class SignedHttpInputStream(url: String, size: Long, chunkSize: Int,
 }
 
 object SignedHttpInputStream {
-  /** file id → fresh signed URL, shared across streams in this JVM. */
+  /** (table key # file id) → fresh signed URL, shared across streams in
+    * this JVM. Keyed per table snapshot so same-named files in different
+    * shares/versions can never serve each other's URLs. */
   private[fs] val freshUrls =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def refreshUrl(spec: SignedHttpFileSystem.RefreshSpec): String =
-    freshUrls.getOrElseUpdate(spec.fileId, {
-      val client = new graft.sharing.DeltaSharingClient(
-        graft.sharing.Profile.fromPath(spec.profilePath))
-      val (_, _, files) = client.getTableData(
-        graft.sharing.TableRef(spec.share, spec.schema, spec.table),
-        version = spec.version)
-      files.find(_.id == spec.fileId).map(_.url).getOrElse(
-        throw new java.io.IOException(
-          s"file ${spec.fileId} no longer listed for ${spec.table} on refresh"))
-    })
+  /** One monitor per table snapshot: concurrent expired streams of the
+    * same table serialize on it, so the table is re-listed ONCE and
+    * everyone else reads the batch-populated cache — without it a
+    * thousand tasks racing a TTL would issue a thousand listings. */
+  private val refreshLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Number of refresh LISTING round-trips issued by this JVM (tests
+    * assert the one-listing-per-expiry-wave property against it). */
+  private[fs] val refreshListings =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def tableKey(r: SignedHttpFileSystem.RefreshSpec): String =
+    Seq(r.profilePath, r.share, r.schema, r.table,
+      r.version.map(_.toString).getOrElse("latest"))
+      .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("|")
+
+  private[fs] def cacheKey(r: SignedHttpFileSystem.RefreshSpec): String =
+    s"${tableKey(r)}#${r.fileId}"
+
+  /** Test hook: forget all cached fresh URLs (JVM-wide state). */
+  private[fs] def clearCache(): Unit = { freshUrls.clear(); refreshLocks.clear() }
+
+  /** A fresh signed URL for `spec`, given that `failedUrl` just 4xx'd.
+    *
+    * A table's URLs expire TOGETHER, so one `getTableData` listing
+    * batch-populates the cache for EVERY file of the table — N expired
+    * files cost one listing, not N (the round-5 review's thundering-herd
+    * finding). An entry equal to `failedUrl` is stale from an earlier
+    * refresh and is invalidated so a second expiry re-lists instead of
+    * replaying it. */
+  private[fs] def refreshUrl(spec: SignedHttpFileSystem.RefreshSpec,
+      failedUrl: String): String = {
+    val lock = refreshLocks.getOrElseUpdate(tableKey(spec), new Object)
+    lock.synchronized {
+      val key = cacheKey(spec)
+      freshUrls.get(key) match {
+        case Some(cached) if cached != failedUrl =>
+          cached // another stream already re-listed this table
+        case stale =>
+          stale.foreach(_ => freshUrls.remove(key))
+          refreshListings.incrementAndGet()
+          val client = new graft.sharing.DeltaSharingClient(
+            graft.sharing.Profile.fromPath(spec.profilePath))
+          val (_, _, files) = client.getTableData(
+            graft.sharing.TableRef(spec.share, spec.schema, spec.table),
+            version = spec.version)
+          files.foreach(f =>
+            freshUrls.put(s"${tableKey(spec)}#${f.id}", f.url))
+          files.find(_.id == spec.fileId).map(_.url).getOrElse(
+            throw new java.io.IOException(
+              s"file ${spec.fileId} no longer listed for ${spec.table} on refresh"))
+      }
+    }
+  }
 }

@@ -190,14 +190,26 @@ final class LocalSharingServer(
           // optional `version` query param (Delta Sharing time travel):
           // metadata as of that version — this fixture has one
           // schemaString per table, so only the version field varies,
-          // but the validation mirrors the query endpoint's
-          queryParams(x).get("version").flatMap(_.toLongOption) match {
-            case Some(v) if v > td.version =>
-              respond(x, 400,
-                s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
-                  jstr(s"requested version $v is newer than table version ${td.version}")}}""")
-            case Some(v) =>
-              respondNdjson(x, Seq(protocolLine, metadataLine(td, v)))
+          // but the validation mirrors the query endpoint's. A malformed
+          // value is a 400, never silently ignored (serving LATEST for a
+          // garbled pin would be wrong data with no error).
+          queryParams(x).get("version") match {
+            case Some(raw) => raw.toLongOption match {
+              case None =>
+                respond(x, 400,
+                  s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
+                    jstr(s"version must be a non-negative integer, got: $raw")}}""")
+              case Some(v) if v < 0 =>
+                respond(x, 400,
+                  s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
+                    jstr(s"version must be a non-negative integer, got: $v")}}""")
+              case Some(v) if v > td.version =>
+                respond(x, 400,
+                  s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
+                    jstr(s"requested version $v is newer than table version ${td.version}")}}""")
+              case Some(v) =>
+                respondNdjson(x, Seq(protocolLine, metadataLine(td, v)))
+            }
             case None =>
               respondNdjson(x, Seq(protocolLine, metadataLine(td)))
           }
@@ -208,16 +220,27 @@ final class LocalSharingServer(
         // public Delta Sharing protocol (add/cdf/remove action lines).
         withTable(x, s, sc, t) { td =>
           val params = queryParams(x)
-          val from = params.get("startingVersion").flatMap(_.toLongOption).getOrElse(0L)
-          val to = params.get("endingVersion").flatMap(_.toLongOption)
-            .getOrElse(Long.MaxValue)
-          // index into the FULL changes list (lookupServed resolves
-          // idx-1000 against it) — indexing the filtered view would make
-          // a sub-range read serve the wrong file's bytes
-          val lines = td.changes.zipWithIndex
-            .filter { case (c, _) => c.version >= from && c.version <= to }
-            .map { case (c, i) => changeLine(s, sc, td, c, i) }
-          respondNdjson(x, Seq(protocolLine, metadataLine(td)) ++ lines)
+          // malformed bounds → 400 (ignoring one would silently serve
+          // the whole history instead of the requested range)
+          val badParam = Seq("startingVersion", "endingVersion").flatMap(p =>
+            params.get(p).filter(_.toLongOption.isEmpty).map(p -> _)).headOption
+          badParam match {
+            case Some((p, raw)) =>
+              respond(x, 400,
+                s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
+                  jstr(s"$p must be an integer, got: $raw")}}""")
+            case None =>
+              val from = params.get("startingVersion").flatMap(_.toLongOption).getOrElse(0L)
+              val to = params.get("endingVersion").flatMap(_.toLongOption)
+                .getOrElse(Long.MaxValue)
+              // index into the FULL changes list (lookupServed resolves
+              // idx-1000 against it) — indexing the filtered view would
+              // make a sub-range read serve the wrong file's bytes
+              val lines = td.changes.zipWithIndex
+                .filter { case (c, _) => c.version >= from && c.version <= to }
+                .map { case (c, i) => changeLine(s, sc, td, c, i) }
+              respondNdjson(x, Seq(protocolLine, metadataLine(td)) ++ lines)
+          }
         }
       case List("shares", s, "schemas", sc, "tables", t, "query") =>
         withTable(x, s, sc, t) { td =>
@@ -226,7 +249,17 @@ final class LocalSharingServer(
           // is for test assertions only and races across worker threads
           val (predHints, _, versionReq) = recordHints(body)
           versionReq match {
-            case Some(v) if v > td.version =>
+            case Some(Left(raw)) =>
+              // Jackson's asLong() would coerce "abc" to 0 — a silent
+              // rewind-to-v0; malformed pins must be a hard 400
+              respond(x, 400,
+                s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
+                  jstr(s"version must be a non-negative integer, got: $raw")}}""")
+            case Some(Right(v)) if v < 0 =>
+              respond(x, 400,
+                s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
+                  jstr(s"version must be a non-negative integer, got: $v")}}""")
+            case Some(Right(v)) if v > td.version =>
               respond(x, 400,
                 s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
                   jstr(s"requested version $v is newer than table version ${td.version}")}}""")
@@ -234,7 +267,8 @@ final class LocalSharingServer(
               // Time travel (Delta Sharing protocol `version` in the query
               // body — history the reference stubs entirely): the file list
               // as of the requested version, rewound from the change log.
-              val effectiveVersion = versionReq.getOrElse(td.version)
+              val effectiveVersion =
+                versionReq.flatMap(_.toOption).getOrElse(td.version)
               val base =
                 if (effectiveVersion == td.version) td.files.zipWithIndex
                 else filesAt(td, effectiveVersion)
@@ -268,13 +302,20 @@ final class LocalSharingServer(
     * values). */
   private val hintMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def recordHints(body: String): (Option[String], Option[String], Option[Long]) = {
+  private def recordHints(body: String)
+      : (Option[String], Option[String], Option[Either[String, Long]]) = {
     val n = if (body.trim.isEmpty) hintMapper.createObjectNode()
       else hintMapper.readTree(body)
     val ph =
       Option(n.get("jsonPredicateHints")).filterNot(_.isNull).map(_.asText())
     val lh = Option(n.get("limitHint")).filterNot(_.isNull).map(_.asText())
-    val vr = Option(n.get("version")).filterNot(_.isNull).map(_.asLong())
+    // version: integral JSON number or integral string → Right(v);
+    // anything else → Left(raw) so the handler can 400 (asLong() alone
+    // would coerce garbage to 0 and silently rewind the table)
+    val vr = Option(n.get("version")).filterNot(_.isNull).map { node =>
+      if (node.isIntegralNumber && node.canConvertToLong) Right(node.asLong())
+      else node.asText().toLongOption.toRight(node.asText())
+    }
     lastPredicateHints = ph
     lastLimitHint = lh
     (ph, lh, vr)

@@ -150,12 +150,22 @@ class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(e.getMessage.contains("newer than table version"))
   }
 
-  test("TIMESTAMP AS OF is refused loudly (semantics unexpressible)") {
-    val e = intercept[Exception](spark.sql(
+  test("TIMESTAMP AS OF resolves latest-at-or-before via the version endpoint") {
+    // nation_hist history: v1 = full nation; v2 (committed at
+    // 2023-11-14T22:13:20Z, the fixture default) replaced it with the
+    // <10 slice. A timestamp before the v2 commit pins v1; one after it
+    // pins the current version.
+    val nationRows = spark.read.parquet(s"$sf0001/nation.parquet").count()
+    val beforeCommit = spark.sql(
       """SELECT count(*) FROM share1.geo.nation_hist
-        |TIMESTAMP AS OF '2024-01-01 00:00:00'""".stripMargin).collect())
-    assert(e.getMessage.contains("VERSION AS OF") ||
-      e.getMessage.contains("TIMESTAMP AS OF"))
+        |TIMESTAMP AS OF '2023-01-01 00:00:00'""".stripMargin)
+      .collect()(0).getLong(0)
+    val afterCommit = spark.sql(
+      """SELECT count(*) FROM share1.geo.nation_hist
+        |TIMESTAMP AS OF '2024-01-01 00:00:00'""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(beforeCommit == nationRows)
+    assert(afterCommit == 10)
   }
 
   test("unknown table raises a proper analysis error (no silent None)") {
@@ -218,6 +228,67 @@ class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       Thread.sleep(600) // the planned URLs are now expired
       assert(df.collect()(0).getLong(0) == 5)
     } finally shortServer.stop()
+  }
+
+  private def graftCatalog(name: String) =
+    spark.sessionState.catalogManager.catalog(name)
+      .asInstanceOf[graft.sharing.catalog.GraftCatalog]
+
+  test("invalidateTable evicts version-pinned cache entries too") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val full = DeltaSchema.toSchemaString(src.schema)
+    val files = server.listParquet(s"$sf0001/nation.parquet")
+      .map(f => server.ServedFile(f, Map.empty))
+    server.addTable("share1", "geo", server.TableDef(
+      "nation_inval", full, Seq.empty, files = files, version = 3))
+    val cat = graftCatalog("share1")
+    val ident = Identifier.of(Array("geo"), "nation_inval")
+    val nCols = cat.loadTable(ident, "2").schema().fieldNames.length
+    // server-side schema evolves; the @v2 entry still serves the cache
+    val truncated = DeltaSchema.toSchemaString(
+      org.apache.spark.sql.types.StructType(src.schema.fields.drop(1)))
+    server.addTable("share1", "geo", server.TableDef(
+      "nation_inval", truncated, Seq.empty, files = files, version = 3))
+    assert(cat.loadTable(ident, "2").schema().fieldNames.length == nCols)
+    // invalidate must evict the PINNED key as well, not just the base one
+    cat.invalidateTable(ident)
+    assert(cat.loadTable(ident, "2").schema().fieldNames.length == nCols - 1)
+  }
+
+  test("tableExists: missing table is false; unreachable server propagates") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = graftCatalog("share1")
+    assert(!cat.tableExists(Identifier.of(Array("sales"), "nope")))
+    assert(cat.tableExists(Identifier.of(Array("sales"), "lineitem")))
+    // an outage must NOT read as "table does not exist" — callers would
+    // silently drop real tables
+    import scala.jdk.CollectionConverters._
+    val dead = new graft.sharing.catalog.GraftCatalog
+    dead.initialize("dead", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("profile.json" ->
+        """{"shareCredentialsVersion":1,"endpoint":"http://127.0.0.1:9/delta-sharing","bearerToken":"t"}""")
+        .asJava))
+    intercept[DeltaSharingException](
+      dead.tableExists(Identifier.of(Array("sales"), "lineitem")))
+  }
+
+  test("maxResults catalog option pages the listings without losing rows") {
+    spark.conf.set("spark.sql.catalog.share1paged",
+      "graft.sharing.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.share1paged.profile.json", server.profileJson)
+    spark.conf.set("spark.sql.catalog.share1paged.share", "share1")
+    spark.conf.set("spark.sql.catalog.share1paged.maxResults", "1")
+    // page size 1 → the pagination loop must stitch all tables back
+    val ts = spark.sql("SHOW TABLES IN share1paged.sales")
+      .collect().map(_.getString(1))
+    assert(Set("lineitem", "orders").subsetOf(ts.toSet))
+    // malformed knob fails loudly at first use, not silently unpaged
+    import scala.jdk.CollectionConverters._
+    val bad = new graft.sharing.catalog.GraftCatalog
+    intercept[DeltaSharingException](bad.initialize("bad",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("profile.json" -> server.profileJson, "maxResults" -> "zero").asJava)))
   }
 
   test("DataFrameReader format entry point") {

@@ -110,6 +110,44 @@ class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(atV1.count() == v1Rows)
   }
 
+  test("applyChanges matches the fold oracle and keeps constant plan depth") {
+    // adversarial interleaving on a NON-empty base, including a version
+    // that over-removes (exceptAll clamps at zero) and a later re-add —
+    // the closed-form reconciliation must match the fold exactly
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "x")
+    val feed = Seq(
+      ("remove", 1L, "a", 1), ("remove", 1L, "a", 1), ("remove", 1L, "a", 1),
+      ("add", 2L, "a", 1), ("add", 2L, "c", 3),
+      ("remove", 3L, "b", 2), ("add", 3L, "b", 2), ("add", 3L, "b", 2),
+      ("add", 4L, null.asInstanceOf[String], 9), // NULL row identity
+      ("remove", 5L, "c", 3)
+    ).toDF("_change_type", "_commit_version", "k", "x")
+      .withColumn("_commit_timestamp", org.apache.spark.sql.functions.lit(0L))
+      .select("k", "x", "_change_type", "_commit_version", "_commit_timestamp")
+    val fast = GraftSharing.applyChanges(base, feed)
+    val oracle = GraftSharing.applyChangesFold(base, feed)
+    assert(fast.exceptAll(oracle).count() == 0)
+    assert(oracle.exceptAll(fast).count() == 0)
+
+    // plan depth must NOT grow with the version count: the fold's
+    // Union/Except chain is gone, and a 2-version feed and a 5-version
+    // feed optimize to the same number of plan nodes
+    def planProfile(df: org.apache.spark.sql.DataFrame): (Int, Long) = {
+      val p = df.queryExecution.optimizedPlan
+      (p.collect { case n => n }.size,
+        p.collect { case n if n.nodeName.contains("Except") => n }.size.toLong)
+    }
+    val short = GraftSharing.applyChanges(base,
+      feed.filter($"_commit_version" <= 2L))
+    val (shortNodes, shortExcepts) = planProfile(short)
+    val (longNodes, longExcepts) = planProfile(fast)
+    assert(shortExcepts == 0 && longExcepts == 0)
+    assert(longNodes == shortNodes,
+      s"plan grew with versions: $shortNodes -> $longNodes nodes")
+  }
+
   test("time travel rewinds the snapshot from the change log") {
     // current (v2) files: [v1file, v2file]; changes: add@1 v1file,
     // add@2 v2file, remove@2 v1file.
