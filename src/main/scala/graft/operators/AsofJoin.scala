@@ -60,6 +60,43 @@ object AsofJoin {
       .drop("__k", "__t", "__tag", "__v")
   }
 
+  /** Skew-resistant variant: the plain window serializes each key into
+    * ONE task, so a hot key (one user producing 1% of a 100 TB event
+    * stream) becomes a straggler. Standard window-skew treatment: left
+    * rows are salted into `salts` sub-partitions (hashed on the time
+    * column — any per-row attribute works, the salt only spreads load),
+    * right rows are REPLICATED to every salt, and the window runs per
+    * (key, salt). Each left row still sees every right row of its key,
+    * so results are identical; the cost is `salts`× duplication of the
+    * (small) right side — the same trade as a salted broadcast join.
+    * Rows of a hot key sharing one timestamp land on one salt; salt on
+    * a finer attribute if that is the skew shape. */
+  def asofJoinSalted(left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      valueCol: String, as: String, salts: Int = 8): DataFrame = {
+    val valueType = right.schema(valueCol).dataType
+    val lSide = left
+      .withColumn("__k", col(leftKey).cast(right.schema(rightKey).dataType))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(1))
+      .withColumn("__v", lit(null).cast(valueType))
+      .withColumn("__salt",
+        pmod(xxhash64(col(leftTime).cast("string")), lit(salts)).cast("int"))
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__tag"), col(valueCol).as("__v"),
+        explode(sequence(lit(0), lit(salts - 1))).as("__salt"))
+    val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
+    val w = Window.partitionBy("__k", "__salt").orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(as, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__k", "__t", "__tag", "__v", "__salt")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Events as-of-joined to the latest order of the same user. Order
     // times are remapped into the events window deterministically on
@@ -86,6 +123,34 @@ object AsofJoin {
       val events = Tables.events(s, d).select("event_id", "user_id", "ts")
       asofJoin(events, "user_id", "ts",
           orders, "o_custkey", "t", "last_orderkey", as = "last_orderkey")
+        .select("event_id", "user_id", "last_orderkey")
+        .orderBy("event_id")
+    },
+
+    // The salted (hot-key) as-of join against the SAME native-ASOF
+    // oracle — salting must be invisible in the result.
+    QueryDef.sql(
+      "q_asof_join_salted",
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    TIMESTAMP '2024-01-01 00:00:00'
+        |      + (o_orderkey % 720) * INTERVAL 1 HOUR AS t,
+        |    max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT event_id, user_id, last_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.t
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .withColumn("t", expr(
+          "timestamp'2024-01-01 00:00:00' + " +
+            "make_interval(0, 0, 0, 0, CAST(o_orderkey % 720 AS INT), 0, 0)"))
+        .groupBy("o_custkey", "t")
+        .agg(max("o_orderkey").as("last_orderkey"))
+      val events = Tables.events(s, d).select("event_id", "user_id", "ts")
+      asofJoinSalted(events, "user_id", "ts",
+          orders, "o_custkey", "t", "last_orderkey", as = "last_orderkey",
+          salts = 8)
         .select("event_id", "user_id", "last_orderkey")
         .orderBy("event_id")
     }

@@ -1,25 +1,47 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
-import graft.SparkEntry
+import org.apache.spark.sql.functions._
 
-/** Runs EVERY registered query (headline or not) at the given SF with a
-  * noop sink — the scale-regression smoke for operators that the bench
-  * subset doesn't time (clusters, contamination, ngram jaccard, ...).
-  * Prints per-query seconds and a FAILED list; exits nonzero on any
-  * failure. */
+import graft.{SparkEntry, Tables}
+
+/** Scale smoke harness.
+  *
+  * Default mode: runs EVERY registered query (headline or not) at the
+  * given SF with a noop sink — the scale-regression smoke for operators
+  * the bench subset doesn't time. Prints per-query seconds and a FAILED
+  * list; exits nonzero on any failure.
+  *
+  * `heavy` mode (`runMain graft.tools.ScaleSmoke heavy`): replicates the
+  * sf0.1 corpus ~10× (id-shifted copies — documents/embeddings/orders;
+  * events shifted in TIME so event density stays constant and the range
+  * join must prune 9/10 of the event span), then runs the heaviest
+  * operators with a per-task listener and asserts NO stage has a task
+  * slower than 10× its median — the skew property that decides whether a
+  * shape survives a 1000-executor cluster. Writes SCALESMOKE.md.
+  */
 object ScaleSmoke {
-  def main(args: Array[String]): Unit = {
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  def main(args: Array[String]): Unit =
+    if (args.contains("heavy")) heavy() else smokeAll()
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def smokeAll(): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.allDefs.foreach { q =>
       val t0 = System.nanoTime()
@@ -38,5 +60,111 @@ object ScaleSmoke {
     graft.operators.ConnectorQueries.stopAll()
     spark.stop()
     sys.exit(if (failed.isEmpty) 0 else 1)
+  }
+
+  // ---- heavy mode -------------------------------------------------------
+
+  /** Queries whose scale behavior the round verdicts flagged as worth a
+    * dedicated skew check (LSH self-join, range join, iterative k-means,
+    * global span dedup). */
+  private val heavyQueries =
+    Seq("dedup_minhash_lsh", "q_range_join", "sim_kmeans", "text_dedup_spans")
+
+  /** Build the replicated corpus if absent: id-shifted copies so join/
+    * grouping keys stay distinct per copy; identical texts across copies
+    * deliberately create exact-duplicate cliques (mega-cluster stress for
+    * the skew caps). Events are shifted by 720 h per copy so per-hour
+    * density is unchanged and interval probes only match 1/N of the span. */
+  private def stageScaled(spark: SparkSession, baseSf: String, outDir: String,
+      replicas: Int): Unit = {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_STAGED")))
+      return
+    val copies = 0 until replicas
+    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    val docs = Tables.documents(spark, baseSf)
+    write(copies.map(i => docs.withColumn("doc_id",
+      col("doc_id") + lit(i * 10000000L))).reduce(_ unionAll _), "documents")
+    val emb = Tables.embeddings(spark, baseSf)
+    write(copies.map(i => emb.withColumn("vec_id",
+      col("vec_id") + lit(i * 10000000L))).reduce(_ unionAll _), "embeddings")
+    val orders = Tables.orders(spark, baseSf)
+    write(copies.map(i => orders.withColumn("o_orderkey",
+      col("o_orderkey") + lit(i * 100000000L))).reduce(_ unionAll _), "orders")
+    val events = Tables.events(spark, baseSf)
+    write(copies.map(i => events.withColumn("ts",
+      col("ts") + expr(s"INTERVAL ${i * 720} HOURS"))).reduce(_ unionAll _),
+      "events")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(outDir, "_STAGED"))
+  }
+
+  private def heavy(): Unit = {
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
+    val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "/root/repo/target/scale-heavy")
+    val spark = session()
+
+    // per-stage task durations, snapshot-and-reset per query
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        stageTasks.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(t.taskInfo.duration)
+      }
+    })
+
+    stageScaled(spark, baseSf, outDir, replicas)
+
+    val report = new StringBuilder
+    report ++= s"# SCALESMOKE — heavy-tail skew audit\n\n"
+    report ++= s"Corpus: $baseSf replicated ${replicas}x (id-shifted; " +
+      "events time-shifted) — documents/embeddings/orders/events at " +
+      s"~${replicas}x sf0.1 volume.\n\n"
+    report ++= "Skew gate: in every stage with >= 8 tasks and median task " +
+      ">= 300 ms, max task <= 10x median.\n\n"
+    report ++= "| query | sec | stages | max tasks/stage | worst max/median | skew |\n"
+    report ++= "|---|---|---|---|---|---|\n"
+
+    var anyFail = false
+    import scala.jdk.CollectionConverters._
+    heavyQueries.foreach { name =>
+      stageTasks.clear()
+      val t0 = System.nanoTime()
+      val outcome = try {
+        SparkEntry.queries(name)(spark, outDir)
+          .write.format("noop").mode("overwrite").save()
+        None
+      } catch { case e: Throwable => Some(e) }
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.CacheRegistry.releaseAll()
+
+      val stages = stageTasks.asScala.toSeq
+        .map { case (sid, q) => (sid, q.asScala.toSeq.sorted) }
+      val sized = stages.filter(_._2.length >= 8)
+      val ratios = sized.flatMap { case (_, ds) =>
+        val med = math.max(ds(ds.length / 2), 1L)
+        if (med >= 300) Some(ds.last.toDouble / med) else None
+      }
+      val worst = if (ratios.isEmpty) 0.0 else ratios.max
+      val skewOk = ratios.forall(_ <= 10.0)
+      val ok = outcome.isEmpty && skewOk
+      if (!ok) anyFail = true
+      val status = outcome.map(e => s"FAILED ${e.getClass.getSimpleName}")
+        .getOrElse(if (skewOk) "ok" else "SKEWED")
+      report ++= f"| $name | $secs%.1f | ${stages.length} | " +
+        f"${stages.map(_._2.length).maxOption.getOrElse(0)} | $worst%.1f | $status |\n"
+      println(f"HEAVY $name%-24s $secs%8.1f s worst-skew $worst%5.1f  $status")
+    }
+    report ++= s"\nResult: ${if (anyFail) "FAIL" else "ALL OK"}\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/SCALESMOKE.md"), report.toString)
+    println(if (anyFail) "HEAVY FAIL" else "HEAVY ALL OK")
+    graft.operators.ConnectorQueries.stopAll()
+    spark.stop()
+    sys.exit(if (anyFail) 1 else 0)
   }
 }
