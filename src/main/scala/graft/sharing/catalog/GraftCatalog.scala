@@ -139,9 +139,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val v =
       try {
         val firstAfter = client.getTableVersion(ref, Some(after))
-        if (firstAfter <= 0)
+        // A target predating the table's recorded history must be a hard
+        // error, not a silent rewind past it (Delta's contract). The
+        // protocol has no history-start endpoint, so probe with the
+        // epoch: if the first version after the TARGET is also the first
+        // version after ALL time, every recorded commit is later than
+        // the target — version firstAfter−1 is before the log's horizon.
+        val earliest = client.getTableVersion(
+          ref, Some(java.time.Instant.EPOCH.toString))
+        if (firstAfter <= earliest)
           throw DeltaSharingException.other(
-            s"TIMESTAMP AS OF $instant is before the earliest version of $ref")
+            s"TIMESTAMP AS OF $instant predates the earliest recorded " +
+              s"version ($earliest) of $ref")
         firstAfter - 1
       } catch {
         case e: DeltaSharingException if e.kind == "CLIENT_ERROR" &&

@@ -339,8 +339,13 @@ object SignedHttpInputStream {
           val (_, _, files) = client.getTableData(
             graft.sharing.TableRef(spec.share, spec.schema, spec.table),
             version = spec.version)
-          files.foreach(f =>
-            freshUrls.put(s"${tableKey(spec)}#${f.id}", f.url))
+          // REPLACE this snapshot's key range rather than accreting:
+          // files compacted/removed since the last refresh would
+          // otherwise leave dead URL entries behind forever (the cache
+          // lives for the executor JVM's lifetime)
+          val prefix = s"${tableKey(spec)}#"
+          freshUrls.keys.filter(_.startsWith(prefix)).foreach(freshUrls.remove)
+          files.foreach(f => freshUrls.put(s"$prefix${f.id}", f.url))
           files.find(_.id == spec.fileId).map(_.url).getOrElse(
             throw new java.io.IOException(
               s"file ${spec.fileId} no longer listed for ${spec.table} on refresh"))

@@ -220,10 +220,12 @@ final class LocalSharingServer(
         // public Delta Sharing protocol (add/cdf/remove action lines).
         withTable(x, s, sc, t) { td =>
           val params = queryParams(x)
-          // malformed bounds → 400 (ignoring one would silently serve
-          // the whole history instead of the requested range)
+          // malformed (or negative) bounds → 400 (ignoring one would
+          // silently serve the whole history instead of the requested
+          // range — consistent with the query/metadata version checks)
           val badParam = Seq("startingVersion", "endingVersion").flatMap(p =>
-            params.get(p).filter(_.toLongOption.isEmpty).map(p -> _)).headOption
+            params.get(p).filter(!_.toLongOption.exists(_ >= 0)).map(p -> _))
+            .headOption
           badParam match {
             case Some((p, raw)) =>
               respond(x, 400,

@@ -38,8 +38,10 @@ object QualityProbe {
       val ivf = Similarity.ivfTopK(emb, qs, 5, numCells = 32, nprobe = 8)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(f"ann  recall@5 min/mean = ${recalls(ann)._1}%.3f / ${recalls(ann)._2}%.3f")
-      println(f"ivf  recall@5 min/mean = ${recalls(ivf)._1}%.3f / ${recalls(ivf)._2}%.3f")
+      val (annMin, annMean) = recalls(ann)
+      val (ivfMin, ivfMean) = recalls(ivf)
+      println(f"ann  recall@5 min/mean = $annMin%.3f / $annMean%.3f")
+      println(f"ivf  recall@5 min/mean = $ivfMin%.3f / $ivfMean%.3f")
 
       graft.functions.GraftFunctions.register(spark)
       val cosFound = Similarity.cosinePairs(emb, 0.3)

@@ -142,6 +142,18 @@ object ScaleSmoke {
       val secs = (System.nanoTime() - t0) / 1e9
       graft.CacheRegistry.releaseAll()
 
+      // listener events arrive on an async bus — the straggler being
+      // gated may not have been delivered yet. Wait until the task count
+      // is stable for 500 ms before snapshotting (no public drain API).
+      var lastCount = -1L
+      var stableSince = System.nanoTime()
+      val waitStart = System.nanoTime()
+      while ((System.nanoTime() - stableSince) < 500L * 1000 * 1000 &&
+          (System.nanoTime() - waitStart) < 30L * 1000 * 1000 * 1000) {
+        val c = stageTasks.values().asScala.map(_.size.toLong).sum
+        if (c != lastCount) { lastCount = c; stableSince = System.nanoTime() }
+        Thread.sleep(50)
+      }
       val stages = stageTasks.asScala.toSeq
         .map { case (sid, q) => (sid, q.asScala.toSeq.sorted) }
       val sized = stages.filter(_._2.length >= 8)

@@ -33,10 +33,15 @@ class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       .map(f => server.ServedFile(f, Map.empty))
     val base = server.listParquet(s"$sf0001/nation.parquet")
       .map(f => server.ServedFile(f, Map.empty))
+    // complete history: v1 (2023-07-22) added the full nation, v2
+    // (2023-11-14) replaced it with the slice — TIMESTAMP AS OF needs
+    // the v1 commit recorded to distinguish "between commits" from
+    // "before the log's horizon"
     server.addTable("share1", "geo", server.TableDef(
       "nation_hist", schemaOf("nation"), Seq.empty, files = slice,
       version = 2,
-      changes = slice.map(f => server.ChangeEntry(2, "add", f)) ++
+      changes = base.map(f => server.ChangeEntry(1, "add", f, 1690000000000L)) ++
+        slice.map(f => server.ChangeEntry(2, "add", f)) ++
         base.map(f => server.ChangeEntry(2, "remove", f))))
     server.start()
     spark.conf.set("spark.sql.catalog.share1",
@@ -151,21 +156,26 @@ class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
   }
 
   test("TIMESTAMP AS OF resolves latest-at-or-before via the version endpoint") {
-    // nation_hist history: v1 = full nation; v2 (committed at
-    // 2023-11-14T22:13:20Z, the fixture default) replaced it with the
-    // <10 slice. A timestamp before the v2 commit pins v1; one after it
-    // pins the current version.
+    // nation_hist history: v1 (2023-07-22) = full nation; v2
+    // (2023-11-14T22:13:20Z, the fixture default) replaced it with the
+    // <10 slice. Between the commits pins v1; after the last pins the
+    // current version; before the log's horizon is a hard error, never a
+    // silent rewind to a snapshot that did not exist at that time.
     val nationRows = spark.read.parquet(s"$sf0001/nation.parquet").count()
-    val beforeCommit = spark.sql(
+    val betweenCommits = spark.sql(
       """SELECT count(*) FROM share1.geo.nation_hist
-        |TIMESTAMP AS OF '2023-01-01 00:00:00'""".stripMargin)
+        |TIMESTAMP AS OF '2023-09-01 00:00:00'""".stripMargin)
       .collect()(0).getLong(0)
     val afterCommit = spark.sql(
       """SELECT count(*) FROM share1.geo.nation_hist
         |TIMESTAMP AS OF '2024-01-01 00:00:00'""".stripMargin)
       .collect()(0).getLong(0)
-    assert(beforeCommit == nationRows)
+    assert(betweenCommits == nationRows)
     assert(afterCommit == 10)
+    val e = intercept[Exception](spark.sql(
+      """SELECT count(*) FROM share1.geo.nation_hist
+        |TIMESTAMP AS OF '2023-01-01 00:00:00'""".stripMargin).collect())
+    assert(e.getMessage.contains("predates the earliest recorded version"))
   }
 
   test("unknown table raises a proper analysis error (no silent None)") {

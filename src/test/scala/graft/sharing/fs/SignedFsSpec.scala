@@ -153,6 +153,9 @@ class SignedFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // changes bounds: ignoring a malformed one would serve ALL history
     val c = raw("GET", s"$base/changes?startingVersion=abc")
     assert(c.statusCode() == 400 && c.body().contains("INVALID_PARAMETER_VALUE"))
+    // negative bounds are as malformed as garbled ones
+    val cn = raw("GET", s"$base/changes?startingVersion=-5")
+    assert(cn.statusCode() == 400)
     // integral string versions remain accepted (client wire format)
     val ok = raw("POST", s"$base/query", Some("""{"version":1}"""))
     assert(ok.statusCode() == 200)
