@@ -263,6 +263,70 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** DuckDB CTE replaying the deterministic 2-iteration k-means of
+    * [[kmeansAssign]] (same seeded init, rounded distances with
+    * centroid-id tiebreaks, exact decimal centroid means); `a2` is the
+    * final (vec_id, cluster, dist2) assignment. Shared by the sim_kmeans
+    * and dedup_semantic oracles so they can never drift apart. */
+  private val kmeansOracleCte: String =
+    """emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cen
+      |  FROM emb WHERE vec_id < 8),
+      |s1 AS (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (e.v[i] - c.cen[i]) * (e.v[i] - c.cen[i]))), 4) AS d
+      |  FROM emb e, c0 c),
+      |a1 AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT vec_id, v, cid, d,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |    FROM s1) WHERE rk = 1),
+      |c1 AS (
+      |  SELECT cid, list(m ORDER BY i) AS cen FROM (
+      |    SELECT cid, i,
+      |      round(CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE)
+      |        / COUNT(*), 6) AS m
+      |    FROM a1, generate_series(1, 64) t(i) GROUP BY cid, i)
+      |  GROUP BY cid),
+      |s2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (e.v[i] - c.cen[i]) * (e.v[i] - c.cen[i]))), 4) AS d
+      |  FROM emb e, c1 c),
+      |a2 AS (
+      |  SELECT vec_id, cid AS cluster, d AS dist2 FROM (
+      |    SELECT vec_id, cid, d,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |    FROM s2) WHERE rk = 1)""".stripMargin
+
+  /** SemDeDup: cluster then within-cluster near-duplicate drop — keep
+    * the smallest-id member of every cosine-≥-threshold pair. Returns
+    * (vec_id, cluster, kept). */
+  def semanticDedup(embDf: DataFrame, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(embDf.sparkSession)
+    // two consumers (pair join input and final keep flags) — persist so
+    // the iterative k-means runs once
+    val assigned = graft.CacheRegistry.register(
+      kmeansAssign(embDf, k, iters).select("vec_id", "cluster")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cv = assigned
+      .join(embDf.select(col("vec_id"), col("embedding")), "vec_id")
+    val dropped = cv.as("x").join(cv.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(round(graft.functions.GraftFunctions.cosine(
+        col("x.embedding"), col("y.embedding")), 4) >= threshold)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("_drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        col("_drop").isNull.cast("int").as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** DuckDB CTE producing the exact rounded cosine of every
     * (query, corpus) pair for the 10 standard query vectors — shared by
     * the brute-force oracle and the ANN/IVF quality oracles. */
@@ -475,39 +539,45 @@ object Similarity {
     // hash-checked, not just row counts.
     QueryDef.sql(
       "sim_kmeans",
-      """WITH emb AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c0 AS (
-        |  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cen
-        |  FROM emb WHERE vec_id < 8),
-        |s1 AS (
-        |  SELECT e.vec_id, e.v, c.cid,
-        |    round(list_sum(list_transform(generate_series(1, 64),
-        |      i -> (e.v[i] - c.cen[i]) * (e.v[i] - c.cen[i]))), 4) AS d
-        |  FROM emb e, c0 c),
-        |a1 AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT vec_id, v, cid, d,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-        |    FROM s1) WHERE rk = 1),
-        |c1 AS (
-        |  SELECT cid, list(m ORDER BY i) AS cen FROM (
-        |    SELECT cid, i,
-        |      round(CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE)
-        |        / COUNT(*), 6) AS m
-        |    FROM a1, generate_series(1, 64) t(i) GROUP BY cid, i)
-        |  GROUP BY cid),
-        |s2 AS (
-        |  SELECT e.vec_id, c.cid,
-        |    round(list_sum(list_transform(generate_series(1, 64),
-        |      i -> (e.v[i] - c.cen[i]) * (e.v[i] - c.cen[i]))), 4) AS d
-        |  FROM emb e, c1 c)
-        |SELECT vec_id, cid AS cluster, d AS dist2 FROM (
-        |  SELECT vec_id, cid, d,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-        |  FROM s2) WHERE rk = 1
+      s"""WITH $kmeansOracleCte
+        |SELECT vec_id, cluster, dist2 FROM a2
         |ORDER BY vec_id""".stripMargin) { (s, d) =>
       kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+    },
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cluster
+    // the embeddings, then within each cluster drop every vector that
+    // has a higher-similarity twin with a smaller id. The within-cluster
+    // pairwise pass is the SemDeDup design point — k scales with corpus
+    // size so cluster cardinality (and the quadratic term) stays
+    // bounded; at extreme cluster sizes the LSH bucketing of cosinePairs
+    // composes inside a cluster. Oracle replays the ENTIRE pipeline:
+    // the deterministic k-means CTE (same init/rounding/tiebreaks as
+    // sim_kmeans) plus exact rounded within-cluster cosine.
+    QueryDef.sql(
+      "dedup_semantic",
+      s"""WITH $kmeansOracleCte,
+        |cv AS (
+        |  SELECT a.vec_id, a.cluster, e.embedding
+        |  FROM a2 a JOIN embeddings e USING (vec_id)),
+        |pairs AS (
+        |  SELECT y.vec_id AS b
+        |  FROM cv x JOIN cv y
+        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  WHERE (CASE WHEN list_sum(list_transform(x.embedding,
+        |             u -> CAST(u AS DOUBLE) * u)) = 0
+        |           OR list_sum(list_transform(y.embedding,
+        |             u -> CAST(u AS DOUBLE) * u)) = 0
+        |         THEN 0.0
+        |         ELSE round(list_cosine_similarity(
+        |           CAST(x.embedding AS DOUBLE[]),
+        |           CAST(y.embedding AS DOUBLE[])), 4)
+        |    END) >= 0.3)
+        |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+        |  CAST(vec_id NOT IN (SELECT b FROM pairs) AS INTEGER) AS kept
+        |FROM a2 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      semanticDedup(Tables.embeddings(s, d), k = 8, iters = 2,
+        threshold = 0.3)
     },
 
     // Label-centroid similarity: per-label mean vector via exact decimal

@@ -341,6 +341,146 @@ object TextAnalysis {
         .orderBy("doc_id", "term")
     },
 
+    // BM25 keyword search (Robertson/Okapi, k1=1.2 b=0.75) — the sparse
+    // retrieval twin of the vector top-k queries: score every document
+    // against a query term set and return the global top-10. Shapes:
+    // one explode pass feeds tf; df/doclen/corpus stats are broadcast-
+    // sized; the ranking is TakeOrdered on the rounded score. Cross-
+    // engine determinism: every per-term partial is rounded to 6dp and
+    // summed through DECIMAL (double addition is not associative), the
+    // final score rounds to 4dp, and the top-10 boundary ranks on the
+    // rounded score with a doc_id tiebreak.
+    QueryDef.sql(
+      "text_bm25_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+        |       FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
+        |          FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+        |       GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(CAST(SUM(CAST(round(
+        |      ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+        |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+        |      6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, bm25, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT doc_id, bm25,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, d) =>
+      val queryTerms = Seq("hash", "join", "spark")
+      val toks = graft.CacheRegistry.register(Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val dl = toks.groupBy("doc_id")
+        .agg(count(lit(1)).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+        avg("dl").as("avgdl"))
+      val tf = toks.filter(col("term").isin(queryTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+      // operand order mirrors the oracle expression exactly — float
+      // arithmetic is not associative, round(6) only absorbs ulps
+      val termScore = idf * col("tf") * 2.2 /
+        (col("tf") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))
+      tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(round(sum(round(termScore, 6).cast("decimal(18,6)"))
+          .cast("double"), 4).as("bm25"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("bm25"), col("rk").cast("int").as("rk"))
+        .orderBy("rk")
+    },
+
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    // top-bigram fraction and duplicate-5-gram fraction, plus the keep
+    // verdict — boilerplate/loop detection that MinHash (whole-doc) and
+    // span dedup (cross-doc) don't cover. The n-gram arrays are built
+    // from a MATERIALIZED token attribute (lambdas over a computed
+    // split() would re-tokenize per element — Catalyst does not CSE
+    // inside lambda bodies); two narrow doc_id-keyed aggregations, no
+    // corpus-wide state.
+    QueryDef.sql(
+      "text_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |  FROM w WHERE len(toks) >= 2),
+        |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+        |bstat AS (
+        |  SELECT doc_id, round(CAST(MAX(c) AS DOUBLE) / SUM(c), 4)
+        |    AS top_bigram_frac
+        |  FROM bgc GROUP BY doc_id),
+        |fg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> array_to_string(toks[i:i+4], ' '))) AS g
+        |  FROM w WHERE len(toks) >= 5),
+        |fstat AS (
+        |  SELECT doc_id,
+        |    round(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 4)
+        |      AS dup_5gram_frac
+        |  FROM fg GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+        |  coalesce(f.dup_5gram_frac, 0.0) AS dup_5gram_frac,
+        |  CAST(coalesce(b.top_bigram_frac, 0.0) < 0.2
+        |    AND coalesce(f.dup_5gram_frac, 0.0) < 0.3 AS INTEGER) AS keep
+        |FROM w LEFT JOIN bstat b USING (doc_id) LEFT JOIN fstat f USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // bigrams from zip_with over the shifted copy (null-padded tail
+      // pairs concat to null and are filtered); 5-grams via index windows
+      // over the toks ATTRIBUTE (cheap element access, no re-split)
+      val bigrams = filter(
+        zip_with(col("toks"), slice(col("toks"), lit(2), size(col("toks"))),
+          (a, b) => concat_ws(" ", a, b)),
+        g => size(split(g, " ")) === 2)
+      val fivegrams = when(size(col("toks")) >= 5,
+        transform(sequence(lit(1), size(col("toks")) - 4),
+          i => array_join(slice(col("toks"), i, lit(5)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val bstat = docs
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max("c").cast("double") / sum("c"), 4)
+          .as("top_bigram_frac"))
+      val fstat = docs
+        .select(col("doc_id"), explode(fivegrams).as("g"))
+        .groupBy("doc_id")
+        .agg(round(lit(1.0) - countDistinct("g").cast("double")
+          / count(lit(1)), 4).as("dup_5gram_frac"))
+      docs.select("doc_id")
+        .join(bstat, Seq("doc_id"), "left")
+        .join(fstat, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+          coalesce(col("dup_5gram_frac"), lit(0.0)).as("dup_5gram_frac"),
+          (coalesce(col("top_bigram_frac"), lit(0.0)) < 0.2 &&
+            coalesce(col("dup_5gram_frac"), lit(0.0)) < 0.3)
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Overlapping token-window chunking (size 64, stride 48) — the
     // standard RAG / pretraining chunker. One posexplode over computed
     // window starts; the chunk text never leaves the row (md5 digest

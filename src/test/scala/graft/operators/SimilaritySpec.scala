@@ -141,6 +141,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(two.map(_._2).distinct.length == k)
   }
 
+  test("semantic dedup: total assignment; every dropped vec has a kept twin") {
+    graft.functions.GraftFunctions.register(spark)
+    val out = Similarity.semanticDedup(emb, k = 8, iters = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == emb.count())
+    assert(out.map(_._1).distinct.length == out.length)
+    val dropped = out.filter(_._3 == 0)
+    assert(dropped.nonEmpty, "threshold 0.3 should drop some near-duplicates")
+    // verify a sample of drops driver-side: a smaller-id same-cluster
+    // vector with rounded cosine >= threshold must exist
+    val clusterOf = out.map(t => t._1 -> t._2).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    dropped.take(10).foreach { case (id, cl, _) =>
+      val hasTwin = clusterOf.exists { case (other, ocl) =>
+        other < id && ocl == cl && r4(cos(vecs(other), vecs(id))) >= 0.3
+      }
+      assert(hasTwin, s"vec $id dropped without a smaller-id twin")
+    }
+  }
+
   test("random projection of a one-hot vector reads out the sign matrix") {
     // projecting e_i yields exactly rpSign(j, i) in output dim j — any
     // off-by-one in element indexing or sign seeding fails this

@@ -7,6 +7,38 @@ class TextMultimodalSpec extends SparkTestBase {
 
   private lazy val docs = Tables.documents(spark, sf0001).cache()
 
+  test("bm25 top-k: scores positive, strictly rank-ordered, terms present") {
+    val rows = graft.SparkEntry.queries("text_bm25_topk")(spark, sf0001)
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(2)).toSeq == (1 to 10))
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse && scores.forall(_ > 0))
+    // the top-ranked doc must actually contain a query term
+    val topId = rows.head.getLong(0)
+    val text = docs.filter(col("doc_id") === topId)
+      .select("text").collect()(0).getString(0)
+    assert(Seq("hash", "join", "spark").exists(text.split(" ").contains))
+  }
+
+  test("repetition filters match a driver-side recomputation") {
+    val byId = graft.SparkEntry.queries("text_repetition")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    docs.select("doc_id", "text").collect().take(25).foreach { r =>
+      val (id, toks) = (r.getLong(0), r.getString(1).split(" ").toSeq)
+      val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val five = toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
+      val expTop = if (bigrams.isEmpty) 0.0
+        else r4(bigrams.groupBy(identity).map(_._2.length).max.toDouble / bigrams.length)
+      val expDup = if (five.isEmpty) 0.0
+        else r4(1.0 - five.distinct.length.toDouble / five.length)
+      assert(math.abs(byId(id)._1 - expTop) < 1e-9, s"doc $id top-bigram")
+      assert(math.abs(byId(id)._2 - expDup) < 1e-9, s"doc $id dup-5gram")
+    }
+  }
+
   test("language ID beats chance against the corpus labels") {
     val scored = docs.select(col("lang"),
       TextAnalysis.langId(col("text")).as("pred"))
