@@ -23,7 +23,9 @@ object PlanAudit {
       "connector_partition_values", "q_setops_all", "q_window_range",
       "q_temperature_mix", "q_zorder_layout", "sim_kmeans",
       "text_dedup_spans", "sim_random_projection", "q_salted_agg",
-      "q_map_funcs", "text_unigram_logprob", "q_unpivot")
+      "q_map_funcs", "text_unigram_logprob", "q_unpivot",
+      "text_bm25_topk", "text_repetition", "dedup_semantic",
+      "q_asof_join_salted")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")

@@ -25,7 +25,12 @@ import scala.jdk.CollectionConverters._
   * server's `{errorCode, message}` body (src/error.rs:72-89).
   */
 final class DeltaSharingClient(val profile: Profile,
-    maxResultsPerPage: Option[Int] = None) {
+    maxResultsPerPage: Option[Int] = None,
+    /** Bounded retry for throttling (429) / transient server errors
+      * (5xx) / connection failures, with exponential backoff honoring
+      * `Retry-After`. Every endpoint here is a read — retries are safe.
+      * 4xx other than 429 fail immediately (they are deterministic). */
+    maxRetries: Int = 3) {
 
   private val http = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(30)).build()
@@ -156,13 +161,39 @@ final class DeltaSharingClient(val profile: Profile,
       case c => c.toString
     } + "\""
 
-  private def send(req: HttpRequest): HttpResponse[String] =
+  private def sendOnce(req: HttpRequest): HttpResponse[String] =
     try http.send(req, HttpResponse.BodyHandlers.ofString())
     catch {
       case e: Exception =>
         throw DeltaSharingException.request(
           s"request to ${req.uri()} failed: ${e.getMessage}", e)
     }
+
+  /** Send with bounded retry: 429 + 5xx + connection errors back off
+    * (Retry-After honored, else 100·2^attempt ms) and retry up to
+    * `maxRetries` times; everything else returns/throws immediately. */
+  private def send(req: HttpRequest): HttpResponse[String] = {
+    var attempt = 0
+    while (true) {
+      val outcome =
+        try Right(sendOnce(req))
+        catch { case e: DeltaSharingException => Left(e) }
+      val retryable = outcome match {
+        case Right(resp) =>
+          resp.statusCode() == 429 || resp.statusCode() >= 500
+        case Left(_) => true // connection-level failure
+      }
+      if (!retryable || attempt >= maxRetries)
+        return outcome.fold(throw _, identity)
+      val retryAfterMs = outcome.toOption.flatMap { r =>
+        val v = r.headers().firstValue("Retry-After")
+        if (v.isPresent) v.get.toLongOption else None
+      }.map(_ * 1000L).getOrElse(0L)
+      Thread.sleep(math.max(retryAfterMs, 100L << attempt))
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def checkStatus(resp: HttpResponse[String]): Unit = {
     val code = resp.statusCode()

@@ -58,6 +58,11 @@ final class LocalSharingServer(
   @volatile var lastPredicateHints: Option[String] = None
   @volatile var lastLimitHint: Option[String] = None
 
+  /** Fault injection: the next `failNextRequests` non-data requests get
+    * `failNextCode` (429/503 throttling simulation for retry tests). */
+  @volatile var failNextRequests: Int = 0
+  @volatile var failNextCode: Int = 503
+
   private var server: HttpServer = _
   @volatile private var started = false
 
@@ -135,6 +140,15 @@ final class LocalSharingServer(
     // (pre-signed URLs go straight to "storage", bypassing the server
     // auth — same two-hop model as the reference, SURVEY §3.2).
     if (path.startsWith("/data/")) return serveData(x)
+
+    if (failNextRequests > 0) synchronized {
+      if (failNextRequests > 0) {
+        failNextRequests -= 1
+        x.getResponseHeaders.set("Retry-After", "0")
+        return respond(x, failNextCode,
+          s"""{"errorCode":"THROTTLED","message":"injected $failNextCode"}""")
+      }
+    }
 
     val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
     if (!auth.contains(s"Bearer $bearerToken"))

@@ -44,6 +44,31 @@ class ClientServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("lineitem", "orders", "nation"))
   }
 
+  test("throttling (429/503) is retried with backoff; exhaustion surfaces") {
+    // two injected 503s, then success — the client must ride them out
+    server.failNextRequests = 2
+    server.failNextCode = 503
+    assert(client.listShares().map(_.name) == Seq("share1", "share2"))
+    // 429 on the (idempotent, read-only) query POST retries too
+    server.failNextRequests = 1
+    server.failNextCode = 429
+    val (_, _, files) = client.getTableData(
+      TableRef("share1", "schema1", "lineitem"))
+    assert(files.nonEmpty)
+    // more failures than budget → the typed error surfaces
+    val impatient = new DeltaSharingClient(
+      Profile.fromJson(server.profileJson), maxRetries = 1)
+    server.failNextCode = 503
+    server.failNextRequests = 5
+    val e = intercept[DeltaSharingException](impatient.listShares())
+    assert(e.kind == "SERVER_ERROR")
+    server.failNextRequests = 0
+    // deterministic 4xx is NOT retried: a missing share fails instantly
+    val t0 = System.nanoTime()
+    intercept[DeltaSharingException](client.getShare("nope"))
+    assert((System.nanoTime() - t0) < 2e9, "404 should not back off")
+  }
+
   test("get share + missing share is CLIENT_ERROR (mod.rs:810-830)") {
     assert(client.getShare("share1").name == "share1")
     val e = intercept[DeltaSharingException](client.getShare("nope"))
