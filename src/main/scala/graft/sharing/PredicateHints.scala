@@ -39,6 +39,9 @@ object PredicateHints {
       case c => c.toString
     } + "\""
 
+  /** IN-lists longer than this aren't hinted (wire-size guard). */
+  val maxInList: Int = 16
+
   def equal(l: Op, r: Op): Op = NodeOp("equal", Seq(l, r))
   def lessThan(l: Op, r: Op): Op = NodeOp("lessThan", Seq(l, r))
   def lessThanOrEqual(l: Op, r: Op): Op = NodeOp("lessThanOrEqual", Seq(l, r))
@@ -106,6 +109,15 @@ object PredicateHints {
       case GreaterThanOrEqual(a, v) => binary(a, v, greaterThanOrEqual)
       case IsNull(a) => colOp(a).map { case (c, _) => isNull(c) }
       case IsNotNull(a) => colOp(a).map { case (c, _) => not(isNull(c)) }
+      // IN-list → or-of-equals (the grammar has no IN node). Bounded so
+      // a giant list doesn't balloon the wire hint; a NULL element makes
+      // the pruning semantics three-valued — skip translating those.
+      case In(a, vs) if vs.nonEmpty && vs.length <= maxInList &&
+          !vs.contains(null) =>
+        colOp(a).map { case (c, vt) =>
+          val eqs = vs.toSeq.map(v => equal(c, LiteralOp(literal(v, vt), vt)))
+          if (eqs.length == 1) eqs.head else or(eqs)
+        }
       case And(l, r) =>
         (translateFilter(l, schema, lenient),
           translateFilter(r, schema, lenient)) match {
@@ -173,6 +185,15 @@ object PredicateHints {
         binary(l, r, greaterThanOrEqual, lessThanOrEqual)
       case ce.IsNull(c) => colOf(c).map(isNull)
       case ce.IsNotNull(c) => colOf(c).map(x => not(isNull(x)))
+      // IN-list → or-of-equals; every element must be a non-null literal
+      // (larger lists become InSet, which is past the bound anyway)
+      case ce.In(a, list) if list.nonEmpty && list.length <= maxInList =>
+        val lits = list.map(litOf)
+        if (lits.exists(_.isEmpty)) None
+        else colOf(a).map { c =>
+          val eqs = lits.flatten.map(equal(c, _))
+          if (eqs.length == 1) eqs.head else or(eqs)
+        }
       case ce.And(l, r) =>
         (translateCatalyst(l, schema, lenient),
           translateCatalyst(r, schema, lenient)) match {

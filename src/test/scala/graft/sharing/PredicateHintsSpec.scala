@@ -89,6 +89,25 @@ class PredicateHintsSpec extends AnyFunSuite {
       schema).isEmpty)
   }
 
+  test("IN-list becomes or-of-equals; nulls and oversized lists drop") {
+    assert(json(In("id", Array(1, 2))) ==
+      """{"op":"or","children":[{"op":"equal","children":[{"op":"column","name":"id","valueType":"int"},{"op":"literal","value":"1","valueType":"int"}]},{"op":"equal","children":[{"op":"column","name":"id","valueType":"int"},{"op":"literal","value":"2","valueType":"int"}]}]}""")
+    // singleton IN collapses to plain equal
+    assert(json(In("id", Array(7))) == json(EqualTo("id", 7)))
+    // a NULL element makes IN three-valued — not hinted
+    assert(PredicateHints.fromFilter(
+      In("id", Array(1, null)), schema).isEmpty)
+    // oversized lists aren't hinted (wire-size guard)
+    assert(PredicateHints.fromFilter(
+      In("id", (1 to 17).map(Int.box).toArray[Any]), schema).isEmpty)
+    // catalyst path produces the same tree
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    val attr = ce.AttributeReference("id", IntegerType)()
+    val catalystIn = ce.In(attr, Seq(ce.Literal(1), ce.Literal(2)))
+    assert(PredicateHints.fromCatalyst(catalystIn, schema).get.json ==
+      json(In("id", Array(1, 2))))
+  }
+
   test("conjunction hint of multiple filters") {
     val hint = PredicateHints.toHintJson(
       Seq(EqualTo("id", 1), LessThan("score", 2.0)), schema)
