@@ -367,6 +367,35 @@ object ConnectorQueries {
         .orderBy("n_nationkey")
     },
 
+    // STREAMING MATERIALIZED VIEW: the CDF stream drives incremental
+    // snapshot maintenance — each micro-batch's changes are reconciled
+    // onto the running snapshot with the constant-depth applyChanges and
+    // localCheckpoint truncates lineage, so state stays bounded no
+    // matter how many versions stream past (the foreachBatch pattern a
+    // production "keep a queryable replica of a shared table" job uses).
+    // The final replica must equal the table's current content — the
+    // same oracle as connector_cdf_snapshot.
+    QueryDef.sql(
+      "connector_cdf_materialize",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 10 ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val profilePath = profileFor(s, d)
+      val snapshot = new java.util.concurrent.atomic.AtomicReference(
+        sharedTable(s, d, "nation"))
+      val q = GraftSharing.readChangesStream(s, profilePath,
+          TableRef("graft", "main", "nation_cdf"), startingVersion = 2L)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          snapshot.set(GraftSharing.applyChanges(snapshot.get(), batch)
+            .localCheckpoint(eager = true))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      snapshot.get()
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
     // SQL time travel through the catalog plugin: Spark's native
     // `VERSION AS OF` syntax routes to GraftCatalog.loadTable(ident,
     // version) and pins every server query to that snapshot. v1 of
