@@ -125,6 +125,25 @@ object ConnectorQueries {
         "orders_byrange", DeltaSchema.toSchemaString(orders.schema),
         Seq.empty, files = rangeFiles.toSeq))
 
+      // Nested-type table: per-order array<struct> of line items plus a
+      // map column, derived deterministically from lineitem — exercises
+      // the schema envelope's struct/array/map recursion AND the
+      // vectorized reader on nested data through the signed-URL path.
+      // (l_linenumber repeats within an order in this corpus, so lines
+      // are pre-aggregated before becoming map keys.)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val nested = li
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(
+          struct(col("l_linenumber").as("ln"), col("qty")))).as("lines"))
+        .withColumn("qty_by_line", map_from_entries(col("lines")))
+      nested.coalesce(2).write.mode("overwrite")
+        .parquet(s"$stage/orders_nested")
+      server.addParquetTable("graft", "main", "orders_nested",
+        s"$stage/orders_nested", DeltaSchema.toSchemaString(nested.schema))
+
       server.start()
       (server, new DeltaSharingClient(Profile.fromJson(server.profileJson)))
     })._2
@@ -250,6 +269,33 @@ object ConnectorQueries {
         .filter(col("o_orderkey") < 300)
         .agg(count(lit(1)).as("n"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    },
+
+    // Nested types through the connector: the shared table carries
+    // array<struct> and map columns (schema envelope recursion +
+    // vectorized nested parquet decode over signed URLs). The flattened
+    // aggregates must equal DuckDB computing the same numbers straight
+    // from lineitem — certifying the nested round-trip is value-exact.
+    QueryDef.sql(
+      "connector_nested_types",
+      """WITH pl AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey, CAST(COUNT(*) AS INTEGER) AS n_lines,
+        |  CAST(MIN(l_linenumber) AS INTEGER) AS first_ln,
+        |  CAST(SUM(qty) AS DOUBLE) AS total_qty
+        |FROM pl GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 1000""".stripMargin) { (s, d) =>
+      sharedTable(s, d, "orders_nested")
+        .select(col("l_orderkey"),
+          size(col("lines")).as("n_lines"),
+          element_at(col("lines"), 1).getField("ln").as("first_ln"),
+          aggregate(map_values(col("qty_by_line")),
+            lit(BigDecimal(0)).cast("decimal(32,2)"),
+            (acc, x) => (acc + x).cast("decimal(32,2)"))
+            .cast("double").as("total_qty"))
+        .orderBy("l_orderkey")
+        .limit(1000)
     },
 
     // Change data feed rows (the endpoint the reference stubs with
