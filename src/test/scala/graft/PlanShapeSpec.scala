@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan shape assertions for the round-7 operators — the
+  * properties that make them scale, pinned so a regression (a lost
+  * broadcast, a surprise cartesian, a full sort where TakeOrdered
+  * belongs) fails a test instead of only slowing the bench. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("bm25: df/stats sides broadcast; no cartesian beyond the 1-row stats") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"df/stats should broadcast:\n$p")
+    // the only nested-loop join allowed is the 1-row corpus-stats cross
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"unexpected extra nested-loop joins:\n$p")
+  }
+
+  test("semantic dedup: centroid assignment broadcasts, never a real cross product") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"k-row centroid side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  test("repetition filters: two doc-keyed aggregations, no joins on exploded data") {
+    val p = plan("text_repetition")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unexpected join shape:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+
+  test("salted asof: window runs per (key, salt) — salt present in the sort") {
+    val df = SparkEntry.queries("q_asof_join_salted")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    assert(p.contains("__salt"), s"salt column should partition the window:\n$p")
+  }
+
+  test("applyChanges: no Except/Union chain; aggregation-shaped reconciliation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq(("a", 1), ("b", 2)).toDF("k", "x")
+    val feed = Seq(("add", 1L, "c", 3), ("remove", 2L, "a", 1))
+      .toDF("_change_type", "_commit_version", "k", "x")
+      .withColumn("_commit_timestamp", org.apache.spark.sql.functions.lit(0L))
+      .select("k", "x", "_change_type", "_commit_version", "_commit_timestamp")
+    val p = graft.sharing.GraftSharing.applyChanges(base, feed)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("Except"), s"fold shape leaked back in:\n$p")
+  }
+}
