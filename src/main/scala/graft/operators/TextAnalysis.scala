@@ -394,16 +394,19 @@ object TextAnalysis {
       val termScore = idf * col("tf") * 2.2 /
         (col("tf") +
           lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("bm25").desc, col("doc_id"))
-      tf.join(broadcast(dfT), "term")
+      val scored = tf.join(broadcast(dfT), "term")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .groupBy("doc_id")
         .agg(round(sum(round(termScore, 6).cast("decimal(18,6)"))
           .cast("double"), 4).as("bm25"))
+      // global top-10 via sort+limit → TakeOrderedAndProject (no
+      // single-partition shuffle of the full scored set); row_number
+      // then ranks only the 10 surviving rows
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))
+      scored.orderBy(col("bm25").desc, col("doc_id")).limit(10)
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
         .select(col("doc_id"), col("bm25"), col("rk").cast("int").as("rk"))
         .orderBy("rk")
     },
@@ -445,8 +448,11 @@ object TextAnalysis {
         |    AND coalesce(f.dup_5gram_frac, 0.0) < 0.3 AS INTEGER) AS keep
         |FROM w LEFT JOIN bstat b USING (doc_id) LEFT JOIN fstat f USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
+      // three consumers (bstat, fstat, final join) — persist the
+      // tokenized frame once instead of re-scanning + re-splitting
+      val docs = graft.CacheRegistry.register(Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // bigrams from zip_with over the shifted copy (null-padded tail
       // pairs concat to null and are filtered); 5-grams via index windows
       // over the toks ATTRIBUTE (cheap element access, no re-split)

@@ -164,14 +164,20 @@ final class DeltaSharingClient(val profile: Profile,
   private def sendOnce(req: HttpRequest): HttpResponse[String] =
     try http.send(req, HttpResponse.BodyHandlers.ofString())
     catch {
+      case e: InterruptedException =>
+        // Task cancellation: restore the interrupt flag and fail fast.
+        Thread.currentThread().interrupt()
+        throw DeltaSharingException.request(
+          s"request to ${req.uri()} interrupted", e)
       case e: Exception =>
         throw DeltaSharingException.request(
           s"request to ${req.uri()} failed: ${e.getMessage}", e)
     }
 
-  /** Send with bounded retry: 429 + 5xx + connection errors back off
-    * (Retry-After honored, else 100·2^attempt ms) and retry up to
-    * `maxRetries` times; everything else returns/throws immediately. */
+  /** Send with bounded retry: 429 + 5xx + transient connection errors
+    * back off (Retry-After honored, capped at `maxBackoffMs`, else
+    * 100·2^attempt ms) and retry up to `maxRetries` times; interrupts,
+    * SSL/config failures, and everything else surface immediately. */
   private def send(req: HttpRequest): HttpResponse[String] = {
     var attempt = 0
     while (true) {
@@ -181,7 +187,12 @@ final class DeltaSharingClient(val profile: Profile,
       val retryable = outcome match {
         case Right(resp) =>
           resp.statusCode() == 429 || resp.statusCode() >= 500
-        case Left(_) => true // connection-level failure
+        case Left(e) => e.getCause match {
+          // deterministic local failures can never succeed on retry
+          case _: InterruptedException => false
+          case _: javax.net.ssl.SSLException => false
+          case _ => true // timeout / connect-level failure
+        }
       }
       if (!retryable || attempt >= maxRetries)
         return outcome.fold(throw _, identity)
@@ -189,7 +200,7 @@ final class DeltaSharingClient(val profile: Profile,
         val v = r.headers().firstValue("Retry-After")
         if (v.isPresent) v.get.toLongOption else None
       }.map(_ * 1000L).getOrElse(0L)
-      Thread.sleep(math.max(retryAfterMs, 100L << attempt))
+      Thread.sleep(DeltaSharingClient.backoffMs(attempt, retryAfterMs))
       attempt += 1
     }
     throw new IllegalStateException("unreachable")
@@ -233,4 +244,14 @@ final class DeltaSharingClient(val profile: Profile,
     }
     acc.result()
   }
+}
+
+object DeltaSharingClient {
+  /** Upper bound on a single retry sleep — a hostile/misconfigured
+    * `Retry-After: 86400` must not park a task thread for hours. */
+  val maxBackoffMs: Long = 10000L
+
+  /** Per-attempt sleep: max(Retry-After, 100·2^attempt), capped. */
+  def backoffMs(attempt: Int, retryAfterMs: Long): Long =
+    math.min(math.max(retryAfterMs, 100L << attempt), maxBackoffMs)
 }

@@ -186,12 +186,24 @@ object PredicateHints {
       case ce.IsNull(c) => colOf(c).map(isNull)
       case ce.IsNotNull(c) => colOf(c).map(x => not(isNull(x)))
       // IN-list → or-of-equals; every element must be a non-null literal
-      // (larger lists become InSet, which is past the bound anyway)
       case ce.In(a, list) if list.nonEmpty && list.length <= maxInList =>
         val lits = list.map(litOf)
         if (lits.exists(_.isEmpty)) None
         else colOf(a).map { c =>
           val eqs = lits.flatten.map(equal(c, _))
+          if (eqs.length == 1) eqs.head else or(eqs)
+        }
+      // OptimizeIn rewrites In → InSet above inSetConversionThreshold
+      // (default 10), which is below maxInList — handle it too, or
+      // 11..16-element lists silently lose their hint on this path.
+      // hset holds Catalyst-internal values; re-wrap as Literal so the
+      // date/timestamp rendering above applies. Sorted for determinism.
+      case ce.InSet(a, hset) if hset.nonEmpty && hset.size <= maxInList &&
+          !hset.contains(null) =>
+        val lits = hset.toSeq.map(v => litOf(ce.Literal(v, a.dataType)))
+        if (lits.exists(_.isEmpty)) None
+        else colOf(a).map { c =>
+          val eqs = lits.flatten.sortBy(_.value).map(equal(c, _))
           if (eqs.length == 1) eqs.head else or(eqs)
         }
       case ce.And(l, r) =>

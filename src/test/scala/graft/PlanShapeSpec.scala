@@ -17,6 +17,10 @@ class PlanShapeSpec extends SparkTestBase {
     // the only nested-loop join allowed is the 1-row corpus-stats cross
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(bnlj <= 1, s"unexpected extra nested-loop joins:\n$p")
+    // global top-10 must be TakeOrdered — not a single-partition sort
+    // or an unpartitioned window over the full scored set
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k should plan as TakeOrderedAndProject:\n$p")
   }
 
   test("semantic dedup: centroid assignment broadcasts, never a real cross product") {

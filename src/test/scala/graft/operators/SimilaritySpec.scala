@@ -141,7 +141,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(two.map(_._2).distinct.length == k)
   }
 
-  test("semantic dedup: total assignment; every dropped vec has a kept twin") {
+  test("semantic dedup: total assignment; every drop is justified by a twin") {
     graft.functions.GraftFunctions.register(spark)
     val out = Similarity.semanticDedup(emb, k = 8, iters = 2, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
@@ -150,8 +150,16 @@ class SimilaritySpec extends SparkTestBase {
     val dropped = out.filter(_._3 == 0)
     assert(dropped.nonEmpty, "threshold 0.3 should drop some near-duplicates")
     // verify a sample of drops driver-side: a smaller-id same-cluster
-    // vector with rounded cosine >= threshold must exist
+    // vector with rounded cosine >= threshold must exist. NOTE: the twin
+    // may itself be dropped (chains: 1~2, 2~3, 1≁3 drops both 2 and 3) —
+    // that is the SemDeDup semantics, not a bug; what IS guaranteed is
+    // that the min-id vector of every cluster is kept (asserted below).
     val clusterOf = out.map(t => t._1 -> t._2).toMap
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      val minId = members.map(_._1).min
+      assert(members.find(_._1 == minId).get._3 == 1,
+        s"cluster $cl: min-id vec $minId must be kept")
+    }
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def cos(a: Array[Float], b: Array[Float]): Double = {

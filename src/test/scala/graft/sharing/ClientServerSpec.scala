@@ -67,6 +67,12 @@ class ClientServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t0 = System.nanoTime()
     intercept[DeltaSharingException](client.getShare("nope"))
     assert((System.nanoTime() - t0) < 2e9, "404 should not back off")
+    // a hostile Retry-After cannot park the thread past the cap
+    assert(DeltaSharingClient.backoffMs(0, 86400L * 1000) ==
+      DeltaSharingClient.maxBackoffMs)
+    assert(DeltaSharingClient.backoffMs(2, 0) == 400L)
+    assert(DeltaSharingClient.backoffMs(30, 0) ==
+      DeltaSharingClient.maxBackoffMs, "exponential term is capped too")
   }
 
   test("get share + missing share is CLIENT_ERROR (mod.rs:810-830)") {

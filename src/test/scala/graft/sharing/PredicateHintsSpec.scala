@@ -106,6 +106,17 @@ class PredicateHintsSpec extends AnyFunSuite {
     val catalystIn = ce.In(attr, Seq(ce.Literal(1), ce.Literal(2)))
     assert(PredicateHints.fromCatalyst(catalystIn, schema).get.json ==
       json(In("id", Array(1, 2))))
+    // InSet (OptimizeIn's rewrite above threshold 10, still <= maxInList)
+    // must hint too — 11..16-element lists take this form on the V2 path
+    val catalystInSet = ce.InSet(attr, (1 to 12).map(Int.box).toSet[Any])
+    val setHint = PredicateHints.fromCatalyst(catalystInSet, schema)
+    assert(setHint.isDefined, "12-element InSet should produce a hint")
+    assert("\"op\":\"equal\"".r.findAllIn(setHint.get.json).length == 12)
+    // nulls and oversized sets drop, same as In
+    assert(PredicateHints.fromCatalyst(
+      ce.InSet(attr, Set[Any](1, null)), schema).isEmpty)
+    assert(PredicateHints.fromCatalyst(
+      ce.InSet(attr, (1 to 17).map(Int.box).toSet[Any]), schema).isEmpty)
   }
 
   test("conjunction hint of multiple filters") {
