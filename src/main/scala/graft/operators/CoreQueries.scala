@@ -1127,6 +1127,53 @@ object CoreQueries {
         .agg(sum(col("pn")).cast("bigint").as("n"),
           sum(col("pv")).cast("double").as("total"))
         .orderBy("event_type")
+    },
+
+    // Winsorized (clipped-at-percentile) robust mean per group — the
+    // standard outlier-robust normalization before loss-weighting or
+    // mixing decisions. Two passes over the fact table: an exact
+    // per-group p05/p95 (3 groups → broadcast back), then clip + mean.
+    // At 100 TB the bounds frame is group-cardinality-sized (tiny, so
+    // the join is a broadcast, never a shuffle of the fact side) and the
+    // clip pass is a narrow codegen'd projection with map-side partial
+    // aggregation. Determinism: percentile interpolation parity is
+    // already certified by q_percentile; the clipped values round to
+    // 4dp and sum through DECIMAL.
+    QueryDef.sql(
+      "q_winsorized_mean",
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  round(CAST(SUM(CAST(round(
+        |      least(greatest(l.l_extendedprice, b.lo), b.hi), 4)
+        |    AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS robust_mean,
+        |  round(b.lo, 4) AS p05, round(b.hi, 4) AS p95,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice < b.lo
+        |                  OR l.l_extendedprice > b.hi
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY l.l_returnflag, b.lo, b.hi
+        |ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val bounds = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.05)").as("lo"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+          round(sum(round(least(greatest(col("l_extendedprice"), col("lo")),
+              col("hi")), 4).cast("decimal(18,4)")).cast("double")
+            / count(lit(1)), 4).as("robust_mean"),
+          sum(when(col("l_extendedprice") < col("lo") ||
+              col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_clipped"))
+        .select(col("l_returnflag"), col("robust_mean"),
+          round(col("lo"), 4).as("p05"), round(col("hi"), 4).as("p95"),
+          col("n_clipped"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -743,6 +743,140 @@ object TextAnalysis {
               struct(col("si"), col("span"))))),
             x => x("span")), " ")).as("clean_md5"))
         .orderBy("doc_id")
+    },
+
+    // Hashed linear quality classifier (fasttext-style): each token is
+    // hashed into one of 64 buckets, a fixed md5-seeded integer weight
+    // per bucket is summed exactly, and the mean margin goes through a
+    // sigmoid. This is how production quality filters score trillions of
+    // tokens: a single codegen'd narrow projection, the model broadcast
+    // as a literal (a real deployment broadcasts a few-MB weight table).
+    // The weights are seeded from md5 (same trick as the JL sign matrix)
+    // so the oracle regenerates the identical model; the raw score is an
+    // integer sum — exact in both engines — and `keep` compares the raw
+    // integer against 0 (margin >= 0 ⟺ prob >= 0.5), immune to float
+    // boundary effects.
+    QueryDef.sql(
+      "text_quality_classifier",
+      s"""WITH wl AS (SELECT ${qcWeights.mkString("[", ", ", "]")} AS w),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |      FROM documents),
+        |r AS (
+        |  SELECT doc_id, len(ts) AS ntok,
+        |    CAST(list_sum(list_transform(ts, s ->
+        |      w[1 + CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, length(s) + 1),
+        |            i -> CAST(unicode(s[i]) AS BIGINT))),
+        |        (acc, c) -> (acc * 131 + c) % 2147483629) % 64 AS INTEGER)]
+        |    )) AS BIGINT) AS score_raw
+        |  FROM t, wl)
+        |SELECT doc_id, score_raw,
+        |  round(1 / (1 + exp(-(CAST(score_raw AS DOUBLE) / ntok))), 4) AS prob,
+        |  CAST(score_raw >= 0 AS INTEGER) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val wlit = lit(qcWeights.toArray)
+      val toks = tokens(lower(col("text")))
+      val raw = aggregate(toks, lit(0L), (acc, t) =>
+        acc + element_at(wlit,
+          pmod(rollingFingerprint(t), lit(64L)).cast("int") + 1).cast("bigint"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("score_raw"),
+          size(toks).cast("double").as("ntok"))
+        .select(col("doc_id"), col("score_raw"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(col("score_raw").cast("double") / col("ntok")))), 4)
+            .as("prob"),
+          (col("score_raw") >= 0).cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Count-min sketch heavy-hitter estimation (Cormode & Muthukrishnan
+    // 2005): d=4 hash rows × w=256 buckets. THE mergeable-sketch scale
+    // path for frequency queries: the sketch is a groupBy over (row,
+    // bucket) — map-side combined, at most 1024 cells regardless of
+    // corpus size — so at 100 TB the shuffle carries 256 rows per
+    // partition, never the token stream. Probes ride a broadcast join
+    // against the tiny cell table; est = min over the 4 rows. The exact
+    // counts + error bound are computed alongside as the certification
+    // columns (overestimates: CM never underestimates; within_bound:
+    // err*128 <= N ⟺ err <= 2N/w). Fully integer → bit-exact oracle.
+    QueryDef.sql(
+      "text_count_min",
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |              FROM documents),
+        |fp AS (SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(tok) + 1),
+        |      i -> CAST(unicode(tok[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 2147483629) AS f FROM toks),
+        |cells AS (
+        |  SELECT r, (f * a + b) % 2147483629 % 256 AS bucket, COUNT(*) AS c
+        |  FROM fp, (VALUES (0, 3, 17), (1, 5, 29), (2, 7, 47), (3, 11, 83))
+        |    h(r, a, b)
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT unnest(['the', 'a', 'data', 'table', 'row',
+        |                          'hash', 'join', 'spark', 'zzxq']) AS tok),
+        |pfp AS (SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(tok) + 1),
+        |      i -> CAST(unicode(tok[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 2147483629) AS f FROM probes),
+        |pcell AS (
+        |  SELECT p.tok, h.r, (p.f * h.a + h.b) % 2147483629 % 256 AS bucket
+        |  FROM pfp p, (VALUES (0, 3, 17), (1, 5, 29), (2, 7, 47), (3, 11, 83))
+        |    h(r, a, b)),
+        |est AS (SELECT pc.tok, MIN(coalesce(c.c, 0)) AS est_count
+        |        FROM pcell pc LEFT JOIN cells c
+        |          ON c.r = pc.r AND c.bucket = pc.bucket
+        |        GROUP BY pc.tok),
+        |ex AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT e.tok AS tok, CAST(e.est_count AS BIGINT) AS est_count,
+        |  CAST(coalesce(x.cnt, 0) AS BIGINT) AS exact_count,
+        |  CAST(e.est_count >= coalesce(x.cnt, 0) AS INTEGER) AS overestimates,
+        |  CAST((e.est_count - coalesce(x.cnt, 0)) * 128 <= t.n AS INTEGER)
+        |    AS within_bound
+        |FROM est e LEFT JOIN ex x USING (tok), tot t
+        |ORDER BY tok""".stripMargin) { (s, d) =>
+      val P = 2147483629L
+      val hashRows = Seq((3L, 17L), (5L, 29L), (7L, 47L), (11L, 83L))
+      val probeToks = Seq("the", "a", "data", "table", "row",
+        "hash", "join", "spark", "zzxq")
+      def buckets(f: Column): Column = array(hashRows.map { case (a, b) =>
+        pmod(f * a + b, lit(P)) % 256 }: _*)
+      val tokDf = Tables.documents(s, d)
+        .select(explode(tokens(lower(col("text")))).as("tok"))
+      val cells = tokDf
+        .select(posexplode(buckets(rollingFingerprint(col("tok"))))
+          .as(Seq("r", "bucket")))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+      val probes = s.range(1)
+        .select(explode(array(probeToks.map(lit): _*)).as("tok"))
+      val est = probes
+        .select(col("tok"), posexplode(buckets(rollingFingerprint(col("tok"))))
+          .as(Seq("r", "bucket")))
+        .join(broadcast(cells), Seq("r", "bucket"), "left")
+        .groupBy("tok").agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+      val exact = tokDf.filter(col("tok").isin(probeToks: _*))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = tokDf.agg(count(lit(1)).as("n"))
+      est.join(broadcast(exact), Seq("tok"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("tok"), col("est_count"),
+          coalesce(col("cnt"), lit(0L)).as("exact_count"),
+          (col("est_count") >= coalesce(col("cnt"), lit(0L))).cast("int")
+            .as("overestimates"),
+          ((col("est_count") - coalesce(col("cnt"), lit(0L))) * 128 <= col("n"))
+            .cast("int").as("within_bound"))
+        .orderBy("tok")
     }
   )
+
+  /** Quality-classifier model: one small integer weight in [-4, 4] per
+    * hash bucket, seeded from md5 so ANY engine regenerates the same
+    * model from the seed strings alone (the oracle embeds the literal
+    * list; same determinism trick as Similarity.rpSign). */
+  val qcWeights: IndexedSeq[Int] = (0 until 64).map { b =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"qw_$b".getBytes("UTF-8"))
+    ((h(0) & 0xff) % 9) - 4
+  }
 }

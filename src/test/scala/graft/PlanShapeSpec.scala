@@ -44,6 +44,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("__salt"), s"salt column should partition the window:\n$p")
   }
 
+  test("count-min: sketch cells and exact counts broadcast to the probes") {
+    val p = plan("text_count_min")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"cell/exact sides should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  test("winsorized mean: the 3-row bounds frame broadcasts to the fact side") {
+    val p = plan("q_winsorized_mean")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds join must broadcast, never shuffle lineitem:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
+  test("quality classifier: single narrow projection, no joins or shuffles") {
+    val df = SparkEntry.queries("text_quality_classifier")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"classifier must be a pure per-row projection:\n$p")
+  }
+
   test("applyChanges: no Except/Union chain; aggregation-shaped reconciliation") {
     val spark2 = spark
     import spark2.implicits._

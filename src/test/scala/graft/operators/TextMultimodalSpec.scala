@@ -256,6 +256,63 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("quality classifier: sigmoid/keep consistency and bucket sensitivity") {
+    val rows = graft.SparkEntry.queries("text_quality_classifier")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(rows.length == docs.count())
+    rows.foreach { case (id, raw, prob, keep) =>
+      assert(prob >= 0.0 && prob <= 1.0, s"doc $id prob $prob")
+      assert(keep == (if (raw >= 0) 1 else 0), s"doc $id keep/raw disagree")
+      // sign(margin) and sigmoid side must agree
+      if (raw > 0) assert(prob > 0.5, s"doc $id prob $prob with raw $raw")
+      if (raw < 0) assert(prob < 0.5, s"doc $id prob $prob with raw $raw")
+    }
+    // the model must actually discriminate (not all same verdict)
+    assert(rows.map(_._4).distinct.length == 2,
+      "classifier should split the corpus")
+    // weights regenerate deterministically and span negatives+positives
+    assert(TextAnalysis.qcWeights.length == 64)
+    assert(TextAnalysis.qcWeights.exists(_ < 0) &&
+      TextAnalysis.qcWeights.exists(_ > 0))
+    assert(TextAnalysis.qcWeights.forall(w => w >= -4 && w <= 4))
+  }
+
+  test("count-min: never underestimates; absent probe stays near zero") {
+    val rows = graft.SparkEntry.queries("text_count_min")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+    assert(rows.length == 9)
+    val n = docs.select(explode(split(lower(col("text")), " "))).count()
+    rows.foreach { case (tok, est, exact, over, bound) =>
+      assert(est >= exact, s"$tok: CM must overestimate, est=$est exact=$exact")
+      assert(over == 1, s"$tok overestimates flag")
+      assert(bound == 1, s"$tok bound flag: est=$est exact=$exact n=$n")
+      assert((est - exact) * 128 <= n, s"$tok error above 2N/w")
+    }
+    // the absent probe's exact count is 0 and its estimate is only
+    // collision mass, far below the common words
+    val absent = rows.find(_._1 == "zzxq").get
+    assert(absent._3 == 0L)
+    val common = rows.find(_._1 == "the").get
+    assert(common._3 > absent._2,
+      "common word true count should dominate absent-probe collision mass")
+  }
+
+  test("winsorized mean sits inside the clip bounds; clipping is real") {
+    val rows = graft.SparkEntry.queries("q_winsorized_mean")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.length == 3)
+    val total = Tables.lineitem(spark, sf0001).count()
+    rows.foreach { case (flag, mean, p05, p95, clipped) =>
+      assert(p05 < p95, s"$flag bounds inverted")
+      assert(mean >= p05 && mean <= p95, s"$flag mean $mean outside bounds")
+      assert(clipped > 0, s"$flag should clip its tails")
+      assert(clipped < total / 3, s"$flag clipped too much")
+    }
+  }
+
   test("binary payload roundtrip preserves bytes (sha256 stable)") {
     val a = Multimodal.binaryView(docs)
       .select(sha2(col("payload"), 256).as("h")).orderBy("h")
