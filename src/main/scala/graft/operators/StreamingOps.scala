@@ -39,16 +39,21 @@ object StreamingOps {
     * (AvailableNow) and return the final result as a DataFrame. */
   def runToCompletion(spark: SparkSession, sfDir: String,
       transform: DataFrame => DataFrame,
+      outputMode: String): DataFrame =
+    // One micro-batch for the whole staged dir (default is 1000 files
+    // per trigger): the stateful transforms sort within a batch, so
+    // cross-batch event-time disorder would silently skew their
+    // results against the batch oracles.
+    runDirToCompletion(spark, stagedEventsDir(spark, sfDir),
+      Int.MaxValue, transform, outputMode)
+
+  private def runDirToCompletion(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int, transform: DataFrame => DataFrame,
       outputMode: String): DataFrame = {
-    val dir = stagedEventsDir(spark, sfDir)
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream
       .schema(schema)
-      // One micro-batch for the whole staged dir (default is 1000 files
-      // per trigger): the stateful transforms sort within a batch, so
-      // cross-batch event-time disorder would silently skew their
-      // results against the batch oracles.
-      .option("maxFilesPerTrigger", Int.MaxValue)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
     val sink = s"graft_stream_sink_${counter.incrementAndGet()}"
     val q = transform(stream).writeStream
@@ -60,6 +65,41 @@ object StreamingOps {
     q.awaitTermination()
     spark.table(sink)
   }
+
+  /** Two-file staging for the late-data query: `b1.parquet` (everything
+    * but the straggler decile) with an older mtime, then `b2.parquet`
+    * (the stragglers) — the file source processes oldest-mtime first, so
+    * with maxFilesPerTrigger=1 the stragglers arrive as a SECOND
+    * micro-batch after the watermark has advanced past their windows. */
+  def stagedLateDir(spark: SparkSession, sfDir: String): String =
+    staged.getOrElseUpdate("late:" + sfDir, {
+      val dir = "/tmp/graft_stream_late_" + java.util.UUID
+        .nameUUIDFromBytes(("late:" + sfDir).getBytes("UTF-8")).toString.take(8)
+      val root = new java.io.File(dir)
+      root.mkdirs()
+      val ev = Tables.events(spark, sfDir)
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"${dir}_tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(root, s"$name.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      val now = System.currentTimeMillis()
+      stage(ev.filter(col("event_id") % 10 =!= 7), "b1", now - 180000)
+      // eviction lags one batch: windows sealed by b1's watermark are
+      // only emitted+evicted at the END of the batch AFTER b1 — the
+      // empty middle file forces that eviction-only batch, so the
+      // stragglers in b2 genuinely arrive to closed windows
+      stage(ev.filter(lit(false)), "b_mid", now - 120000)
+      stage(ev.filter(col("event_id") % 10 === 7), "b2", now - 60000)
+      dir
+    })
 
   def defs: Seq[QueryDef] = Seq(
     // Streaming grouped aggregation — must equal the batch answer.
@@ -197,6 +237,48 @@ object StreamingOps {
           .dropDuplicates("user_id", "event_type"),
         outputMode = "append")
         .agg(count(lit(1)).as("n_distinct"))
+    },
+
+    // Watermark late-data semantics, demonstrated for real: the
+    // straggler decile arrives as a SECOND micro-batch after the
+    // watermark (max event time of batch 1 minus 53s) has passed —
+    // stragglers to already-closed 5-minute windows are DROPPED,
+    // stragglers to still-open windows are accepted. Append mode emits
+    // exactly the windows the final watermark has sealed. The oracle
+    // replays the full protocol in SQL: wm1 gates which late rows are
+    // accepted, the final watermark gates which windows emit. This is
+    // the state-bounding contract that makes streaming aggregation
+    // viable at 100 TB/day — state is only ever the open-window suffix.
+    QueryDef.sql(
+      "stream_late_data",
+      """WITH b1 AS (SELECT * FROM events WHERE event_id % 10 <> 7),
+        |b2 AS (SELECT * FROM events WHERE event_id % 10 = 7),
+        |wm1 AS (SELECT max(ts) - INTERVAL 53 SECOND AS w FROM b1),
+        |wmf AS (SELECT max(ts) - INTERVAL 53 SECOND AS w FROM events),
+        |acc AS (
+        |  SELECT ts, value FROM b1
+        |  UNION ALL
+        |  SELECT b2.ts, b2.value FROM b2, wm1
+        |  WHERE time_bucket(INTERVAL 5 MINUTE, b2.ts) + INTERVAL 5 MINUTE
+        |        > wm1.w)
+        |SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts),
+        |    '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM acc, wmf
+        |WHERE time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
+        |      <= wmf.w
+        |GROUP BY 1 ORDER BY win_start""".stripMargin) { (s, d) =>
+      runDirToCompletion(s, stagedLateDir(s, d), maxFilesPerTrigger = 1,
+        df => df.withWatermark("ts", "53 seconds")
+          .groupBy(window(col("ts"), "5 minutes").as("w"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"), col("n"), col("total")),
+        outputMode = "append")
+        .orderBy("win_start")
     }
   )
 }

@@ -48,4 +48,38 @@ class StreamingStateSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("late stragglers to sealed windows are dropped, open windows accept") {
+    val result = graft.SparkEntry.queries("stream_late_data")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf0001)
+    val b1 = ev.filter(col("event_id") % 10 =!= 7)
+    val wm1 = b1.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime -
+      53000L
+    // batch recomputation of the no-drop world: every straggler counted
+    val noDrop = ev
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("n"), (col("w.end").cast("long") * 1000).as("endMs"))
+      .collect()
+    // sealed windows (end <= wm1) must carry b1-only counts — i.e. any
+    // sealed window containing a straggler shows count < the no-drop
+    // count; and at least one such drop must exist in the corpus
+    val b1Counts = b1
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var drops = 0L
+    noDrop.filter(_.getLong(2) <= wm1).foreach { r =>
+      val (ws, nAll) = (r.getString(0), r.getLong(1))
+      // a sealed window whose rows were ALL stragglers vanishes entirely
+      assert(result.getOrElse(ws, 0L) == b1Counts.getOrElse(ws, 0L),
+        s"sealed window $ws must hold batch-1-only rows")
+      drops += nAll - b1Counts.getOrElse(ws, 0L)
+    }
+    assert(drops > 0, "corpus should exercise the late-drop path")
+  }
 }
