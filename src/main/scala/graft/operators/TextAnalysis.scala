@@ -867,6 +867,106 @@ object TextAnalysis {
           ((col("est_count") - coalesce(col("cnt"), lit(0L))) * 128 <= col("n"))
             .cast("int").as("within_bound"))
         .orderBy("tok")
+    },
+
+    // Top pointwise-mutual-information collocations — the standard
+    // phrase-mining / tokenizer-merge signal. Two map-side-combined
+    // aggregations (bigrams, unigrams); the unigram vocabulary table is
+    // broadcast-joined onto the bigram counts twice; the global top-20
+    // is TakeOrdered on the rounded PMI with the bigram string as the
+    // unique tiebreak. Totals derive from the count tables (no extra
+    // corpus pass). PMI argument is evaluated in one pinned order of
+    // IEEE double ops so both engines see bit-identical inputs to ln.
+    QueryDef.sql(
+      "text_pmi_bigrams",
+      """WITH toks AS (SELECT string_split(lower(text), ' ') AS ts
+        |              FROM documents),
+        |uc AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cw
+        |       FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        |un AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM uc),
+        |bc AS (
+        |  SELECT p['w1'] AS w1, p['w2'] AS w2,
+        |    CAST(COUNT(*) AS DOUBLE) AS cab
+        |  FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |      i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS p
+        |    FROM toks WHERE len(ts) >= 2)
+        |  GROUP BY 1, 2),
+        |bn AS (SELECT CAST(SUM(cab) AS DOUBLE) AS m FROM bc)
+        |SELECT w1 || ' ' || w2 AS bigram, CAST(cab AS BIGINT) AS n_pair,
+        |  round(ln((cab / m) / ((a.cw / un.n) * (b.cw / un.n))), 4) AS pmi
+        |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, bn, un
+        |WHERE cab >= 5
+        |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(tokens(lower(col("text"))).as("ts"))
+      val uc = toks.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("double").as("cw"))
+      val un = uc.agg(sum("cw").as("n"))
+      val bc = toks.filter(size(col("ts")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("cab"))
+      val bn = bc.agg(sum("cab").as("m"))
+      bc.filter(col("cab") >= 5)
+        .join(broadcast(uc.select(col("w").as("w1"), col("cw").as("cwa"))),
+          "w1")
+        .join(broadcast(uc.select(col("w").as("w2"), col("cw").as("cwb"))),
+          "w2")
+        .crossJoin(broadcast(bn)).crossJoin(broadcast(un))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("cab").cast("bigint").as("n_pair"),
+          round(log((col("cab") / col("m")) /
+            ((col("cwa") / col("n")) * (col("cwb") / col("n")))), 4)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram")).limit(20)
+    },
+
+    // Curriculum difficulty deciles: per-SOURCE ntile(10) over the
+    // quality score — the domain-stratified ordering used to schedule
+    // training data from easy to hard. Deciles are per-source (not
+    // global) deliberately: a global exact decile is a total sort at
+    // 100 TB, while per-domain windows parallelize across sources (a
+    // global curriculum would bin against approx-quantile thresholds
+    // instead). The (quality DESC, doc_id) order is total, so ntile
+    // bucket assignment is engine-independent.
+    QueryDef.sql(
+      "text_difficulty_curriculum",
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    round(least(1.0, (least(ntok/100, 1.0) + least(mean_len/8, 1.0)
+        |      + least(stop_r*5, 1.0)) / 3), 4) AS quality
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CAST(len(rtoks) AS DOUBLE) AS ntok,
+        |      CAST(length(text) AS DOUBLE) / len(rtoks) AS mean_len,
+        |      CAST(len(list_filter(rtoks,
+        |        t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / len(rtoks) AS stop_r
+        |    FROM (SELECT doc_id, source, text,
+        |          string_split(text, ' ') AS rtoks FROM documents))),
+        |d AS (SELECT source, quality,
+        |        ntile(10) OVER (PARTITION BY source
+        |                        ORDER BY quality DESC, doc_id) AS decile
+        |      FROM q)
+        |SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*), 4) AS mean_quality
+        |FROM d GROUP BY source, decile
+        |ORDER BY source, decile""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("quality"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("quality").cast("decimal(18,4)")).cast("double")
+            / count(lit(1)), 4).as("mean_quality"))
+        .orderBy("source", "decile")
     }
   )
 

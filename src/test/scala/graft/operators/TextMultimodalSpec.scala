@@ -313,6 +313,36 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("pmi top collocations: support floor holds, ranking is real") {
+    val rows = graft.SparkEntry.queries("text_pmi_bigrams")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    assert(rows.forall(_._2 >= 5), "support floor cab >= 5")
+    val pmis = rows.map(_._3).toSeq
+    assert(pmis == pmis.sorted.reverse, "descending PMI order")
+    // a collocation list that never beats independence is a broken PMI
+    assert(pmis.head > 0, "top collocation must be positively associated")
+  }
+
+  test("curriculum deciles: each source fully covered, deciles ordered") {
+    val rows = graft.SparkEntry.queries("text_difficulty_curriculum")(
+      spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val bySource = rows.groupBy(_._1)
+    val sourceCounts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.keySet == sourceCounts.keySet)
+    bySource.foreach { case (src, ds) =>
+      assert(ds.map(_._3).sum == sourceCounts(src), s"$src doc coverage")
+      assert(ds.map(_._2).toSeq.sorted == ds.map(_._2).toSeq,
+        s"$src output ordered by decile")
+      // decile 1 is the easiest (highest quality) — means must not rise
+      val means = ds.sortBy(_._2).map(_._4).toSeq
+      assert(means == means.sorted.reverse,
+        s"$src decile means must be non-increasing: $means")
+    }
+  }
+
   test("binary payload roundtrip preserves bytes (sha256 stable)") {
     val a = Multimodal.binaryView(docs)
       .select(sha2(col("payload"), 256).as("h")).orderBy("h")
