@@ -25,7 +25,9 @@ object PlanAudit {
       "text_dedup_spans", "sim_random_projection", "q_salted_agg",
       "q_map_funcs", "text_unigram_logprob", "q_unpivot",
       "text_bm25_topk", "text_repetition", "dedup_semantic",
-      "q_asof_join_salted")
+      "q_asof_join_salted",
+      "text_quality_classifier", "text_count_min", "q_winsorized_mean",
+      "text_pmi_bigrams", "text_difficulty_curriculum")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")
