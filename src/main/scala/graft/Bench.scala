@@ -36,7 +36,8 @@ object Bench {
     "text_unigram_logprob", "mm_image_patches", "q_approx_percentile",
     "q_map_funcs", "text_bm25_topk", "text_repetition", "dedup_semantic",
     "text_quality_classifier", "text_count_min", "q_winsorized_mean",
-    "text_pmi_bigrams", "text_difficulty_curriculum")
+    "text_pmi_bigrams", "text_difficulty_curriculum",
+    "q_histogram", "q_funnel")
 
   /** Bench-only RAW operator variants. The gate versions of these
     * queries certify QUALITY by computing the exact ground truth in-plan

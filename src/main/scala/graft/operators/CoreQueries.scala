@@ -1174,6 +1174,88 @@ object CoreQueries {
           round(col("lo"), 4).as("p05"), round(col("hi"), 4).as("p95"),
           col("n_clipped"))
         .orderBy("l_returnflag")
+    },
+
+    // Equi-width histogram (20 buckets over the global [min, max]) — the
+    // basic data-profiling primitive. Global extremes are a 2-double
+    // scalar frame broadcast onto a single map-side-combined bucket
+    // aggregation; the bucket index uses one pinned IEEE expression in
+    // both engines (not width_bucket, whose edge semantics differ across
+    // engines). 20 output rows at any corpus size.
+    QueryDef.sql(
+      "q_histogram",
+      """WITH s AS (SELECT min(l_extendedprice) AS lo,
+        |                  max(l_extendedprice) AS hi FROM lineitem)
+        |SELECT
+        |  CASE WHEN l_extendedprice >= s.hi THEN 20
+        |    ELSE CAST(1 + floor((l_extendedprice - s.lo) * 20
+        |              / (s.hi - s.lo)) AS INTEGER) END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(min(l_extendedprice), 4) AS bucket_min,
+        |  round(max(l_extendedprice), 4) AS bucket_max
+        |FROM lineitem, s
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ext = li.agg(min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"))
+      li.crossJoin(broadcast(ext))
+        .select(col("l_extendedprice"),
+          when(col("l_extendedprice") >= col("hi"), 20)
+            .otherwise((lit(1) + floor((col("l_extendedprice") - col("lo"))
+              * 20 / (col("hi") - col("lo")))).cast("int")).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("l_extendedprice"), 4).as("bucket_min"),
+          round(max("l_extendedprice"), 4).as("bucket_max"))
+        .orderBy("bucket")
+    },
+
+    // Ordered-funnel conversion (view → click → purchase): each stage's
+    // entry time is the min event time AFTER the previous stage's entry —
+    // the canonical product-analytics query. Three user-keyed
+    // aggregations chained by equi-joins (shuffle by user_id, the
+    // standard funnel shape at scale — never a sort of the event log);
+    // the per-user stage frames are persisted because each feeds both
+    // the next stage and its own count.
+    QueryDef.sql(
+      "q_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+        |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+        |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+        |  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM v), 4) AS view_to_click,
+        |  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |    / greatest((SELECT COUNT(*) FROM c), 1), 4)
+        |    AS click_to_purchase""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val v = graft.CacheRegistry.register(
+        ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val c = graft.CacheRegistry.register(
+        ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          round(col("n_click").cast("double") / col("n_view"), 4)
+            .as("view_to_click"),
+          round(col("n_purchase").cast("double")
+            / greatest(col("n_click"), lit(1L)), 4).as("click_to_purchase"))
     }
   )
 }

@@ -343,6 +343,29 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("histogram: 20 buckets partition every row, edges monotone") {
+    val rows = graft.SparkEntry.queries("q_histogram")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1 to 20))
+    assert(rows.map(_._2).sum == Tables.lineitem(spark, sf0001).count())
+    rows.foreach { case (b, _, lo, hi) =>
+      assert(lo <= hi, s"bucket $b inverted") }
+    // bucket ranges must not overlap: each max below the next min
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"buckets ${a._1}/${b._1} overlap") }
+  }
+
+  test("funnel: stage counts are monotone and conversions consistent") {
+    val r = graft.SparkEntry.queries("q_funnel")(spark, sf0001).collect()(0)
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv >= nc && nc >= np, s"funnel must narrow: $nv $nc $np")
+    assert(nv > 0 && np > 0, "corpus should exercise the whole funnel")
+    // emitted rates are rounded to 4dp — allow the rounding half-step
+    assert(math.abs(r.getDouble(3) - nc.toDouble / nv) <= 5e-5)
+    assert(math.abs(r.getDouble(4) - np.toDouble / math.max(nc, 1)) <= 5e-5)
+  }
+
   test("binary payload roundtrip preserves bytes (sha256 stable)") {
     val a = Multimodal.binaryView(docs)
       .select(sha2(col("payload"), 256).as("h")).orderBy("h")
