@@ -27,7 +27,8 @@ object PlanAudit {
       "text_bm25_topk", "text_repetition", "dedup_semantic",
       "q_asof_join_salted",
       "text_quality_classifier", "text_count_min", "q_winsorized_mean",
-      "text_pmi_bigrams", "text_difficulty_curriculum")
+      "text_pmi_bigrams", "text_difficulty_curriculum",
+      "q_histogram", "q_funnel")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")

@@ -1188,8 +1188,8 @@ object CoreQueries {
         |                  max(l_extendedprice) AS hi FROM lineitem)
         |SELECT
         |  CASE WHEN l_extendedprice >= s.hi THEN 20
-        |    ELSE CAST(1 + floor((l_extendedprice - s.lo) * 20
-        |              / (s.hi - s.lo)) AS INTEGER) END AS bucket,
+        |    ELSE CAST(least(20, 1 + floor((l_extendedprice - s.lo) * 20
+        |              / (s.hi - s.lo))) AS INTEGER) END AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  round(min(l_extendedprice), 4) AS bucket_min,
         |  round(max(l_extendedprice), 4) AS bucket_max
@@ -1201,8 +1201,9 @@ object CoreQueries {
       li.crossJoin(broadcast(ext))
         .select(col("l_extendedprice"),
           when(col("l_extendedprice") >= col("hi"), 20)
-            .otherwise((lit(1) + floor((col("l_extendedprice") - col("lo"))
-              * 20 / (col("hi") - col("lo")))).cast("int")).as("bucket"))
+            .otherwise(least(lit(20), lit(1) +
+              floor((col("l_extendedprice") - col("lo"))
+                * 20 / (col("hi") - col("lo")))).cast("int")).as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           round(min("l_extendedprice"), 4).as("bucket_min"),
@@ -1231,7 +1232,7 @@ object CoreQueries {
         |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
         |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
         |  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
-        |    / (SELECT COUNT(*) FROM v), 4) AS view_to_click,
+        |    / greatest((SELECT COUNT(*) FROM v), 1), 4) AS view_to_click,
         |  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
         |    / greatest((SELECT COUNT(*) FROM c), 1), 4)
         |    AS click_to_purchase""".stripMargin) { (s, d) =>
@@ -1252,8 +1253,8 @@ object CoreQueries {
         .crossJoin(c.agg(count(lit(1)).as("n_click")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
         .select(col("n_view"), col("n_click"), col("n_purchase"),
-          round(col("n_click").cast("double") / col("n_view"), 4)
-            .as("view_to_click"),
+          round(col("n_click").cast("double")
+            / greatest(col("n_view"), lit(1L)), 4).as("view_to_click"),
           round(col("n_purchase").cast("double")
             / greatest(col("n_click"), lit(1L)), 4).as("click_to_purchase"))
     }

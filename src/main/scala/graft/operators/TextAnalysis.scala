@@ -74,6 +74,17 @@ object TextAnalysis {
       (acc, c) => pmod(acc * 131L + c, p))
   }
 
+  /** DuckDB rendering of [[rollingFingerprint]] over expression `x` —
+    * the single source of truth for the oracle-side hash (base 131,
+    * mod 2147483629); every oracle embeds THIS string so the fold can
+    * never silently diverge between the engines. */
+  def fpSql(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($x) + 1), " +
+      s"i -> CAST(unicode($x[i]) AS BIGINT))), " +
+      "(acc, c) -> (acc * 131 + c) % 2147483629)"
+
+
   /** Benchmark decontamination: flag corpus docs sharing too many word
     * n-grams with a held-out evaluation set. The benchmark's distinct
     * shingle-hash set is small by definition (eval sets are thousands of
@@ -167,12 +178,7 @@ object TextAnalysis {
     // determinism and shift-sensitivity).
     QueryDef.sql(
       "text_rolling_fingerprint",
-      """SELECT doc_id,
-        |  list_reduce(
-        |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(1, length(t)+1),
-        |        i -> CAST(unicode(t[i]) AS BIGINT))),
-        |    (acc, c) -> (acc * 131 + c) % 2147483629) AS fp64
+      s"""SELECT doc_id, ${fpSql("t")} AS fp64
         |FROM (SELECT doc_id, lower(text) AS t FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
@@ -764,10 +770,7 @@ object TextAnalysis {
         |r AS (
         |  SELECT doc_id, len(ts) AS ntok,
         |    CAST(list_sum(list_transform(ts, s ->
-        |      w[1 + CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(range(1, length(s) + 1),
-        |            i -> CAST(unicode(s[i]) AS BIGINT))),
-        |        (acc, c) -> (acc * 131 + c) % 2147483629) % 64 AS INTEGER)]
+        |      w[1 + CAST(${fpSql("s")} % 64 AS INTEGER)]
         |    )) AS BIGINT) AS score_raw
         |  FROM t, wl)
         |SELECT doc_id, score_raw,
@@ -802,12 +805,9 @@ object TextAnalysis {
     // err*128 <= N ⟺ err <= 2N/w). Fully integer → bit-exact oracle.
     QueryDef.sql(
       "text_count_min",
-      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+      s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
         |              FROM documents),
-        |fp AS (SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, length(tok) + 1),
-        |      i -> CAST(unicode(tok[i]) AS BIGINT))),
-        |    (acc, c) -> (acc * 131 + c) % 2147483629) AS f FROM toks),
+        |fp AS (SELECT tok, ${fpSql("tok")} AS f FROM toks),
         |cells AS (
         |  SELECT r, (f * a + b) % 2147483629 % 256 AS bucket, COUNT(*) AS c
         |  FROM fp, (VALUES (0, 3, 17), (1, 5, 29), (2, 7, 47), (3, 11, 83))
@@ -815,10 +815,7 @@ object TextAnalysis {
         |  GROUP BY 1, 2),
         |probes AS (SELECT unnest(['the', 'a', 'data', 'table', 'row',
         |                          'hash', 'join', 'spark', 'zzxq']) AS tok),
-        |pfp AS (SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, length(tok) + 1),
-        |      i -> CAST(unicode(tok[i]) AS BIGINT))),
-        |    (acc, c) -> (acc * 131 + c) % 2147483629) AS f FROM probes),
+        |pfp AS (SELECT tok, ${fpSql("tok")} AS f FROM probes),
         |pcell AS (
         |  SELECT p.tok, h.r, (p.f * h.a + h.b) % 2147483629 % 256 AS bucket
         |  FROM pfp p, (VALUES (0, 3, 17), (1, 5, 29), (2, 7, 47), (3, 11, 83))
@@ -828,7 +825,7 @@ object TextAnalysis {
         |          ON c.r = pc.r AND c.bucket = pc.bucket
         |        GROUP BY pc.tok),
         |ex AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
-        |tot AS (SELECT COUNT(*) AS n FROM toks)
+        |tot AS (SELECT SUM(c) AS n FROM cells WHERE r = 0)
         |SELECT e.tok AS tok, CAST(e.est_count AS BIGINT) AS est_count,
         |  CAST(coalesce(x.cnt, 0) AS BIGINT) AS exact_count,
         |  CAST(e.est_count >= coalesce(x.cnt, 0) AS INTEGER) AS overestimates,
@@ -844,10 +841,13 @@ object TextAnalysis {
         pmod(f * a + b, lit(P)) % 256 }: _*)
       val tokDf = Tables.documents(s, d)
         .select(explode(tokens(lower(col("text")))).as("tok"))
-      val cells = tokDf
+      // cells feeds the probe join AND the total — persist the <=1024
+      // post-aggregation rows so the corpus is sketched exactly once
+      val cells = graft.CacheRegistry.register(tokDf
         .select(posexplode(buckets(rollingFingerprint(col("tok"))))
           .as(Seq("r", "bucket")))
         .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val probes = s.range(1)
         .select(explode(array(probeToks.map(lit): _*)).as("tok"))
       val est = probes
@@ -857,7 +857,8 @@ object TextAnalysis {
         .groupBy("tok").agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
       val exact = tokDf.filter(col("tok").isin(probeToks: _*))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = tokDf.agg(count(lit(1)).as("n"))
+      // N = sum of any single hash row of the sketch — free, no pass
+      val total = cells.filter(col("r") === 0).agg(sum(col("c")).as("n"))
       est.join(broadcast(exact), Seq("tok"), "left")
         .crossJoin(broadcast(total))
         .select(col("tok"), col("est_count"),
@@ -898,8 +899,11 @@ object TextAnalysis {
         |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, bn, un
         |WHERE cab >= 5
         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
+      // two consumers (unigram + bigram counts) — persist the token
+      // arrays once, same pattern as text_repetition
+      val toks = graft.CacheRegistry.register(Tables.documents(s, d)
         .select(tokens(lower(col("text"))).as("ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val uc = toks.select(explode(col("ts")).as("w"))
         .groupBy("w").agg(count(lit(1)).cast("double").as("cw"))
       val un = uc.agg(sum("cw").as("n"))

@@ -200,7 +200,13 @@ final class DeltaSharingClient(val profile: Profile,
         val v = r.headers().firstValue("Retry-After")
         if (v.isPresent) v.get.toLongOption else None
       }.map(_ * 1000L).getOrElse(0L)
-      Thread.sleep(DeltaSharingClient.backoffMs(attempt, retryAfterMs))
+      try Thread.sleep(DeltaSharingClient.backoffMs(attempt, retryAfterMs))
+      catch {
+        case e: InterruptedException =>
+          // same contract as sendOnce: restore the flag, fail typed
+          Thread.currentThread().interrupt()
+          throw DeltaSharingException.request("retry backoff interrupted", e)
+      }
       attempt += 1
     }
     throw new IllegalStateException("unreachable")

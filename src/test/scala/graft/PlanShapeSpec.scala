@@ -65,6 +65,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"classifier must be a pure per-row projection:\n$p")
   }
 
+  test("histogram: the 1-row extremes frame broadcasts; no real cartesian") {
+    val p = plan("q_histogram")
+    // the only nested-loop join allowed is the 1-row min/max cross
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1 &&
+      !p.contains("CartesianProduct"), s"unexpected join shape:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+
+  test("funnel: stage joins are hash joins on user_id, never a sort") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"stage joins must stay hash-shaped:\n$p")
+    assert(p.contains("user_id"), s"joins should key on user_id:\n$p")
+  }
+
   test("applyChanges: no Except/Union chain; aggregation-shaped reconciliation") {
     val spark2 = spark
     import spark2.implicits._
