@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -66,6 +66,17 @@ object StreamingOps {
     spark.table(sink)
   }
 
+  /** The straggler decile `stagedLateDir` splits into the late second
+    * batch — THE single definition of the batch split; the staging
+    * filters, the oracle SQL and StreamingStateSpec all render their
+    * predicates from these so they can never model different splits. */
+  val lateStragglerMod = 10
+  val lateStragglerRem = 7
+  def isLateStraggler(eventId: Column): Column =
+    eventId % lateStragglerMod === lateStragglerRem
+  def lateStragglerSql(not: Boolean): String =
+    s"event_id % $lateStragglerMod ${if (not) "<>" else "="} $lateStragglerRem"
+
   /** Two-file staging for the late-data query: `b1.parquet` (everything
     * but the straggler decile) with an older mtime, then `b2.parquet`
     * (the stragglers) — the file source processes oldest-mtime first, so
@@ -91,13 +102,13 @@ object StreamingOps {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
       val now = System.currentTimeMillis()
-      stage(ev.filter(col("event_id") % 10 =!= 7), "b1", now - 180000)
+      stage(ev.filter(!isLateStraggler(col("event_id"))), "b1", now - 180000)
       // eviction lags one batch: windows sealed by b1's watermark are
       // only emitted+evicted at the END of the batch AFTER b1 — the
       // empty middle file forces that eviction-only batch, so the
       // stragglers in b2 genuinely arrive to closed windows
       stage(ev.filter(lit(false)), "b_mid", now - 120000)
-      stage(ev.filter(col("event_id") % 10 === 7), "b2", now - 60000)
+      stage(ev.filter(isLateStraggler(col("event_id"))), "b2", now - 60000)
       dir
     })
 
@@ -251,8 +262,8 @@ object StreamingOps {
     // viable at 100 TB/day — state is only ever the open-window suffix.
     QueryDef.sql(
       "stream_late_data",
-      """WITH b1 AS (SELECT * FROM events WHERE event_id % 10 <> 7),
-        |b2 AS (SELECT * FROM events WHERE event_id % 10 = 7),
+      s"""WITH b1 AS (SELECT * FROM events WHERE ${lateStragglerSql(not = true)}),
+        |b2 AS (SELECT * FROM events WHERE ${lateStragglerSql(not = false)}),
         |wm1 AS (SELECT max(ts) - INTERVAL 53 SECOND AS w FROM b1),
         |wmf AS (SELECT max(ts) - INTERVAL 53 SECOND AS w FROM events),
         |acc AS (

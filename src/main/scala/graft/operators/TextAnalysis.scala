@@ -807,19 +807,20 @@ object TextAnalysis {
       "text_count_min",
       s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
         |              FROM documents),
+        |h AS (SELECT * FROM (VALUES ${cmHashRows.zipWithIndex
+          .map { case ((a, b), r) => s"($r, $a, $b)" }
+          .mkString(", ")}) t(r, a, b)),
         |fp AS (SELECT tok, ${fpSql("tok")} AS f FROM toks),
         |cells AS (
         |  SELECT r, (f * a + b) % 2147483629 % 256 AS bucket, COUNT(*) AS c
-        |  FROM fp, (VALUES (0, 3, 17), (1, 5, 29), (2, 7, 47), (3, 11, 83))
-        |    h(r, a, b)
+        |  FROM fp, h
         |  GROUP BY 1, 2),
-        |probes AS (SELECT unnest(['the', 'a', 'data', 'table', 'row',
-        |                          'hash', 'join', 'spark', 'zzxq']) AS tok),
+        |probes AS (SELECT unnest([${cmProbeToks
+          .map(t => s"'$t'").mkString(", ")}]) AS tok),
         |pfp AS (SELECT tok, ${fpSql("tok")} AS f FROM probes),
         |pcell AS (
         |  SELECT p.tok, h.r, (p.f * h.a + h.b) % 2147483629 % 256 AS bucket
-        |  FROM pfp p, (VALUES (0, 3, 17), (1, 5, 29), (2, 7, 47), (3, 11, 83))
-        |    h(r, a, b)),
+        |  FROM pfp p, h),
         |est AS (SELECT pc.tok, MIN(coalesce(c.c, 0)) AS est_count
         |        FROM pcell pc LEFT JOIN cells c
         |          ON c.r = pc.r AND c.bucket = pc.bucket
@@ -834,10 +835,7 @@ object TextAnalysis {
         |FROM est e LEFT JOIN ex x USING (tok), tot t
         |ORDER BY tok""".stripMargin) { (s, d) =>
       val P = 2147483629L
-      val hashRows = Seq((3L, 17L), (5L, 29L), (7L, 47L), (11L, 83L))
-      val probeToks = Seq("the", "a", "data", "table", "row",
-        "hash", "join", "spark", "zzxq")
-      def buckets(f: Column): Column = array(hashRows.map { case (a, b) =>
+      def buckets(f: Column): Column = array(cmHashRows.map { case (a, b) =>
         pmod(f * a + b, lit(P)) % 256 }: _*)
       val tokDf = Tables.documents(s, d)
         .select(explode(tokens(lower(col("text")))).as("tok"))
@@ -849,13 +847,13 @@ object TextAnalysis {
         .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val probes = s.range(1)
-        .select(explode(array(probeToks.map(lit): _*)).as("tok"))
+        .select(explode(array(cmProbeToks.map(lit): _*)).as("tok"))
       val est = probes
         .select(col("tok"), posexplode(buckets(rollingFingerprint(col("tok"))))
           .as(Seq("r", "bucket")))
         .join(broadcast(cells), Seq("r", "bucket"), "left")
         .groupBy("tok").agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
-      val exact = tokDf.filter(col("tok").isin(probeToks: _*))
+      val exact = tokDf.filter(col("tok").isin(cmProbeToks: _*))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
       // N = sum of any single hash row of the sketch — free, no pass
       val total = cells.filter(col("r") === 0).agg(sum(col("c")).as("n"))
@@ -904,15 +902,24 @@ object TextAnalysis {
       val toks = graft.CacheRegistry.register(Tables.documents(s, d)
         .select(tokens(lower(col("text"))).as("ts"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val uc = toks.select(explode(col("ts")).as("w"))
+      // uc feeds three consumers (total + two broadcast joins) and bc
+      // two (total + main pipeline) — persist both post-aggregation
+      // tables (vocabulary-sized, tiny next to the corpus) so the
+      // unigram aggregation and the dominant bigram explode+aggregate
+      // each run exactly once, same pattern as text_count_min's cells
+      val uc = graft.CacheRegistry.register(toks
+        .select(explode(col("ts")).as("w"))
         .groupBy("w").agg(count(lit(1)).cast("double").as("cw"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val un = uc.agg(sum("cw").as("n"))
-      val bc = toks.filter(size(col("ts")) >= 2)
+      val bc = graft.CacheRegistry.register(toks
+        .filter(size(col("ts")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
           i => struct(element_at(col("ts"), i).as("w1"),
             element_at(col("ts"), i + 1).as("w2")))).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("cab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val bn = bc.agg(sum("cab").as("m"))
       bc.filter(col("cab") >= 5)
         .join(broadcast(uc.select(col("w").as("w1"), col("cw").as("cwa"))),
@@ -973,6 +980,15 @@ object TextAnalysis {
         .orderBy("source", "decile")
     }
   )
+
+  /** Count-min sketch model: the d=4 pairwise-independent hash rows
+    * (a, b) and the probe vocabulary, shared between the Spark builder
+    * and the DuckDB oracle (both render from THESE values) so the
+    * sketch can never silently diverge between the engines. */
+  val cmHashRows: Seq[(Long, Long)] =
+    Seq((3L, 17L), (5L, 29L), (7L, 47L), (11L, 83L))
+  val cmProbeToks: Seq[String] =
+    Seq("the", "a", "data", "table", "row", "hash", "join", "spark", "zzxq")
 
   /** Quality-classifier model: one small integer weight in [-4, 4] per
     * hash bucket, seeded from md5 so ANY engine regenerates the same

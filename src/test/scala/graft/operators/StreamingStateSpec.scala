@@ -53,7 +53,7 @@ class StreamingStateSpec extends SparkTestBase {
     val result = graft.SparkEntry.queries("stream_late_data")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ev = Tables.events(spark, sf0001)
-    val b1 = ev.filter(col("event_id") % 10 =!= 7)
+    val b1 = ev.filter(!StreamingOps.isLateStraggler(col("event_id")))
     val wm1 = b1.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime -
       53000L
     // batch recomputation of the no-drop world: every straggler counted
