@@ -37,7 +37,8 @@ object Bench {
     "q_map_funcs", "text_bm25_topk", "text_repetition", "dedup_semantic",
     "text_quality_classifier", "text_count_min", "q_winsorized_mean",
     "text_pmi_bigrams", "text_difficulty_curriculum",
-    "q_histogram", "q_funnel")
+    "q_histogram", "q_funnel",
+    "q_weighted_sample", "q_mixture_epochs", "q_compaction_plan")
 
   /** Bench-only RAW operator variants. The gate versions of these
     * queries certify QUALITY by computing the exact ground truth in-plan

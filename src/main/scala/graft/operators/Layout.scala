@@ -67,6 +67,40 @@ object Layout {
           min("cx").as("cust_cell_min"), max("cx").as("cust_cell_max"),
           min("cy").as("order_cell_min"), max("cy").as("order_cell_max"))
         .orderBy("bucket")
+    },
+
+    // Compaction / file-sizing plan: per source partition, how many
+    // output files a size-targeted rewrite should produce and what each
+    // would weigh. In production the n_files column IS the argument to
+    // `df.repartitionByRange(n_files, sortKey).write` — the table-
+    // maintenance step that keeps 100 TB from fragmenting into millions
+    // of small files (or a handful of unsplittable giants). The target
+    // here is 4 KiB, the SF-scaled stand-in for the usual 128 MiB. One
+    // count/sum aggregate over the corpus; the plan math is pure integer
+    // (ceil-div via (b + t - 1) div t), so the oracle is bit-exact.
+    QueryDef.sql(
+      "q_compaction_plan",
+      """WITH b AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY source),
+        |f AS (SELECT source, n_docs, bytes,
+        |        CAST(GREATEST(1, (bytes + 4095) // 4096) AS BIGINT)
+        |          AS n_files
+        |      FROM b)
+        |SELECT source, n_docs, bytes, n_files,
+        |  CAST(bytes // n_files AS BIGINT) AS avg_file_bytes,
+        |  CAST(n_docs // n_files AS BIGINT) AS docs_per_file
+        |FROM f ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+        .withColumn("n_files",
+          greatest(lit(1L), expr("(bytes + 4095) div 4096")))
+        .select(col("source"), col("n_docs"), col("bytes"), col("n_files"),
+          expr("bytes div n_files").as("avg_file_bytes"),
+          expr("n_docs div n_files").as("docs_per_file"))
+        .orderBy("source")
     }
   )
 }

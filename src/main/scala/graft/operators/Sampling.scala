@@ -106,6 +106,86 @@ object Sampling {
         .orderBy("source")
     },
 
+    // Weighted sampling without replacement (Efraimidis & Spirakis 2006
+    // A-ES): each doc gets key u^(1/w) — u uniform from the row's hash,
+    // w = token count — and the global sample is the top-k by key, so
+    // longer docs are proportionally likelier but every doc can win.
+    // Ranking by ln(u)/w is the same order (ln monotone) without pow.
+    // Determinism: u = (fingerprint+1)/(P+1) is one exact double
+    // division, ln agrees across engines to ~1 ulp, and round(·, 8)
+    // absorbs that before the ORDER BY; doc_id breaks residual ties so
+    // the LIMIT is total-ordered. At 100 TB this is TakeOrdered — a
+    // per-partition top-k heap, merge of k·partitions rows — never a
+    // global sort, and the driver holds only the k-row sample.
+    QueryDef.sql(
+      "q_weighted_sample",
+      s"""WITH s AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS w,
+        |    ${TextAnalysis.fpSql("k")} AS f
+        |  FROM (SELECT doc_id, source, text,
+        |        CAST(doc_id AS VARCHAR) AS k FROM documents))
+        |SELECT doc_id, source, CAST(w AS INTEGER) AS w,
+        |  round(ln((f + 1) / 2147483630.0) / w, 8) AS es_key
+        |FROM s
+        |ORDER BY es_key DESC, doc_id LIMIT 40""".stripMargin) { (s, d) =>
+      val w = size(TextAnalysis.tokens(col("text")))
+      val f = TextAnalysis.rollingFingerprint(col("doc_id").cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), w.as("w"), f.as("f"))
+        .select(col("doc_id"), col("source"), col("w"),
+          round(log((col("f") + 1) / lit(2147483630.0)) / col("w"), 8)
+            .as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id")).limit(40)
+    },
+
+    // Token-budget mixture planning: given temperature-flattened source
+    // shares p(s) ∝ sqrt(tokens_s) and a training budget of 2× the
+    // corpus, emit each source's token target and epoch count (how many
+    // times its data is repeated) — the planning step before
+    // q_temperature_mix's row selection. All from ONE count aggregate
+    // (20 rows broadcast back); at 100 TB the corpus is touched once.
+    // Float discipline: sqrt is IEEE-exact, the rounded sqrts are summed
+    // as DECIMAL (exact), and every division is a single double op
+    // followed by round — both engines see identical inputs throughout.
+    QueryDef.sql(
+      "q_mixture_epochs",
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |st AS (SELECT source, toks,
+        |         round(sqrt(CAST(toks AS DOUBLE)), 6) AS s FROM tok),
+        |z AS (SELECT CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS z,
+        |        CAST(SUM(toks) AS BIGINT) AS total FROM st),
+        |p AS (SELECT source, toks, round(s / z.z, 6) AS share, z.total
+        |      FROM st, z),
+        |t AS (SELECT source, toks, share,
+        |        CAST(floor(share * (2.0 * total)) AS BIGINT) AS target_toks
+        |      FROM p)
+        |SELECT source, toks, share, target_toks,
+        |  round(CAST(target_toks AS DOUBLE) / CAST(toks AS DOUBLE), 4)
+        |    AS epochs
+        |FROM t ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("toks"))
+      val st = tok.withColumn("s", round(sqrt(col("toks").cast("double")), 6))
+      val z = st.agg(
+        sum(col("s").cast("decimal(18,6)")).cast("double").as("z"),
+        sum("toks").as("total"))
+      st.crossJoin(broadcast(z))
+        .withColumn("share", round(col("s") / col("z"), 6))
+        .withColumn("target_toks",
+          floor(col("share") * (lit(2.0) * col("total"))).cast("long"))
+        .withColumn("epochs",
+          round(col("target_toks").cast("double") /
+            col("toks").cast("double"), 4))
+        .select("source", "toks", "share", "target_toks", "epochs")
+        .orderBy("source")
+    },
+
     // Deterministic stratified sample: 5 docs per source by md5 order —
     // oracle reproduces the window ranking exactly.
     QueryDef.sql(

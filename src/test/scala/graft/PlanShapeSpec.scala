@@ -92,4 +92,47 @@ class PlanShapeSpec extends SparkTestBase {
       .queryExecution.optimizedPlan.toString
     assert(!p.contains("Except"), s"fold shape leaked back in:\n$p")
   }
+
+  test("weighted sample: global top-k plans as TakeOrdered, never a full sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES top-k must be TakeOrdered:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global range sort for a k-row sample:\n$p")
+  }
+
+  test("mixture epochs: one corpus aggregate; normalizer broadcasts back") {
+    val p = plan("q_mixture_epochs")
+    // exactly one scan of documents — the plan reuses the source-token
+    // aggregate for both the per-source rows and the global normalizer
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row normalizer should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
+  test("compaction plan: single aggregation, pure integer file math") {
+    val p = plan("q_compaction_plan")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"plan should be agg + projection only:\n$p")
+  }
+
+  test("weighted sample favors long docs; compaction files honor the target") {
+    val ws = SparkEntry.queries("q_weighted_sample")(spark, sf0001).collect()
+    assert(ws.length == 40, s"sample must be exactly k rows (got ${ws.length})")
+    import org.apache.spark.sql.functions._
+    val meanAll = Tables.documents(spark, sf0001)
+      .select(avg(size(operators.TextAnalysis.tokens(col("text")))))
+      .collect()(0).getDouble(0)
+    val meanSample = ws.map(_.getInt(2).toDouble).sum / ws.length
+    assert(meanSample > meanAll,
+      s"length-weighted sample should skew long: $meanSample <= $meanAll")
+    val cp = SparkEntry.queries("q_compaction_plan")(spark, sf0001).collect()
+    cp.foreach { r =>
+      val bytes = r.getLong(2); val nFiles = r.getLong(3)
+      assert(nFiles == math.max(1L, (bytes + 4095) / 4096),
+        s"n_files must be ceil-div of bytes: $r")
+      assert(r.getLong(4) <= 4096, s"avg file exceeds target: $r")
+    }
+  }
 }
