@@ -38,7 +38,8 @@ object Bench {
     "text_quality_classifier", "text_count_min", "q_winsorized_mean",
     "text_pmi_bigrams", "text_difficulty_curriculum",
     "q_histogram", "q_funnel",
-    "q_weighted_sample", "q_mixture_epochs", "q_compaction_plan")
+    "q_weighted_sample", "q_mixture_epochs", "q_compaction_plan",
+    "text_drift_psi")
 
   /** Bench-only RAW operator variants. The gate versions of these
     * queries certify QUALITY by computing the exact ground truth in-plan

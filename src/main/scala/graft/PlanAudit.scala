@@ -29,7 +29,8 @@ object PlanAudit {
       "text_quality_classifier", "text_count_min", "q_winsorized_mean",
       "text_pmi_bigrams", "text_difficulty_curriculum",
       "q_histogram", "q_funnel",
-      "q_weighted_sample", "q_mixture_epochs", "q_compaction_plan")
+      "q_weighted_sample", "q_mixture_epochs", "q_compaction_plan",
+      "text_drift_psi")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")

@@ -85,6 +85,24 @@ object TextAnalysis {
       "(acc, c) -> (acc * 131 + c) % 2147483629)"
 
 
+  /** DuckDB rendering of [[qualityScore]] from the raw feature columns
+    * `ntok` / `mean_len` / `stop_r` — THE single source of the quality
+    * formula; every doc-scoring oracle interpolates this (and
+    * [[qualityFeaturesSql]] for the features) so the metric cannot
+    * drift apart between queries. */
+  val qualityExprSql: String =
+    "round(least(1.0, (least(ntok/100, 1.0) + least(mean_len/8, 1.0) " +
+      "+ least(stop_r*5, 1.0)) / 3), 4)"
+
+  /** DuckDB rendering of the three raw quality features from a column
+    * `rtoks` = string_split(text, ' '); stopword list rendered from
+    * [[stopwords]]. */
+  val qualityFeaturesSql: String =
+    "CAST(len(rtoks) AS DOUBLE) AS ntok, " +
+      "CAST(length(text) AS DOUBLE) / len(rtoks) AS mean_len, " +
+      s"CAST(len(list_filter(rtoks, t -> t IN (${stopwords
+        .map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(rtoks) AS stop_r"
+
   /** Benchmark decontamination: flag corpus docs sharing too many word
     * n-grams with a held-out evaluation set. The benchmark's distinct
     * shingle-hash set is small by definition (eval sets are thousands of
@@ -194,33 +212,18 @@ object TextAnalysis {
     // the corpus `lang` label.
     QueryDef.sql(
       "text_langid_quality",
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
-        |  round(least(1.0, (least(ntok/100, 1.0) + least(mean_len/8, 1.0)
-        |    + least(stop_r*5, 1.0)) / 3), 4) AS quality
+        |  $qualityExprSql AS quality
         |FROM (
         |  SELECT doc_id,
         |    list_sort([
-        |      {'hits': len(list_filter(toks,
-        |         t -> t IN ('the','and','of','is','with','fast','slow'))),
-        |       'lang': 'en'},
-        |      {'hits': len(list_filter(toks,
-        |         t -> t IN ('der','die','das','und','mit','schnell'))),
-        |       'lang': 'de'},
-        |      {'hits': len(list_filter(toks,
-        |         t -> t IN ('le','la','les','et','avec','vite'))),
-        |       'lang': 'fr'},
-        |      {'hits': len(list_filter(toks,
-        |         t -> t IN ('el','los','las','con','rapido'))),
-        |       'lang': 'es'},
-        |      {'hits': len(list_filter(toks, t -> t IN ('de5','shi4','he2'))),
-        |       'lang': 'zh'}
+        |${langMarkers.toSeq.map { case (lang, words) =>
+          s"      {'hits': len(list_filter(toks, t -> t IN (${words
+            .map(w => s"'$w'").mkString(",")}))), 'lang': '$lang'}"
+        }.mkString(",\n")}
         |    ])[-1] AS best,
-        |    CAST(len(rtoks) AS DOUBLE) AS ntok,
-        |    CAST(length(text) AS DOUBLE) / len(rtoks) AS mean_len,
-        |    CAST(len(list_filter(rtoks,
-        |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-        |      / len(rtoks) AS stop_r
+        |    $qualityFeaturesSql
         |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
         |        string_split(text, ' ') AS rtoks
         |        FROM documents))
@@ -372,10 +375,11 @@ object TextAnalysis {
         |       GROUP BY term),
         |scored AS (
         |  SELECT tf.doc_id,
-        |    round(CAST(SUM(CAST(round(
+        |    CAST((CAST(SUM(CAST(round(
         |      ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
         |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
-        |      6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+        |      6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) + 50) // 100
+        |      AS DOUBLE) / 10000 AS bm25
         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, bm25, CAST(rk AS INTEGER) AS rk FROM (
@@ -404,8 +408,13 @@ object TextAnalysis {
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .groupBy("doc_id")
-        .agg(round(sum(round(termScore, 6).cast("decimal(18,6)"))
-          .cast("double"), 4).as("bm25"))
+        // 4-decimal score via exact integer half-up on the e6-scaled
+        // decimal sum — the float round could land on an exact .xxxx5
+        // half (1% of sums), where engines' rounding rules split
+        .agg(sum(round(termScore, 6).cast("decimal(18,6)")).as("sdec"))
+        .select(col("doc_id"),
+          (expr("(CAST(sdec * 1000000 AS BIGINT) + 50) div 100")
+            .cast("double") / 10000).as("bm25"))
       // global top-10 via sort+limit → TakeOrderedAndProject (no
       // single-partition shuffle of the full scored set); row_number
       // then ranks only the 10 surviving rows
@@ -435,8 +444,9 @@ object TextAnalysis {
         |  FROM w WHERE len(toks) >= 2),
         |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
         |bstat AS (
-        |  SELECT doc_id, round(CAST(MAX(c) AS DOUBLE) / SUM(c), 4)
-        |    AS top_bigram_frac
+        |  SELECT doc_id,
+        |    CAST((2 * MAX(c) * 10000 + SUM(c)) // (2 * SUM(c)) AS DOUBLE)
+        |      / 10000 AS top_bigram_frac
         |  FROM bgc GROUP BY doc_id),
         |fg AS (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
@@ -444,8 +454,8 @@ object TextAnalysis {
         |  FROM w WHERE len(toks) >= 5),
         |fstat AS (
         |  SELECT doc_id,
-        |    round(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 4)
-        |      AS dup_5gram_frac
+        |    CAST((2 * (COUNT(*) - COUNT(DISTINCT g)) * 10000 + COUNT(*))
+        |         // (2 * COUNT(*)) AS DOUBLE) / 10000 AS dup_5gram_frac
         |  FROM fg GROUP BY doc_id)
         |SELECT w.doc_id,
         |  coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
@@ -470,17 +480,25 @@ object TextAnalysis {
         transform(sequence(lit(1), size(col("toks")) - 4),
           i => array_join(slice(col("toks"), i, lit(5)), " ")))
         .otherwise(array().cast("array<string>"))
+      // ratios at 4 decimals via exact integer half-up, (2·num·1e4 + den)
+      // div (2·den): per-doc denominators are small and often 2^j, where
+      // the float quotient lands on exact .xxxx5 halves and Spark
+      // (decimal-string HALF_UP) vs binary-rounding engines disagree
       val bstat = docs
         .select(col("doc_id"), explode(bigrams).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
-        .agg(round(max("c").cast("double") / sum("c"), 4)
-          .as("top_bigram_frac"))
+        .agg(max("c").as("mx"), sum("c").as("sm"))
+        .select(col("doc_id"),
+          (expr("(2 * mx * 10000 + sm) div (2 * sm)").cast("double") / 10000)
+            .as("top_bigram_frac"))
       val fstat = docs
         .select(col("doc_id"), explode(fivegrams).as("g"))
         .groupBy("doc_id")
-        .agg(round(lit(1.0) - countDistinct("g").cast("double")
-          / count(lit(1)), 4).as("dup_5gram_frac"))
+        .agg(countDistinct("g").as("dd"), count(lit(1)).as("nn"))
+        .select(col("doc_id"),
+          (expr("(2 * (nn - dd) * 10000 + nn) div (2 * nn)").cast("double")
+            / 10000).as("dup_5gram_frac"))
       docs.select("doc_id")
         .join(bstat, Seq("doc_id"), "left")
         .join(fstat, Seq("doc_id"), "left")
@@ -945,17 +963,10 @@ object TextAnalysis {
     // bucket assignment is engine-independent.
     QueryDef.sql(
       "text_difficulty_curriculum",
-      """WITH q AS (
-        |  SELECT doc_id, source,
-        |    round(least(1.0, (least(ntok/100, 1.0) + least(mean_len/8, 1.0)
-        |      + least(stop_r*5, 1.0)) / 3), 4) AS quality
+      s"""WITH q AS (
+        |  SELECT doc_id, source, $qualityExprSql AS quality
         |  FROM (
-        |    SELECT doc_id, source,
-        |      CAST(len(rtoks) AS DOUBLE) AS ntok,
-        |      CAST(length(text) AS DOUBLE) / len(rtoks) AS mean_len,
-        |      CAST(len(list_filter(rtoks,
-        |        t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-        |        / len(rtoks) AS stop_r
+        |    SELECT doc_id, source, $qualityFeaturesSql
         |    FROM (SELECT doc_id, source, text,
         |          string_split(text, ' ') AS rtoks FROM documents))),
         |d AS (SELECT source, quality,
@@ -963,8 +974,9 @@ object TextAnalysis {
         |                        ORDER BY quality DESC, doc_id) AS decile
         |      FROM q)
         |SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n,
-        |  round(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
-        |    / COUNT(*), 4) AS mean_quality
+        |  CAST(CAST((2 * SUM(CAST(round(quality * 10000) AS BIGINT))
+        |              + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS DOUBLE)
+        |    / 10000 AS mean_quality
         |FROM d GROUP BY source, decile
         |ORDER BY source, decile""".stripMargin) { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -974,10 +986,77 @@ object TextAnalysis {
           qualityScore(col("text")).as("quality"))
         .withColumn("decile", ntile(10).over(w))
         .groupBy("source", "decile")
+        // mean at 4 decimals via exact integer half-up: decile cells are
+        // tiny (n≈2-3), so sum/n lands on exact .xxxx5 halves where
+        // Spark (decimal-string HALF_UP) and a binary-rounding engine
+        // disagree — (2S + n) div (2n) is the same half-up, exactly,
+        // in any engine. quality*10000 is k±1e-12, never near .5, so
+        // the inner round is also engine-stable.
         .agg(count(lit(1)).as("n"),
-          round(sum(col("quality").cast("decimal(18,4)")).cast("double")
-            / count(lit(1)), 4).as("mean_quality"))
+          sum(round(col("quality") * 10000).cast("long")).as("sq"))
+        .select(col("source"), col("decile"), col("n"),
+          (expr("(2 * sq + n) div (2 * n)").cast("double") / 10000)
+            .as("mean_quality"))
         .orderBy("source", "decile")
+    },
+
+    // Distribution-drift monitor: Population Stability Index between two
+    // ingestion cohorts over the quality-score histogram — the check a
+    // production pipeline runs between yesterday's and today's batch
+    // before training on the merge (PSI > 0.2 is the classic alarm).
+    // Cohorts here are the deterministic doc_id parity halves. Shape at
+    // 100 TB: ONE corpus pass reduces to ≤10 (bin × cohort-count) cells
+    // (map-side combined); the PSI arithmetic runs on that persisted
+    // 10-row frame with a broadcast 1-row total — the corpus is never
+    // touched again. Laplace-smoothed shares ((n+1)/(N+10)) keep ln
+    // finite for one-sided bins; each float step is a single op on
+    // identical inputs, rounded before comparison, so the oracle is
+    // value-exact.
+    QueryDef.sql(
+      "text_drift_psi",
+      s"""WITH q AS (
+        |  SELECT doc_id, $qualityExprSql AS quality
+        |  FROM (
+        |    SELECT doc_id, $qualityFeaturesSql
+        |    FROM (SELECT doc_id, text,
+        |          string_split(text, ' ') AS rtoks FROM documents))),
+        |c AS (
+        |  SELECT LEAST(9, CAST(floor(quality * 10) AS BIGINT)) AS bin,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM q GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+        |        CAST(SUM(n_b) AS BIGINT) AS nb FROM c),
+        |p AS (
+        |  SELECT bin, n_a, n_b,
+        |    round(CAST(n_a + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE), 8) AS pa,
+        |    round(CAST(n_b + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE), 8) AS pb
+        |  FROM c, t)
+        |SELECT bin, n_a, n_b,
+        |  round((pa - pb) * ln(pa / pb), 6) AS psi_contrib
+        |FROM p ORDER BY bin""".stripMargin) { (s, d) =>
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      // the corpus reduces to <=10 cells here; persist them so the
+      // 1-row totals frame doesn't trigger a second corpus pass
+      val cells = graft.CacheRegistry.register(q
+        .groupBy(least(lit(9L), floor(col("quality") * 10).cast("long"))
+          .as("bin"))
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val totals = cells.agg(sum("n_a").as("na"), sum("n_b").as("nb"))
+      cells.crossJoin(broadcast(totals))
+        .withColumn("pa", round((col("n_a") + 1).cast("double") /
+          (col("na") + 10).cast("double"), 8))
+        .withColumn("pb", round((col("n_b") + 1).cast("double") /
+          (col("nb") + 10).cast("double"), 8))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6)
+            .as("psi_contrib"))
+        .orderBy("bin")
     }
   )
 

@@ -117,6 +117,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"plan should be agg + projection only:\n$p")
   }
 
+  test("drift psi: corpus reduces to bin cells; parity halves are stable") {
+    val p = plan("text_drift_psi")
+    assert(p.contains("HashAggregate"), s"expected cell aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"totals must broadcast onto the 10-row cells:\n$p")
+    val rows = SparkEntry.queries("text_drift_psi")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10, s"bins 0..9 only: ${rows.length}")
+    // the parity halves draw from the same distribution — total PSI must
+    // sit far below the classic 0.2 drift alarm
+    val psi = rows.map(_.getDouble(3)).sum
+    assert(psi >= 0 && psi < 0.2, s"parity cohorts should not drift: $psi")
+    // every doc lands in exactly one cell
+    val n = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(n == Tables.documents(spark, sf0001).count(), s"docs lost: $n")
+  }
+
   test("weighted sample favors long docs; compaction files honor the target") {
     val ws = SparkEntry.queries("q_weighted_sample")(spark, sf0001).collect()
     assert(ws.length == 40, s"sample must be exactly k rows (got ${ws.length})")
