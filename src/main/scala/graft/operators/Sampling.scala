@@ -107,36 +107,45 @@ object Sampling {
     },
 
     // Weighted sampling without replacement (Efraimidis & Spirakis 2006
-    // A-ES): each doc gets key u^(1/w) — u uniform from the row's hash,
-    // w = token count — and the global sample is the top-k by key, so
-    // longer docs are proportionally likelier but every doc can win.
-    // Ranking by ln(u)/w is the same order (ln monotone) without pow.
-    // Determinism: u = (fingerprint+1)/(P+1) is one exact double
-    // division, ln agrees across engines to ~1 ulp, and round(·, 8)
-    // absorbs that before the ORDER BY; doc_id breaks residual ties so
-    // the LIMIT is total-ordered. At 100 TB this is TakeOrdered — a
-    // per-partition top-k heap, merge of k·partitions rows — never a
-    // global sort, and the driver holds only the k-row sample.
+    // A-ES): each doc gets key u^(1/w) — u uniform, w = token count —
+    // and the global sample is the top-k by key, so longer docs are
+    // proportionally likelier but every doc can win. Instead of the
+    // float form (u^(1/w) or ln(u)/w, whose rounded ln can split
+    // engines at a decimal half), the key here is the MAX of w
+    // independent integer hash draws: max of w uniforms is distributed
+    // exactly as U^(1/w), so the top-k is the same scheme with a keep
+    // decision that is pure integer comparison — no float anywhere,
+    // the discipline q_temperature_mix states. Each draw routes
+    // through md5 BEFORE the 31-bit fold: the fold alone over a short
+    // "id_j" string wraps the modulus only a few times and is badly
+    // non-uniform — md5's 32 hex chars make the fold effectively
+    // uniform on [0, P), which the sampling weights need (the spec
+    // pins the resulting long-doc skew). At 100 TB this is
+    // TakeOrdered — a per-partition top-k heap over an O(tokens)
+    // hash pass, never a global sort; the driver holds only k rows.
     QueryDef.sql(
       "q_weighted_sample",
       s"""WITH s AS (
         |  SELECT doc_id, source,
         |    len(string_split(text, ' ')) AS w,
-        |    ${TextAnalysis.fpSql("k")} AS f
+        |    list_max(list_transform(
+        |      generate_series(1, len(string_split(text, ' '))),
+        |      j -> ${TextAnalysis
+          .fpSql("md5(k || '_' || CAST(j AS VARCHAR))")}
+        |    )) AS samp_key
         |  FROM (SELECT doc_id, source, text,
         |        CAST(doc_id AS VARCHAR) AS k FROM documents))
         |SELECT doc_id, source, CAST(w AS INTEGER) AS w,
-        |  round(ln((f + 1) / 2147483630.0) / w, 8) AS es_key
+        |  CAST(samp_key AS BIGINT) AS samp_key
         |FROM s
-        |ORDER BY es_key DESC, doc_id LIMIT 40""".stripMargin) { (s, d) =>
+        |ORDER BY samp_key DESC, doc_id LIMIT 40""".stripMargin) { (s, d) =>
       val w = size(TextAnalysis.tokens(col("text")))
-      val f = TextAnalysis.rollingFingerprint(col("doc_id").cast("string"))
+      val key = array_max(transform(sequence(lit(1), w),
+        j => TextAnalysis.rollingFingerprint(md5(
+          concat(col("doc_id").cast("string"), lit("_"), j.cast("string"))))))
       Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), w.as("w"), f.as("f"))
-        .select(col("doc_id"), col("source"), col("w"),
-          round(log((col("f") + 1) / lit(2147483630.0)) / col("w"), 8)
-            .as("es_key"))
-        .orderBy(col("es_key").desc, col("doc_id")).limit(40)
+        .select(col("doc_id"), col("source"), w.as("w"), key.as("samp_key"))
+        .orderBy(col("samp_key").desc, col("doc_id")).limit(40)
     },
 
     // Token-budget mixture planning: given temperature-flattened source
@@ -171,7 +180,12 @@ object Sampling {
         .groupBy("source")
         .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
           .as("toks"))
-      val st = tok.withColumn("s", round(sqrt(col("toks").cast("double")), 6))
+      // st feeds the normalizer AND the output rows — persist the
+      // ~20 post-aggregation rows so exactly one corpus pass happens by
+      // construction, not by exchange-reuse luck
+      val st = graft.CacheRegistry.register(tok
+        .withColumn("s", round(sqrt(col("toks").cast("double")), 6))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val z = st.agg(
         sum(col("s").cast("decimal(18,6)")).cast("double").as("z"),
         sum("toks").as("total"))

@@ -85,6 +85,31 @@ object TextAnalysis {
       "(acc, c) -> (acc * 131 + c) % 2147483629)"
 
 
+  /** Exact half-up rounding of num/den to 4 decimals in pure integer
+    * arithmetic, `(2·num·10⁴ + den) div (2·den) / 10⁴` — THE single
+    * rounding law for ratio outputs, rendered into both engines from
+    * here. Float `round(num/den, 4)` is NOT engine-stable when the
+    * quotient terminates on a decimal half (.xxxx5) that is not
+    * binary-exact: Spark half-ups the shortest decimal string while
+    * binary-rounding engines resolve the double's true ordering against
+    * the half. Inputs must be non-negative integer expressions. */
+  def halfUp4Sql(num: String, den: String): String =
+    s"CAST((2 * ($num) * 10000 + ($den)) // (2 * ($den)) AS DOUBLE) / 10000"
+
+  /** Spark rendering of [[halfUp4Sql]]; `num`/`den` are SQL fragments
+    * over in-scope integer columns. */
+  def halfUp4(num: String, den: String): Column =
+    expr(s"(2 * ($num) * 10000 + ($den)) div (2 * ($den))")
+      .cast("double") / 10000
+
+  /** The BM25 decimal sum, e6-scaled to an exact integer — the
+    * numerator the oracle feeds to [[halfUp4Sql]]. */
+  private def bm25SumSql: String =
+    """CAST(SUM(CAST(round(
+      |      ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+      |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+      |      6) AS DECIMAL(18,6))) * 1000000 AS BIGINT)""".stripMargin
+
   /** DuckDB rendering of [[qualityScore]] from the raw feature columns
     * `ntok` / `mean_len` / `stop_r` — THE single source of the quality
     * formula; every doc-scoring oracle interpolates this (and
@@ -361,7 +386,7 @@ object TextAnalysis {
     // rounded score with a doc_id tiebreak.
     QueryDef.sql(
       "text_bm25_topk",
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
         |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
@@ -375,11 +400,7 @@ object TextAnalysis {
         |       GROUP BY term),
         |scored AS (
         |  SELECT tf.doc_id,
-        |    CAST((CAST(SUM(CAST(round(
-        |      ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
-        |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
-        |      6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) + 50) // 100
-        |      AS DOUBLE) / 10000 AS bm25
+        |    ${halfUp4Sql(bm25SumSql, "1000000")} AS bm25
         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, bm25, CAST(rk AS INTEGER) AS rk FROM (
@@ -408,13 +429,12 @@ object TextAnalysis {
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .groupBy("doc_id")
-        // 4-decimal score via exact integer half-up on the e6-scaled
-        // decimal sum — the float round could land on an exact .xxxx5
-        // half (1% of sums), where engines' rounding rules split
+        // 4-decimal score via the shared exact-integer half-up law on
+        // the e6-scaled decimal sum — a float round could land on a
+        // non-binary-exact .xxxx5 half, where engines' rounding splits
         .agg(sum(round(termScore, 6).cast("decimal(18,6)")).as("sdec"))
         .select(col("doc_id"),
-          (expr("(CAST(sdec * 1000000 AS BIGINT) + 50) div 100")
-            .cast("double") / 10000).as("bm25"))
+          halfUp4("CAST(sdec * 1000000 AS BIGINT)", "1000000").as("bm25"))
       // global top-10 via sort+limit → TakeOrderedAndProject (no
       // single-partition shuffle of the full scored set); row_number
       // then ranks only the 10 surviving rows
@@ -436,7 +456,7 @@ object TextAnalysis {
     // corpus-wide state.
     QueryDef.sql(
       "text_repetition",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
         |bg AS (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
@@ -445,8 +465,7 @@ object TextAnalysis {
         |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
         |bstat AS (
         |  SELECT doc_id,
-        |    CAST((2 * MAX(c) * 10000 + SUM(c)) // (2 * SUM(c)) AS DOUBLE)
-        |      / 10000 AS top_bigram_frac
+        |    ${halfUp4Sql("MAX(c)", "SUM(c)")} AS top_bigram_frac
         |  FROM bgc GROUP BY doc_id),
         |fg AS (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
@@ -454,8 +473,8 @@ object TextAnalysis {
         |  FROM w WHERE len(toks) >= 5),
         |fstat AS (
         |  SELECT doc_id,
-        |    CAST((2 * (COUNT(*) - COUNT(DISTINCT g)) * 10000 + COUNT(*))
-        |         // (2 * COUNT(*)) AS DOUBLE) / 10000 AS dup_5gram_frac
+        |    ${halfUp4Sql("COUNT(*) - COUNT(DISTINCT g)", "COUNT(*)")}
+        |      AS dup_5gram_frac
         |  FROM fg GROUP BY doc_id)
         |SELECT w.doc_id,
         |  coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
@@ -480,25 +499,20 @@ object TextAnalysis {
         transform(sequence(lit(1), size(col("toks")) - 4),
           i => array_join(slice(col("toks"), i, lit(5)), " ")))
         .otherwise(array().cast("array<string>"))
-      // ratios at 4 decimals via exact integer half-up, (2·num·1e4 + den)
-      // div (2·den): per-doc denominators are small and often 2^j, where
-      // the float quotient lands on exact .xxxx5 halves and Spark
-      // (decimal-string HALF_UP) vs binary-rounding engines disagree
+      // ratios at 4 decimals via the shared exact-integer half-up law
+      // (halfUp4): per-doc denominators are small, where a float
+      // quotient can land on a non-binary-exact .xxxx5 half
       val bstat = docs
         .select(col("doc_id"), explode(bigrams).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(max("c").as("mx"), sum("c").as("sm"))
-        .select(col("doc_id"),
-          (expr("(2 * mx * 10000 + sm) div (2 * sm)").cast("double") / 10000)
-            .as("top_bigram_frac"))
+        .select(col("doc_id"), halfUp4("mx", "sm").as("top_bigram_frac"))
       val fstat = docs
         .select(col("doc_id"), explode(fivegrams).as("g"))
         .groupBy("doc_id")
         .agg(countDistinct("g").as("dd"), count(lit(1)).as("nn"))
-        .select(col("doc_id"),
-          (expr("(2 * (nn - dd) * 10000 + nn) div (2 * nn)").cast("double")
-            / 10000).as("dup_5gram_frac"))
+        .select(col("doc_id"), halfUp4("nn - dd", "nn").as("dup_5gram_frac"))
       docs.select("doc_id")
         .join(bstat, Seq("doc_id"), "left")
         .join(fstat, Seq("doc_id"), "left")
@@ -974,9 +988,8 @@ object TextAnalysis {
         |                        ORDER BY quality DESC, doc_id) AS decile
         |      FROM q)
         |SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(CAST((2 * SUM(CAST(round(quality * 10000) AS BIGINT))
-        |              + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS DOUBLE)
-        |    / 10000 AS mean_quality
+        |  ${halfUp4Sql("SUM(CAST(round(quality * 10000) AS BIGINT))",
+          "COUNT(*) * 10000")} AS mean_quality
         |FROM d GROUP BY source, decile
         |ORDER BY source, decile""".stripMargin) { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -986,17 +999,15 @@ object TextAnalysis {
           qualityScore(col("text")).as("quality"))
         .withColumn("decile", ntile(10).over(w))
         .groupBy("source", "decile")
-        // mean at 4 decimals via exact integer half-up: decile cells are
-        // tiny (n≈2-3), so sum/n lands on exact .xxxx5 halves where
-        // Spark (decimal-string HALF_UP) and a binary-rounding engine
-        // disagree — (2S + n) div (2n) is the same half-up, exactly,
-        // in any engine. quality*10000 is k±1e-12, never near .5, so
-        // the inner round is also engine-stable.
+        // mean at 4 decimals via the shared exact-integer half-up law:
+        // decile cells are tiny (n≈2-3), so sum/n lands on exact .xxxx5
+        // halves — the case that actually split the engines at sf0.001.
+        // quality*10000 is k±1e-12, never near .5, so the inner round
+        // is engine-stable.
         .agg(count(lit(1)).as("n"),
           sum(round(col("quality") * 10000).cast("long")).as("sq"))
         .select(col("source"), col("decile"), col("n"),
-          (expr("(2 * sq + n) div (2 * n)").cast("double") / 10000)
-            .as("mean_quality"))
+          halfUp4("sq", "n * 10000").as("mean_quality"))
         .orderBy("source", "decile")
     },
 

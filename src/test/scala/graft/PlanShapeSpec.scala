@@ -101,13 +101,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"no global range sort for a k-row sample:\n$p")
   }
 
-  test("mixture epochs: one corpus aggregate; normalizer broadcasts back") {
+  test("mixture epochs: one corpus scan; normalizer broadcasts back") {
     val p = plan("q_mixture_epochs")
-    // exactly one scan of documents — the plan reuses the source-token
-    // aggregate for both the per-source rows and the global normalizer
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"1-row normalizer should broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+    // the persisted per-source frame must serve BOTH consumers (output
+    // rows + normalizer) from the cache, so the corpus aggregation runs
+    // once by construction ("Scan parquet" still appears inside each
+    // InMemoryTableScan's cached-plan description, so count these)
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 2,
+      s"both branches should read the persisted frame (got $cacheReads):\n$p")
   }
 
   test("compaction plan: single aggregation, pure integer file math") {

@@ -25,15 +25,19 @@ class TextMultimodalSpec extends SparkTestBase {
     val byId = graft.SparkEntry.queries("text_repetition")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
-    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    // mirrors the query's exact integer half-up (not float round): the
+    // half-cases that motivated it are exactly where the two differ
+    def hu4(num: Long, den: Long): Double =
+      ((2 * num * 10000 + den) / (2 * den)).toDouble / 10000
     docs.select("doc_id", "text").collect().take(25).foreach { r =>
       val (id, toks) = (r.getLong(0), r.getString(1).split(" ").toSeq)
       val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
       val five = toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
       val expTop = if (bigrams.isEmpty) 0.0
-        else r4(bigrams.groupBy(identity).map(_._2.length).max.toDouble / bigrams.length)
+        else hu4(bigrams.groupBy(identity).map(_._2.length).max.toLong,
+          bigrams.length.toLong)
       val expDup = if (five.isEmpty) 0.0
-        else r4(1.0 - five.distinct.length.toDouble / five.length)
+        else hu4((five.length - five.distinct.length).toLong, five.length.toLong)
       assert(math.abs(byId(id)._1 - expTop) < 1e-9, s"doc $id top-bigram")
       assert(math.abs(byId(id)._2 - expDup) < 1e-9, s"doc $id dup-5gram")
     }
