@@ -115,23 +115,26 @@ object Sampling {
     // independent integer hash draws: max of w uniforms is distributed
     // exactly as U^(1/w), so the top-k is the same scheme with a keep
     // decision that is pure integer comparison — no float anywhere,
-    // the discipline q_temperature_mix states. Each draw routes
-    // through md5 BEFORE the 31-bit fold: the fold alone over a short
+    // the discipline q_temperature_mix states. Two tunings keep the
+    // hash pass cheap without losing the weighting: each draw routes
+    // through md5 BEFORE the 31-bit fold (the fold alone over a short
     // "id_j" string wraps the modulus only a few times and is badly
-    // non-uniform — md5's 32 hex chars make the fold effectively
-    // uniform on [0, P), which the sampling weights need (the spec
-    // pins the resulting long-doc skew). At 100 TB this is
-    // TakeOrdered — a per-partition top-k heap over an O(tokens)
-    // hash pass, never a global sort; the driver holds only k rows.
+    // non-uniform — 8 md5 hex chars wrap it ~4e7 times, effectively
+    // uniform), and draws are one per 4-TOKEN BLOCK (E-S with weight
+    // ceil(w/4): inclusion probability stays proportional to length,
+    // at a quarter of the hashing; the spec pins the resulting
+    // long-doc skew). At 100 TB this is TakeOrdered — a per-partition
+    // top-k heap over an O(tokens) hash pass, never a global sort;
+    // the driver holds only k rows.
     QueryDef.sql(
       "q_weighted_sample",
       s"""WITH s AS (
         |  SELECT doc_id, source,
         |    len(string_split(text, ' ')) AS w,
         |    list_max(list_transform(
-        |      generate_series(1, len(string_split(text, ' '))),
+        |      generate_series(1, (len(string_split(text, ' ')) + 3) // 4),
         |      j -> ${TextAnalysis
-          .fpSql("md5(k || '_' || CAST(j AS VARCHAR))")}
+          .fpSql("substring(md5(k || '_' || CAST(j AS VARCHAR)), 1, 8)")}
         |    )) AS samp_key
         |  FROM (SELECT doc_id, source, text,
         |        CAST(doc_id AS VARCHAR) AS k FROM documents))
@@ -140,9 +143,11 @@ object Sampling {
         |FROM s
         |ORDER BY samp_key DESC, doc_id LIMIT 40""".stripMargin) { (s, d) =>
       val w = size(TextAnalysis.tokens(col("text")))
-      val key = array_max(transform(sequence(lit(1), w),
-        j => TextAnalysis.rollingFingerprint(md5(
-          concat(col("doc_id").cast("string"), lit("_"), j.cast("string"))))))
+      val blocks = ((w + lit(3)) / lit(4)).cast("int")
+      val key = array_max(transform(sequence(lit(1), blocks),
+        j => TextAnalysis.rollingFingerprint(substring(md5(
+          concat(col("doc_id").cast("string"), lit("_"), j.cast("string"))),
+          1, 8))))
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), w.as("w"), key.as("samp_key"))
         .orderBy(col("samp_key").desc, col("doc_id")).limit(40)
