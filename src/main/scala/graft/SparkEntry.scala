@@ -14,7 +14,7 @@ object SparkEntry {
   /** Every verifiable unit of engine capability. */
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ AsofJoin.defs ++ RangeJoin.defs ++ SkewJoin.defs ++
-      BucketedJoin.defs ++ Dedup.defs ++ Similarity.defs ++
+      BucketedJoin.defs ++ BloomJoin.defs ++ Dedup.defs ++ Similarity.defs ++
       TextAnalysis.defs ++ Multimodal.defs ++ StreamingOps.defs ++
       Sampling.defs ++ Layout.defs ++ ConnectorQueries.defs
 

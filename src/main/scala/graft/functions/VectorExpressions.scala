@@ -196,6 +196,16 @@ object GraftFunctions {
             litNumArg("graft_lsh_keys", exprs, 3, "dim").intValue,
             litNumArg("graft_lsh_keys", exprs, 4, "seed").longValue), bits)
         }, "built-in")
+      reg.createOrReplaceTempFunction("graft_bloom_contains",
+        exprs => {
+          if (exprs.length != 2 || !exprs(0).foldable ||
+              exprs(0).dataType != BinaryType)
+            throw new IllegalArgumentException(
+              "graft_bloom_contains: arguments are (bloomBytes: binary " +
+                "literal, key: bigint)")
+          BloomMightContainLong(exprs(1),
+            exprs(0).eval().asInstanceOf[Array[Byte]])
+        }, "built-in")
     }
 
   /** Column-level API (safe on any session once register() ran). */
@@ -232,6 +242,12 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     org.apache.spark.sql.functions.call_function("graft_lsh_keys",
       v, lit(numTables), lit(bitsPerTable), lit(dim), lit(seed))
+  }
+  /** Bloom-filter membership probe over a serialized filter (bigint key). */
+  def bloomContains(bloomBytes: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    org.apache.spark.sql.functions.call_function("graft_bloom_contains",
+      lit(bloomBytes), key)
   }
 }
 
