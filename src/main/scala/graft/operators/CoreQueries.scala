@@ -554,6 +554,51 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // Mergeable-sketch ROLL-UP (DataSketches HLL): the pattern that makes
+    // distinct counts tractable at 100 TB — fine-grained sketch partials
+    // are stored once, and every coarser grain (per-flag, corpus-wide) is
+    // answered by MERGING sketches, never by re-touching raw data. Here
+    // the raw table is scanned exactly once (the (flag, linestatus)
+    // partial build); the per-flag and ALL rows come from hll_union_agg
+    // over those partials — union is associative, so the same partials
+    // serve any rollup grain or incremental day-over-day update. Sketch
+    // estimates aren't cross-engine values, so the gate certifies them
+    // like q_approx_distinct: exact counts as output + a thresholded
+    // error check (lgConfigK=14 ⇒ ~0.8% rse; 5% is generous headroom).
+    QueryDef.sql(
+      "q_hll_rollup",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact, 1 AS err_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'ALL', CAST(COUNT(DISTINCT l_partkey) AS BIGINT), 1
+        |FROM lineitem
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val partials = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+      val perFlag = graft.CacheRegistry.register(
+        partials.groupBy("l_returnflag")
+          .agg(hll_union_agg(col("sk")).as("sk"))
+          .persist())
+      val rolled = perFlag
+        .unionByName(perFlag.groupBy()
+          .agg(hll_union_agg(col("sk")).as("sk"))
+          .select(lit("ALL").as("l_returnflag"), col("sk")))
+        .select(col("l_returnflag"),
+          hll_sketch_estimate(col("sk")).as("est"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_exact"))
+        .unionByName(li.groupBy()
+          .agg(countDistinct("l_partkey").as("n_exact"))
+          .select(lit("ALL").as("l_returnflag"), col("n_exact")))
+      rolled.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.05).cast("int").as("err_ok"))
+        .orderBy("l_returnflag")
+    },
+
     // Approximate percentile (quantile sketch): the mergeable-summary
     // path for quantiles over data too large to sort. Same pinning
     // pattern as q_approx_distinct: emit the EXACT interpolated
