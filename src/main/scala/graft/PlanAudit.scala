@@ -30,7 +30,7 @@ object PlanAudit {
       "text_pmi_bigrams", "text_difficulty_curriculum",
       "q_histogram", "q_funnel",
       "q_weighted_sample", "q_mixture_epochs", "q_compaction_plan",
-      "text_drift_psi")
+      "text_drift_psi", "q_bloom_join", "q_hll_rollup", "q_hilbert_layout")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")

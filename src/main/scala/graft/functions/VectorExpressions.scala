@@ -196,6 +196,9 @@ object GraftFunctions {
             litNumArg("graft_lsh_keys", exprs, 3, "dim").intValue,
             litNumArg("graft_lsh_keys", exprs, 4, "seed").longValue), bits)
         }, "built-in")
+      reg.createOrReplaceTempFunction("graft_hilbert",
+        exprs => HilbertIndex2D(exprs(0), exprs(1),
+          litNumArg("graft_hilbert", exprs, 2, "bits").intValue), "built-in")
       reg.createOrReplaceTempFunction("graft_bloom_contains",
         exprs => {
           if (exprs.length != 2 || !exprs(0).foldable ||
@@ -242,6 +245,12 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     org.apache.spark.sql.functions.call_function("graft_lsh_keys",
       v, lit(numTables), lit(bitsPerTable), lit(dim), lit(seed))
+  }
+  /** Hilbert-curve index of grid cell (x, y), each in [0, 2^bits). */
+  def hilbert(x: Column, y: Column, bits: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    org.apache.spark.sql.functions.call_function("graft_hilbert",
+      x, y, lit(bits))
   }
   /** Bloom-filter membership probe over a serialized filter (bigint key). */
   def bloomContains(bloomBytes: Array[Byte], key: Column): Column = {

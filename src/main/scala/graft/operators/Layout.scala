@@ -30,7 +30,60 @@ object Layout {
         (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
     }.reduce(_ + _)
 
+  /** DuckDB replay of the Hilbert xy→d walk: the same 8 rotate-and-fold
+    * iterations the codegen'd kernel runs, unrolled as chained CTEs
+    * (per level: d += s²·((3·rx) xor ry), then the conditional
+    * reflect+swap of the working coordinates). */
+  private def hilbertOracle: String = {
+    val iters = (1 to 8).map { lvl =>
+      val log2 = 8 - lvl
+      val s = 1 << log2
+      s"""h$lvl AS (
+         |  SELECT cx, cy,
+         |    d + ${s.toLong * s} * xor(3 * ((x >> $log2) & 1), (y >> $log2) & 1) AS d,
+         |    CASE WHEN ((y >> $log2) & 1) = 0 THEN
+         |      CASE WHEN ((x >> $log2) & 1) = 1 THEN $s - 1 - y ELSE y END
+         |      ELSE x END AS x,
+         |    CASE WHEN ((y >> $log2) & 1) = 0 THEN
+         |      CASE WHEN ((x >> $log2) & 1) = 1 THEN $s - 1 - x ELSE x END
+         |      ELSE y END AS y
+         |  FROM h${lvl - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT o_custkey % 256 AS cx, o_orderkey % 256 AS cy,
+       |    o_custkey % 256 AS x, o_orderkey % 256 AS y, CAST(0 AS BIGINT) AS d
+       |  FROM orders),
+       |$iters
+       |SELECT CAST(d >> 10 AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(MIN(cx) AS BIGINT) AS cust_cell_min,
+       |  CAST(MAX(cx) AS BIGINT) AS cust_cell_max,
+       |  CAST(MIN(cy) AS BIGINT) AS order_cell_min,
+       |  CAST(MAX(cy) AS BIGINT) AS order_cell_max
+       |FROM h8 GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    // Hilbert layout audit — same grid and bucket math as the Z-order
+    // audit below, but along the Hilbert curve. Buckets are aligned
+    // 1024-cell curve ranges, and an aligned 4^5 Hilbert block is
+    // EXACTLY one 32×32 quadrant — so every bucket's span is ≤ 32 cells
+    // on BOTH axes (LayoutSpec pins it), with none of Z-order's
+    // diagonal seam-jumps for unaligned ranges. The oracle unrolls the
+    // identical bit walk in SQL, so the gate hash-checks every index.
+    QueryDef.sql("q_hilbert_layout", hilbertOracle) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.orders(s, d)
+        .withColumn("cx", col("o_custkey") % 256)
+        .withColumn("cy", col("o_orderkey") % 256)
+        .withColumn("hkey",
+          graft.functions.GraftFunctions.hilbert(col("cx"), col("cy"), 8))
+        .groupBy(shiftright(col("hkey"), 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("cx").as("cust_cell_min"), max("cx").as("cust_cell_max"),
+          min("cy").as("order_cell_min"), max("cy").as("order_cell_max"))
+        .orderBy("bucket")
+    },
     // Z-order layout audit. Real layouts first QUANTIZE each column to a
     // bounded grid (range/quantile bucket ids), then interleave the grid
     // coordinates; here the grid map is `key mod 256` (dense synthetic

@@ -49,4 +49,37 @@ class LayoutSpec extends SparkTestBase {
         s"bucket ${r.get(0)} cy_span ${r.get(3)}")
     }
   }
+
+  test("hilbert index is a bijective walk with unit steps (bits=4 full grid)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)
+    val walked = cells.toDF("x", "y")
+      .withColumn("d",
+        graft.functions.GraftFunctions.hilbert(col("x"), col("y"), 4))
+      .collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+      .sortBy(_._1)
+    // bijection: d covers 0..255 exactly once
+    assert(walked.map(_._1).toSeq == (0L until 256L))
+    // curve property: consecutive indices are GRID NEIGHBORS (Manhattan
+    // distance 1) — the locality Z-order lacks at quadrant seams
+    walked.sliding(2).foreach { case Array((_, x1, y1), (d2, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step into d=$d2: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("hilbert buckets are aligned quadrants: span ≤ 32 on both axes") {
+    val buckets = graft.SparkEntry.queries("q_hilbert_layout")(spark, sf0001)
+      .collect()
+    assert(buckets.length > 16)
+    buckets.foreach { r =>
+      assert(r.getAs[Long]("cust_cell_max") - r.getAs[Long]("cust_cell_min") < 32,
+        s"bucket ${r.get(0)} cust span")
+      assert(r.getAs[Long]("order_cell_max") - r.getAs[Long]("order_cell_min") < 32,
+        s"bucket ${r.get(0)} order span")
+    }
+  }
 }
