@@ -68,7 +68,8 @@ object ScaleSmoke {
     * dedicated skew check (LSH self-join, range join, iterative k-means,
     * global span dedup). */
   private val heavyQueries =
-    Seq("dedup_minhash_lsh", "q_range_join", "sim_kmeans", "text_dedup_spans")
+    Seq("dedup_minhash_lsh", "q_range_join", "sim_kmeans", "text_dedup_spans",
+      "q_bloom_join", "q_hll_rollup", "q_hilbert_layout")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies
@@ -77,7 +78,10 @@ object ScaleSmoke {
     * density is unchanged and interval probes only match 1/N of the span. */
   private def stageScaled(spark: SparkSession, baseSf: String, outDir: String,
       replicas: Int): Unit = {
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_STAGED")))
+    // lineitem joined the staged set later — restage if it's missing
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_STAGED")) &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(outDir, "lineitem.parquet")))
       return
     val copies = 0 until replicas
     def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
@@ -92,6 +96,9 @@ object ScaleSmoke {
     val orders = Tables.orders(spark, baseSf)
     write(copies.map(i => orders.withColumn("o_orderkey",
       col("o_orderkey") + lit(i * 100000000L))).reduce(_ unionAll _), "orders")
+    val li = Tables.lineitem(spark, baseSf)
+    write(copies.map(i => li.withColumn("l_orderkey",
+      col("l_orderkey") + lit(i * 100000000L))).reduce(_ unionAll _), "lineitem")
     val events = Tables.events(spark, baseSf)
     write(copies.map(i => events.withColumn("ts",
       col("ts") + expr(s"INTERVAL ${i * 720} HOURS"))).reduce(_ unionAll _),
@@ -122,8 +129,8 @@ object ScaleSmoke {
     val report = new StringBuilder
     report ++= s"# SCALESMOKE — heavy-tail skew audit\n\n"
     report ++= s"Corpus: $baseSf replicated ${replicas}x (id-shifted; " +
-      "events time-shifted) — documents/embeddings/orders/events at " +
-      s"~${replicas}x sf0.1 volume.\n\n"
+      "events time-shifted) — documents/embeddings/orders/lineitem/events " +
+      s"at ~${replicas}x sf0.1 volume.\n\n"
     report ++= "Skew gate: in every stage with >= 8 tasks and median task " +
       ">= 300 ms, max task <= 10x median.\n\n"
     report ++= "| query | sec | stages | max tasks/stage | worst max/median | skew |\n"
