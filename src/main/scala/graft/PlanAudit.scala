@@ -30,7 +30,8 @@ object PlanAudit {
       "text_pmi_bigrams", "text_difficulty_curriculum",
       "q_histogram", "q_funnel",
       "q_weighted_sample", "q_mixture_epochs", "q_compaction_plan",
-      "text_drift_psi", "q_bloom_join", "q_hll_rollup", "q_hilbert_layout")
+      "text_drift_psi", "q_bloom_join", "q_hll_rollup", "q_hilbert_layout",
+      "q_theta_setops", "q_kll_rollup")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")

@@ -599,6 +599,99 @@ object CoreQueries {
         .orderBy("l_returnflag")
     },
 
+    // Theta-sketch SET ALGEBRA: |A∩B|, |A\B|, |A∪B| of two distinct-key
+    // cohorts estimated from two sketches built in ONE scan — no join of
+    // raw data, and the cohort sketches are storable/mergeable like the
+    // HLL partials above (theta is the sketch family that supports
+    // intersection/difference, which HLL cannot). Error for set ops is
+    // UNION-relative (the sketch samples the union), so the certified
+    // bound is 5% of |A∪B| at lgK=14 (~0.8% rse — generous headroom).
+    QueryDef.sql(
+      "q_theta_setops",
+      """WITH pk AS (
+        |  SELECT l_partkey,
+        |    MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS in_r
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(SUM(CASE WHEN in_a = 1 AND in_r = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS inter_exact,
+        |  CAST(SUM(CASE WHEN in_a = 1 AND in_r = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS only_a_exact,
+        |  CAST(SUM(CASE WHEN in_a = 1 OR in_r = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS union_exact,
+        |  1 AS err_ok
+        |FROM pk""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val est = li.agg(
+        theta_sketch_agg(
+          when(col("l_returnflag") === "A", col("l_partkey")), 14).as("ska"),
+        theta_sketch_agg(
+          when(col("l_returnflag") === "R", col("l_partkey")), 14).as("skr"))
+        .select(
+          theta_sketch_estimate(theta_intersection(col("ska"), col("skr")))
+            .as("inter_est"),
+          theta_sketch_estimate(theta_difference(col("ska"), col("skr")))
+            .as("only_a_est"),
+          theta_sketch_estimate(theta_union(col("ska"), col("skr")))
+            .as("union_est"))
+      val exact = li.groupBy("l_partkey")
+        .agg(
+          max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("in_a"),
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("in_r"))
+        .agg(
+          sum(when(col("in_a") === 1 && col("in_r") === 1, 1).otherwise(0))
+            .cast("long").as("inter_exact"),
+          sum(when(col("in_a") === 1 && col("in_r") === 0, 1).otherwise(0))
+            .cast("long").as("only_a_exact"),
+          sum(when(col("in_a") === 1 || col("in_r") === 1, 1).otherwise(0))
+            .cast("long").as("union_exact"))
+      val tol = col("union_exact").cast("double") * 0.05
+      exact.crossJoin(est)
+        .select(col("inter_exact"), col("only_a_exact"), col("union_exact"),
+          (abs(col("inter_est") - col("inter_exact")) <= tol &&
+            abs(col("only_a_est") - col("only_a_exact")) <= tol &&
+            abs(col("union_est") - col("union_exact")) <= tol)
+            .cast("int").as("err_ok"))
+    },
+
+    // KLL quantile-sketch ROLL-UP: the quantile twin of q_hll_rollup —
+    // per-(flag,status) KLL partials merged per flag with
+    // kll_sketch_merge, quantiles read from the MERGED sketch only.
+    // Same store-partials/merge-any-grain pattern; q_approx_percentile
+    // certifies sketch accuracy, this certifies MERGEABILITY. k=800 ⇒
+    // ~0.5% rank error; 5% value tolerance on this spread-out price
+    // distribution is generous headroom.
+    QueryDef.sql(
+      "q_kll_rollup",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
+        |  1 AS err_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val merged = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(kll_sketch_agg_double(col("l_extendedprice"), 800).as("sk"))
+        .groupBy("l_returnflag")
+        .agg(kll_merge_agg_double(col("sk")).as("sk"))
+        .select(col("l_returnflag"),
+          kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("p50_est"),
+          kll_sketch_get_quantile_double(col("sk"), lit(0.9)).as("p90_est"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ex"))
+        .select(col("l_returnflag"),
+          element_at(col("ex"), 1).as("p50_exact"),
+          element_at(col("ex"), 2).as("p90_exact"))
+      merged.join(exact, "l_returnflag")
+        .select(col("l_returnflag"),
+          round(col("p50_exact"), 2).as("p50_exact"),
+          round(col("p90_exact"), 2).as("p90_exact"),
+          (abs(col("p50_est") - col("p50_exact")) / col("p50_exact") <= 0.05 &&
+            abs(col("p90_est") - col("p90_exact")) / col("p90_exact") <= 0.05)
+            .cast("int").as("err_ok"))
+        .orderBy("l_returnflag")
+    },
+
     // Approximate percentile (quantile sketch): the mergeable-summary
     // path for quantiles over data too large to sort. Same pinning
     // pattern as q_approx_distinct: emit the EXACT interpolated
