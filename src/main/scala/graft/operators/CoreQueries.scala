@@ -936,6 +936,46 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // Flagship multiway join (TPC-H Q5 shape): 6 tables, selective year
+    // predicate, local-supplier correlation (c_nationkey = s_nationkey).
+    // The scale shape Catalyst should pick — and PlanShapeSpec pins:
+    // region/nation/supplier/customer broadcast (each orders-of-magnitude
+    // smaller than the facts), so the ONLY shuffles are the orders ⋈
+    // lineitem exchange and the final 5-row aggregate; the year filter
+    // reaches the orders scan as a pushed predicate.
+    QueryDef.sql(
+      "q_multiway_join",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |       AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |    AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT n_name,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+          |       AS DOUBLE) AS revenue,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM customer
+          |  JOIN orders ON c_custkey = o_custkey
+          |  JOIN lineitem ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |    AND c_nationkey = s_nationkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
     // PIVOT: long → wide reshaping with an explicit value list (the
     // scalable form — an unlisted pivot needs a driver-side distinct
     // pass first). Oracle is conditional aggregation.

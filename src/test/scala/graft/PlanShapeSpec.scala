@@ -44,6 +44,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("__salt"), s"salt column should partition the window:\n$p")
   }
 
+  test("multiway join: dims broadcast, no cartesian, facts shuffle at most once each") {
+    val p = plan("q_multiway_join")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"region/nation/supplier/customer should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$p")
+  }
+
+  test("bloom join: probe filters the fact side below the join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("graft_bloom_contains"), s"probe missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
   test("count-min: sketch cells and exact counts broadcast to the probes") {
     val p = plan("text_count_min")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
