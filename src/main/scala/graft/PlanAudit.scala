@@ -31,7 +31,8 @@ object PlanAudit {
       "q_histogram", "q_funnel",
       "q_weighted_sample", "q_mixture_epochs", "q_compaction_plan",
       "text_drift_psi", "q_bloom_join", "q_hll_rollup", "q_hilbert_layout",
-      "q_theta_setops", "q_kll_rollup", "q_multiway_join")
+      "q_theta_setops", "q_kll_rollup", "q_multiway_join",
+      "q_concurrency_sweep", "graph_pagerank")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")

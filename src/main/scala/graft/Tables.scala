@@ -24,10 +24,16 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events parquet carries TIMESTAMP(NANOS), which Spark 4's parquet
-    * reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert
-    * to a µs TimestampType column with integer arithmetic (`div`, not `/`:
-    * double division of an int64 epoch-nanos loses precision). */
+  /** The driver-generated events parquet has carried `ts` as
+    * TIMESTAMP(NANOS) in some rounds and as µs `isAdjustedToUTC=false`
+    * (⇒ Spark infers TIMESTAMP_NTZ) in others. Normalize every variant to
+    * a µs TimestampType (LTZ) column: the streaming surface requires it
+    * (`withWatermark` rejects NTZ event time), and the session timezone
+    * is pinned UTC so the NTZ→LTZ cast preserves the wall-clock values
+    * the DuckDB oracle sees. Nanos are read as long (Spark 4's parquet
+    * reader otherwise rejects them) and converted with integer
+    * arithmetic (`div`, not `/`: double division of an int64 epoch-nanos
+    * loses precision). */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
@@ -36,6 +42,9 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

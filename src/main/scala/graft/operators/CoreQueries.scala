@@ -1435,6 +1435,45 @@ object CoreQueries {
             / greatest(col("n_view"), lit(1L)), 4).as("view_to_click"),
           round(col("n_purchase").cast("double")
             / greatest(col("n_click"), lit(1L)), 4).as("click_to_purchase"))
+    },
+
+    // Sweep-line concurrency: the 5 days with the most OPEN order-lines
+    // (placed but not yet shipped — interval [o_orderdate, l_shipdate)).
+    // The classic interval-overlap gauge, done scalably: each interval
+    // becomes two boundary events (+1 open / -1 close), which aggregate
+    // to a per-DAY net delta BEFORE the sequential step — so the one
+    // unpartitioned running-sum window scans only the calendar-day frame
+    // (bounded by the date domain, a few thousand rows at ANY corpus
+    // size), never the fact table. The fact-side work is one orderkey
+    // shuffle join plus a map-side-combined date aggregation.
+    QueryDef.sql(
+      "q_concurrency_sweep",
+      """WITH j AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS od,
+        |         CAST(l.l_shipdate AS DATE) AS sd
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |b AS (SELECT od AS day, 1 AS delta FROM j
+        |      UNION ALL SELECT sd AS day, -1 AS delta FROM j),
+        |daily AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+        |          FROM b GROUP BY day),
+        |run AS (SELECT day, CAST(SUM(net) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_open FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_open FROM run
+        |ORDER BY n_open DESC, day LIMIT 5""".stripMargin) { (s, d) =>
+      val j = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(to_date(col("o_orderdate")).as("od"),
+          to_date(col("l_shipdate")).as("sd"))
+      val bounds = j.select(col("od").as("day"), lit(1L).as("delta"))
+        .unionAll(j.select(col("sd").as("day"), lit(-1L).as("delta")))
+      bounds.groupBy("day").agg(sum("delta").as("net"))
+        .withColumn("n_open", sum("net").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(desc("n_open"), col("day")).limit(5)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_open"))
     }
   )
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{CacheRegistry, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics as join-shaped dataflow — PageRank over the
+  * customer↔supplier trade graph derived from orders⋈lineitem. No
+  * reference counterpart (north-star capability, like `Dedup
+  * .connectedComponents`'s label propagation).
+  *
+  * Scale design (100 TB):
+  *  - the graph derivation is ONE orderkey shuffle join + a distinct —
+  *    the only passes over the fact tables; everything after runs on the
+  *    edge/node frames (≤ |customers|+|suppliers| nodes);
+  *  - each PageRank step is one src-keyed shuffle join (ranks ⋈ edges)
+  *    plus one dst-keyed map-side-combined aggregation — the canonical
+  *    distributed PageRank shape; nothing ever lands on the driver, and
+  *    the iteration count is fixed, so plan depth is constant;
+  *  - edges (with out-degree attached) are computed once, persisted, and
+  *    reused by every iteration instead of re-deriving from the facts.
+  *
+  * Cross-engine determinism: ranks are BIGINT fixed-point (scale 1e12)
+  * and every step uses only integer multiply / integer `div` — damping
+  * d = 0.85 is the exact rational 85/100, the base term is
+  * `(15 * SCALE) div (100 * N)` — so three iterations are bit-identical
+  * in any engine (float PageRank differs in the last ulps by merge
+  * order, breaking the oracle hash).
+  */
+object Graph {
+
+  private val Scale = 1000000000000L // 1e12 fixed-point
+
+  /** Directed edge list: customer 2c ↔ supplier 2s+1 (both directions,
+    * so no node is dangling), node ids disjoint by parity. */
+  private def edgesWithDeg(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges.join(deg, "src") // (src, dst, deg): per-iteration join input
+  }
+
+  /** Fixed-point PageRank, `iters` exactly-unrolled iterations, over any
+    * directed edge frame `(src, dst, deg)` in which every node occurs as
+    * a src (no dangling nodes — the trade graph guarantees it by being
+    * bidirectional; a caller with dangling nodes must add self-loops). */
+  def pagerankOnEdges(rawEdges: DataFrame, iters: Int): DataFrame = {
+    val edges = CacheRegistry.register(
+      rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = CacheRegistry.register(
+      edges.select("src").distinct().withColumnRenamed("src", "node")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // N rides as a broadcast 1-row frame — never a driver-side scalar
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"$Scale div n").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("share"))
+        .groupBy("dst").agg(sum("share").as("in_mass"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          expr(s"(15 * $Scale) div (100 * n) + " +
+            "(85 * coalesce(in_mass, 0L)) div 100").as("r"))
+    }
+    ranks
+  }
+
+  /** PageRank over the customer↔supplier trade graph. */
+  def pagerank(s: SparkSession, d: String, iters: Int): DataFrame =
+    pagerankOnEdges(edgesWithDeg(s, d), iters)
+
+  /** The DuckDB oracle unrolls the identical integer recurrence; `//` is
+    * DuckDB's integer division (both floor on the positive operands used
+    * here). SUM(BIGINT) returns HUGEINT, so every sum is cast back. */
+  private def oracleSqlFor(iters: Int): String = {
+    val base =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin
+    val iterations = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM(r.r // d.deg) AS BIGINT) AS in_mass
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    (15 * 1000000000000) // (100 * nn.n)
+         |      + (85 * COALESCE(s$i.in_mass, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN s$i ON nodes.node = s$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iterations
+       |SELECT node, r AS rank_fp FROM r$iters
+       |ORDER BY rank_fp DESC, node LIMIT 10""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("graph_pagerank", oracleSqlFor(3)) { (s, d) =>
+      pagerank(s, d, iters = 3)
+        .select(col("node"), col("r").as("rank_fp"))
+        .orderBy(desc("rank_fp"), col("node")).limit(10)
+    }
+  )
+}

@@ -250,6 +250,26 @@ object StreamingOps {
         .agg(count(lit(1)).as("n_distinct"))
     },
 
+    // Streaming dedup with BOUNDED state (dropDuplicatesWithinWatermark):
+    // unlike dropDuplicates above — whose key state lives forever — each
+    // key's state here expires once the watermark passes its event time
+    // plus the delay, which is what makes streaming dedup viable on an
+    // unbounded 100 TB/day feed. The delay (60 days) exceeds the corpus
+    // span, so every duplicate falls within one retention window and the
+    // kept set is exactly the distinct keys — giving the deterministic
+    // batch oracle. (A shorter delay would re-admit re-occurrences after
+    // expiry, which is arrival-order-dependent and unoracleable.)
+    QueryDef.sql(
+      "stream_dedup_watermark",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_kept FROM (
+        |  SELECT DISTINCT user_id, event_type FROM events)""".stripMargin) { (s, d) =>
+      runToCompletion(s, d,
+        df => df.withWatermark("ts", "60 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type"),
+        outputMode = "append")
+        .agg(count(lit(1)).as("n_kept"))
+    },
+
     // Watermark late-data semantics, demonstrated for real: the
     // straggler decile arrives as a SECOND micro-batch after the
     // watermark (max event time of batch 1 minus 53s) has passed —

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Pins the fixed-point PageRank recurrence on hand-computed graphs (the
+  * DuckDB oracle replays the same integer math; this spec proves the
+  * math itself is the PageRank everyone expects) and sanity-checks the
+  * trade-graph query end to end. */
+class GraphSpec extends SparkTestBase {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    val e = pairs.toDF("src", "dst")
+    e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+  }
+
+  test("3-cycle is the uniform fixed point, exactly") {
+    // symmetric cycle: every node keeps rank floor(1e12/3) at every step
+    val r = Graph.pagerankOnEdges(edges(1L -> 2L, 2L -> 3L, 3L -> 1L), 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 333333333333L, 2L -> 333333333333L,
+      3L -> 333333333333L))
+  }
+
+  test("bidirectional star concentrates rank on the hub, bit-exactly") {
+    // hub 1 (deg 2), leaves 2,3 (deg 1): after one iteration
+    //   base       = (15 * 1e12) div (100 * 3)       = 50_000_000_000
+    //   r1(hub)    = base + (85 * (2 * r0)) div 100  = 616_666_666_666
+    //   r1(leaf)   = base + (85 * (r0 div 2)) div 100 = 191_666_666_666
+    val g = edges(1L -> 2L, 2L -> 1L, 1L -> 3L, 3L -> 1L)
+    val r1 = Graph.pagerankOnEdges(g, 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == Map(1L -> 616666666666L, 2L -> 191666666666L,
+      3L -> 191666666666L))
+    val r3 = Graph.pagerankOnEdges(g, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r3(1L) > r3(2L) && r3(2L) == r3(3L))
+  }
+
+  test("trade-graph pagerank conserves mass and orders deterministically") {
+    val ranks = Graph.pagerank(spark, sf0001, iters = 3)
+    val total = ranks.agg(sum("r")).collect()(0).getLong(0)
+    // integer floors only ever LOSE sub-unit mass (≤ ~3 units/node/iter)
+    assert(total <= 1000000000000L)
+    assert(total > 990000000000L)
+    val top = graft.SparkEntry.queries("graph_pagerank")(spark, sf0001)
+      .collect()
+    assert(top.length == 10)
+    val rs = top.map(_.getLong(1))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a >= b })
+    // reruns are bit-identical (pure integer arithmetic)
+    val again = graft.SparkEntry.queries("graph_pagerank")(spark, sf0001)
+      .collect()
+    assert(top.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+}
