@@ -41,7 +41,8 @@ object Bench {
     "q_weighted_sample", "q_mixture_epochs", "q_compaction_plan",
     "text_drift_psi", "q_bloom_join", "q_hll_rollup", "q_hilbert_layout",
     "q_theta_setops", "q_kll_rollup", "q_multiway_join",
-    "q_concurrency_sweep", "graph_pagerank")
+    "q_concurrency_sweep", "graph_pagerank", "graph_reachability",
+    "q_skyline")
 
   /** Bench-only RAW operator variants. The gate versions of these
     * queries certify QUALITY by computing the exact ground truth in-plan

@@ -32,7 +32,8 @@ object PlanAudit {
       "q_weighted_sample", "q_mixture_epochs", "q_compaction_plan",
       "text_drift_psi", "q_bloom_join", "q_hll_rollup", "q_hilbert_layout",
       "q_theta_setops", "q_kll_rollup", "q_multiway_join",
-      "q_concurrency_sweep", "graph_pagerank")
+      "q_concurrency_sweep", "graph_pagerank", "graph_reachability",
+      "q_skyline")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")

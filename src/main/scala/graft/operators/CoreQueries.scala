@@ -1474,6 +1474,39 @@ object CoreQueries {
         .orderBy(desc("n_open"), col("day")).limit(5)
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n_open"))
+    },
+
+    // 2-D skyline (Pareto frontier): events not dominated in (recency,
+    // value) — no other event has BOTH later ts AND ≥ value. Done as a
+    // TWO-LEVEL dominance prune: per-ts max first (map-side-combined —
+    // equal-ts points collapse), then each of 32 hash buckets computes
+    // its LOCAL skyline with a bucket-partitioned running-max window
+    // (parallel; a point dominated within its bucket is dominated
+    // globally, so the prune is sound), and only the surviving
+    // candidates — skyline-sized, tiny — reach the one unpartitioned
+    // global pass. The full corpus is never sorted globally.
+    QueryDef.sql(
+      "q_skyline",
+      """WITH m AS (SELECT ts, max(value) AS v FROM events GROUP BY ts),
+        |w AS (SELECT ts, v, max(v) OVER (ORDER BY ts DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |  FROM m)
+        |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  round(v, 4) AS value
+        |FROM w WHERE mx IS NULL OR v > mx ORDER BY ts""".stripMargin) { (s, d) =>
+      val m = Tables.events(s, d).groupBy("ts").agg(max("value").as("v"))
+      val localW = Window.partitionBy("bkt").orderBy(desc("ts"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cand = m.withColumn("bkt", pmod(hash(col("ts")), lit(32)))
+        .withColumn("lmx", max("v").over(localW))
+        .filter(col("lmx").isNull || col("v") > col("lmx"))
+      val globalW = Window.orderBy(desc("ts"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cand.withColumn("gmx", max("v").over(globalW))
+        .filter(col("gmx").isNull || col("v") > col("gmx"))
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("ts"), round(col("v"), 4).as("value"))
+        .orderBy("ts")
     }
   )
 }

@@ -114,11 +114,71 @@ object Graph {
        |ORDER BY rank_fp DESC, node LIMIT 10""".stripMargin
   }
 
+  /** Multi-hop BFS reachability (min-hop) from a seed set, `maxHops`
+    * exactly-unrolled frontier expansions. Each hop is one src-keyed
+    * shuffle join of the FRONTIER (only the newly-reached nodes, never
+    * the full reached set) against the edge frame plus one min-hop
+    * aggregation — the standard distributed BFS; nothing on the driver,
+    * constant plan depth. */
+  def reachabilityOnEdges(rawEdges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val edges = CacheRegistry.register(
+      rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
+    var reached = seeds.select(col("node"), lit(0L).as("hop"))
+    var frontier = reached
+    for (i <- 1 to maxHops) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"), lit(i.toLong).as("hop"))
+      reached = reached.unionAll(next)
+        .groupBy("node").agg(min("hop").as("hop"))
+      // the new frontier = nodes FIRST reached at hop i
+      frontier = reached.filter(col("hop") === i)
+    }
+    reached
+  }
+
+  /** BFS over the trade graph from every 20th supplier. */
+  def reachability(s: SparkSession, d: String, maxHops: Int): DataFrame =
+    reachabilityOnEdges(
+      edgesWithDeg(s, d).select("src", "dst"),
+      Tables.supplier(s, d).filter(col("s_suppkey") % 20 === 3)
+        .select((col("s_suppkey") * 2 + 1).as("node")),
+      maxHops)
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef.sql("graph_pagerank", oracleSqlFor(3)) { (s, d) =>
       pagerank(s, d, iters = 3)
         .select(col("node"), col("r").as("rank_fp"))
         .orderBy(desc("rank_fp"), col("node")).limit(10)
+    },
+
+    // Min-hop BFS vs a DuckDB RECURSIVE CTE: the recursive UNION
+    // (set-dedup per step, rows = (node, hop) pairs) replays the same
+    // expansion; min-hop per node then makes both sides order-free.
+    QueryDef.sql(
+      "graph_reachability",
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+        |          WHERE s_suppkey % 20 = 3),
+        |reach(node, hop) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, r.hop + 1 FROM reach r
+        |  JOIN edges e ON r.node = e.src WHERE r.hop < 3),
+        |mh AS (SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+        |       FROM reach GROUP BY node)
+        |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  min(node) AS first_node, max(node) AS last_node
+        |FROM mh GROUP BY hop ORDER BY hop""".stripMargin) { (s, d) =>
+      reachability(s, d, maxHops = 3)
+        .groupBy("hop")
+        .agg(count(lit(1)).as("n_nodes"), min("node").as("first_node"),
+          max("node").as("last_node"))
+        .orderBy("hop")
     }
   )
 }

@@ -38,6 +38,19 @@ class GraphSpec extends SparkTestBase {
     assert(r3(1L) > r3(2L) && r3(2L) == r3(3L))
   }
 
+  test("BFS min-hop on a path graph takes the shortest route") {
+    import spark.implicits._
+    // path 1—2—3—4—5 (bidirectional) plus shortcut 1—4: node 4 is 1 hop
+    // via the shortcut even though the path route needs 3; node 5 is 2.
+    val g = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 3L -> 4L,
+      4L -> 3L, 4L -> 5L, 5L -> 4L, 1L -> 4L, 4L -> 1L)
+      .select("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.reachabilityOnEdges(g, seeds, maxHops = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
   test("trade-graph pagerank conserves mass and orders deterministically") {
     val ranks = Graph.pagerank(spark, sf0001, iters = 3)
     val total = ranks.agg(sum("r")).collect()(0).getLong(0)
