@@ -62,10 +62,15 @@ object Graph {
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"$Scale div n").as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+      // shuffle-hash hints: rank/contrib frames are narrow (node, long)
+      // rows — hash join skips the two per-iteration sorts SMJ would pay
+      // (×2 joins ×N iterations); hash-partitioned node ids have no skew
+      val contrib = edges.join(ranks.hint("shuffle_hash"),
+          edges("src") === ranks("node"))
         .select(col("dst"), expr("r div deg").as("share"))
         .groupBy("dst").agg(sum("share").as("in_mass"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      ranks = nodes.join(contrib.hint("shuffle_hash"),
+          nodes("node") === contrib("dst"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
           expr(s"(15 * $Scale) div (100 * n) + " +

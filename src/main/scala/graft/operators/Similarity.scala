@@ -239,6 +239,91 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product quantization with asymmetric distance (PQ/ADC, Jégou et al.
+    * TPAMI 2011 — public method): 64 dims split into 8 subspaces × 8
+    * dims; per subspace a 16-entry codebook (seeded from the 16 lowest
+    * vec_ids' sub-vectors, refined by one Lloyd step) encodes every
+    * sub-vector as its nearest centroid id — the vector compresses to 8
+    * small codes, the memory-compression half of IVF-PQ. Query distance
+    * is ADC: one 16-entry table of exact (query-sub, centroid) distances
+    * per (query, subspace), summed over the stored codes — the corpus
+    * embeddings are never touched at query time.
+    *
+    * Scale design: the codebook is 128 tiny rows (broadcast), codes are
+    * 8 narrow rows per vector, the ADC lookup table is |queries|×128
+    * (broadcast); query-time work is one broadcast equi-join on
+    * (subspace, code) + a decimal sum + the bounded top-k aggregator —
+    * no embedding bandwidth, no sort. Cross-engine determinism mirrors
+    * kmeansAssign: rounded distances with centroid-id tiebreaks, exact
+    * decimal centroid means and ADC sums — the DuckDB oracle replays the
+    * whole train/encode/search pipeline. */
+  def pqAdcTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    // (vec_id, s, sv): the 8-dim sub-vector of every vector × subspace
+    val sub = graft.CacheRegistry.register(
+      emb.repartition(par)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
+          col("v"))
+        .select(col("vec_id"), col("s"),
+          slice(col("v"), col("s") * 8 + 1, lit(8)).as("sv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // nearest codebook entry per (vector, subspace) — rounded distance,
+    // centroid-id tiebreak (the same ulp-proof min-struct as k-means)
+    def encode(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), "s")
+        .select(col("vec_id"), col("s"), col("sv"), col("j"),
+          round(d2(col("sv"), col("cen")), 4).as("d"))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d"), col("j"))).as("best"),
+          first(col("sv")).as("sv"))
+        .select(col("vec_id"), col("s"), col("best.j").as("code"),
+          col("sv"))
+    val cb0 = sub.filter(col("vec_id") < 16)
+      .select(col("s"), col("vec_id").cast("int").as("j"),
+        col("sv").as("cen"))
+    // one Lloyd refinement: exact decimal per-dimension means per
+    // (subspace, code), rounded to 6dp — identical doubles both engines
+    val cb1 = graft.CacheRegistry.register(
+      encode(cb0)
+        .select(col("s"), col("code").as("j"),
+          posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("s", "j", "i")
+        .agg(round(sum(col("x").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("m"))
+        .groupBy("s", "j")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
+        .select(col("s"), col("j"),
+          transform(col("ms"), t => t.getField("m")).as("cen"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val codes = encode(cb1).select("vec_id", "s", "code")
+    // ADC lookup table: exact sub-distance query → every centroid
+    val lut = sub.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qv"))
+      .join(broadcast(cb1), "s")
+      .select(col("query_id"), col("s"), col("j"),
+        round(d2(col("qv"), col("cen")), 4).as("ld"))
+    val scored = codes
+      .join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("j"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      // decimal sum of the 8 rounded subspace distances — order-free
+      .agg(round(sum(col("ld").cast("decimal(18,6)")).cast("double"), 4)
+        .as("adc"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(
+        -col("adc"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.entries")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (-col("col.score")).as("adc"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     * generation (multi-table, like annTopK) + exact fused-kernel cosine —
     * the vector-space twin of MinHash dedup. Never an all-pairs product. */
@@ -543,6 +628,71 @@ object Similarity {
         |SELECT vec_id, cluster, dist2 FROM a2
         |ORDER BY vec_id""".stripMargin) { (s, d) =>
       kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+    },
+
+    // Product quantization + asymmetric-distance search. Unlike
+    // sim_topk_ann/ivf (whose hyperplanes live in a native kernel), the
+    // whole PQ pipeline — codebook seeding, Lloyd refinement, encoding,
+    // ADC — is deterministic arithmetic, so the DuckDB oracle replays
+    // ALL of it and every neighbor/distance is hash-checked.
+    QueryDef.sql(
+      "sim_pq_adc",
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, s,
+        |    list_transform(generate_series(1, 8), i -> v[s * 8 + i]) AS sv
+        |  FROM emb, generate_series(0, 7) t(s)),
+        |cb0 AS (
+        |  SELECT s, CAST(vec_id AS INTEGER) AS j, sv AS cen
+        |  FROM sub WHERE vec_id < 16),
+        |d0 AS (
+        |  SELECT u.vec_id, u.s, u.sv, c.j,
+        |    round(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (u.sv[i] - c.cen[i]) * (u.sv[i] - c.cen[i]))), 4) AS d
+        |  FROM sub u JOIN cb0 c USING (s)),
+        |a0 AS (
+        |  SELECT vec_id, s, sv, j FROM (
+        |    SELECT vec_id, s, sv, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rk
+        |    FROM d0) WHERE rk = 1),
+        |cb1 AS (
+        |  SELECT s, j, list(m ORDER BY i) AS cen FROM (
+        |    SELECT s, j, i,
+        |      round(CAST(SUM(CAST(sv[i] AS DECIMAL(18,9))) AS DOUBLE)
+        |        / COUNT(*), 6) AS m
+        |    FROM a0, generate_series(1, 8) t(i) GROUP BY s, j, i)
+        |  GROUP BY s, j),
+        |d1 AS (
+        |  SELECT u.vec_id, u.s, c.j,
+        |    round(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (u.sv[i] - c.cen[i]) * (u.sv[i] - c.cen[i]))), 4) AS d
+        |  FROM sub u JOIN cb1 c USING (s)),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.j,
+        |    round(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (q.sv[i] - c.cen[i]) * (q.sv[i] - c.cen[i]))), 4) AS ld
+        |  FROM sub q JOIN cb1 c USING (s) WHERE q.vec_id < 10),
+        |adc AS (
+        |  SELECT l.query_id, co.vec_id,
+        |    round(CAST(SUM(CAST(l.ld AS DECIMAL(18,6))) AS DOUBLE), 4) AS adc
+        |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.j
+        |  WHERE co.vec_id <> l.query_id
+        |  GROUP BY l.query_id, co.vec_id)
+        |SELECT query_id, vec_id AS neighbor_id, adc,
+        |  CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT query_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc, vec_id) AS rk
+        |  FROM adc) WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      pqAdcTopK(Tables.embeddings(s, d), k = 5, numQueries = 10)
+        .orderBy("query_id", "rk")
     },
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cluster
