@@ -1507,6 +1507,80 @@ object CoreQueries {
         .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("ts"), round(col("v"), 4).as("value"))
         .orderBy("ts")
+    },
+
+    // SCD2 (slowly-changing-dimension type 2) interval build: each
+    // purchase event versions its user's attribute; validity = [its ts,
+    // the next event's ts), open-ended for the current version. ONE
+    // user-keyed window (lead) — shuffle by user_id only, never a global
+    // sort; the canonical dimension-history materialization that MERGE
+    // pipelines maintain incrementally at scale.
+    QueryDef.sql(
+      "q_scd2_intervals",
+      """SELECT user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  round(value, 4) AS value,
+        |  CAST(lead(ts) OVER w IS NULL AS INTEGER) AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("valid_from"),
+          date_format(lead(col("ts"), 1).over(w),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          round(col("value"), 4).as("value"),
+          lead(col("ts"), 1).over(w).isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
+
+    // Time-series densification + forward fill: sparse per-day totals
+    // (a rare user cohort) are gap-filled onto the COMPLETE day spine of
+    // their span, carrying the last observation forward — the standard
+    // prep for windowed models over irregular series. The spine is
+    // generated from a 2-value extremes frame (sequence + explode, no
+    // driver loop); the forward-fill window runs on the day-cardinality
+    // frame only (bounded by the date domain at any corpus size).
+    QueryDef.sql(
+      "q_gap_fill",
+      """WITH agg AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id % 97 = 0
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM agg), (SELECT max(day) FROM agg),
+        |    INTERVAL 1 DAY))::DATE AS day),
+        |filled AS (
+        |  SELECT s.day, a.total,
+        |    last_value(a.total IGNORE NULLS) OVER (ORDER BY s.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |  FROM spine s LEFT JOIN agg a USING (day))
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  round(carried, 4) AS total,
+        |  CAST(total IS NULL AS INTEGER) AS is_gap
+        |FROM filled ORDER BY day""".stripMargin) { (s, d) =>
+      val agg = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") % 97 === 0)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      val spine = agg.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      spine.join(agg, Seq("day"), "left")
+        .withColumn("carried", last("total", ignoreNulls = true)
+          .over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("carried"), 4).as("total"),
+          col("total").isNull.cast("int").as("is_gap"))
+        .orderBy("day")
     }
   )
 }

@@ -79,10 +79,12 @@ object ScaleSmoke {
     * density is unchanged and interval probes only match 1/N of the span. */
   private def stageScaled(spark: SparkSession, baseSf: String, outDir: String,
       replicas: Int): Unit = {
-    // lineitem joined the staged set later — restage if it's missing
+    // lineitem/supplier joined the staged set later — restage if missing
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_STAGED")) &&
         java.nio.file.Files.exists(
-          java.nio.file.Paths.get(outDir, "lineitem.parquet")))
+          java.nio.file.Paths.get(outDir, "lineitem.parquet")) &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(outDir, "supplier.parquet")))
       return
     val copies = 0 until replicas
     def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
@@ -100,6 +102,9 @@ object ScaleSmoke {
     val li = Tables.lineitem(spark, baseSf)
     write(copies.map(i => li.withColumn("l_orderkey",
       col("l_orderkey") + lit(i * 100000000L))).reduce(_ unionAll _), "lineitem")
+    // replication leaves l_suppkey/o_custkey unshifted (the graph keeps
+    // its node set, edges multiply) — one unshifted supplier copy matches
+    write(Tables.supplier(spark, baseSf), "supplier")
     val events = Tables.events(spark, baseSf)
     write(copies.map(i => events.withColumn("ts",
       col("ts") + expr(s"INTERVAL ${i * 720} HOURS"))).reduce(_ unionAll _),
