@@ -90,9 +90,27 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
   private var catalystFilters: Seq[Expression] = Seq.empty
   private var limitHint: Option[Long] = None
   private var delegate: Option[ParquetScanBuilder] = None
+  /** (encoded path, raw partitionValues) for every planned file, and the
+    * scan options of the current plan — kept so `build()` can hand
+    * GraftScan a rebuild closure for runtime (DPP) file pruning. */
+  private var plannedFiles: Seq[(String, Map[String, String])] = Seq.empty
+  private var plannedOpts: Option[CaseInsensitiveStringMap] = None
+  private var partCols: Seq[String] = metadata.partitionColumns
 
   /** The hint JSON most recently sent to the server (for tests/explain). */
   @volatile var sentPredicateHints: Option[String] = None
+
+  /** Delegating parquet builder over the given encoded paths, with the
+    * recorded column/filter pushdowns replayed. */
+  private def builderFor(paths: Seq[String],
+      optsWithBase: CaseInsensitiveStringMap): ParquetScanBuilder = {
+    val table = ParquetTable(ref.toString, spark, optsWithBase, paths,
+      Some(fullSchema), classOf[ParquetFileFormat])
+    val b = table.newScanBuilder(optsWithBase).asInstanceOf[ParquetScanBuilder]
+    requiredSchema.foreach(b.pruneColumns)
+    if (catalystFilters.nonEmpty) b.pushFilters(catalystFilters)
+    b
+  }
 
   /** Fire the (single) query POST with all accumulated hints, then build
     * the delegating parquet scan builder and replay recorded pushdowns. */
@@ -110,13 +128,14 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
     // carries (files the server listed anyway but whose min/max envelope
     // excludes every filter) — the residual FilterExec still re-filters
     val files = StatsPruning.prune(rawFiles, hintOps)
-    val partCols = meta.partitionColumns
+    partCols = meta.partitionColumns
     val uid = java.util.UUID.randomUUID().toString.take(12)
-    val paths = files.map { f =>
+    plannedFiles = files.map { f =>
       SignedHttpFileSystem.encode(f.url, f.size,
         partCols.map(pc => pc -> f.partitionValues.getOrElse(pc, "")), uid,
         refresh = profilePath.map(pp => SignedHttpFileSystem.RefreshSpec(
-          pp, ref.share, ref.schema, ref.name, f.id, versionAsOf)))
+          pp, ref.share, ref.schema, ref.name, f.id, versionAsOf))) ->
+        f.partitionValues
     }
     // common synthetic base so hive-style k=v segments become partitions
     val optsWithBase = {
@@ -124,11 +143,8 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
       m.put("basePath", SignedHttpFileSystem.basePath(uid))
       new CaseInsensitiveStringMap(m)
     }
-    val table = ParquetTable(ref.toString, spark, optsWithBase, paths,
-      Some(fullSchema), classOf[ParquetFileFormat])
-    val b = table.newScanBuilder(optsWithBase).asInstanceOf[ParquetScanBuilder]
-    requiredSchema.foreach(b.pruneColumns)
-    if (catalystFilters.nonEmpty) b.pushFilters(catalystFilters)
+    plannedOpts = Some(optsWithBase)
+    val b = builderFor(plannedFiles.map(_._1), optsWithBase)
     delegate = Some(b)
     b
   }
@@ -156,5 +172,18 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
     false
   }
 
-  override def build(): Scan = delegate.getOrElse(freshDelegate()).build()
+  /** Build the delegate scan, wrapped for runtime (DPP) file pruning
+    * when the table is partitioned — see [[GraftScan]]. */
+  override def build(): Scan = {
+    val b = delegate.getOrElse(freshDelegate())
+    val inner = b.build()
+    if (partCols.isEmpty) inner
+    else {
+      val types = partCols.flatMap(c =>
+        fullSchema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(f => c -> f.dataType))
+      new GraftScan(inner, plannedFiles, types,
+        paths => builderFor(paths, plannedOpts.get).build())
+    }
+  }
 }
