@@ -33,7 +33,8 @@ object PlanAudit {
       "text_drift_psi", "q_bloom_join", "q_hll_rollup", "q_hilbert_layout",
       "q_theta_setops", "q_kll_rollup", "q_multiway_join",
       "q_concurrency_sweep", "graph_pagerank", "graph_reachability",
-      "q_skyline", "sim_pq_adc", "q_scd2_intervals", "q_gap_fill")
+      "q_skyline", "sim_pq_adc", "q_scd2_intervals", "q_gap_fill",
+      "q_topk_sketch_rollup")
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")

@@ -1509,6 +1509,45 @@ object CoreQueries {
         .orderBy("ts")
     },
 
+    // Heavy-hitter sketch ROLL-UP (Spark 4.1 approx_top_k family): the
+    // frequent-items twin of q_hll_rollup/q_kll_rollup — per-(flag,
+    // status) sketch partials accumulate once over the raw data, merge
+    // per flag with approx_top_k_combine, and the top-10 parts are read
+    // from the MERGED sketch only. maxItemsTracked (16384) exceeds the
+    // distinct-part count at the gate SF, where the sketch's counts are
+    // provably exact (Misra-Gries with enough counters never evicts) —
+    // so the DuckDB oracle is the exact grouped count; at larger scale
+    // the same plan degrades gracefully to approximate heavy hitters.
+    // Deterministic ordering: estimates re-ranked by (count desc, part)
+    // in-plan rather than trusting the sketch's own tie order.
+    QueryDef.sql(
+      "q_topk_sketch_rollup",
+      """WITH exact AS (
+        |  SELECT l_returnflag, l_partkey, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_partkey AS part, CAST(n AS BIGINT) AS n,
+        |  CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT l_returnflag, l_partkey, n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY n DESC, l_partkey) AS rk
+        |  FROM exact) WHERE rk <= 10
+        |ORDER BY l_returnflag, rk""".stripMargin) { (s, d) =>
+      val partials = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(expr("approx_top_k_accumulate(l_partkey, 16384)").as("sk"))
+      val merged = partials.groupBy("l_returnflag")
+        .agg(expr("approx_top_k_combine(sk, 16384)").as("sk"))
+      merged
+        .select(col("l_returnflag"),
+          explode(expr("approx_top_k_estimate(sk, 16384)")).as("e"))
+        .select(col("l_returnflag"), col("e.item").as("part"),
+          col("e.count").as("n"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("l_returnflag").orderBy(desc("n"), col("part"))))
+        .filter(col("rk") <= 10)
+        .orderBy("l_returnflag", "rk")
+    },
+
     // SCD2 (slowly-changing-dimension type 2) interval build: each
     // purchase event versions its user's attribute; validity = [its ts,
     // the next event's ts), open-ended for the current version. ONE

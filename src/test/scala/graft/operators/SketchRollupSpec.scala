@@ -52,6 +52,28 @@ class SketchRollupSpec extends SparkTestBase {
     assert(gate.getAs[Int]("err_ok") === 1)
   }
 
+  test("approx_top_k merge parity: combined partials == one-pass sketch") {
+    val li = Tables.lineitem(spark, sf0001)
+    def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = df
+      .select(explode(expr("approx_top_k_estimate(sk, 16384)")).as("e"))
+      .select(col("e.item").cast("long"), col("e.count"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sortBy { case (item, n) => (-n, item) }
+    val viaRollup = ranked(
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(expr("approx_top_k_accumulate(l_partkey, 16384)").as("sk"))
+        .groupBy().agg(expr("approx_top_k_combine(sk, 16384)").as("sk")))
+    val direct = ranked(
+      li.agg(expr("approx_top_k_accumulate(l_partkey, 16384)").as("sk")))
+    // tracked >= distinct parts at sf0.001 -> both paths hold EXACT
+    // counts for every item, so the full ranked lists agree
+    assert(viaRollup == direct)
+    // and the counts really are exact
+    val exact = li.groupBy("l_partkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaRollup.forall { case (item, n) => exact(item) == n })
+  }
+
   test("KLL merge: per-group partials merged == one-pass sketch quantile") {
     val li = Tables.lineitem(spark, sf0001)
     val merged = li.groupBy("l_returnflag", "l_linestatus")
