@@ -36,6 +36,57 @@ final class DeltaSharingClient(val profile: Profile,
     .connectTimeout(java.time.Duration.ofSeconds(30)).build()
   private val mapper = new ObjectMapper()
 
+  // ---- auth -------------------------------------------------------------
+
+  /** (token, expiry) for OAuth profiles; None until first fetch. */
+  @volatile private var oauthToken: Option[(String, java.time.Instant)] = None
+
+  /** Authorization header for the next request. v1: the static bearer.
+    * v2 (OAuth client_credentials): a cached short-lived token, fetched
+    * from the profile's tokenEndpoint and refreshed ahead of its
+    * expiry (30 s slack for clock drift / request latency). */
+  private def authHeader(): String = profile.oauth match {
+    case None => profile.authorization
+    case Some(cfg) =>
+      val fresh = oauthToken.filter { case (_, exp) =>
+        exp.isAfter(java.time.Instant.now().plusSeconds(30))
+      }
+      fresh match {
+        case Some((t, _)) => s"Bearer $t"
+        case None => synchronized {
+          val again = oauthToken.filter { case (_, exp) =>
+            exp.isAfter(java.time.Instant.now().plusSeconds(30))
+          }
+          val token = again.map(_._1).getOrElse {
+            val (t, ttl) = fetchToken(cfg)
+            oauthToken = Some((t, java.time.Instant.now().plusSeconds(ttl)))
+            t
+          }
+          s"Bearer $token"
+        }
+      }
+  }
+
+  /** Standard client_credentials grant → (access_token, expires_in). */
+  private def fetchToken(cfg: OAuthClientCredentials): (String, Long) = {
+    val form = (Seq("grant_type=client_credentials",
+      s"client_id=${enc(cfg.clientId)}",
+      s"client_secret=${enc(cfg.clientSecret)}") ++
+      cfg.scope.map(s => s"scope=${enc(s)}")).mkString("&")
+    val resp = send(() => HttpRequest.newBuilder(URI.create(cfg.tokenEndpoint))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build())
+    if (resp.statusCode() >= 400)
+      throw DeltaSharingException.client(
+        s"OAuth token request failed: ${resp.statusCode()} ${resp.body()}")
+    val n = mapper.readTree(resp.body())
+    val token = Option(n.get("access_token")).map(_.asText()).getOrElse(
+      throw DeltaSharingException.parseResponse(
+        "OAuth token response missing access_token"))
+    val ttl = Option(n.get("expires_in")).map(_.asLong()).getOrElse(3600L)
+    (token, ttl)
+  }
+
   // ---- catalog listings -------------------------------------------------
 
   def listShares(): Seq[Share] =
@@ -88,8 +139,8 @@ final class DeltaSharingClient(val profile: Profile,
       startingTimestamp: Option[String] = None): Long = {
     val base = tableUrl(table, "version")
     val url = startingTimestamp.fold(base)(ts => s"$base?startingTimestamp=${enc(ts)}")
-    val resp = send(HttpRequest.newBuilder(URI.create(url))
-      .header("Authorization", profile.authorization).GET().build())
+    val resp = send(() => HttpRequest.newBuilder(URI.create(url))
+      .header("Authorization", authHeader()).GET().build())
     checkStatus(resp)
     resp.headers().firstValue("Delta-Table-Version").map[Long](_.toLong)
       .orElseThrow(() => DeltaSharingException.parseResponse(
@@ -104,8 +155,8 @@ final class DeltaSharingClient(val profile: Profile,
       version: Option[Long] = None): (Protocol, Metadata) = {
     val base = tableUrl(table, "metadata")
     val url = version.fold(base)(v => s"$base?version=$v")
-    val resp = send(HttpRequest.newBuilder(URI.create(url))
-      .header("Authorization", profile.authorization).GET().build())
+    val resp = send(() => HttpRequest.newBuilder(URI.create(url))
+      .header("Authorization", authHeader()).GET().build())
     checkStatus(resp)
     Actions.parseMetadataResponse(resp.body())
   }
@@ -121,8 +172,8 @@ final class DeltaSharingClient(val profile: Profile,
     val body = (predicateHints.map(p => "\"jsonPredicateHints\":" + jstr(p)) ++
       limitHint.map(l => "\"limitHint\":\"" + l + "\"") ++
       version.map(v => "\"version\":" + v)).mkString("{", ",", "}")
-    val resp = send(HttpRequest.newBuilder(URI.create(tableUrl(table, "query")))
-      .header("Authorization", profile.authorization)
+    val resp = send(() => HttpRequest.newBuilder(URI.create(tableUrl(table, "query")))
+      .header("Authorization", authHeader())
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body)).build())
     checkStatus(resp)
@@ -137,9 +188,9 @@ final class DeltaSharingClient(val profile: Profile,
       : (Protocol, Metadata, Seq[Actions.ChangeAction]) = {
     val params = (Seq(s"startingVersion=$startingVersion") ++
       endingVersion.map(v => s"endingVersion=$v")).mkString("&")
-    val resp = send(HttpRequest.newBuilder(
+    val resp = send(() => HttpRequest.newBuilder(
         URI.create(s"${tableUrl(table, "changes")}?$params"))
-      .header("Authorization", profile.authorization).GET().build())
+      .header("Authorization", authHeader()).GET().build())
     checkStatus(resp)
     Actions.parseChangesResponse(resp.body())
   }
@@ -177,37 +228,49 @@ final class DeltaSharingClient(val profile: Profile,
   /** Send with bounded retry: 429 + 5xx + transient connection errors
     * back off (Retry-After honored, capped at `maxBackoffMs`, else
     * 100·2^attempt ms) and retry up to `maxRetries` times; interrupts,
-    * SSL/config failures, and everything else surface immediately. */
-  private def send(req: HttpRequest): HttpResponse[String] = {
+    * SSL/config failures, and everything else surface immediately.
+    * A 401 under an OAuth profile invalidates the cached token and
+    * retries once immediately — the server may expire tokens earlier
+    * than their advertised TTL. The request is built LAZILY per attempt
+    * so the retry carries the refreshed Authorization header. */
+  private def send(mkReq: () => HttpRequest): HttpResponse[String] = {
     var attempt = 0
+    var refreshedAuth = false
     while (true) {
       val outcome =
-        try Right(sendOnce(req))
+        try Right(sendOnce(mkReq()))
         catch { case e: DeltaSharingException => Left(e) }
-      val retryable = outcome match {
-        case Right(resp) =>
-          resp.statusCode() == 429 || resp.statusCode() >= 500
-        case Left(e) => e.getCause match {
-          // deterministic local failures can never succeed on retry
-          case _: InterruptedException => false
-          case _: javax.net.ssl.SSLException => false
-          case _ => true // timeout / connect-level failure
-        }
+      outcome match {
+        case Right(resp) if resp.statusCode() == 401 &&
+            profile.oauth.isDefined && !refreshedAuth =>
+          refreshedAuth = true
+          oauthToken = None // next mkReq() fetches a fresh token
+        case _ =>
+          val retryable = outcome match {
+            case Right(resp) =>
+              resp.statusCode() == 429 || resp.statusCode() >= 500
+            case Left(e) => e.getCause match {
+              // deterministic local failures can never succeed on retry
+              case _: InterruptedException => false
+              case _: javax.net.ssl.SSLException => false
+              case _ => true // timeout / connect-level failure
+            }
+          }
+          if (!retryable || attempt >= maxRetries)
+            return outcome.fold(throw _, identity)
+          val retryAfterMs = outcome.toOption.flatMap { r =>
+            val v = r.headers().firstValue("Retry-After")
+            if (v.isPresent) v.get.toLongOption else None
+          }.map(_ * 1000L).getOrElse(0L)
+          try Thread.sleep(DeltaSharingClient.backoffMs(attempt, retryAfterMs))
+          catch {
+            case e: InterruptedException =>
+              // same contract as sendOnce: restore the flag, fail typed
+              Thread.currentThread().interrupt()
+              throw DeltaSharingException.request("retry backoff interrupted", e)
+          }
+          attempt += 1
       }
-      if (!retryable || attempt >= maxRetries)
-        return outcome.fold(throw _, identity)
-      val retryAfterMs = outcome.toOption.flatMap { r =>
-        val v = r.headers().firstValue("Retry-After")
-        if (v.isPresent) v.get.toLongOption else None
-      }.map(_ * 1000L).getOrElse(0L)
-      try Thread.sleep(DeltaSharingClient.backoffMs(attempt, retryAfterMs))
-      catch {
-        case e: InterruptedException =>
-          // same contract as sendOnce: restore the flag, fail typed
-          Thread.currentThread().interrupt()
-          throw DeltaSharingException.request("retry backoff interrupted", e)
-      }
-      attempt += 1
     }
     throw new IllegalStateException("unreachable")
   }
@@ -226,8 +289,8 @@ final class DeltaSharingClient(val profile: Profile,
   }
 
   private def getJson(url: String): com.fasterxml.jackson.databind.JsonNode = {
-    val resp = send(HttpRequest.newBuilder(URI.create(url))
-      .header("Authorization", profile.authorization).GET().build())
+    val resp = send(() => HttpRequest.newBuilder(URI.create(url))
+      .header("Authorization", authHeader()).GET().build())
     checkStatus(resp)
     mapper.readTree(resp.body())
   }

@@ -52,21 +52,44 @@ object DeltaSharingException {
   def other(msg: String) = new DeltaSharingException("OTHER_ERROR", msg)
 }
 
-/** Connection profile: `{shareCredentialsVersion, endpoint, bearerToken,
-  * expirationTime?}` (reference src/profile.rs:30-96). Only credentials
-  * version 1 (bearer token) is supported; an expired token fails fast at
-  * construction/authorization time (src/profile.rs:317-323). */
+/** OAuth M2M credentials from a `shareCredentialsVersion: 2` profile
+  * (public Delta Sharing protocol, `type: "oauth_client_credentials"`):
+  * the client exchanges them at `tokenEndpoint` for short-lived bearer
+  * tokens via the standard client_credentials grant. The reference
+  * supports only v1 (src/profile.rs:30-96); this is engine surface
+  * beyond it. */
+final case class OAuthClientCredentials(
+    tokenEndpoint: String,
+    clientId: String,
+    clientSecret: String,
+    scope: Option[String]) {
+  override def toString: String =
+    s"OAuthClientCredentials($tokenEndpoint, $clientId, secret=***)"
+}
+
+/** Connection profile: v1 `{shareCredentialsVersion, endpoint,
+  * bearerToken, expirationTime?}` (reference src/profile.rs:30-96) or v2
+  * `{shareCredentialsVersion: 2, endpoint, type:
+  * "oauth_client_credentials", tokenEndpoint, clientId, clientSecret,
+  * scope?}`. For v1 an expired token fails fast at authorization time
+  * (src/profile.rs:317-323); for v2 token lifecycle lives in the client
+  * (fetch, cache, refresh-on-401). */
 final case class Profile(
     shareCredentialsVersion: Int,
     endpoint: String,
     bearerToken: String,
-    expirationTime: Option[java.time.Instant]) {
+    expirationTime: Option[java.time.Instant],
+    oauth: Option[OAuthClientCredentials] = None) {
 
   def isExpired: Boolean =
     expirationTime.exists(_.isBefore(java.time.Instant.now()))
 
-  /** Bearer header value; fails fast on expiry. */
+  /** Static bearer header value (v1 profiles); fails fast on expiry.
+    * v2 profiles authenticate through the client's token manager. */
   def authorization: String = {
+    if (oauth.isDefined)
+      throw DeltaSharingException.profile(
+        "OAuth profile has no static authorization; use the client")
     if (isExpired)
       throw DeltaSharingException.profile("Bearer token in profile is expired")
     s"Bearer $bearerToken"
@@ -101,7 +124,7 @@ object Profile {
       throw DeltaSharingException.profile(
         s"Failed to parse profile file at $where: missing shareCredentialsVersion")
     val version = node.get("shareCredentialsVersion").asInt()
-    if (version != 1)
+    if (version != 1 && version != 2)
       throw DeltaSharingException.profile(
         s"Unsupported share credentials version: $version")
     val endpoint = Option(node.get("endpoint")).map(_.asText()).getOrElse(
@@ -111,10 +134,26 @@ object Profile {
       case e: Exception => throw DeltaSharingException.profile(
         s"Failed to parse endpoint URL in profile: ${e.getMessage}")
     }
-    val token = Option(node.get("bearerToken")).map(_.asText()).getOrElse(
-      throw DeltaSharingException.profile("Bearer token is missing in profile file"))
-    val expiration = Option(node.get("expirationTime")).map(n =>
-      java.time.Instant.parse(n.asText()))
-    Profile(version, endpoint.stripSuffix("/"), token, expiration)
+    if (version == 2) {
+      val typ = Option(node.get("type")).map(_.asText()).getOrElse(
+        throw DeltaSharingException.profile(
+          "type is missing in v2 profile file"))
+      if (typ != "oauth_client_credentials")
+        throw DeltaSharingException.profile(
+          s"Unsupported v2 profile type: $typ")
+      def req(f: String): String = Option(node.get(f)).map(_.asText())
+        .getOrElse(throw DeltaSharingException.profile(
+          s"$f is missing in v2 profile file"))
+      val oauth = OAuthClientCredentials(req("tokenEndpoint"),
+        req("clientId"), req("clientSecret"),
+        Option(node.get("scope")).filterNot(_.isNull).map(_.asText()))
+      Profile(version, endpoint.stripSuffix("/"), "", None, Some(oauth))
+    } else {
+      val token = Option(node.get("bearerToken")).map(_.asText()).getOrElse(
+        throw DeltaSharingException.profile("Bearer token is missing in profile file"))
+      val expiration = Option(node.get("expirationTime")).map(n =>
+        java.time.Instant.parse(n.asText()))
+      Profile(version, endpoint.stripSuffix("/"), token, expiration)
+    }
   }
 }

@@ -23,7 +23,13 @@ import graft.sharing.DeltaSchema
   */
 final class LocalSharingServer(
     bearerToken: String = "graft-test-token",
-    urlTtl: java.time.Duration = java.time.Duration.ofHours(1)) {
+    urlTtl: java.time.Duration = java.time.Duration.ofHours(1),
+    /** When set, the server ALSO speaks the OAuth client_credentials
+      * grant (profile v2): POST /oauth/token with the matching
+      * (clientId, clientSecret) issues a short-lived bearer accepted by
+      * every protocol endpoint alongside the static token. */
+    oauthClient: Option[(String, String)] = None,
+    oauthTokenTtl: java.time.Duration = java.time.Duration.ofHours(1)) {
 
   /** One served file + its partition values (empty string ⇒ null) and
     * optional Delta-style stats JSON (numRecords/minValues/maxValues/
@@ -113,6 +119,58 @@ final class LocalSharingServer(
   def profileJson: String =
     s"""{"shareCredentialsVersion":1,"endpoint":"$endpoint","bearerToken":"$bearerToken"}"""
 
+  /** v2 (OAuth client_credentials) profile for this server — requires
+    * construction with `oauthClient`. */
+  def profileJsonV2: String = {
+    val (id, secret) = oauthClient.getOrElse(
+      sys.error("server not configured with oauthClient"))
+    s"""{"shareCredentialsVersion":2,"endpoint":"$endpoint",""" +
+      s""""type":"oauth_client_credentials",""" +
+      s""""tokenEndpoint":"http://127.0.0.1:$port/oauth/token",""" +
+      s""""clientId":"$id","clientSecret":"$secret"}"""
+  }
+
+  // issued OAuth access tokens -> expiry
+  private val issuedTokens =
+    scala.collection.concurrent.TrieMap.empty[String, java.time.Instant]
+  private val tokenCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Number of tokens issued so far (for refresh assertions in specs). */
+  def tokensIssued: Long = tokenCounter.get()
+
+  /** POST /oauth/token: the standard client_credentials grant. */
+  private def serveOAuthToken(x: HttpExchange): Unit = {
+    if (x.getRequestMethod != "POST")
+      return respond(x, 405, """{"error":"invalid_request"}""")
+    oauthClient match {
+      case None =>
+        respond(x, 404, """{"error":"unsupported_grant_type"}""")
+      case Some((id, secret)) =>
+        val form = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          .split('&').filter(_.nonEmpty).map(_.split("=", 2))
+          .collect { case Array(k, v) => dec(k) -> dec(v) }.toMap
+        if (!form.get("grant_type").contains("client_credentials"))
+          respond(x, 400, """{"error":"unsupported_grant_type"}""")
+        else if (!form.get("client_id").contains(id) ||
+            !form.get("client_secret").contains(secret))
+          respond(x, 401, """{"error":"invalid_client"}""")
+        else {
+          val tok = s"oat-${tokenCounter.incrementAndGet()}-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          issuedTokens.put(tok,
+            java.time.Instant.now().plus(oauthTokenTtl))
+          respond(x, 200,
+            s"""{"access_token":"$tok","token_type":"bearer",""" +
+              s""""expires_in":${oauthTokenTtl.toSeconds}}""")
+        }
+    }
+  }
+
+  /** Immediately invalidate every issued OAuth token (expiry simulation
+    * without waiting out the TTL). */
+  def expireIssuedTokens(): Unit =
+    issuedTokens.keys.foreach(k =>
+      issuedTokens.put(k, java.time.Instant.now().minusSeconds(1)))
+
   /** Write a profile file and return its path. */
   def writeProfile(): String = {
     val f = Files.createTempFile("graft-share-profile", ".json")
@@ -150,8 +208,14 @@ final class LocalSharingServer(
       }
     }
 
+    if (path == "/oauth/token") return serveOAuthToken(x)
+
     val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
-    if (!auth.contains(s"Bearer $bearerToken"))
+    val issuedOk = auth.exists { a =>
+      val t = a.stripPrefix("Bearer ")
+      issuedTokens.get(t).exists(_.isAfter(java.time.Instant.now()))
+    }
+    if (!auth.contains(s"Bearer $bearerToken") && !issuedOk)
       return respond(x, 401,
         """{"errorCode":"UNAUTHENTICATED","message":"invalid bearer token"}""")
 

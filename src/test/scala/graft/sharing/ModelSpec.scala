@@ -28,8 +28,12 @@ class ModelSpec extends AnyFunSuite {
 
   test("profile rejects unsupported version") {
     val e = intercept[DeltaSharingException](Profile.fromJson(
-      """{"shareCredentialsVersion":2,"endpoint":"https://x.com","bearerToken":"t"}"""))
+      """{"shareCredentialsVersion":3,"endpoint":"https://x.com","bearerToken":"t"}"""))
     assert(e.getMessage.contains("Unsupported share credentials version"))
+    // v2 is supported but REQUIRES the oauth type discriminator
+    val e2 = intercept[DeltaSharingException](Profile.fromJson(
+      """{"shareCredentialsVersion":2,"endpoint":"https://x.com","bearerToken":"t"}"""))
+    assert(e2.getMessage.contains("type is missing"))
   }
 
   test("profile rejects missing bearer token") {
