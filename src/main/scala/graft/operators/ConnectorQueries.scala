@@ -65,10 +65,14 @@ object ConnectorQueries {
           .map(f => server.ServedFile(f, Map.empty)),
         version = 3,
         changes =
+          // distinct per-version commit timestamps so timestamp-bounded
+          // CDF reads (startingTimestamp) can resolve versions
           parquetFiles(s"$stage/nation_sub")
-            .map(f => server.ChangeEntry(2, "add", server.ServedFile(f, Map.empty))) ++
+            .map(f => server.ChangeEntry(2, "add",
+              server.ServedFile(f, Map.empty), 1700000000000L)) ++
           parquetFiles(s"$sfDir/nation.parquet")
-            .map(f => server.ChangeEntry(3, "remove", server.ServedFile(f, Map.empty)))))
+            .map(f => server.ChangeEntry(3, "remove",
+              server.ServedFile(f, Map.empty), 1700000100000L))))
 
       // Partitioned table: orders split by o_orderpriority with the
       // partition column REMOVED from the files — its values travel as
@@ -314,6 +318,27 @@ object ConnectorQueries {
         |ORDER BY _commit_version, n_nationkey""".stripMargin) { (s, d) =>
       GraftSharing.readChanges(s, shared(s, d),
           TableRef("graft", "main", "nation_cdf"), 2, Some(3))
+        .select(col("n_nationkey"), col("n_name"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy("_commit_version", "n_nationkey")
+    },
+
+    // The same feed entered by TIMESTAMP (protocol startingTimestamp):
+    // the bound falls between the v2 and v3 commit times, so the server
+    // must resolve it to v3 exactly — same oracle shape as
+    // connector_changes restricted to the remove commit.
+    QueryDef.sql(
+      "connector_changes_by_time",
+      """SELECT n_nationkey, n_name, _change_type,
+        |  CAST(_commit_version AS BIGINT) AS _commit_version
+        |FROM (
+        |  SELECT n_nationkey, n_name, 'remove' AS _change_type,
+        |    3 AS _commit_version FROM nation)
+        |ORDER BY _commit_version, n_nationkey""".stripMargin) { (s, d) =>
+      GraftSharing.readChangesByTimestamp(s, shared(s, d),
+          TableRef("graft", "main", "nation_cdf"),
+          // strictly after v2's commit (…000) and at/before v3's (…100)
+          "2023-11-14T22:13:30Z")
         .select(col("n_nationkey"), col("n_name"), col("_change_type"),
           col("_commit_version"))
         .orderBy("_commit_version", "n_nationkey")

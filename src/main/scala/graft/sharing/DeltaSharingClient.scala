@@ -185,8 +185,22 @@ final class DeltaSharingClient(val profile: Profile,
     * format follows the public Delta Sharing protocol. */
   def getTableChanges(table: TableRef, startingVersion: Long,
       endingVersion: Option[Long] = None)
+      : (Protocol, Metadata, Seq[Actions.ChangeAction]) =
+    changesRequest(table, s"startingVersion=$startingVersion", endingVersion)
+
+  /** Change feed starting from an ISO-8601 TIMESTAMP instead of a
+    * version (public protocol `startingTimestamp` param): the server
+    * resolves it to the earliest version committed at or after it. */
+  def getTableChangesByTimestamp(table: TableRef, startingTimestamp: String,
+      endingVersion: Option[Long] = None)
+      : (Protocol, Metadata, Seq[Actions.ChangeAction]) =
+    changesRequest(table,
+      s"startingTimestamp=${enc(startingTimestamp)}", endingVersion)
+
+  private def changesRequest(table: TableRef, startParam: String,
+      endingVersion: Option[Long])
       : (Protocol, Metadata, Seq[Actions.ChangeAction]) = {
-    val params = (Seq(s"startingVersion=$startingVersion") ++
+    val params = (Seq(startParam) ++
       endingVersion.map(v => s"endingVersion=$v")).mkString("&")
     val resp = send(() => HttpRequest.newBuilder(
         URI.create(s"${tableUrl(table, "changes")}?$params"))

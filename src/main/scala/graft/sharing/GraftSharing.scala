@@ -74,9 +74,27 @@ object GraftSharing {
     * per-group union back into concurrent scans. */
   def readChanges(spark: SparkSession, client: DeltaSharingClient,
       table: TableRef, startingVersion: Long,
-      endingVersion: Option[Long] = None): DataFrame = {
-    val (_, metadata, changes) =
-      client.getTableChanges(table, startingVersion, endingVersion)
+      endingVersion: Option[Long] = None): DataFrame =
+    changesFrame(spark, table,
+      client.getTableChanges(table, startingVersion, endingVersion),
+      s"[$startingVersion, ${endingVersion.getOrElse("∞")}]")
+
+  /** [[readChanges]] with the start bound given as an ISO-8601
+    * timestamp (protocol `startingTimestamp`): the server resolves it
+    * to the earliest version committed at or after it. */
+  def readChangesByTimestamp(spark: SparkSession,
+      client: DeltaSharingClient, table: TableRef,
+      startingTimestamp: String,
+      endingVersion: Option[Long] = None): DataFrame =
+    changesFrame(spark, table,
+      client.getTableChangesByTimestamp(table, startingTimestamp,
+        endingVersion),
+      s"[$startingTimestamp, ${endingVersion.getOrElse("∞")}]")
+
+  private def changesFrame(spark: SparkSession, table: TableRef,
+      fetched: (Protocol, Metadata, Seq[Actions.ChangeAction]),
+      boundsForError: String): DataFrame = {
+    val (_, metadata, changes) = fetched
     val schema = DeltaSchema.fromSchemaString(metadata.schemaString)
     val groups = changes.groupBy(c => (c.changeType, c.version, c.timestamp))
     val parts = groups.toSeq.sortBy(g => (g._1._2, g._1._1)).map {
@@ -89,7 +107,7 @@ object GraftSharing {
     }
     if (parts.isEmpty)
       throw DeltaSharingException.other(
-        s"no changes for $table in [$startingVersion, ${endingVersion.getOrElse("∞")}]")
+        s"no changes for $table in $boundsForError")
     parts.reduce(_ unionAll _)
   }
 

@@ -304,13 +304,40 @@ final class LocalSharingServer(
           val badParam = Seq("startingVersion", "endingVersion").flatMap(p =>
             params.get(p).filter(!_.toLongOption.exists(_ >= 0)).map(p -> _))
             .headOption
+          // startingTimestamp (ISO-8601) is the protocol's alternative
+          // start bound: resolved to the earliest version committed at
+          // or after it. Mutually exclusive with startingVersion.
+          val startTs = params.get("startingTimestamp").map { raw =>
+            try Right(java.time.Instant.parse(raw).toEpochMilli)
+            catch { case _: Exception => Left(raw) }
+          }
           badParam match {
             case Some((p, raw)) =>
               respond(x, 400,
                 s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
                   jstr(s"$p must be an integer, got: $raw")}}""")
+            case None if startTs.exists(_.isLeft) =>
+              respond(x, 400,
+                s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
+                  jstr("startingTimestamp must be an ISO-8601 instant")}}""")
+            case None if startTs.isDefined &&
+                params.contains("startingVersion") =>
+              respond(x, 400,
+                s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
+                  jstr("startingVersion and startingTimestamp are mutually exclusive")}}""")
+            case None if startTs.isDefined &&
+                !td.changes.exists(_.timestamp >= startTs.get.toOption.get) =>
+              respond(x, 404,
+                s"""{"errorCode":"RESOURCE_DOES_NOT_EXIST","message":${
+                  jstr("no version committed at or after startingTimestamp")}}""")
             case None =>
-              val from = params.get("startingVersion").flatMap(_.toLongOption).getOrElse(0L)
+              val from = startTs match {
+                case Some(Right(wanted)) =>
+                  td.changes.filter(_.timestamp >= wanted)
+                    .map(_.version).min
+                case _ => params.get("startingVersion")
+                  .flatMap(_.toLongOption).getOrElse(0L)
+              }
               val to = params.get("endingVersion").flatMap(_.toLongOption)
                 .getOrElse(Long.MaxValue)
               // index into the FULL changes list (lookupServed resolves

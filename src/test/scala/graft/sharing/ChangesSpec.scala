@@ -64,6 +64,24 @@ class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(v1only.map(c => (c.changeType, c.version)) == Seq(("add", 1L)))
   }
 
+  test("startingTimestamp resolves to the earliest version at/after it") {
+    // v1 committed at …001000, v2 at …002000: a bound between them
+    // must serve exactly the v2 changes
+    val (_, _, fromMid) = client.getTableChangesByTimestamp(table,
+      java.time.Instant.ofEpochMilli(1700000001500L).toString)
+    assert(fromMid.map(c => (c.changeType, c.version)).sorted ==
+      Seq(("add", 2L), ("remove", 2L)))
+    // malformed timestamp → typed 400, not a silently-full feed
+    val e = intercept[DeltaSharingException](
+      client.getTableChangesByTimestamp(table, "not-a-time"))
+    assert(e.getMessage.contains("ISO-8601"))
+    // a bound after every commit → typed RESOURCE_DOES_NOT_EXIST
+    val e2 = intercept[DeltaSharingException](
+      client.getTableChangesByTimestamp(table,
+        java.time.Instant.ofEpochMilli(1800000000000L).toString))
+    assert(e2.getMessage.contains("RESOURCE_DOES_NOT_EXIST"))
+  }
+
   test("readChanges yields data rows tagged with change metadata") {
     val df = GraftSharing.readChanges(spark, client, table, 1L)
     assert(df.columns.takeRight(3).toSeq ==
