@@ -74,9 +74,21 @@ final class GraftCdfStreamProvider extends TableProvider
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val (client, ref, metadata) = connect(options)
-    val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
-      .getOrElse(throw DeltaSharingException.parseSecurable(
-        "graft-sharing-cdf requires option startingVersion"))
+    // start bound: a version, or an ISO-8601 timestamp the server
+    // resolves to the earliest version committed at/after it (one
+    // metadata probe at stream start; the checkpointed cursor then owns
+    // progress — recovery never re-resolves the timestamp, so a log
+    // truncation between restarts cannot silently shift the start)
+    val byVersion = Option(options.get("startingVersion")).map(_.toLong)
+    val byTime = Option(options.get("startingTimestamp"))
+    val startingVersion = (byVersion, byTime) match {
+      case (Some(_), Some(_)) => throw DeltaSharingException.parseSecurable(
+        "startingVersion and startingTimestamp are mutually exclusive")
+      case (Some(v), None) => v
+      case (None, Some(ts)) => client.getTableVersion(ref, Some(ts))
+      case (None, None) => throw DeltaSharingException.parseSecurable(
+        "graft-sharing-cdf requires option startingVersion or startingTimestamp")
+    }
     new GraftCdfStreamTable(client, ref, metadata, startingVersion)
   }
 

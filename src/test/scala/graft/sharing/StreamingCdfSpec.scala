@@ -93,6 +93,33 @@ class StreamingCdfSpec extends SparkTestBase with BeforeAndAfterAll {
       .filter(col("o_orderkey") % 2 === 0).count() == 0)
   }
 
+  test("startingTimestamp resolves the stream's start version") {
+    // bound between v1 (…001000) and v2 (…002000) commits → start at v2,
+    // exactly like startingVersion=2
+    val sink = s"cdf_stream_sink_ts_${sinkCounter.incrementAndGet()}"
+    val q = spark.readStream.format("graft-sharing-cdf")
+      .option("path", s"$profilePath#sh.sc.orders_cdf")
+      .option("startingTimestamp",
+        java.time.Instant.ofEpochMilli(1700000001500L).toString)
+      .load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(sink).select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // both bounds at once is a typed config error
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-sharing-cdf")
+        .option("path", s"$profilePath#sh.sc.orders_cdf")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", "2023-11-14T00:00:00Z")
+        .load()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(_.contains("mutually exclusive")))
+  }
+
   test("checkpoint restart resumes the version cursor, not the history") {
     // the memory sink forbids recovery; a parquet file sink is the
     // realistic checkpointed topology (append-only, exactly-once)
