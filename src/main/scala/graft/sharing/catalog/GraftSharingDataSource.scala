@@ -36,9 +36,16 @@ final class GraftSharingDataSource extends TableProvider with DataSourceRegister
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val (client, ref) = connect(options)
-    val (_, metadata) = client.getTableMetadata(ref)
+    // optional time travel: pin every server interaction (metadata AND
+    // file listing AND per-task URL refresh) to a past version
+    val versionAsOf = Option(options.get("versionAsOf")).map { raw =>
+      raw.toLongOption.filter(_ >= 0).getOrElse(
+        throw DeltaSharingException.parseSecurable(
+          s"versionAsOf must be a non-negative integer, got: $raw"))
+    }
+    val (_, metadata) = client.getTableMetadata(ref, versionAsOf)
     val profilePath = Option(options.get("path")).map(_.split("#")(0))
-    new GraftTable(client, ref, metadata, profilePath)
+    new GraftTable(client, ref, metadata, profilePath, versionAsOf)
   }
 
   override def supportsExternalMetadata(): Boolean = false

@@ -13,6 +13,7 @@ class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
 
   private val server = new LocalSharingServer()
   private var client: DeltaSharingClient = _
+  private var profilePath: String = _
   private var v1Rows: Long = 0
   private var v2Rows: Long = 0
 
@@ -44,6 +45,7 @@ class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
         server.ChangeEntry(2L, "remove",
           server.ServedFile(parquetIn("v1"), Map.empty), 1700000002000L))))
     server.start()
+    profilePath = server.writeProfile()
     client = new DeltaSharingClient(Profile.fromJson(server.profileJson))
   }
   override def afterAll(): Unit = { server.stop(); super.afterAll() }
@@ -164,6 +166,22 @@ class ChangesSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(shortExcepts == 0 && longExcepts == 0)
     assert(longNodes == shortNodes,
       s"plan grew with versions: $shortNodes -> $longNodes nodes")
+  }
+
+  test("format reader accepts a versionAsOf option") {
+    // DataFrameReader face of the same rewind as readTable(versionAsOf)
+    val path = s"$profilePath#sh.sc.orders_cdf"
+    val atV1 = spark.read.format("graft-sharing")
+      .option("versionAsOf", "1").load(path)
+    val api = GraftSharing.readTable(spark, client, table,
+      versionAsOf = Some(1L))
+    assert(atV1.exceptAll(api).count() == 0)
+    assert(api.exceptAll(atV1).count() == 0)
+    val e = intercept[Exception](spark.read.format("graft-sharing")
+      .option("versionAsOf", "x").load(path))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(_.contains("versionAsOf must be")))
   }
 
   test("time travel rewinds the snapshot from the change log") {
