@@ -251,12 +251,21 @@ final class DeltaSharingClient(val profile: Profile,
     var attempt = 0
     var refreshedAuth = false
     while (true) {
+      // building the request runs the auth/profile logic — its failures
+      // (expired v1 token, rejected OAuth credentials, malformed token
+      // response) are deterministic and must surface immediately, so
+      // mkReq() is NOT inside the retry classification
+      val req = mkReq()
       val outcome =
-        try Right(sendOnce(mkReq()))
+        try Right(sendOnce(req))
         catch { case e: DeltaSharingException => Left(e) }
       outcome match {
         case Right(resp) if resp.statusCode() == 401 &&
-            profile.oauth.isDefined && !refreshedAuth =>
+            profile.oauth.isDefined && !refreshedAuth &&
+            // only a request that actually carried a bearer can have
+            // failed on token expiry — a 401 from the token endpoint
+            // itself (bad credentials) must not re-POST them
+            req.headers().firstValue("Authorization").isPresent =>
           refreshedAuth = true
           oauthToken = None // next mkReq() fetches a fresh token
         case _ =>

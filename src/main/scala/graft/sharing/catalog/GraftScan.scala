@@ -86,11 +86,24 @@ final class GraftScan(
     case _ => None
   }
 
-  /** Raw (non-null, canonicalized) partition value of column `c`. */
+  /** Partition value of column `c` for pruning decisions:
+    *  - `Left(())`        — cannot judge (column absent from the file's
+    *    partitionValues, or the raw string failed canonicalization):
+    *    the caller must KEEP the file — an unparseable value is not a
+    *    NULL, and dropping on it would violate the conservative
+    *    contract;
+    *  - `Right(None)`     — genuine Delta NULL (empty string);
+    *  - `Right(Some(v))`  — canonicalized value. */
   private def value(pv: Map[String, String], c: String, dt: DataType)
-      : Option[String] =
-    pv.collectFirst { case (k, v) if k.equalsIgnoreCase(c) && v.nonEmpty => v }
-      .flatMap(canon(_, dt))
+      : Either[Unit, Option[String]] =
+    pv.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v } match {
+      case None => Left(())
+      case Some("") => Right(None)
+      case Some(raw) => canon(raw, dt) match {
+        case None => Left(())
+        case some => Right(some)
+      }
+    }
 
   /** True unless the predicate POSITIVELY excludes this file. */
   private def matches(pv: Map[String, String], p: Predicate): Boolean = {
@@ -100,10 +113,11 @@ final class GraftScan(
         partCol(ch.head) match {
           case Some((c, dt)) =>
             val lits = ch.tail.toSeq.map(litForm(_, dt))
-            if (lits.forall(_.isDefined))
-              // NULL partition value: IN never holds — prune
-              value(pv, c, dt).exists(lits.flatten.contains)
-            else true
+            if (lits.forall(_.isDefined)) value(pv, c, dt) match {
+              case Left(()) => true // not understood — keep
+              case Right(None) => false // NULL: IN never holds — prune
+              case Right(Some(v)) => lits.flatten.contains(v)
+            } else true
           case None => true
         }
       case "=" if ch.length == 2 =>
@@ -112,15 +126,20 @@ final class GraftScan(
           case (r, l) if partCol(r).isDefined => (partCol(r).get, l)
         } match {
           case Some(((c, dt), l)) => litForm(l, dt) match {
-            case Some(lit) => value(pv, c, dt).contains(lit)
+            case Some(lit) => value(pv, c, dt) match {
+              case Left(()) => true
+              case Right(None) => false // NULL = x never holds
+              case Right(Some(v)) => v == lit
+            }
             case None => true
           }
           case None => true
         }
       case "IS_NOT_NULL" if ch.length == 1 =>
         partCol(ch.head) match {
-          case Some((c, _)) =>
-            pv.exists { case (k, v) => k.equalsIgnoreCase(c) && v.nonEmpty }
+          // only a GENUINE Delta NULL ("") prunes; an absent or
+          // unparseable value keeps the file
+          case Some((c, dt)) => value(pv, c, dt) != Right(None)
           case None => true
         }
       case _ => true

@@ -19,33 +19,45 @@ final class GraftSharingDataSource extends TableProvider with DataSourceRegister
 
   override def shortName(): String = "graft-sharing"
 
-  private def connect(options: CaseInsensitiveStringMap): (DeltaSharingClient, TableRef) = {
-    val path = Option(options.get("path")).getOrElse(
-      throw DeltaSharingException.parseSecurable(
-        "graft-sharing needs a load path of the form <profile>#<share>.<schema>.<table>"))
-    val (profilePath, ref) = GraftSharing.parseConnection(path)
-    (new DeltaSharingClient(Profile.fromPath(profilePath)), ref)
-  }
+  // Spark calls inferSchema then getTable on the same provider instance
+  // per load(); resolve (client, metadata) once per (path, version) and
+  // reuse — one REST metadata round-trip (and, for OAuth profiles, one
+  // token fetch) per load, not one per callback. Keyed by version too:
+  // a pinned read must see the PINNED version's schema, not current.
+  private val resolved = scala.collection.concurrent.TrieMap
+    .empty[(String, Option[Long]), (DeltaSharingClient, TableRef, Metadata)]
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (client, ref) = connect(options)
-    DeltaSchema.fromSchemaString(client.getTableMetadata(ref)._2.schemaString)
-  }
-
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    val options = new CaseInsensitiveStringMap(properties)
-    val (client, ref) = connect(options)
-    // optional time travel: pin every server interaction (metadata AND
-    // file listing AND per-task URL refresh) to a past version
-    val versionAsOf = Option(options.get("versionAsOf")).map { raw =>
+  /** Optional time travel: pins every server interaction (metadata AND
+    * file listing AND per-task URL refresh) to a past version. */
+  private def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map { raw =>
       raw.toLongOption.filter(_ >= 0).getOrElse(
         throw DeltaSharingException.parseSecurable(
           s"versionAsOf must be a non-negative integer, got: $raw"))
     }
-    val (_, metadata) = client.getTableMetadata(ref, versionAsOf)
+
+  private def connect(options: CaseInsensitiveStringMap)
+      : (DeltaSharingClient, TableRef, Metadata) = {
+    val path = Option(options.get("path")).getOrElse(
+      throw DeltaSharingException.parseSecurable(
+        "graft-sharing needs a load path of the form <profile>#<share>.<schema>.<table>"))
+    val version = versionAsOf(options)
+    resolved.getOrElseUpdate((path, version), {
+      val (profilePath, ref) = GraftSharing.parseConnection(path)
+      val client = new DeltaSharingClient(Profile.fromPath(profilePath))
+      (client, ref, client.getTableMetadata(ref, version)._2)
+    })
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DeltaSchema.fromSchemaString(connect(options)._3.schemaString)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val (client, ref, metadata) = connect(options)
     val profilePath = Option(options.get("path")).map(_.split("#")(0))
-    new GraftTable(client, ref, metadata, profilePath, versionAsOf)
+    new GraftTable(client, ref, metadata, profilePath, versionAsOf(options))
   }
 
   override def supportsExternalMetadata(): Boolean = false

@@ -59,12 +59,25 @@ class RuntimeFilterSpec extends SparkTestBase with BeforeAndAfterAll {
     // the benefit heuristic compares estimated pruned bytes against a
     // broadcast-overhead floor the toy fixture can't clear — force the
     // fallback ratio so planting depends only on plan SHAPE (the shape
-    // is what this spec pins; the heuristic is Spark's, not ours)
-    spark.conf.set(
-      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
-    spark.conf.set(
-      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
-      "1000")
+    // is what this spec pins; the heuristic is Spark's, not ours).
+    // Restored in the finally: the session is shared across suites and
+    // a lingering ratio=1000 would change later suites' planning.
+    val useStatsKey = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val ratioKey =
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+    val prevUseStats = spark.conf.getOption(useStatsKey)
+    val prevRatio = spark.conf.getOption(ratioKey)
+    spark.conf.set(useStatsKey, "false")
+    spark.conf.set(ratioKey, "1000")
+    try runPruneCase(dimDir)
+    finally {
+      prevUseStats.fold(spark.conf.unset(useStatsKey))(
+        spark.conf.set(useStatsKey, _))
+      prevRatio.fold(spark.conf.unset(ratioKey))(spark.conf.set(ratioKey, _))
+    }
+  }
+
+  private def runPruneCase(dimDir: String): Unit = {
     val dim = spark.read.parquet(dimDir)
       .filter(col("dim_id") === 5).select("prio")
     val joined = spark.table("dpp.main.orders_part")
