@@ -1548,6 +1548,62 @@ object CoreQueries {
         .orderBy("l_returnflag", "rk")
     },
 
+    // Rolling z-score anomaly detection over the daily event-value
+    // series: each day scored against the trailing 7-day window's mean
+    // and sample std — the spike-detection primitive for ingestion
+    // monitoring (the drift twin is text_drift_psi). The heavy pass is
+    // one map-side-combined date aggregation; the rolling window then
+    // runs on the day-cardinality frame only (bounded by the date
+    // domain). Cross-engine determinism: the rolling moments are EXACT
+    // decimal window sums (Σx, Σx²) — variance is computed from them in
+    // one pinned expression and only rounded at the end, so no Welford-
+    // vs-naive engine difference can flip a flag.
+    QueryDef.sql(
+      "q_rolling_anomaly",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, x,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    SUM(x) OVER w AS s1,
+        |    SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+        |      OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  round(CAST(x AS DOUBLE), 2) AS x,
+        |  round((CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / n) / (n - 1)), 4) AS z
+        |FROM m WHERE n >= 5
+        |  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |    * CAST(s1 AS DOUBLE) / n) / (n - 1) > 0
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      val m = daily.select(col("day"), col("x"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("s1"),
+        // both factors capped at DECIMAL(18,2): the product (36,4) and
+        // its window sum stay exact AND in-range in either engine
+        sum(col("x").cast("decimal(18,2)") * col("x").cast("decimal(18,2)"))
+          .over(w).as("s2"))
+      val variance = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+        (col("n") - 1)
+      m.filter(col("n") >= 5 && variance > 0)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("x").cast("double"), 2).as("x"),
+          round((col("x").cast("double") -
+            col("s1").cast("double") / col("n")) / sqrt(variance), 4)
+            .as("z"))
+        .orderBy("day")
+    },
+
     // SCD2 (slowly-changing-dimension type 2) interval build: each
     // purchase event versions its user's attribute; validity = [its ts,
     // the next event's ts), open-ended for the current version. ONE
