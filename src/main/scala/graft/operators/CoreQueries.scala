@@ -1604,6 +1604,43 @@ object CoreQueries {
         .orderBy("day")
     },
 
+    // Cohort retention matrix: users bucketed by FIRST-seen week, then
+    // each (cohort, week-offset) cell counts the distinct users active
+    // that many weeks later — the canonical product-analytics rollup.
+    // Two user-keyed aggregations joined by user (shuffle by user_id,
+    // never a sort of the event log), then one map-side-combined
+    // distinct-count per cell; the output is cohort-weeks², bounded by
+    // the date domain at any corpus size.
+    QueryDef.sql(
+      "q_cohort_retention",
+      """WITH firstw AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort)
+        |      / 7 AS BIGINT) AS week_offset
+        |  FROM events e JOIN firstw f USING (user_id))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM activity GROUP BY cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstw = ev.groupBy("user_id")
+        .agg(to_date(date_trunc("week", min("ts"))).as("cohort"))
+      ev.join(firstw, "user_id")
+        .select(col("user_id"), col("cohort"),
+          (datediff(to_date(date_trunc("week", col("ts"))), col("cohort"))
+            / 7).cast("long").as("week_offset"))
+        .distinct()
+        .groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("week_offset"), col("n_users"))
+        .orderBy("cohort", "week_offset")
+    },
+
     // SCD2 (slowly-changing-dimension type 2) interval build: each
     // purchase event versions its user's attribute; validity = [its ts,
     // the next event's ts), open-ended for the current version. ONE
