@@ -1641,6 +1641,88 @@ object CoreQueries {
         .orderBy("cohort", "week_offset")
     },
 
+    // Event-transition (first-order Markov) matrix: per-user event
+    // streams yield (prev_type → type) bigram counts and row-normalized
+    // transition probabilities — the sequence-mining primitive behind
+    // behavioral features and session modeling. ONE user-keyed lag
+    // window (shuffle by user_id; per-user streams sort locally within
+    // their partition) then a map-side-combined count over the tiny
+    // (type × type) matrix; probabilities divide by a window sum over
+    // that |types|²-bounded frame.
+    QueryDef.sql(
+      "q_markov_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 4)
+        |    AS p
+        |FROM cnt ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cnt = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lag("event_type", 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      cnt.withColumn("p", round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("prev_type")), 4))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // Serpentine shard packing: documents dealt into 8 balanced training
+    // shards by global size rank — left-to-right on even passes, right-
+    // to-left on odd, so each shard receives one doc per pass and
+    // largest-with-smallest pairing bounds total-size skew (the
+    // deterministic, join-free stand-in for greedy bin packing, which is
+    // inherently sequential). The global rank is computed WITHOUT a
+    // global sort: range-repartition by the sort key, per-partition
+    // row_number, plus broadcast partition-count offsets (exact because
+    // the full key (n_chars, doc_id) is unique, so ranks are range-
+    // boundary-independent). Shard choice is then integer modular
+    // arithmetic, codegen'd.
+    QueryDef.sql(
+      "q_shard_pack",
+      """WITH ranked AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+        |  FROM documents),
+        |assigned AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+        |         ELSE 7 - (rk % 8) END AS shard
+        |  FROM ranked)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val local = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .repartitionByRange(32, desc("n_chars"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrk", row_number().over(Window.partitionBy("pid")
+          .orderBy(desc("n_chars"), col("doc_id"))) - 1)
+      // 32-row offset frame: rank = local rank + earlier partitions' size
+      val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          sum("cnt").over(Window.orderBy("pid")) - col("cnt"))
+        .select("pid", "offset")
+      local.join(broadcast(offsets), "pid")
+        .withColumn("rk", col("lrk") + col("offset"))
+        .withColumn("shard",
+          when(expr("rk div 8") % 2 === 0, col("rk") % 8)
+            .otherwise(lit(7) - col("rk") % 8))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("shard")
+    },
+
     // SCD2 (slowly-changing-dimension type 2) interval build: each
     // purchase event versions its user's attribute; validity = [its ts,
     // the next event's ts), open-ended for the current version. ONE
