@@ -387,6 +387,28 @@ object ConnectorQueries {
         .orderBy("n_nationkey")
     },
 
+    // Snapshot DIFF between two pinned versions — the change-detection
+    // utility for servers that share history but no CDF endpoint: two
+    // version-pinned reads, exceptAll both ways, rows tagged added/
+    // removed. Each side is one snapshot scan; the anti-join pair
+    // shuffles on the row content exactly once (AQE-planned). v1 is the
+    // full nation, the current snapshot is the n_nationkey<10 slice, so
+    // the diff is precisely the removed high keys.
+    QueryDef.sql(
+      "connector_snapshot_diff",
+      """SELECT n_nationkey, n_name, 'removed' AS change FROM nation
+        |WHERE n_nationkey >= 10 ORDER BY change, n_nationkey""".stripMargin) { (s, d) =>
+      val ref = TableRef("graft", "main", "nation_cdf")
+      val v1 = GraftSharing.readTable(s, shared(s, d), ref,
+          versionAsOf = Some(1L))
+        .select("n_nationkey", "n_name")
+      val cur = GraftSharing.readTable(s, shared(s, d), ref)
+        .select("n_nationkey", "n_name")
+      cur.exceptAll(v1).withColumn("change", lit("added"))
+        .unionAll(v1.exceptAll(cur).withColumn("change", lit("removed")))
+        .orderBy("change", "n_nationkey")
+    },
+
     // Streaming AGGREGATION over the CDF source: the stream feeds a
     // stateful groupBy (complete mode), proving the MicroBatchStream
     // composes with downstream stateful operators rather than only
