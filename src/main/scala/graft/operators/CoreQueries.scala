@@ -1723,6 +1723,72 @@ object CoreQueries {
         .orderBy("shard")
     },
 
+    // RFM (recency/frequency/monetary) quartile segmentation — the
+    // classic customer-value rollup, done WITHOUT a global sort: the
+    // three quartile threshold sets are one 9-value aggregate broadcast
+    // back onto the customer frame (an ntile would total-sort the
+    // customers), bucketing is three integer comparisons per dimension,
+    // and the output is the ≤4³ segment grid. Threshold determinism:
+    // r/f are integers (interpolated quarters are binary-exact) and m is
+    // continuous (no customer sits exactly on an interpolated cut), so
+    // strict > comparisons agree across engines.
+    QueryDef.sql(
+      "q_rfm_segmentation",
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS r,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (SELECT
+        |  quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2,
+        |  quantile_cont(r, 0.75) AS r3,
+        |  quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+        |  quantile_cont(f, 0.75) AS f3,
+        |  quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+        |  quantile_cont(m, 0.75) AS m3 FROM cust)
+        |SELECT
+        |  1 + (r > q.r1)::INT + (r > q.r2)::INT + (r > q.r3)::INT AS r_seg,
+        |  1 + (f > q.f1)::INT + (f > q.f2)::INT + (f > q.f3)::INT AS f_seg,
+        |  1 + (m > q.m1)::INT + (m > q.m2)::INT + (m > q.m3)::INT AS m_seg,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(m AS DECIMAL(18,2))) AS DOUBLE) AS total_m
+        |FROM cust, q GROUP BY 1, 2, 3
+        |ORDER BY r_seg, f_seg, m_seg""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val maxd = o.agg(to_date(max("o_orderdate")).as("dmax"))
+      val cust = o.groupBy("o_custkey")
+        .agg(to_date(max("o_orderdate")).as("dlast"),
+          count(lit(1)).as("f"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("m"))
+        .crossJoin(broadcast(maxd))
+        .select(col("o_custkey"), datediff(col("dmax"), col("dlast")).as("r"),
+          col("f"), col("m"))
+      val q = cust.agg(
+        expr("percentile(r, 0.25)").as("r1"),
+        expr("percentile(r, 0.5)").as("r2"),
+        expr("percentile(r, 0.75)").as("r3"),
+        expr("percentile(f, 0.25)").as("f1"),
+        expr("percentile(f, 0.5)").as("f2"),
+        expr("percentile(f, 0.75)").as("f3"),
+        expr("percentile(m, 0.25)").as("m1"),
+        expr("percentile(m, 0.5)").as("m2"),
+        expr("percentile(m, 0.75)").as("m3"))
+      def seg(x: String, t: String): org.apache.spark.sql.Column =
+        lit(1) + (col(x) > col(s"${t}1")).cast("int") +
+          (col(x) > col(s"${t}2")).cast("int") +
+          (col(x) > col(s"${t}3")).cast("int")
+      cust.crossJoin(broadcast(q))
+        .select(seg("r", "r").as("r_seg"), seg("f", "f").as("f_seg"),
+          seg("m", "m").as("m_seg"), col("m"))
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("m").cast("decimal(18,2)")).cast("double").as("total_m"))
+        .orderBy("r_seg", "f_seg", "m_seg")
+    },
+
     // SCD2 (slowly-changing-dimension type 2) interval build: each
     // purchase event versions its user's attribute; validity = [its ts,
     // the next event's ts), open-ended for the current version. ONE

@@ -150,6 +150,40 @@ object Graph {
         .select((col("s_suppkey") * 2 + 1).as("node")),
       maxHops)
 
+  /** Supplier-pair similarity by customer overlap (common-neighbor /
+    * Jaccard on the bipartite trade graph) — the link-prediction
+    * primitive. Pairs are generated per CUSTOMER (never all supplier
+    * pairs), and hub customers above `maxDeg` are excluded — the same
+    * deterministic skew cap as the LSH bucket caps: a customer linked to
+    * everyone contributes deg² pair rows and no discriminative signal.
+    * Per-supplier degrees are a supplier-cardinality frame, broadcast
+    * back for the Jaccard denominator. */
+  def commonNeighborPairs(s: SparkSession, d: String,
+      maxDeg: Int): DataFrame = {
+    val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val edges = CacheRegistry.register(
+      pairs.persist(StorageLevel.MEMORY_AND_DISK))
+    val custDeg = edges.groupBy("cust").agg(count(lit(1)).as("cdeg"))
+    val suppDeg = edges.groupBy("supp").agg(count(lit(1)).as("sdeg"))
+    val small = edges.join(custDeg, "cust").filter(col("cdeg") <= maxDeg)
+    val common = small.as("a").join(small.as("b"),
+        col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
+      .groupBy(col("a.supp").as("sa"), col("b.supp").as("sb"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(suppDeg.select(col("supp").as("sa"),
+        col("sdeg").as("da"))), "sa")
+      .join(broadcast(suppDeg.select(col("supp").as("sb"),
+        col("sdeg").as("db"))), "sb")
+      .select(col("sa"), col("sb"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")), 4).as("jaccard"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef.sql("graph_pagerank", oracleSqlFor(3)) { (s, d) =>
       pagerank(s, d, iters = 3)
@@ -184,6 +218,36 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"), min("node").as("first_node"),
           max("node").as("last_node"))
         .orderBy("hop")
+    },
+
+    // Top-20 supplier pairs by customer-overlap Jaccard. The DuckDB
+    // oracle replays the cap, the per-customer pair join, and the exact
+    // integer Jaccard inputs.
+    QueryDef.sql(
+      "graph_common_neighbors",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+        |sdeg AS (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
+        |small AS (
+        |  SELECT p.cust, p.supp FROM pairs p
+        |  JOIN cdeg USING (cust) WHERE cdeg <= 64),
+        |common AS (
+        |  SELECT a.supp AS sa, b.supp AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM small a JOIN small b
+        |    ON a.cust = b.cust AND a.supp < b.supp
+        |  GROUP BY a.supp, b.supp)
+        |SELECT sa, sb, common,
+        |  round(CAST(common AS DOUBLE)
+        |    / (da.sdeg + db.sdeg - common), 4) AS jaccard
+        |FROM common
+        |JOIN sdeg da ON common.sa = da.supp
+        |JOIN sdeg db ON common.sb = db.supp
+        |ORDER BY jaccard DESC, sa, sb LIMIT 20""".stripMargin) { (s, d) =>
+      commonNeighborPairs(s, d, maxDeg = 64)
+        .orderBy(desc("jaccard"), col("sa"), col("sb")).limit(20)
     }
   )
 }
