@@ -70,7 +70,8 @@ object ScaleSmoke {
   private val heavyQueries =
     Seq("dedup_minhash_lsh", "q_range_join", "sim_kmeans", "text_dedup_spans",
       "q_bloom_join", "q_hll_rollup", "q_hilbert_layout",
-      "graph_pagerank", "graph_reachability", "sim_pq_adc")
+      "graph_pagerank", "graph_reachability", "sim_pq_adc",
+      "graph_common_neighbors", "q_shard_pack")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies
