@@ -1789,6 +1789,48 @@ object CoreQueries {
         .orderBy("r_seg", "f_seg", "m_seg")
     },
 
+    // CUSUM changepoint detection on the daily event-value series: the
+    // running sum of deviations from the global mean peaks exactly where
+    // the level shifts — the classic distribution-shift locator
+    // (anomaly = one bad day, q_rolling_anomaly; changepoint = the
+    // regime moving). Exact decimal arithmetic end to end: the global
+    // mean is rounded once to a pinned 4dp decimal, deviations and their
+    // prefix sums stay decimal, and both the day aggregation and the
+    // sequential pass run on the bounded day-cardinality frame.
+    QueryDef.sql(
+      "q_changepoint_cusum",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 4)
+        |             AS DECIMAL(18,4)) AS mu FROM daily),
+        |c AS (
+        |  SELECT day, SUM(CAST(x AS DECIMAL(18,4)) - g.mu) OVER (
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cusum
+        |  FROM daily, g)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  round(CAST(cusum AS DOUBLE), 2) AS cusum
+        |FROM c ORDER BY abs(CAST(cusum AS DOUBLE)) DESC, day
+        |LIMIT 5""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+      val g = daily.agg(
+        round(sum("x").cast("double") / count(lit(1)), 4)
+          .cast("decimal(18,4)").as("mu"))
+      daily.crossJoin(broadcast(g))
+        .withColumn("cusum",
+          sum(col("x").cast("decimal(18,4)") - col("mu"))
+            .over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(abs(col("cusum").cast("double")).desc, col("day"))
+        .limit(5)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("cusum").cast("double"), 2).as("cusum"))
+    },
+
     // SCD2 (slowly-changing-dimension type 2) interval build: each
     // purchase event versions its user's attribute; validity = [its ts,
     // the next event's ts), open-ended for the current version. ONE

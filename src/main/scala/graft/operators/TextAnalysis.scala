@@ -1068,6 +1068,61 @@ object TextAnalysis {
           round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6)
             .as("psi_contrib"))
         .orderBy("bin")
+    },
+
+    // Zipf-law fit: least-squares slope of ln(frequency) vs ln(rank)
+    // over the top-256 terms — natural-language corpora sit near −1,
+    // so the slope is a cheap corpus-health signal (template/spam
+    // corpora flatten it). One map-side-combined term count, a
+    // TakeOrdered top-256 (never a full vocabulary sort), and the
+    // closed-form regression from exact decimal sums: each ln is
+    // rounded to 6dp FIRST (absorbing libm ulp differences, the
+    // text_unigram_logprob trick), the Σx/Σy/Σxy/Σx² run as exact
+    // decimals, and only the final slope arithmetic is double.
+    QueryDef.sql(
+      "text_zipf_slope",
+      """WITH tf AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0 GROUP BY tok),
+        |ranked AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+        |  FROM tf ORDER BY n DESC, tok LIMIT 256),
+        |pts AS (
+        |  SELECT CAST(round(ln(rk), 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(round(ln(n), 6) AS DECIMAL(18,6)) AS y
+        |  FROM ranked),
+        |sm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
+        |SELECT k AS n_terms,
+        |  round((k * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (k * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS zipf_slope
+        |FROM sm""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      // top-256 via TakeOrdered, then rank WITHIN the tiny frame
+      val top = tf.orderBy(col("n").desc, col("tok")).limit(256)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      val pts = top.select(
+        round(log(col("rk").cast("double")), 6).cast("decimal(18,6)").as("x"),
+        round(log(col("n").cast("double")), 6).cast("decimal(18,6)").as("y"))
+      pts.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("k").as("n_terms"),
+          round((col("k") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("k") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 4)
+            .as("zipf_slope"))
     }
   )
 
