@@ -45,7 +45,8 @@ object Bench {
     "q_skyline", "sim_pq_adc", "q_scd2_intervals", "q_gap_fill",
     "q_topk_sketch_rollup", "q_rolling_anomaly", "q_cohort_retention",
     "q_markov_transitions", "q_shard_pack", "graph_common_neighbors",
-    "q_rfm_segmentation", "q_changepoint_cusum", "text_zipf_slope")
+    "q_rfm_segmentation", "q_changepoint_cusum", "text_zipf_slope",
+    "q_benford_digits", "q_referential_audit")
 
   /** Bench-only RAW operator variants. The gate versions of these
     * queries certify QUALITY by computing the exact ground truth in-plan

@@ -1831,6 +1831,80 @@ object CoreQueries {
           round(col("cusum").cast("double"), 2).as("cusum"))
     },
 
+    // Benford first-digit audit on order totals — the classic
+    // fabricated-data / unit-mixing screen: natural multi-scale amounts
+    // follow p(d) = log10(1 + 1/d). One map-side-combined 9-row count;
+    // the first digit is extracted from the BIGINT cents value via
+    // string head (integer-to-string is identical in every engine,
+    // where float log10 arithmetic would not be).
+    QueryDef.sql(
+      "q_benford_digits",
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+        |      GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / t.total, 4) AS p_observed,
+        |  round(log10(1 + 1.0 / digit), 4) AS p_benford
+        |FROM c, t ORDER BY digit""".stripMargin) { (s, d) =>
+      val digits = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(round(col("o_totalprice") * 100, 0)
+          .cast("bigint").cast("string"), 1, 1).cast("int").as("digit"))
+      val c = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum("n").as("total"))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("total"), 4).as("p_observed"),
+          round(log10(lit(1) + lit(1.0) / col("digit")), 4).as("p_benford"))
+        .orderBy("digit")
+    },
+
+    // Referential-integrity audit across the star schema's foreign keys
+    // — the data-quality gate a 100 TB ingest runs before joins silently
+    // drop rows. Each check is one ANTI join (build side = the
+    // referenced KEY SET, which AQE broadcasts when dimension-sized);
+    // output is one row per relationship.
+    QueryDef.sql(
+      "q_referential_audit",
+      """SELECT * FROM (
+        |  SELECT 'lineitem.orderkey' AS fk,
+        |    CAST((SELECT COUNT(*) FROM lineitem l
+        |      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans,
+        |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+        |  UNION ALL SELECT 'orders.custkey',
+        |    CAST((SELECT COUNT(*) FROM orders o
+        |      WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |        WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+        |  UNION ALL SELECT 'lineitem.suppkey',
+        |    CAST((SELECT COUNT(*) FROM lineitem l
+        |      WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |        WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT))
+        |ORDER BY fk""".stripMargin) { (s, d) =>
+      def audit(name: String, fact: DataFrame, fkCol: String,
+          dim: DataFrame, pkCol: String): DataFrame = {
+        val orphans = fact.join(dim,
+            fact(fkCol) === dim(pkCol), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        orphans.crossJoin(fact.agg(count(lit(1)).as("n_rows")))
+          .select(lit(name).as("fk"), col("n_orphans"), col("n_rows"))
+      }
+      val li = Tables.lineitem(s, d)
+      audit("lineitem.orderkey", li, "l_orderkey",
+          Tables.orders(s, d).select("o_orderkey"), "o_orderkey")
+        .unionAll(audit("orders.custkey", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d).select("c_custkey"), "c_custkey"))
+        .unionAll(audit("lineitem.suppkey", li, "l_suppkey",
+          Tables.supplier(s, d).select("s_suppkey"), "s_suppkey"))
+        .orderBy("fk")
+    },
+
     // SCD2 (slowly-changing-dimension type 2) interval build: each
     // purchase event versions its user's attribute; validity = [its ts,
     // the next event's ts), open-ended for the current version. ONE
