@@ -46,7 +46,7 @@ object Bench {
     "q_topk_sketch_rollup", "q_rolling_anomaly", "q_cohort_retention",
     "q_markov_transitions", "q_shard_pack", "graph_common_neighbors",
     "q_rfm_segmentation", "q_changepoint_cusum", "text_zipf_slope",
-    "q_benford_digits", "q_referential_audit")
+    "q_benford_digits", "q_referential_audit", "graph_triangles")
 
   /** Bench-only RAW operator variants. The gate versions of these
     * queries certify QUALITY by computing the exact ground truth in-plan

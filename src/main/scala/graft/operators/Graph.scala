@@ -248,6 +248,51 @@ object Graph {
         |ORDER BY jaccard DESC, sa, sb LIMIT 20""".stripMargin) { (s, d) =>
       commonNeighborPairs(s, d, maxDeg = 64)
         .orderBy(desc("jaccard"), col("sa"), col("sb")).limit(20)
+    },
+
+    // Triangle count on the thresholded similarity graph — the
+    // clustering-structure measure (community density) over the SAME
+    // capped common-neighbor edges. Ordered edges (sa < sb) make each
+    // triangle count exactly once via the two-join wedge-close pattern;
+    // the edge frame is similarity-thresholded and therefore sparse, so
+    // the joins are edge-keyed shuffles of a pruned graph, never the
+    // raw bipartite fan-out.
+    QueryDef.sql(
+      "graph_triangles",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+        |sdeg AS (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
+        |small AS (
+        |  SELECT p.cust, p.supp FROM pairs p
+        |  JOIN cdeg USING (cust) WHERE cdeg <= 64),
+        |common AS (
+        |  SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
+        |  FROM small a JOIN small b
+        |    ON a.cust = b.cust AND a.supp < b.supp
+        |  GROUP BY a.supp, b.supp),
+        |e AS (
+        |  SELECT sa, sb FROM common
+        |  JOIN sdeg da ON common.sa = da.supp
+        |  JOIN sdeg db ON common.sb = db.supp
+        |  WHERE round(CAST(common AS DOUBLE)
+        |    / (da.sdeg + db.sdeg - common), 4) >= 0.22)
+        |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT COUNT(*) FROM e ab
+        |    JOIN e bc ON ab.sb = bc.sa
+        |    JOIN e ac ON ac.sa = ab.sa AND ac.sb = bc.sb) AS BIGINT)
+        |    AS n_triangles""".stripMargin) { (s, d) =>
+      val e = CacheRegistry.register(
+        commonNeighborPairs(s, d, maxDeg = 64)
+          .filter(col("jaccard") >= 0.22).select("sa", "sb")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.sb") === col("bc.sa"))
+        .join(e.as("ac"),
+          col("ac.sa") === col("ab.sa") && col("ac.sb") === col("bc.sb"))
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }
   )
 }
