@@ -46,7 +46,15 @@ object Bench {
     "q_topk_sketch_rollup", "q_rolling_anomaly", "q_cohort_retention",
     "q_markov_transitions", "q_shard_pack", "graph_common_neighbors",
     "q_rfm_segmentation", "q_changepoint_cusum", "text_zipf_slope",
-    "q_benford_digits", "q_referential_audit", "graph_triangles")
+    "q_benford_digits", "q_referential_audit", "graph_triangles",
+    // The connector path IS the product (reference src/datasource/
+    // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
+    // and catalog SQL each get a perf-regression signal. Server staging
+    // (fixture slicing, temp parquet) happens pre-clock via
+    // ConnectorQueries.stage; timings cover client listing → signed
+    // URLs → graftshare filesystem → vectorized parquet → operators.
+    "connector_scan", "connector_filter_pushdown",
+    "connector_cdf_snapshot", "connector_catalog_sql")
 
   /** Bench-only RAW operator variants. The gate versions of these
     * queries certify QUALITY by computing the exact ground truth in-plan
@@ -82,6 +90,59 @@ object Bench {
         Tables.lineitem(s, d).groupBy("l_returnflag")
           .agg(approx_percentile(col("l_extendedprice"),
             array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("apx")))
+      case "q_winsorized_mean" => Some((s, d) => {
+        // sketch-bounds-only winsorized mean — the production shape
+        // (bounded mergeable state); the gate version additionally runs
+        // the exact-percentile certification, which would dominate the
+        // timing and hide regressions in the operator under test
+        val li = Tables.lineitem(s, d)
+        val bounds = li.groupBy("l_returnflag")
+          .agg(approx_percentile(col("l_extendedprice"),
+            array(lit(0.05), lit(0.95)), lit(10000)).as("apx"))
+          .select(col("l_returnflag"),
+            element_at(col("apx"), 1).as("lo"),
+            element_at(col("apx"), 2).as("hi"))
+        li.join(broadcast(bounds), "l_returnflag")
+          .groupBy("l_returnflag", "lo", "hi")
+          .agg(
+            round(sum(round(least(greatest(col("l_extendedprice"),
+                col("lo")), col("hi")), 4).cast("decimal(18,4)"))
+              .cast("double") / count(lit(1)), 4).as("robust_mean"),
+            sum(when(col("l_extendedprice") < col("lo") ||
+                col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+              .as("n_clipped"))
+      })
+      case "q_rfm_segmentation" => Some((s, d) => {
+        // sketch-only RFM thresholds (production shape; the gate version
+        // also runs the exact-percentile certification)
+        val o = Tables.orders(s, d)
+        val maxd = o.agg(to_date(max("o_orderdate")).as("dmax"))
+        val cust = o.groupBy("o_custkey")
+          .agg(to_date(max("o_orderdate")).as("dlast"),
+            count(lit(1)).as("f"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("m"))
+          .crossJoin(broadcast(maxd))
+          .select(col("o_custkey"),
+            datediff(col("dmax"), col("dlast")).as("r"), col("f"), col("m"))
+        val q = cust.agg(
+          approx_percentile(col("r"), array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(10000)).as("ra"),
+          approx_percentile(col("f"), array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(10000)).as("fa"),
+          approx_percentile(col("m"), array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(10000)).as("ma"))
+        def seg(x: String, a: String) =
+          lit(1) + (col(x) > element_at(col(a), 1)).cast("int") +
+            (col(x) > element_at(col(a), 2)).cast("int") +
+            (col(x) > element_at(col(a), 3)).cast("int")
+        cust.crossJoin(broadcast(q))
+          .select(seg("r", "ra").as("r_seg"), seg("f", "fa").as("f_seg"),
+            seg("m", "ma").as("m_seg"), col("m"))
+          .groupBy("r_seg", "f_seg", "m_seg")
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("m").cast("decimal(18,2)")).cast("double").as("total_m"))
+      })
       case _ => None
     }
   }
@@ -123,6 +184,8 @@ object Bench {
     catch { case e: Throwable => errors += s"stage_bucketed: ${e.getClass.getSimpleName}" }
     try graft.operators.StreamingOps.stagedEventsDir(spark, sfDir)
     catch { case e: Throwable => errors += s"stage_events: ${e.getClass.getSimpleName}" }
+    try graft.operators.ConnectorQueries.stage(spark, sfDir)
+    catch { case e: Throwable => errors += s"stage_connector: ${e.getClass.getSimpleName}" }
 
     // Median-of-N over WHOLE-SUITE passes: this host shows migrating
     // ~20 s contention windows that poison a contiguous run-order block
@@ -166,15 +229,51 @@ object Bench {
       if (ts.isEmpty) name -> (0.0, 0.0)
       else name -> (ts(ts.length / 2), ts.head)
     }
+    val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
+    val total = results.map(_._2._1).sum
+
+    // FULL artifact → file: the driver's stdout capture keeps only the
+    // LAST 2000 characters, which a ~90-query flat JSON line outgrew in
+    // r7 (BENCH_r07 "parsed": null, first half of the medians lost).
+    // Everything (3-decimal medians AND per-query minima) lands in
+    // BENCH_FULL.json in the repo root, committed with the round.
     val qJson = results.map { case (k, (med, _)) => f""""$k":$med%.3f""" }
       .mkString("{", ",", "}")
     val qMinJson = results.map { case (k, (_, mn)) => f""""$k":$mn%.3f""" }
       .mkString("{", ",", "}")
-    val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
-      .mkString("[", ",", "]")
-    val total = results.map(_._2._1).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"queries":$qJson,"queries_min":$qMinJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"queries":$qJson,"queries_min":$qMinJson,"errors":$errJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), fullJson + "\n")
+    catch { case _: Throwable => () } // stdout line below still carries medians
+
+    // stdout summary — must fit the 2000-char tail window WITH every
+    // query name recoverable. Query names share heavy family prefixes
+    // (q_/text_/connector_/…), so medians are grouped by the prefix
+    // before the first underscore: queries_ms = {"q":{"topk":210,...},
+    // "text":{...}} reconstructs as "<family>_<key>". Values are integer
+    // milliseconds; if the line still exceeds the window (future query
+    // growth) it degrades to centiseconds ("qunit":"cs") rather than
+    // truncating.
+    def summaryLine(divisor: Double, unit: String): String = {
+      val fams = results.map { case (k, (med, _)) =>
+        val i = k.indexOf('_')
+        (k.substring(0, i), k.substring(i + 1), math.round(med * divisor))
+      }.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (fam, es) =>
+          s""""$fam":${es.map(e => s""""${e._2}":${e._3}""")
+            .mkString("{", ",", "}")}"""
+        }.mkString("{", ",", "}")
+      val sfShort = sfDir.split('/').last
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"qunit":"$unit","queries_$unit":$fams,"errors":$errJson,"sf":"$sfShort"}"""
+    }
+    val line = {
+      val ms = summaryLine(1000.0, "ms")
+      if (ms.length <= 1900) ms else summaryLine(100.0, "cs")
+    }
+    println(line)
+    CacheRegistry.releaseShared()
     graft.operators.ConnectorQueries.stopAll()
     spark.stop()
     sys.exit(0) // don't let stray non-daemon threads pin the JVM

@@ -16,6 +16,29 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object CacheRegistry {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val sharedFrames =
+    scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+  /** Memoized CROSS-QUERY shared frame: built and persisted once per key
+    * for the lifetime of the JVM. [[releaseAll]] does NOT touch these —
+    * they exist precisely so consecutive queries over the same corpus
+    * reuse one expensive derivation (e.g. the trade-graph pair frame
+    * feeding both graph_common_neighbors and graph_triangles) instead of
+    * re-scanning the fact tables. Keys must pin everything the build
+    * depends on (session identity, data dir, parameters). Harness mains
+    * call [[releaseShared]] before exit. */
+  def sharedFrame(key: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      sharedFrames.getOrElseUpdate(key,
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Unpersist and forget every cross-query shared frame. */
+  def releaseShared(): Unit = synchronized {
+    sharedFrames.values.foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Exception => () })
+    sharedFrames.clear()
+  }
 
   /** Register an already-persisted frame for later release; returns it
     * unchanged so call sites can chain `.persist(...).pipe(register)`. */

@@ -54,6 +54,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/names.txt"),
       SparkEntry.queries.keys.toSeq
         .filter(n => only.forall(_.contains(n))).sorted.mkString("\n"))
+    CacheRegistry.releaseShared()
     graft.operators.ConnectorQueries.stopAll()
     spark.stop()
     sys.exit(0) // don't let stray non-daemon threads pin the JVM

@@ -155,6 +155,15 @@ object ConnectorQueries {
   private def sharedTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     GraftSharing.readTable(spark, shared(spark, sfDir), TableRef("graft", "main", name))
 
+  /** Pre-stage this sfDir's sharing server (fixture slicing, temp
+    * parquet, server start) and catalog registration OUTSIDE a timed
+    * window — staging is ingest/layout cost, not query cost. Idempotent. */
+  def stage(spark: SparkSession, sfDir: String): Unit = {
+    shared(spark, sfDir)
+    catalogFor(spark, sfDir)
+    ()
+  }
+
   private val profilePaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private val streamSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -166,10 +175,13 @@ object ConnectorQueries {
       { shared(spark, sfDir); servers(sfDir)._1.writeProfile() })
 
   /** Register the DSv2 catalog for this sfDir's server (idempotent) and
-    * return the catalog name. */
+    * return the catalog name. The name embeds the sfDir because Spark's
+    * CatalogManager caches catalog INSTANCES by name — re-pointing one
+    * name at a different server via conf would silently keep serving the
+    * first sfDir (bench warmup runs at sf0.001, measurement at sf0.1). */
   private def catalogFor(spark: SparkSession, sfDir: String): String = {
     val (server, _) = { shared(spark, sfDir); servers(sfDir) }
-    val name = "graftshare_cat"
+    val name = "graftshare_cat_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     spark.conf.set(s"spark.sql.catalog.$name",
       "graft.sharing.catalog.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$name.profile.json", server.profileJson)
@@ -502,6 +514,29 @@ object ConnectorQueries {
       s.sql(
         s"""SELECT n_nationkey, n_name, n_regionkey
            |FROM $cat.main.nation_cdf VERSION AS OF 1
+           |ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // SQL TIMESTAMP AS OF through the catalog plugin: the instant falls
+    // between nation_cdf's v2 commit (2023-11-14T22:13:20Z) and v3
+    // commit (+100 s), so the catalog must resolve latest-at-or-before
+    // = v2 via the protocol's version endpoint and rewind the change
+    // log: v2 = v1 base (full nation) plus the v2-added <10 slice. The
+    // oracle rebuilds that union from the original table. (VERSION AS OF
+    // is certified by connector_catalog_time_travel; this pins the
+    // timestamp→version resolution path under the gate too.)
+    QueryDef.sql(
+      "connector_timestamp_travel",
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey < 10)
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val cat = catalogFor(s, d)
+      s.sql(
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM $cat.main.nation_cdf TIMESTAMP AS OF '2023-11-14 22:14:00'
            |ORDER BY n_nationkey""".stripMargin)
     },
 

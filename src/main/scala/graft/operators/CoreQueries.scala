@@ -1309,14 +1309,19 @@ object CoreQueries {
 
     // Winsorized (clipped-at-percentile) robust mean per group — the
     // standard outlier-robust normalization before loss-weighting or
-    // mixing decisions. Two passes over the fact table: an exact
-    // per-group p05/p95 (3 groups → broadcast back), then clip + mean.
-    // At 100 TB the bounds frame is group-cardinality-sized (tiny, so
-    // the join is a broadcast, never a shuffle of the fact side) and the
-    // clip pass is a narrow codegen'd projection with map-side partial
-    // aggregation. Determinism: percentile interpolation parity is
-    // already certified by q_percentile; the clipped values round to
-    // 4dp and sum through DECIMAL.
+    // mixing decisions. The PRODUCTION operator derives its p05/p95
+    // bounds with approx_percentile (a mergeable quantile sketch with
+    // BOUNDED per-group state — exact `percentile` keeps every distinct
+    // value in an ObjectHashAggregate map, unbounded memory on a 100 TB
+    // continuous column); the bounds frame is group-cardinality-sized
+    // and broadcast, the clip pass a narrow codegen'd projection with
+    // map-side partial aggregation. Certification rides in-plan (the
+    // q_approx_percentile / q_kll_rollup pattern): the exact-bounds
+    // result is ALSO computed and emitted as the hash-checked columns,
+    // and the sketch path must agree within tolerance — bound relative
+    // error ≤ 1% and clipped-count delta ≤ max(0.2% of n, 64 rows)
+    // (accuracy 10000 ⇒ rank error ≤ 1e-4·n per bound). The bench times
+    // the sketch-only variant (Bench.rawBench).
     QueryDef.sql(
       "q_winsorized_mean",
       """WITH b AS (
@@ -1331,26 +1336,43 @@ object CoreQueries {
         |  round(b.lo, 4) AS p05, round(b.hi, 4) AS p95,
         |  CAST(SUM(CASE WHEN l.l_extendedprice < b.lo
         |                  OR l.l_extendedprice > b.hi
-        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  1 AS bounds_ok, 1 AS clip_ok
         |FROM lineitem l JOIN b USING (l_returnflag)
         |GROUP BY l.l_returnflag, b.lo, b.hi
         |ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
       val bounds = li.groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.05)").as("lo"),
-        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+          approx_percentile(col("l_extendedprice"),
+            array(lit(0.05), lit(0.95)), lit(10000)).as("apx"),
+          expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("ex"))
+        .select(col("l_returnflag"),
+          element_at(col("apx"), 1).as("lo_s"),
+          element_at(col("apx"), 2).as("hi_s"),
+          element_at(col("ex"), 1).as("lo"),
+          element_at(col("ex"), 2).as("hi"))
       li.join(broadcast(bounds), "l_returnflag")
-        .groupBy("l_returnflag", "lo", "hi")
+        .groupBy("l_returnflag", "lo", "hi", "lo_s", "hi_s")
         .agg(
           round(sum(round(least(greatest(col("l_extendedprice"), col("lo")),
               col("hi")), 4).cast("decimal(18,4)")).cast("double")
             / count(lit(1)), 4).as("robust_mean"),
           sum(when(col("l_extendedprice") < col("lo") ||
               col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
-            .as("n_clipped"))
+            .as("n_clipped"),
+          sum(when(col("l_extendedprice") < col("lo_s") ||
+              col("l_extendedprice") > col("hi_s"), 1L).otherwise(0L))
+            .as("n_clipped_s"),
+          count(lit(1)).as("n"))
         .select(col("l_returnflag"), col("robust_mean"),
           round(col("lo"), 4).as("p05"), round(col("hi"), 4).as("p95"),
-          col("n_clipped"))
+          col("n_clipped"),
+          (abs(col("lo_s") - col("lo")) / col("lo") <= 0.01 &&
+            abs(col("hi_s") - col("hi")) / col("hi") <= 0.01)
+            .cast("int").as("bounds_ok"),
+          (abs(col("n_clipped_s") - col("n_clipped")) <=
+            greatest(col("n") * 0.002, lit(64.0)))
+            .cast("int").as("clip_ok"))
         .orderBy("l_returnflag")
     },
 
@@ -1702,12 +1724,20 @@ object CoreQueries {
         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
-      val local = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .repartitionByRange(32, desc("n_chars"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrk", row_number().over(Window.partitionBy("pid")
-          .orderBy(desc("n_chars"), col("doc_id"))) - 1)
+      // PERSISTED before deriving offsets: the offset subtree and the
+      // final join both consume this frame, and rank = lrk + offset is
+      // only exact if both see the SAME range boundaries. Spark's
+      // RangePartitioner samples with an RDD-id-dependent seed, so two
+      // independent evaluations could pick different boundaries; the
+      // persist pins one evaluation instead of relying on ReuseExchange.
+      val local = graft.CacheRegistry.register(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .repartitionByRange(32, desc("n_chars"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrk", row_number().over(Window.partitionBy("pid")
+            .orderBy(desc("n_chars"), col("doc_id"))) - 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // 32-row offset frame: rank = local rank + earlier partitions' size
       val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
         .withColumn("offset",
@@ -1753,7 +1783,8 @@ object CoreQueries {
         |  1 + (f > q.f1)::INT + (f > q.f2)::INT + (f > q.f3)::INT AS f_seg,
         |  1 + (m > q.m1)::INT + (m > q.m2)::INT + (m > q.m3)::INT AS m_seg,
         |  CAST(COUNT(*) AS BIGINT) AS n_cust,
-        |  CAST(SUM(CAST(m AS DECIMAL(18,2))) AS DOUBLE) AS total_m
+        |  CAST(SUM(CAST(m AS DECIMAL(18,2))) AS DOUBLE) AS total_m,
+        |  1 AS thr_ok
         |FROM cust, q GROUP BY 1, 2, 3
         |ORDER BY r_seg, f_seg, m_seg""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
@@ -1775,17 +1806,38 @@ object CoreQueries {
         expr("percentile(f, 0.75)").as("f3"),
         expr("percentile(m, 0.25)").as("m1"),
         expr("percentile(m, 0.5)").as("m2"),
-        expr("percentile(m, 0.75)").as("m3"))
+        expr("percentile(m, 0.75)").as("m3"),
+        // sketch twins of the nine thresholds: the production path at
+        // 100 TB (exact percentile over a customer-cardinality frame is
+        // an unbounded ObjectHashAggregate state; the sketch is
+        // mergeable, bounded). Certified in-plan below: every sketch
+        // threshold must sit within max(2%, one integer step) of its
+        // exact twin — r/f are integers, so the sketch (which returns a
+        // data value, no interpolation) can legitimately differ by the
+        // discretization step. Bench times the sketch-only variant.
+        approx_percentile(col("r"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("ra"),
+        approx_percentile(col("f"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("fa"),
+        approx_percentile(col("m"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("ma"))
+      val thrOk = Seq("r" -> "ra", "f" -> "fa", "m" -> "ma").flatMap {
+        case (t, a) => (1 to 3).map(i =>
+          abs(element_at(col(a), i) - col(s"$t$i")) <=
+            greatest(abs(col(s"$t$i")) * 0.02, lit(1.0)))
+      }.reduce(_ && _)
       def seg(x: String, t: String): org.apache.spark.sql.Column =
         lit(1) + (col(x) > col(s"${t}1")).cast("int") +
           (col(x) > col(s"${t}2")).cast("int") +
           (col(x) > col(s"${t}3")).cast("int")
       cust.crossJoin(broadcast(q))
         .select(seg("r", "r").as("r_seg"), seg("f", "f").as("f_seg"),
-          seg("m", "m").as("m_seg"), col("m"))
+          seg("m", "m").as("m_seg"), col("m"),
+          thrOk.cast("int").as("thr_ok"))
         .groupBy("r_seg", "f_seg", "m_seg")
         .agg(count(lit(1)).as("n_cust"),
-          sum(col("m").cast("decimal(18,2)")).cast("double").as("total_m"))
+          sum(col("m").cast("decimal(18,2)")).cast("double").as("total_m"),
+          min("thr_ok").as("thr_ok"))
         .orderBy("r_seg", "f_seg", "m_seg")
     },
 
@@ -1920,7 +1972,7 @@ object CoreQueries {
         |  CAST(lead(ts) OVER w IS NULL AS INTEGER) AS is_current
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
+        |ORDER BY user_id, valid_from, valid_to NULLS FIRST, value""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id"),
@@ -1930,7 +1982,13 @@ object CoreQueries {
             "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
           round(col("value"), 4).as("value"),
           lead(col("ts"), 1).over(w).isNull.cast("int").as("is_current"))
-        .orderBy("user_id", "valid_from")
+        // valid_to + value break same-user same-ts collisions so the
+        // output ROW ORDER is engine-independent (the window order is
+        // already pinned by event_id; only the final sort could drift).
+        // NULLS FIRST pinned on both sides: Spark's asc default is
+        // nulls-first, DuckDB's is nulls-last.
+        .orderBy(col("user_id"), col("valid_from"),
+          col("valid_to").asc_nulls_first, col("value"))
     },
 
     // Time-series densification + forward fill: sparse per-day totals

@@ -159,30 +159,38 @@ object Graph {
     * Per-supplier degrees are a supplier-cardinality frame, broadcast
     * back for the Jaccard denominator. */
   def commonNeighborPairs(s: SparkSession, d: String,
-      maxDeg: Int): DataFrame = {
-    val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
-    val edges = CacheRegistry.register(
-      pairs.persist(StorageLevel.MEMORY_AND_DISK))
-    val custDeg = edges.groupBy("cust").agg(count(lit(1)).as("cdeg"))
-    val suppDeg = edges.groupBy("supp").agg(count(lit(1)).as("sdeg"))
-    val small = edges.join(custDeg, "cust").filter(col("cdeg") <= maxDeg)
-    val common = small.as("a").join(small.as("b"),
-        col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
-      .groupBy(col("a.supp").as("sa"), col("b.supp").as("sb"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(broadcast(suppDeg.select(col("supp").as("sa"),
-        col("sdeg").as("da"))), "sa")
-      .join(broadcast(suppDeg.select(col("supp").as("sb"),
-        col("sdeg").as("db"))), "sb")
-      .select(col("sa"), col("sb"), col("common"),
-        round(col("common").cast("double") /
-          (col("da") + col("db") - col("common")), 4).as("jaccard"))
-  }
+      maxDeg: Int): DataFrame =
+    // Cross-query shared: graph_common_neighbors and graph_triangles
+    // both consume this exact frame — the 100 TB rule is "derive the
+    // similarity graph ONCE"; without the memo each query re-scans
+    // orders⋈lineitem and redoes the deg-capped self-join. The key pins
+    // session identity (a frame is only valid in its own session), data
+    // dir, and the cap.
+    CacheRegistry.sharedFrame(
+      s"graph:cnp:${System.identityHashCode(s)}:$d:$maxDeg") {
+      val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val edges = CacheRegistry.register(
+        pairs.persist(StorageLevel.MEMORY_AND_DISK))
+      val custDeg = edges.groupBy("cust").agg(count(lit(1)).as("cdeg"))
+      val suppDeg = edges.groupBy("supp").agg(count(lit(1)).as("sdeg"))
+      val small = edges.join(custDeg, "cust").filter(col("cdeg") <= maxDeg)
+      val common = small.as("a").join(small.as("b"),
+          col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
+        .groupBy(col("a.supp").as("sa"), col("b.supp").as("sb"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(broadcast(suppDeg.select(col("supp").as("sa"),
+          col("sdeg").as("da"))), "sa")
+        .join(broadcast(suppDeg.select(col("supp").as("sb"),
+          col("sdeg").as("db"))), "sb")
+        .select(col("sa"), col("sb"), col("common"),
+          round(col("common").cast("double") /
+            (col("da") + col("db") - col("common")), 4).as("jaccard"))
+    }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef.sql("graph_pagerank", oracleSqlFor(3)) { (s, d) =>

@@ -34,8 +34,39 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var share: String = _
   private var client: DeltaSharingClient = _
   private var profilePath: Option[String] = None
+
+  /** Access-ordered LRU, capped: a long-lived session scanning many
+    * version-pinned reads (`@vN` keys are immutable and never evicted by
+    * invalidateTable alone) must not grow the cache without bound. 256
+    * entries × a few KB of protocol+metadata JSON is noise; eviction
+    * only costs a re-fetch on the next lookup. All access goes through
+    * [[cacheGetOrUpdate]]/[[invalidateTable]] under the map's own lock.
+    * Capacity override (`metadataCacheSize` catalog option) exists for
+    * tests and memory-tight drivers. */
+  private var metadataCacheCapacity: Int = 256
   private val metadataCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Protocol, Metadata)]
+    new java.util.LinkedHashMap[String, (Protocol, Metadata)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Protocol, Metadata)]): Boolean =
+        size() > metadataCacheCapacity
+    }
+
+  private def cacheGetOrUpdate(key: String,
+      fetch: => (Protocol, Metadata)): (Protocol, Metadata) = {
+    metadataCache.synchronized {
+      Option(metadataCache.get(key))
+    } match {
+      case Some(hit) => hit
+      case None =>
+        val v = fetch // network call outside the lock
+        metadataCache.synchronized { metadataCache.put(key, v) }
+        v
+    }
+  }
+
+  /** Test hook: current number of cached (protocol, metadata) entries. */
+  private[sharing] def metadataCacheSize: Int =
+    metadataCache.synchronized(metadataCache.size())
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -51,6 +82,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val maxResults = Option(options.get("maxResults")).map(raw =>
       raw.toIntOption.filter(_ > 0).getOrElse(throw DeltaSharingException.other(
         s"spark.sql.catalog.$name.maxResults must be a positive integer, got '$raw'")))
+    Option(options.get("metadataCacheSize")).foreach { raw =>
+      metadataCacheCapacity = raw.toIntOption.filter(_ > 0).getOrElse(
+        throw DeltaSharingException.other(
+          s"spark.sql.catalog.$name.metadataCacheSize must be a positive " +
+            s"integer, got '$raw'"))
+    }
     client = new DeltaSharingClient(profile, maxResults)
   }
 
@@ -110,7 +147,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val ref = TableRef(share, ident.namespace()(0), ident.name())
     val cacheKey = versionAsOf.fold(ref.toString)(v => s"$ref@v$v")
     try {
-      val (_, metadata) = metadataCache.getOrElseUpdate(cacheKey,
+      val (_, metadata) = cacheGetOrUpdate(cacheKey,
         client.getTableMetadata(ref, versionAsOf))
       new GraftTable(client, ref, metadata, profilePath, versionAsOf)
     } catch {
@@ -166,9 +203,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def invalidateTable(ident: Identifier): Unit = {
     val base = TableRef(share, ident.namespace().headOption.getOrElse(""),
       ident.name()).toString
-    metadataCache.keys
-      .filter(k => k == base || k.startsWith(s"$base@v"))
-      .foreach(metadataCache.remove)
+    metadataCache.synchronized {
+      metadataCache.keySet().removeIf(
+        k => k == base || k.startsWith(s"$base@v"))
+    }
   }
 
   /** Only a confirmed missing table is `false`; a 500 / auth failure /

@@ -92,12 +92,21 @@ final class GraftScan(
     *    the caller must KEEP the file — an unparseable value is not a
     *    NULL, and dropping on it would violate the conservative
     *    contract;
-    *  - `Right(None)`     — genuine Delta NULL (empty string);
-    *  - `Right(Some(v))`  — canonicalized value. */
+    *  - `Right(None)`     — genuine Delta NULL (empty string, for types
+    *    where "" cannot be a real value);
+    *  - `Right(Some(v))`  — canonicalized value.
+    *
+    * For STRING partition columns an empty string is AMBIGUOUS: the
+    * protocol distinguishes JSON null from "" in partitionValues, but
+    * this client's map representation (like the hive-path encoding)
+    * collapses both to "". Pruning must not positively drop a file whose
+    * value might be a genuine empty string, so StringType "" maps to
+    * Left (keep) rather than NULL. */
   private def value(pv: Map[String, String], c: String, dt: DataType)
       : Either[Unit, Option[String]] =
     pv.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v } match {
       case None => Left(())
+      case Some("") if dt == StringType => Left(())
       case Some("") => Right(None)
       case Some(raw) => canon(raw, dt) match {
         case None => Left(())

@@ -24,6 +24,11 @@ final class GraftSharingDataSource extends TableProvider with DataSourceRegister
   // reuse — one REST metadata round-trip (and, for OAuth profiles, one
   // token fetch) per load, not one per callback. Keyed by version too:
   // a pinned read must see the PINNED version's schema, not current.
+  // The entry is EVICTED once getTable consumes it: the cache exists
+  // only to bridge the inferSchema→getTable callbacks of one load, and
+  // letting it outlive the load would serve a later UNPINNED read of the
+  // same path the metadata captured at first resolution, not the
+  // table's current version.
   private val resolved = scala.collection.concurrent.TrieMap
     .empty[(String, Option[Long]), (DeltaSharingClient, TableRef, Metadata)]
 
@@ -56,6 +61,10 @@ final class GraftSharingDataSource extends TableProvider with DataSourceRegister
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val (client, ref, metadata) = connect(options)
+    // this load is complete — drop the bridge entry so a provider
+    // instance reused for another load re-resolves current metadata
+    Option(options.get("path")).foreach(p =>
+      resolved.remove((p, versionAsOf(options))))
     val profilePath = Option(options.get("path")).map(_.split("#")(0))
     new GraftTable(client, ref, metadata, profilePath, versionAsOf(options))
   }

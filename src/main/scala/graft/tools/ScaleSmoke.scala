@@ -57,6 +57,7 @@ object ScaleSmoke {
     }
     println(if (failed.isEmpty) "SMOKE ALL OK"
       else s"SMOKE FAILED: ${failed.mkString(", ")}")
+    graft.CacheRegistry.releaseShared()
     graft.operators.ConnectorQueries.stopAll()
     spark.stop()
     sys.exit(if (failed.isEmpty) 0 else 1)
@@ -71,7 +72,10 @@ object ScaleSmoke {
     Seq("dedup_minhash_lsh", "q_range_join", "sim_kmeans", "text_dedup_spans",
       "q_bloom_join", "q_hll_rollup", "q_hilbert_layout",
       "graph_pagerank", "graph_reachability", "sim_pq_adc",
-      "graph_common_neighbors", "q_shard_pack")
+      "graph_common_neighbors", "q_shard_pack",
+      // r7 verdict: the heaviest benched queries that had no skew gate
+      "graph_triangles", "q_winsorized_mean", "q_kll_rollup",
+      "text_count_min", "q_multiway_join")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies
@@ -80,12 +84,12 @@ object ScaleSmoke {
     * density is unchanged and interval probes only match 1/N of the span. */
   private def stageScaled(spark: SparkSession, baseSf: String, outDir: String,
       replicas: Int): Unit = {
-    // lineitem/supplier joined the staged set later — restage if missing
+    // tables joined the staged set over rounds — restage if any missing
+    val required = Seq("lineitem", "supplier", "region", "nation",
+      "customer", "part")
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_STAGED")) &&
-        java.nio.file.Files.exists(
-          java.nio.file.Paths.get(outDir, "lineitem.parquet")) &&
-        java.nio.file.Files.exists(
-          java.nio.file.Paths.get(outDir, "supplier.parquet")))
+        required.forall(t => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(outDir, s"$t.parquet"))))
       return
     val copies = 0 until replicas
     def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
@@ -104,8 +108,11 @@ object ScaleSmoke {
     write(copies.map(i => li.withColumn("l_orderkey",
       col("l_orderkey") + lit(i * 100000000L))).reduce(_ unionAll _), "lineitem")
     // replication leaves l_suppkey/o_custkey unshifted (the graph keeps
-    // its node set, edges multiply) — one unshifted supplier copy matches
-    write(Tables.supplier(spark, baseSf), "supplier")
+    // its node set, edges multiply) — one unshifted copy of each
+    // dimension matches; at 100 TB dims scale far slower than facts, so
+    // dims-constant/facts-replicated is also the realistic shape
+    Seq("supplier", "region", "nation", "customer", "part").foreach(t =>
+      write(Tables.load(spark, baseSf, t), t))
     val events = Tables.events(spark, baseSf)
     write(copies.map(i => events.withColumn("ts",
       col("ts") + expr(s"INTERVAL ${i * 720} HOURS"))).reduce(_ unionAll _),
@@ -189,6 +196,7 @@ object ScaleSmoke {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/SCALESMOKE.md"), report.toString)
     println(if (anyFail) "HEAVY FAIL" else "HEAVY ALL OK")
+    graft.CacheRegistry.releaseShared()
     graft.operators.ConnectorQueries.stopAll()
     spark.stop()
     sys.exit(if (anyFail) 1 else 0)

@@ -266,6 +266,40 @@ class CatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(cat.loadTable(ident, "2").schema().fieldNames.length == nCols - 1)
   }
 
+  test("metadata cache is LRU-bounded: eldest entry evicted and re-fetched") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import scala.jdk.CollectionConverters._
+    val cat = new graft.sharing.catalog.GraftCatalog
+    cat.initialize("lru", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("profile.json" -> server.profileJson, "share" -> "share1",
+        "metadataCacheSize" -> "2").asJava))
+    val li = Identifier.of(Array("sales"), "lineitem")
+    val nSchemaCols = cat.loadTable(li).schema().fieldNames.length
+    cat.loadTable(Identifier.of(Array("sales"), "orders"))
+    cat.loadTable(Identifier.of(Array("geo"), "nation")) // evicts lineitem
+    assert(cat.metadataCacheSize == 2)
+    // prove lineitem was truly evicted: evolve its server-side schema —
+    // a cached entry would keep serving the old one, a re-fetch sees it
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val truncated = DeltaSchema.toSchemaString(
+      org.apache.spark.sql.types.StructType(src.schema.fields.drop(1)))
+    server.addParquetTable("share1", "sales", "lineitem",
+      s"$sf0001/lineitem.parquet", truncated)
+    try {
+      assert(cat.loadTable(li).schema().fieldNames.length == nSchemaCols - 1)
+      assert(cat.metadataCacheSize == 2)
+    } finally
+      // restore the original schema for the other tests in this suite
+      server.addParquetTable("share1", "sales", "lineitem",
+        s"$sf0001/lineitem.parquet", DeltaSchema.toSchemaString(src.schema))
+    // malformed knob fails loudly
+    val bad = new graft.sharing.catalog.GraftCatalog
+    intercept[DeltaSharingException](bad.initialize("bad",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("profile.json" -> server.profileJson,
+          "metadataCacheSize" -> "-5").asJava)))
+  }
+
   test("tableExists: missing table is false; unreachable server propagates") {
     import org.apache.spark.sql.connector.catalog.Identifier
     val cat = graftCatalog("share1")
