@@ -47,6 +47,8 @@ object Bench {
     "q_markov_transitions", "q_shard_pack", "graph_common_neighbors",
     "q_rfm_segmentation", "q_changepoint_cusum", "text_zipf_slope",
     "q_benford_digits", "q_referential_audit", "graph_triangles",
+    "q_regression_trend", "q_ab_welch_ttest", "q_decay_ltv",
+    "text_entropy", "dedup_incremental", "graph_label_propagation",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

@@ -310,3 +310,98 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Byte-level Shannon-entropy stats of a string, one pass:
+  * struct(entropy: double  — H = -Σ p_b·log2(p_b) over byte frequencies,
+  *        n_distinct: int  — distinct byte values).
+  *
+  * The quality-filter primitive for low-entropy junk (repeated
+  * boilerplate, padding, binary spill) at corpus scale: a single
+  * codegen'd projection per document — the naive formulation (explode
+  * one row per character then groupBy doc) shuffles |corpus chars| rows,
+  * ~3 orders of magnitude more than documents. On ASCII corpora byte
+  * entropy equals character entropy; for multi-byte UTF-8 it remains a
+  * monotone junk signal (documented, not codepoint-exact).
+  *
+  * Determinism (the text_zipf_slope convention): each per-byte term
+  * -p·log2(p) is rounded to 9dp and accumulated as exact integer
+  * nano-units, so the sum is order-free and bit-identical to the DuckDB
+  * oracle's `SUM(CAST(round(term, 9) AS DECIMAL(18,9)))`; the final
+  * nano→double division is IEEE-correctly-rounded in both engines.
+  * Empty string → null (oracle side emits no row for it either). */
+case class ByteEntropyStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("entropy", DoubleType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_byte_entropy"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .getBytes
+    val n = bytes.length
+    if (n == 0) return null
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < n) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    var hNanos = 0L
+    var distinct = 0
+    var b = 0
+    while (b < 256) {
+      val c = counts(b)
+      if (c > 0) {
+        distinct += 1
+        val p = c.toDouble / n
+        hNanos += Math.round(-p * (Math.log(p) / Math.log(2.0)) * 1e9)
+      }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hNanos / 1e9, distinct))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val cnt = ctx.freshName("cnt")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val distinct = ctx.freshName("distinct")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |int $n = $bytes.length;
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $counts = new int[256];
+         |  for (int $i = 0; $i < $n; $i++) $counts[$bytes[$i] & 0xff]++;
+         |  long $h = 0L;
+         |  int $distinct = 0;
+         |  for (int $b = 0; $b < 256; $b++) {
+         |    int $cnt = $counts[$b];
+         |    if ($cnt > 0) {
+         |      $distinct++;
+         |      double $p = (double) $cnt / $n;
+         |      $h += Math.round(-$p * (Math.log($p) / Math.log(2.0)) * 1e9);
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |    .GenericInternalRow(new Object[]{$h / 1e9, $distinct});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteEntropyStats =
+    copy(child = newChild)
+}

@@ -174,6 +174,8 @@ object GraftFunctions {
           litNumArg("graft_minhash", exprs, 1, "numHashes").intValue), "built-in")
       reg.createOrReplaceTempFunction("graft_simhash",
         exprs => SimHash64(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("graft_byte_entropy",
+        exprs => ByteEntropyStats(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("graft_char_ngrams",
         exprs => CharNgramHashes(exprs(0),
           litNumArg("graft_char_ngrams", exprs, 1, "n").intValue), "built-in")
@@ -221,6 +223,9 @@ object GraftFunctions {
       shingleHashes, org.apache.spark.sql.functions.lit(numHashes))
   def simhash64(tokenHashes: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash", tokenHashes)
+  /** struct(entropy: double, n_distinct: int) — byte-level Shannon stats. */
+  def byteEntropy(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_byte_entropy", text)
   /** Distinct lowercased character-n-gram hashes (31-bit universe). */
   def charNgrams(text: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.lit

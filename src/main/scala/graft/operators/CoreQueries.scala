@@ -2035,6 +2035,179 @@ object CoreQueries {
           round(col("carried"), 4).as("total"),
           col("total").isNull.cast("int").as("is_gap"))
         .orderBy("day")
+    },
+
+    // Per-nation revenue trend: closed-form OLS of monthly revenue over
+    // the month index. Scale shape: one custkey shuffle join orders ⋈
+    // customer (nation is broadcast via the dim), a (nation, month)
+    // partial+final aggregate, then a nation-cardinality OLS aggregate —
+    // the regression itself never sees row-level data. Determinism: y is
+    // exact integer CENTS (decimal sum × 100 → bigint), x a small int,
+    // so every OLS sum is exact 64-bit integer arithmetic in both
+    // engines; slope/intercept are one final double division each
+    // (IEEE-identical), then rounded.
+    QueryDef.sql(
+      "q_regression_trend",
+      """WITH monthly AS (
+        |  SELECT c.c_nationkey AS nk,
+        |    (CAST(year(o.o_orderdate) AS INTEGER) - 1995) * 12
+        |      + CAST(month(o.o_orderdate) AS INTEGER) - 1 AS x,
+        |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS yc
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |ols AS (
+        |  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(yc) AS BIGINT) AS sy,
+        |    CAST(SUM(x * yc) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM monthly GROUP BY nk)
+        |SELECT n.n_name, n_months,
+        |  round(CAST(n_months * sxy - sx * sy AS DOUBLE)
+        |    / (n_months * sxx - sx * sx) / 100, 4) AS slope,
+        |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |    / (n_months * sxx - sx * sx) / 100, 4) AS intercept
+        |FROM ols JOIN nation n ON ols.nk = n.n_nationkey
+        |ORDER BY n.n_name""".stripMargin) { (s, d) =>
+      val monthly = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"),
+          ((year(col("o_orderdate")) - 1995) * 12
+            + month(col("o_orderdate")) - 1).as("x"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("bigint").as("yc"))
+      val ols = monthly.groupBy("nk").agg(
+        count(lit(1)).as("n_months"),
+        sum(col("x").cast("bigint")).as("sx"),
+        sum(col("yc")).as("sy"),
+        sum(col("x") * col("yc")).as("sxy"),
+        sum((col("x") * col("x")).cast("bigint")).as("sxx"))
+      val den = col("n_months") * col("sxx") - col("sx") * col("sx")
+      ols.join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("nk"), col("n_name"))), "nk")
+        .select(col("n_name"), col("n_months"),
+          round((col("n_months") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / den / 100, 4).as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / den / 100, 4).as("intercept"))
+        .orderBy("n_name")
+    },
+
+    // A/B comparison with a Welch t-test: click vs purchase event values
+    // per day-of-week. One single-pass conditional aggregate (FILTER-
+    // style sums — no second scan, no join between the arms); n/Σv/Σv²
+    // are exact decimals (the q_rolling_anomaly convention), so means,
+    // variances, t and the Welch–Satterthwaite df derive from identical
+    // doubles in both engines. Output cardinality = 7 at any scale.
+    QueryDef.sql(
+      "q_ab_welch_ttest",
+      """WITH g AS (
+        |  SELECT CAST(date_part('dow', ts) AS INTEGER) AS dow,
+        |    CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS na,
+        |    SUM(CAST(value AS DECIMAL(18,2)))
+        |      FILTER (event_type = 'click') AS s1a,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      FILTER (event_type = 'click') AS s2a,
+        |    CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS nb,
+        |    SUM(CAST(value AS DECIMAL(18,2)))
+        |      FILTER (event_type = 'purchase') AS s1b,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      FILTER (event_type = 'purchase') AS s2b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT dow, na, nb,
+        |    CAST(s1a AS DOUBLE) / na AS ma, CAST(s1b AS DOUBLE) / nb AS mb,
+        |    (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+        |      / na) / (na - 1) AS va,
+        |    (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+        |      / nb) / (nb - 1) AS vb
+        |  FROM g WHERE na >= 2 AND nb >= 2)
+        |SELECT dow, na, nb, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  round((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_stat,
+        |  round((va / na + vb / nb) * (va / na + vb / nb)
+        |    / ((va / na) * (va / na) / (na - 1)
+        |      + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS welch_df
+        |FROM m ORDER BY dow""".stripMargin) { (s, d) =>
+      val vdec = col("value").cast("decimal(18,2)")
+      def arm(t: String, suffix: String) = Seq(
+        count(when(col("event_type") === t, 1)).as(s"n$suffix"),
+        sum(when(col("event_type") === t, vdec)).as(s"s1$suffix"),
+        sum(when(col("event_type") === t, vdec * vdec)).as(s"s2$suffix"))
+      val aggs = arm("click", "a") ++ arm("purchase", "b")
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy((dayofweek(col("ts")) - 1).as("dow"))
+        .agg(aggs.head, aggs.tail: _*)
+      def mean(s1: String, n: String) = col(s1).cast("double") / col(n)
+      def variance(s2: String, s1: String, n: String) =
+        (col(s2).cast("double")
+          - col(s1).cast("double") * col(s1).cast("double") / col(n)) /
+          (col(n) - 1)
+      val m = g.filter(col("na") >= 2 && col("nb") >= 2)
+        .select(col("dow"), col("na"), col("nb"),
+          mean("s1a", "na").as("ma"), mean("s1b", "nb").as("mb"),
+          variance("s2a", "s1a", "na").as("va"),
+          variance("s2b", "s1b", "nb").as("vb"))
+      val se2 = col("va") / col("na") + col("vb") / col("nb")
+      m.select(col("dow"), col("na"), col("nb"),
+          round(col("ma"), 4).as("mean_a"), round(col("mb"), 4).as("mean_b"),
+          round((col("ma") - col("mb")) / sqrt(se2), 4).as("t_stat"),
+          round(se2 * se2
+            / ((col("va") / col("na")) * (col("va") / col("na"))
+                / (col("na") - 1)
+              + (col("vb") / col("nb")) * (col("vb") / col("nb"))
+                / (col("nb") - 1)), 4).as("welch_df"))
+        .orderBy("dow")
+    },
+
+    // Exponentially time-decayed engagement (half-life = 1 week): each
+    // user's purchase value weighted by 0.5^(whole weeks before the
+    // corpus max date), the recency-weighted LTV primitive. Determinism
+    // by construction: weights are exact powers of two applied as
+    // integer shifts — value_cents · 2^(CAP - weeks) summed as exact
+    // int64, divided once by 2^CAP·100 at the end — no libm anywhere.
+    // Scale shape: the anchor (max date) is a 1-row broadcast, then one
+    // user-keyed partial+final aggregate; events older than CAP weeks
+    // contribute 0 and are filtered before the shuffle.
+    QueryDef.sql(
+      "q_decay_ltv",
+      """WITH anchor AS (SELECT CAST(MAX(ts) AS DATE) AS dmax FROM events),
+        |w AS (
+        |  SELECT e.user_id,
+        |    CAST(CAST(round(CAST(e.value AS DECIMAL(18,2)) * 100, 0)
+        |        AS BIGINT)
+        |      * (1::BIGINT << (20 - CAST((a.dmax - CAST(e.ts AS DATE)) // 7
+        |        AS INTEGER))) AS BIGINT) AS wc
+        |  FROM events e CROSS JOIN anchor a
+        |  WHERE e.event_type = 'purchase'
+        |    AND (a.dmax - CAST(e.ts AS DATE)) // 7 <= 20)
+        |SELECT user_id, CAST(SUM(wc) AS BIGINT) AS ltv_fp,
+        |  CAST(CAST(SUM(wc) AS BIGINT) AS DOUBLE) / 1048576 / 100
+        |    AS decayed_ltv
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val anchor = Tables.events(s, d)
+        .agg(to_date(max("ts")).as("dmax"))
+      val weeks = floor(datediff(col("dmax"), to_date(col("ts"))) / 7)
+        .cast("int")
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(anchor))
+        .filter(weeks <= 20)
+        .select(col("user_id"),
+          (round(col("value").cast("decimal(18,2)") * 100, 0).cast("bigint")
+            * call_function("shiftleft", lit(1L), lit(20) - weeks)).as("wc"))
+        .groupBy("user_id")
+        // the fixed-point sum is the exact answer; the double view is the
+        // SAME IEEE division in both engines (sum < 2^53, /2^20 exact,
+        // one inexact /100) — deliberately NOT rounded: rounding is the
+        // only step whose half-way ties differ across engines, and with
+        // bit-identical inputs it is the only step that can diverge
+        .agg(sum("wc").as("ltv_fp"),
+          (sum("wc").cast("double") / 1048576 / 100).as("decayed_ltv"))
+        .orderBy("user_id")
     }
   )
 }

@@ -604,6 +604,140 @@ object Dedup {
       s"WITH $charShingleCte\n$jaccardPairsSelect ORDER BY doc_a, doc_b") { (s, d) =>
       minhashPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8, shingleSize = 5, shingler = charNgramHashes)
+    },
+
+    // Incremental (cross-corpus) dedup: a NEW batch checked against the
+    // EXISTING corpus only — the shape ingestion actually runs at 100 TB,
+    // where re-pairing the whole corpus with itself per batch would be
+    // quadratic over time. New×old candidates come from the shared LSH
+    // buckets (one band join keyed on (band, bandHash), never new×old
+    // cross); the batch-vs-corpus asymmetry means the join's build side
+    // is the small batch at real scale. Every new doc gets a decision
+    // row (kept, or dup_of the best old match — max Jaccard, min old id
+    // on ties). Oracle: exact all-pairs new×old word-3-shingle Jaccard.
+    QueryDef.sql(
+      "dedup_incremental",
+      s"""WITH $wordShingleCte,
+        |news AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+        |hits AS (
+        |  SELECT new_id, old_id, jaccard FROM (
+        |    SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+        |      round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+        |        / (len(a.shs) + len(b.shs)
+        |           - len(list_intersect(a.shs, b.shs))), 4) AS jaccard
+        |    FROM sh a JOIN sh b
+        |      ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+        |  WHERE jaccard >= 0.8),
+        |cnt AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        |        FROM hits GROUP BY new_id),
+        |bst AS (
+        |  SELECT new_id, old_id, jaccard FROM (
+        |    SELECT new_id, old_id, jaccard, row_number()
+        |      OVER (PARTITION BY new_id ORDER BY jaccard DESC, old_id) AS rk
+        |    FROM hits) WHERE rk = 1)
+        |SELECT n.doc_id, COALESCE(c.n_dups, 0) AS n_dups,
+        |  b.old_id AS dup_of, b.jaccard AS best_jaccard,
+        |  CAST(c.new_id IS NULL AS INTEGER) AS kept
+        |FROM news n
+        |LEFT JOIN cnt c ON n.doc_id = c.new_id
+        |LEFT JOIN bst b ON n.doc_id = b.new_id
+        |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+      incrementalDedup(Tables.documents(s, d), "doc_id", "text",
+        col("doc_id") % 5 === 0, threshold = 0.8)
     }
   )
+
+  /** Per-new-doc dedup decision against an existing corpus (see the
+    * dedup_incremental QueryDef). Returns
+    * (doc_id, n_dups, dup_of, best_jaccard, kept) for every doc matching
+    * `isNew`. Candidates come from shared LSH bands — the new×old join
+    * is bucket-keyed; oversized buckets pair each new member with only
+    * the bucket's min old id (the cross-corpus analogue of
+    * [[minhashPairs]]'s chain-linking: bounded edges, still yields a
+    * duplicate verdict for every member of a boilerplate mega-bucket). */
+  def incrementalDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isNew: Column,
+      threshold: Double = 0.8,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      estMargin: Double = 0.3): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val rowsPerBand = numHashes / bands
+    val par = spark.sparkContext.defaultParallelism
+    val withSig = graft.CacheRegistry.register(docs.repartition(par)
+      .select(col(idCol).as("doc_id"), isNew.as("is_new"),
+        shingleHashes(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(spark, col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bandsDf = graft.CacheRegistry.register(withSig
+      .select(col("doc_id"), col("is_new"),
+        posexplode(graft.functions.GraftFunctions
+          .lshBands(col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val oversized = graft.CacheRegistry.register(bandsDf.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select("band", "bh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bounded = bandsDf.join(broadcast(oversized), Seq("band", "bh"),
+      "left_anti")
+    val candNormal = bounded.filter(col("is_new")).as("n")
+      .join(bounded.filter(!col("is_new")).as("o"),
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+    // oversized buckets: one representative old edge per new member
+    val overBuckets = bandsDf.join(broadcast(oversized), Seq("band", "bh"))
+    val overOldMin = overBuckets.filter(!col("is_new"))
+      .groupBy("band", "bh").agg(min("doc_id").as("old_id"))
+    val candOver = overBuckets.filter(col("is_new"))
+      .join(overOldMin, Seq("band", "bh"))
+      .select(col("doc_id").as("new_id"), col("old_id"))
+    val candidates = candNormal.unionByName(candOver).distinct()
+    // staged verify (see minhashPairs): signature-estimate prefilter,
+    // then exact Jaccard over the shingle sets
+    val estCut = math.max(0.0, threshold - estMargin)
+    val sigs = withSig.select(col("doc_id"), col("sig"))
+    val estimated = candidates
+      .join(sigs.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("sig", "sig_n"), "new_id")
+      .join(sigs.withColumnRenamed("doc_id", "old_id")
+        .withColumnRenamed("sig", "sig_o"), "old_id")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_n"), col("sig_o"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes)
+      .filter(col("est") >= estCut)
+      .select("new_id", "old_id")
+    val sets = withSig.select(col("doc_id"), col("sh"))
+    val hits = estimated
+      .join(sets.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("sh", "sh_n"), "new_id")
+      .join(sets.withColumnRenamed("doc_id", "old_id")
+        .withColumnRenamed("sh", "sh_o"), "old_id")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_o"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_n")) + size(col("sh_o")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+    // decision per new doc (ALL new docs, including shingle-less ones)
+    docs.filter(isNew).select(col(idCol).as("new_id"))
+      .join(hits, Seq("new_id"), "left")
+      .groupBy("new_id")
+      .agg(count(col("old_id")).as("n_dups"),
+        max(struct(col("jaccard").as("j"), (-col("old_id")).as("nid")))
+          .as("best"))
+      .select(col("new_id").as("doc_id"), col("n_dups"),
+        when(col("n_dups") > 0, -col("best.nid")).as("dup_of"),
+        when(col("n_dups") > 0, col("best.j")).as("best_jaccard"),
+        (col("n_dups") === 0).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
 }

@@ -301,6 +301,86 @@ object Graph {
           col("ac.sa") === col("ab.sa") && col("ac.sb") === col("bc.sb"))
         .agg(count(lit(1)).as("n_triangles"))
       e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    },
+
+    // Community detection by synchronous min-label propagation, 3
+    // exactly-unrolled rounds over the SAME thresholded similarity graph
+    // (shared frame — no third orders⋈lineitem scan). Each round is one
+    // dst-keyed shuffle join of the current labels against the symmetric
+    // edge frame plus a min aggregate — the connectedComponents shape
+    // with a fixed round count so the oracle can unroll it; labels are
+    // node ids (exact integers), so rounds are bit-identical in any
+    // engine regardless of join or merge order.
+    QueryDef.sql(
+      "graph_label_propagation",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+        |sdeg AS (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
+        |small AS (
+        |  SELECT p.cust, p.supp FROM pairs p
+        |  JOIN cdeg USING (cust) WHERE cdeg <= 64),
+        |common AS (
+        |  SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
+        |  FROM small a JOIN small b
+        |    ON a.cust = b.cust AND a.supp < b.supp
+        |  GROUP BY a.supp, b.supp),
+        |e AS (
+        |  SELECT sa, sb FROM common
+        |  JOIN sdeg da ON common.sa = da.supp
+        |  JOIN sdeg db ON common.sb = db.supp
+        |  WHERE round(CAST(common AS DOUBLE)
+        |    / (da.sdeg + db.sdeg - common), 4) >= 0.22),
+        |sym AS (SELECT sa AS src, sb AS dst FROM e
+        |        UNION ALL SELECT sb, sa FROM e),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+        |l1 AS (
+        |  SELECT p.node, least(p.lbl, MIN(q.lbl)) AS lbl
+        |  FROM l0 p JOIN sym s ON s.src = p.node
+        |  JOIN l0 q ON s.dst = q.node GROUP BY p.node, p.lbl),
+        |l2 AS (
+        |  SELECT p.node, least(p.lbl, MIN(q.lbl)) AS lbl
+        |  FROM l1 p JOIN sym s ON s.src = p.node
+        |  JOIN l1 q ON s.dst = q.node GROUP BY p.node, p.lbl),
+        |l3 AS (
+        |  SELECT p.node, least(p.lbl, MIN(q.lbl)) AS lbl
+        |  FROM l2 p JOIN sym s ON s.src = p.node
+        |  JOIN l2 q ON s.dst = q.node GROUP BY p.node, p.lbl)
+        |SELECT node, lbl AS community FROM l3
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      labelPropagationOnEdges(
+        commonNeighborPairs(s, d, maxDeg = 64)
+          .filter(col("jaccard") >= 0.22).select("sa", "sb"),
+        rounds = 3)
+        .select(col("node"), col("lbl").as("community")).orderBy("node")
     }
   )
+
+  /** Synchronous min-label propagation over an undirected edge list
+    * (sa, sb), `rounds` exactly-unrolled rounds. Returns (node, lbl).
+    * Deterministic for any join order (labels are exact integers, min is
+    * associative/commutative); each round is one dst-keyed shuffle join
+    * plus a map-side-combined min aggregate. */
+  def labelPropagationOnEdges(rawEdges: DataFrame, rounds: Int): DataFrame = {
+    // both edge directions from ONE pass (explode, not union-of-selects
+    // — a union would re-execute the upstream pipeline per branch)
+    val sym = CacheRegistry.register(
+      rawEdges.select(explode(array(
+          struct(col("sa").as("src"), col("sb").as("dst")),
+          struct(col("sb").as("src"), col("sa").as("dst")))).as("ed"))
+        .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val neigh = sym.join(labels.hint("shuffle_hash"),
+          sym("dst") === labels("node"))
+        .groupBy(col("src")).agg(min("lbl").as("nl"))
+      labels = labels.join(neigh.hint("shuffle_hash"),
+          labels("node") === neigh("src"))
+        .select(col("node"), least(col("lbl"), col("nl")).as("lbl"))
+    }
+    labels
+  }
 }

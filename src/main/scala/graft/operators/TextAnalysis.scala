@@ -1123,6 +1123,46 @@ object TextAnalysis {
             / (col("k") * col("sxx").cast("double")
               - col("sx").cast("double") * col("sx").cast("double")), 4)
             .as("zipf_slope"))
+    },
+
+    // Character-entropy quality filter: byte-level Shannon entropy +
+    // distinct-char count per document, via the one-pass codegen'd
+    // [[graft.functions.ByteEntropyStats]] kernel — a narrow projection
+    // at any corpus size. The naive shape (explode one row per char,
+    // groupBy doc) shuffles |corpus chars| rows; the oracle takes that
+    // shape because DuckDB only sees it once at gate scale. Determinism:
+    // per-byte terms rounded to 9dp and summed exactly on both sides
+    // (order-free; the text_zipf_slope convention). is_low_entropy uses
+    // the rounded value so the cut is reproducible across engines.
+    QueryDef.sql(
+      "text_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c,
+        |    length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (
+        |  SELECT doc_id, n, c, COUNT(*) AS cnt
+        |  FROM ch GROUP BY doc_id, n, c),
+        |ent AS (
+        |  SELECT doc_id,
+        |    round(CAST(SUM(CAST(round(
+        |      -(CAST(cnt AS DOUBLE) / n) * log2(CAST(cnt AS DOUBLE) / n),
+        |      9) AS DECIMAL(18,9))) AS DOUBLE), 4) AS char_entropy,
+        |    CAST(COUNT(*) AS INTEGER) AS n_distinct_chars
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, char_entropy, n_distinct_chars,
+        |  CAST(char_entropy < 3.5 AS INTEGER) AS is_low_entropy
+        |FROM ent ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.byteEntropy(col("text")).as("st"))
+        .select(col("doc_id"),
+          round(col("st.entropy"), 4).as("char_entropy"),
+          col("st.n_distinct").as("n_distinct_chars"))
+        .withColumn("is_low_entropy", (col("char_entropy") < 3.5).cast("int"))
+        .orderBy("doc_id")
     }
   )
 

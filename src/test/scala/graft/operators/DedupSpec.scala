@@ -192,4 +192,52 @@ class DedupSpec extends SparkTestBase {
     val deduped = docs.groupBy("text").agg(min("doc_id")).count()
     assert(deduped == docs.select("text").distinct().count())
   }
+
+  test("incremental dedup matches new docs against OLD docs only") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different content about distributed query engines"
+    val docs = Seq(
+      (10L, a),                       // old: matches new 21
+      (11L, b),                       // old: matches nothing new
+      (20L, "unique new document with its own words entirely fresh"),
+      (21L, a),                       // new: exact dup of old 10
+      (23L, "another brand new text that appears twice in the batch"),
+      (25L, "another brand new text that appears twice in the batch"))
+      .toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(docs, "doc_id", "text",
+        isNew = col("doc_id") >= 20L, threshold = 0.8)
+      .collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2),
+          x.getInt(4))).toMap
+    // every new doc gets a decision row
+    assert(r.keySet == Set(20L, 21L, 23L, 25L))
+    // 21 is a duplicate OF THE OLD CORPUS
+    assert(r(21L) == ((1L, 10L, 0)))
+    // 20 is fresh → kept
+    assert(r(20L) == ((0L, -1L, 1)))
+    // 23 and 25 duplicate EACH OTHER but nothing old → both kept:
+    // within-batch duplicates are the self-join pipeline's job, not the
+    // incremental pass's
+    assert(r(23L) == ((0L, -1L, 1)))
+    assert(r(25L) == ((0L, -1L, 1)))
+  }
+
+  test("incremental dedup picks the best old match deterministically") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, t), (2L, t),               // two identical old matches
+      (30L, t))                       // the new doc
+      .toDF("doc_id", "text")
+    val row = Dedup.incrementalDedup(docs, "doc_id", "text",
+        isNew = col("doc_id") >= 30L, threshold = 0.8)
+      .collect().head
+    assert(row.getLong(0) == 30L)
+    assert(row.getLong(1) == 2L)      // both old docs matched
+    assert(row.getLong(2) == 1L)      // tie on jaccard → min old id
+    assert(row.getDouble(3) == 1.0)
+    assert(row.getInt(4) == 0)
+  }
 }

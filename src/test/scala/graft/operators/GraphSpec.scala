@@ -68,4 +68,37 @@ class GraphSpec extends SparkTestBase {
     assert(top.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("label propagation: disjoint components get their min-id labels") {
+    import spark.implicits._
+    // triangle {1,2,3} + edge {5,6}: both converge within one round
+    val e = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 5L -> 6L).toDF("sa", "sb")
+    val r = Graph.labelPropagationOnEdges(e, rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("label propagation: synchronous rounds move min labels one hop each") {
+    import spark.implicits._
+    // path 1—2—…—7: after r rounds node k holds max(1, k - r), the
+    // synchronous-LPA signature (an asynchronous/racy implementation
+    // would converge faster and nondeterministically)
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+      6L -> 7L).toDF("sa", "sb")
+    val r = Graph.labelPropagationOnEdges(e, rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 3L, 7L -> 4L))
+  }
+
+  test("trade-graph community query labels every thresholded-graph node") {
+    val r = graft.SparkEntry.queries("graph_label_propagation")(spark, sf0001)
+      .collect()
+    assert(r.nonEmpty)
+    // labels are node ids that only ever decrease (min propagation):
+    // every label ≤ its node and is itself a node of the graph
+    val nodes = r.map(_.getLong(0)).toSet
+    assert(r.forall(x => x.getLong(1) <= x.getLong(0)))
+    assert(r.forall(x => nodes.contains(x.getLong(1))))
+  }
 }

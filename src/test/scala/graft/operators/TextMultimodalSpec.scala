@@ -378,4 +378,36 @@ class TextMultimodalSpec extends SparkTestBase {
       .orderBy("h").collect().map(_.getString(0)).toSeq
     assert(a == b)
   }
+
+  test("byte entropy: known values, empty→null, and the quality ordering") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq("aabb", "abcd", "aaaa", "", "abab cdcd efef")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"),
+        graft.functions.GraftFunctions.byteEntropy(col("t")).as("st"))
+      .select(col("id"), col("st.entropy"), col("st.n_distinct"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 1.0 && rows(0).getInt(2) == 2) // aabb
+    assert(rows(1).getDouble(1) == 2.0 && rows(1).getInt(2) == 4) // abcd
+    assert(rows(2).getDouble(1) == 0.0 && rows(2).getInt(2) == 1) // aaaa
+    assert(rows(3).isNullAt(1))                                   // empty
+    // 4 repeated pairs + 2 spaces over 14 bytes: computed by hand
+    //   p(space)=2/14, p(a..f)=2/14 each → uniform over 7 values
+    // 7 per-byte terms each rounded to 9dp → tolerance 7·0.5e-9
+    assert(math.abs(rows(4).getDouble(1) - (math.log(7) / math.log(2)))
+      < 1e-7)
+  }
+
+  test("text_entropy query: corpus rows, bounds, and low-entropy flag") {
+    val r = graft.SparkEntry.queries("text_entropy")(spark, sf0001).collect()
+    assert(r.length ==
+      Tables.documents(spark, sf0001).filter(length(col("text")) > 0).count())
+    r.foreach { x =>
+      val (h, k, flag) = (x.getDouble(1), x.getInt(2), x.getInt(3))
+      assert(h >= 0.0 && h <= 8.0)          // byte entropy is ≤ 8 bits
+      assert(h <= math.log(k.toDouble) / math.log(2.0) + 1e-9)
+      assert(flag == (if (h < 3.5) 1 else 0))
+    }
+  }
 }
