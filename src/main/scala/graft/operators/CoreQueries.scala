@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2035,6 +2035,58 @@ object CoreQueries {
           round(col("carried"), 4).as("total"),
           col("total").isNull.cast("int").as("is_gap"))
         .orderBy("day")
+    },
+
+    // Last-touch attribution: every purchase is credited to the user's
+    // most recent click/view STRICTLY BEFORE it, if within 24 h — the
+    // marketing-analytics join that is really a window (one user-keyed
+    // shuffle + an ordered frame scan; never an event×event self-join).
+    // Determinism: ordering ties broken by event_id on both sides (the
+    // q_scd2_intervals lesson); the 24 h cut compares exact epoch
+    // microseconds.
+    QueryDef.sql(
+      "q_attribution",
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_id END IGNORE NULLS)
+        |      OVER w AS touch_id,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w AS touch_us,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id,
+        |  CASE WHEN epoch_us(ts) - touch_us <= 86400000000
+        |    THEN touch_id END AS attributed_id,
+        |  CASE WHEN epoch_us(ts) - touch_us <= 86400000000
+        |    THEN touch_type END AS attributed_type,
+        |  CASE WHEN epoch_us(ts) - touch_us <= 86400000000
+        |    THEN CAST((epoch_us(ts) - touch_us) // 60000000 AS BIGINT)
+        |    END AS mins_since
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def lastTouch(c: Column) = last(
+        when(col("event_type").isin("click", "view"), c),
+        ignoreNulls = true).over(w)
+      val within = unix_micros(col("ts")) - col("touch_us") <= 86400000000L
+      Tables.events(s, d)
+        .withColumn("touch_id", lastTouch(col("event_id")))
+        .withColumn("touch_us", lastTouch(unix_micros(col("ts"))))
+        .withColumn("touch_type", lastTouch(col("event_type")))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(within, col("touch_id")).as("attributed_id"),
+          when(within, col("touch_type")).as("attributed_type"),
+          when(within, floor((unix_micros(col("ts")) - col("touch_us"))
+            / 60000000L).cast("bigint")).as("mins_since"))
+        .orderBy("purchase_id")
     },
 
     // Per-nation revenue trend: closed-form OLS of monthly revenue over

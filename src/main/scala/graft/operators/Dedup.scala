@@ -606,6 +606,53 @@ object Dedup {
         threshold = 0.8, shingleSize = 5, shingler = charNgramHashes)
     },
 
+    // Containment direction on verified near-dup pairs: C(A→B) =
+    // |A∩B|/|A| tells WHICH side of a near-dup pair is the (near-)subset
+    // — the dedup policy signal for "keep the superset". Pairs come from
+    // the LSH path (Jaccard ≥ 0.8, full recall per the
+    // dedup_minhash_lsh certificate); containment for LOW-Jaccard
+    // super/subset pairs is out of scope by design — MinHash LSH recalls
+    // by Jaccard, and the oracle statement carries the same J ≥ 0.8
+    // bound so both sides describe the same set. Shingle sets are joined
+    // back only for the (few) verified pairs.
+    QueryDef.sql(
+      "dedup_containment",
+      s"""WITH $wordShingleCte
+        |SELECT doc_a, doc_b, c_ab, c_ba,
+        |  CASE WHEN c_ab >= c_ba THEN doc_a ELSE doc_b END AS sub_doc
+        |FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+        |      / len(a.shs), 4) AS c_ab,
+        |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+        |      / len(b.shs), 4) AS c_ba,
+        |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+        |      / (len(a.shs) + len(b.shs)
+        |         - len(list_intersect(a.shs, b.shs))), 4) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select("doc_a", "doc_b")
+      val sets = docs
+        .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      pairs
+        .join(sets.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter") / size(col("sh_a")), 4).as("c_ab"),
+          round(col("inter") / size(col("sh_b")), 4).as("c_ba"))
+        .withColumn("sub_doc",
+          when(col("c_ab") >= col("c_ba"), col("doc_a"))
+            .otherwise(col("doc_b")))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Incremental (cross-corpus) dedup: a NEW batch checked against the
     // EXISTING corpus only — the shape ingestion actually runs at 100 TB,
     // where re-pairing the whole corpus with itself per batch would be

@@ -1125,6 +1125,49 @@ object TextAnalysis {
             .as("zipf_slope"))
     },
 
+    // N-gram novelty vs the already-ingested corpus (arrival order =
+    // doc_id): per doc, the fraction of its distinct word-3-shingles
+    // whose FIRST corpus occurrence is this doc — the curation signal
+    // for "adds new content" vs "re-treads what we have" (exact dups
+    // score 0 against their earlier copy). Scale shape: the inverted
+    // index — one gram-keyed min aggregate + one gram-keyed join, no
+    // pairwise anything; grams ride as 31-bit hashes (the dedup-oracle
+    // collision argument applies).
+    QueryDef.sql(
+      "text_ngram_novelty",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(words) - 1),
+        |      i -> array_to_string(words[i:i+2], ' '))) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |        FROM documents)
+        |  WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+        |fst AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g)
+        |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0
+        |    END) AS DOUBLE) / COUNT(*), 4) AS novelty
+        |FROM ex e JOIN fst f USING (g)
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin) { (s, d) =>
+      // two consumers (the min aggregate and the join) — persist so the
+      // shingle pass runs once
+      val ex = graft.CacheRegistry.register(Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(Dedup.shingleHashes(col("text"), 3)).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val fst = ex.groupBy("g").agg(min("doc_id").as("first_doc"))
+      ex.join(fst, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_grams"), 4))
+        .orderBy("doc_id")
+    },
+
     // Character-entropy quality filter: byte-level Shannon entropy +
     // distinct-char count per document, via the one-pass codegen'd
     // [[graft.functions.ByteEntropyStats]] kernel — a narrow projection

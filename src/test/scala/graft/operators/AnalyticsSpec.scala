@@ -73,6 +73,81 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q_attribution credits the nearest prior touch within 24h") {
+    val rows = graft.SparkEntry.queries("q_attribution")(spark, sf0001)
+      .collect()
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "ts", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getString(3)))
+    val byId = ev.map(e => e._1 -> e).toMap
+    assert(rows.length == ev.count(_._4 == "purchase"))
+    var attributed = 0
+    rows.foreach { r =>
+      val p = byId(r.getLong(0))
+      if (!r.isNullAt(2)) {
+        attributed += 1
+        val t = byId(r.getLong(2))
+        assert(t._2 == p._2, "touch belongs to the same user")
+        assert(Set("click", "view")(t._4))
+        assert(t._3 <= p._3 && p._3 - t._3 <= 86400000L)
+        // it is the LATEST eligible touch (ms granularity check; exact
+        // µs ordering is the oracle's job)
+        val later = ev.filter(e => e._2 == p._2 && Set("click", "view")(e._4)
+          && e._3 > t._3 && e._3 < p._3)
+        assert(later.isEmpty || later.forall(_._3 == t._3))
+      }
+    }
+    assert(attributed > 0, "corpus should attribute most purchases")
+  }
+
+  test("text_ngram_novelty: first doc scores 1.0, later near-dups score low") {
+    val r = graft.SparkEntry.queries("text_ngram_novelty")(spark, sf0001)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    val firstId = r.keys.min
+    assert(r(firstId)._3 == 1.0, "the earliest doc is all-novel")
+    r.values.foreach { case (n, k, f) =>
+      assert(k >= 0 && k <= n && f >= 0.0 && f <= 1.0)
+    }
+    // global conservation: every distinct gram is novel exactly once
+    assert(r.values.map(_._2).sum ==
+      Tables.documents(spark, sf0001)
+        .select(explode(Dedup.shingleHashes(col("text"), 3)).as("g"))
+        .distinct().count())
+    // the LATER doc of a Jaccard-j near-dup pair re-treads at least the
+    // shared grams: novelty ≤ 1 - containment ≤ 1 - j
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, sf0001),
+        "doc_id", "text", threshold = 0.8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (_, b, j) =>
+      assert(r(b)._3 <= 1.0 - j + 1e-3,
+        s"doc $b shares j=$j with an earlier doc but scored ${r(b)._3}")
+    }
+  }
+
+  test("dedup_containment covers the LSH pair set with bounds ≥ jaccard") {
+    val pairs = graft.SparkEntry.queries("dedup_containment")(spark, sf0001)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3),
+        x.getLong(4)))
+    val lsh = Dedup.minhashPairs(Tables.documents(spark, sf0001),
+        "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      lsh.map(p => (p._1, p._2)).toSet)
+    val jmap = lsh.map(p => (p._1, p._2) -> p._3).toMap
+    pairs.foreach { case (a, b, cab, cba, sub) =>
+      val j = jmap((a, b))
+      // containment ≥ jaccard always (same numerator, ≤ denominator)
+      assert(cab >= j - 1e-4 && cba >= j - 1e-4)
+      assert(sub == a || sub == b)
+      assert(if (cab >= cba) sub == a else sub == b)
+    }
+  }
+
   test("q_decay_ltv matches the float half-life weighting") {
     val ours = graft.SparkEntry.queries("q_decay_ltv")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
