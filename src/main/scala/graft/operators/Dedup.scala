@@ -439,6 +439,20 @@ object Dedup {
       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
       |)""".stripMargin
 
+  /** Cross-query shared word-3-shingle Jaccard≥0.8 pair frame — the
+    * derivation consumed by dedup_minhash_lsh, dedup_clusters,
+    * dedup_keep_representatives, dedup_simhash (truth set) and
+    * dedup_containment. The 100 TB rule is "derive the near-dup pair set
+    * ONCE per corpus": without the memo each of those queries re-runs the
+    * full shingle→minhash→band→verify pipeline over the fact table. Key
+    * pins session identity and data dir (same convention as the
+    * trade-graph pair frame in Graph). */
+  def corpusPairs(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.sharedFrame(
+      s"dedup:pairs:${System.identityHashCode(s)}:$d") {
+      minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+    }
+
   def defs: Seq[QueryDef] = Seq(
     // Exact dedup: one row per distinct text, keeping the smallest id.
     // Hash groupBy — a single shuffle on the content hash at any scale.
@@ -483,7 +497,7 @@ object Dedup {
     QueryDef.sql(
       "dedup_minhash_lsh",
       s"WITH $wordShingleCte\n$jaccardPairsSelect ORDER BY doc_a, doc_b") { (s, d) =>
-      minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+      corpusPairs(s, d)
     },
 
     // End-user dedup: keep exactly one representative per near-dup
@@ -501,7 +515,7 @@ object Dedup {
         |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      val pairs = corpusPairs(s, d)
       val dropIds = connectedComponents(pairs, "doc_a", "doc_b")
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
@@ -520,9 +534,7 @@ object Dedup {
       s"""$clusterCte
         |SELECT id, cluster_id, CAST(id = cluster_id AS INTEGER) AS is_keeper
         |FROM cc ORDER BY id""".stripMargin) { (s, d) =>
-      val pairs = minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.8)
-      connectedComponents(pairs, "doc_a", "doc_b")
+      connectedComponents(corpusPairs(s, d), "doc_a", "doc_b")
         .withColumn("is_keeper", (col("id") === col("cluster_id")).cast("int"))
     },
 
@@ -545,8 +557,7 @@ object Dedup {
       val docs = Tables.documents(s, d)
       val found = simhashPairs(docs, "doc_id", "text", maxHamming = 3)
         .select("doc_a", "doc_b")
-      val truth = minhashPairs(docs, "doc_id", "text", threshold = 0.8)
-        .select("doc_a", "doc_b")
+      val truth = corpusPairs(s, d).select("doc_a", "doc_b")
       val stats = truth
         .join(found.withColumn("f", lit(1)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_true_pairs"),
@@ -581,7 +592,7 @@ object Dedup {
       val docs = Tables.documents(s, d)
       val pfx = docs.select(col("doc_id"),
         substring(col("text"), 1, 64).as("pfx"))
-      minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      corpusPairs(s, d)
         .join(pfx.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("pfx", "pfx_a"), "doc_a")
         .join(pfx.withColumnRenamed("doc_id", "doc_b")
@@ -632,8 +643,7 @@ object Dedup {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = minhashPairs(docs, "doc_id", "text", threshold = 0.8)
-        .select("doc_a", "doc_b")
+      val pairs = corpusPairs(s, d).select("doc_a", "doc_b")
       val sets = docs
         .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)

@@ -387,16 +387,31 @@ object Similarity {
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
       |    FROM s2) WHERE rk = 1)""".stripMargin
 
+  /** Cross-query shared k-means(k=8, 2 iters) assignment over the
+    * corpus embeddings — consumed by sim_kmeans AND dedup_semantic (the
+    * SemDeDup cluster stage IS the clustering query; at 100 TB the
+    * assignment is computed once and reused, not re-iterated per
+    * consumer). Same memo convention as the dedup pair frame. */
+  def corpusKmeans(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.sharedFrame(
+      s"sim:kmeans:${System.identityHashCode(s)}:$d") {
+      kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+    }
+
   /** SemDeDup: cluster then within-cluster near-duplicate drop — keep
     * the smallest-id member of every cosine-≥-threshold pair. Returns
-    * (vec_id, cluster, kept). */
+    * (vec_id, cluster, kept). `assignedOpt` lets callers supply an
+    * existing (vec_id, cluster) assignment (the shared corpus one);
+    * otherwise k-means runs here. */
   def semanticDedup(embDf: DataFrame, k: Int = 8, iters: Int = 2,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3,
+      assignedOpt: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embDf.sparkSession)
     // two consumers (pair join input and final keep flags) — persist so
     // the iterative k-means runs once
     val assigned = graft.CacheRegistry.register(
-      kmeansAssign(embDf, k, iters).select("vec_id", "cluster")
+      assignedOpt.getOrElse(kmeansAssign(embDf, k, iters))
+        .select("vec_id", "cluster")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cv = assigned
       .join(embDf.select(col("vec_id"), col("embedding")), "vec_id")
@@ -627,7 +642,7 @@ object Similarity {
       s"""WITH $kmeansOracleCte
         |SELECT vec_id, cluster, dist2 FROM a2
         |ORDER BY vec_id""".stripMargin) { (s, d) =>
-      kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+      corpusKmeans(s, d)
     },
 
     // Product quantization + asymmetric-distance search. Unlike
@@ -727,7 +742,7 @@ object Similarity {
         |  CAST(vec_id NOT IN (SELECT b FROM pairs) AS INTEGER) AS kept
         |FROM a2 ORDER BY vec_id""".stripMargin) { (s, d) =>
       semanticDedup(Tables.embeddings(s, d), k = 8, iters = 2,
-        threshold = 0.3)
+        threshold = 0.3, assignedOpt = Some(corpusKmeans(s, d)))
     },
 
     // Label-centroid similarity: per-label mean vector via exact decimal

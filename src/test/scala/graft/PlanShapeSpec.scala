@@ -170,4 +170,61 @@ class PlanShapeSpec extends SparkTestBase {
       assert(r.getLong(4) <= 4096, s"avg file exceeds target: $r")
     }
   }
+
+  test("attribution: one window pass over events, never an event self-join") {
+    val p = plan("q_attribution")
+    assert(p.contains("Window"), s"attribution should be a window:\n$p")
+    assert(!p.contains("Join"), s"event×event join crept in:\n$p")
+    // one scan of the fact table only
+    assert("Scan ".r.findAllIn(p).length <= 1, s"extra scans:\n$p")
+  }
+
+  test("welch t-test: ONE scan, conditional aggregate, no joins") {
+    val p = plan("q_ab_welch_ttest")
+    assert(!p.contains("Join"), s"arms must not join:\n$p")
+    assert("Scan ".r.findAllIn(p).length == 1, s"one events scan only:\n$p")
+    assert(p.contains("HashAggregate"), s"hash agg expected:\n$p")
+  }
+
+  test("regression trend: nation dim broadcasts; OLS sees only aggregates") {
+    val p = plan("q_regression_trend")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"25-row nation should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  test("decay ltv: 1-row anchor broadcasts; weights need no extra shuffle") {
+    val p = plan("q_decay_ltv")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1 && !p.contains("CartesianProduct"),
+      s"only the 1-row anchor cross is allowed:\n$p")
+    // shuffles: the 1-row anchor aggregate, the user-keyed aggregate,
+    // and the output sort — broadcasts excluded (they move k rows)
+    val shuffles = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(shuffles <= 3, s"shuffle creep ($shuffles):\n$p")
+  }
+
+  test("ngram novelty: inverted-index joins only, no pairwise anything") {
+    val p = plan("text_ngram_novelty")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"pairwise shape crept in:\n$p")
+  }
+
+  test("incremental dedup: bucket joins only, no cross product anywhere") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    // the decision aggregate is the last stage; candidates come from
+    // equi-joins (hash or sort-merge), never nested loops over docs
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join crept in:\n$p")
+  }
+
+  test("label propagation: per-round joins stay hash-shaped") {
+    val p = plan("graph_label_propagation")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"rounds should hash-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"loop join crept in:\n$p")
+  }
 }
