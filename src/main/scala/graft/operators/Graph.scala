@@ -158,6 +158,19 @@ object Graph {
     * everyone contributes deg² pair rows and no discriminative signal.
     * Per-supplier degrees are a supplier-cardinality frame, broadcast
     * back for the Jaccard denominator. */
+  /** Cross-query shared bipartite trade edge list (cust, supp), distinct
+    * — the single orders⋈lineitem pass every similarity/centrality query
+    * derives from. Persisted once per (session, dir). */
+  def tradeBipartite(s: SparkSession, d: String): DataFrame =
+    CacheRegistry.sharedFrame(
+      s"graph:bipartite:${System.identityHashCode(s)}:$d") {
+      Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+    }
+
   def commonNeighborPairs(s: SparkSession, d: String,
       maxDeg: Int): DataFrame =
     // Cross-query shared: graph_common_neighbors and graph_triangles
@@ -168,13 +181,7 @@ object Graph {
     // dir, and the cap.
     CacheRegistry.sharedFrame(
       s"graph:cnp:${System.identityHashCode(s)}:$d:$maxDeg") {
-      val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
-      val edges = CacheRegistry.register(
-        pairs.persist(StorageLevel.MEMORY_AND_DISK))
+      val edges = tradeBipartite(s, d)
       val custDeg = edges.groupBy("cust").agg(count(lit(1)).as("cdeg"))
       val suppDeg = edges.groupBy("supp").agg(count(lit(1)).as("sdeg"))
       val small = edges.join(custDeg, "cust").filter(col("cdeg") <= maxDeg)
@@ -354,8 +361,86 @@ object Graph {
           .filter(col("jaccard") >= 0.22).select("sa", "sb"),
         rounds = 3)
         .select(col("node"), col("lbl").as("community")).orderBy("node")
+    },
+
+    // HITS hubs & authorities on the bipartite trade graph (customers =
+    // hubs, suppliers = authorities — the graph IS the HITS setting), 2
+    // exactly-unrolled rounds. Fixed-point integers like pagerank: each
+    // half-round is one edge-keyed shuffle join + a map-side-combined
+    // sum; the L1 normalizer is a broadcast 1-row frame and the rescale
+    // is integer `div` — bit-identical in any engine (SCALE=1e6 keeps
+    // score×SCALE < 2^63 for authority degrees up to ~9e6). Output =
+    // top-10 of each side.
+    QueryDef.sql(
+      "graph_hits",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s2
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |a0 AS (SELECT DISTINCT s2 AS node, 1000000 AS a FROM pairs),
+        |h1r AS (SELECT p.c AS node, CAST(SUM(a0.a) AS BIGINT) AS h
+        |        FROM pairs p JOIN a0 ON p.s2 = a0.node GROUP BY p.c),
+        |h1t AS (SELECT CAST(SUM(h) AS BIGINT) AS t FROM h1r),
+        |h1 AS (SELECT node, (h * 1000000) // t AS h FROM h1r, h1t),
+        |a1r AS (SELECT p.s2 AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+        |        FROM pairs p JOIN h1 ON p.c = h1.node GROUP BY p.s2),
+        |a1t AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM a1r),
+        |a1 AS (SELECT node, (a * 1000000) // t AS a FROM a1r, a1t),
+        |h2r AS (SELECT p.c AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+        |        FROM pairs p JOIN a1 ON p.s2 = a1.node GROUP BY p.c),
+        |h2t AS (SELECT CAST(SUM(h) AS BIGINT) AS t FROM h2r),
+        |h2 AS (SELECT node, (h * 1000000) // t AS h FROM h2r, h2t),
+        |a2r AS (SELECT p.s2 AS node, CAST(SUM(h2.h) AS BIGINT) AS a
+        |        FROM pairs p JOIN h2 ON p.c = h2.node GROUP BY p.s2),
+        |a2t AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM a2r),
+        |a2 AS (SELECT node, (a * 1000000) // t AS a FROM a2r, a2t)
+        |SELECT kind, node, score FROM (
+        |  SELECT 'auth' AS kind, node, a AS score,
+        |    row_number() OVER (ORDER BY a DESC, node) AS rk FROM a2
+        |  UNION ALL
+        |  SELECT 'hub' AS kind, node, h AS score,
+        |    row_number() OVER (ORDER BY h DESC, node) AS rk FROM h2)
+        |WHERE rk <= 10 ORDER BY kind, score DESC, node""".stripMargin) {
+      (s, d) => hits(s, d, rounds = 2)
     }
   )
+
+  private val HitsScale = 1000000L
+
+  /** 2×`rounds` half-steps of HITS over the bipartite (cust, supp) edge
+    * frame; returns the top-10 hubs and authorities as
+    * (kind, node, score). See the graph_hits QueryDef for the scale
+    * design. */
+  def hits(s: SparkSession, d: String, rounds: Int): DataFrame =
+    hitsOnEdges(tradeBipartite(s, d), rounds)
+
+  /** HITS over any bipartite (cust, supp) edge frame. */
+  def hitsOnEdges(edges: DataFrame, rounds: Int): DataFrame = {
+    var auth = edges.select(col("supp").as("node")).distinct()
+      .withColumn("a", lit(HitsScale))
+    var hubs: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val hRaw = edges.join(auth.hint("shuffle_hash"),
+          edges("supp") === auth("node"))
+        .groupBy(col("cust")).agg(sum("a").as("h"))
+      val hTot = hRaw.agg(sum("h").as("t"))
+      hubs = hRaw.crossJoin(broadcast(hTot))
+        .select(col("cust").as("node"),
+          expr(s"(h * $HitsScale) div t").as("h"))
+      val aRaw = edges.join(hubs.hint("shuffle_hash"),
+          edges("cust") === hubs("node"))
+        .groupBy(col("supp")).agg(sum("h").as("a"))
+      val aTot = aRaw.agg(sum("a").as("t"))
+      auth = aRaw.crossJoin(broadcast(aTot))
+        .select(col("supp").as("node"),
+          expr(s"(a * $HitsScale) div t").as("a"))
+    }
+    val topAuth = auth.orderBy(desc("a"), col("node")).limit(10)
+      .select(lit("auth").as("kind"), col("node"), col("a").as("score"))
+    val topHubs = hubs.orderBy(desc("h"), col("node")).limit(10)
+      .select(lit("hub").as("kind"), col("node"), col("h").as("score"))
+    topAuth.unionByName(topHubs).orderBy(col("kind"), desc("score"),
+      col("node"))
+  }
 
   /** Synchronous min-label propagation over an undirected edge list
     * (sa, sb), `rounds` exactly-unrolled rounds. Returns (node, lbl).

@@ -167,6 +167,76 @@ object Multimodal {
           md5(expr("substring(payload, CAST(1 + col*64 AS INT), 64)"))
             .as("patch_md5"))
         .orderBy("media_id", "patch_idx")
+    },
+
+    // Audio-shaped feature extraction: the payload interpreted as 8-bit
+    // PCM (centered at 64), windowed into 160-sample frames, each frame
+    // reduced to energy (Σ s²) + zero-crossing count — the classic VAD /
+    // silence-trim features, through the SAME partition-parallel decode
+    // seam as mm_decode_features (a real pipeline would swap the byte
+    // interpretation for an actual codec and keep the window/feature
+    // shape). All features are exact integers, so the oracle replays the
+    // arithmetic verbatim — no float anywhere. The tail window is
+    // clipped, never padded (n_samples records it).
+    QueryDef.sql(
+      "mm_audio_energy",
+      """SELECT doc_id AS media_id, CAST(wi AS INTEGER) AS window_idx,
+        |  CAST(length(w) AS INTEGER) AS n_samples,
+        |  CAST(coalesce(list_sum(list_transform(range(1, length(w) + 1),
+        |    i -> CAST((unicode(w[i]) - 64) * (unicode(w[i]) - 64)
+        |      AS BIGINT))), 0) AS BIGINT) AS energy,
+        |  CAST(coalesce(list_sum(list_transform(range(1, length(w)),
+        |    i -> CASE WHEN (unicode(w[i]) - 64) * (unicode(w[i+1]) - 64) < 0
+        |      THEN 1 ELSE 0 END)), 0) AS INTEGER) AS zero_crossings
+        |FROM (
+        |  SELECT doc_id, wi,
+        |    substring(text, CAST(1 + wi*160 AS INTEGER), 160) AS w
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range(0, greatest(CAST(ceil(length(text) / 160.0)
+        |        AS BIGINT), 1))) AS wi
+        |    FROM documents))
+        |ORDER BY media_id, window_idx""".stripMargin) { (s, d) =>
+      audioWindowFeatures(binaryView(Tables.documents(s, d)), win = 160)
+        .orderBy("media_id", "window_idx")
     }
   )
+
+  val audioWindowSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("window_idx", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("zero_crossings", IntegerType, nullable = false)))
+
+  /** Windowed PCM-style features via the partition-parallel seam (see
+    * mm_audio_energy). Samples are (byte & 0xff) - 64; per window:
+    * energy = Σ s², zero crossings = adjacent strict sign flips. */
+  def audioWindowFeatures(binary: DataFrame, win: Int): DataFrame = {
+    val spark = binary.sparkSession
+    val rdd = binary.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("media_id")
+        val payload = r.getAs[Array[Byte]]("payload")
+        val nWin = math.max((payload.length + win - 1) / win, 1)
+        (0 until nWin).iterator.map { wi =>
+          val from = wi * win
+          val until = math.min(from + win, payload.length)
+          var energy = 0L
+          var zc = 0
+          var prev = 0
+          var i = from
+          while (i < until) {
+            val sVal = (payload(i) & 0xff) - 64
+            energy += sVal.toLong * sVal
+            if (i > from && prev * sVal < 0) zc += 1
+            prev = sVal
+            i += 1
+          }
+          Row(id, wi, math.max(until - from, 0), energy, zc)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioWindowSchema)
+  }
 }

@@ -69,6 +69,33 @@ class GraphSpec extends SparkTestBase {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("HITS: the authority everyone links outranks the niche one") {
+    import spark.implicits._
+    // customers 1,2,3 all buy from supplier 10; only 1 buys from 20.
+    // Supplier 10 must be the top authority; customer 1 (links to both
+    // authorities) the top hub.
+    val e = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 1L -> 20L)
+      .toDF("cust", "supp")
+    val r = Graph.hitsOnEdges(e, rounds = 2).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val auth = r.filter(_._1 == "auth").sortBy(-_._3)
+    val hubs = r.filter(_._1 == "hub").sortBy(-_._3)
+    assert(auth.head._2 == 10L && auth.head._3 > auth.last._3)
+    assert(hubs.head._2 == 1L && hubs.head._3 > hubs.last._3)
+    // L1 normalization: each side's full score mass ≈ SCALE (integer
+    // floors only lose sub-unit mass; this tiny graph has ≤ 4 nodes)
+    assert(math.abs(auth.map(_._3).sum - 1000000L) <= 4)
+  }
+
+  test("trade-graph HITS is deterministic and returns both top-10 sides") {
+    val a = graft.SparkEntry.queries("graph_hits")(spark, sf0001).collect()
+    val b = graft.SparkEntry.queries("graph_hits")(spark, sf0001).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(a.count(_.getString(0) == "auth") == 10)
+    assert(a.count(_.getString(0) == "hub") == 10)
+  }
+
   test("label propagation: disjoint components get their min-id labels") {
     import spark.implicits._
     // triangle {1,2,3} + edge {5,6}: both converge within one round

@@ -379,6 +379,32 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("audio windows tile every payload; features match a recomputation") {
+    val rows = graft.SparkEntry.queries("mm_audio_energy")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4)))
+    val texts = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // per doc: windows 0..ceil(len/160)-1, sample counts sum to len
+    rows.groupBy(_._1).foreach { case (id, ws) =>
+      val len = texts(id).length
+      assert(ws.length == math.max((len + 159) / 160, 1))
+      assert(ws.map(_._3).sum == len, s"doc $id loses samples")
+      assert(ws.map(_._2).sorted.toSeq == (0 until ws.length))
+    }
+    // independent recomputation of one document's features
+    val (id0, t0) = texts.head
+    val expect = t0.getBytes("UTF-8").grouped(160).zipWithIndex.map {
+      case (w, wi) =>
+        val s = w.map(b => (b & 0xff) - 64)
+        val zc = s.zip(s.tail).count { case (a, b) => a * b < 0 }
+        (id0, wi, w.length, s.map(x => x.toLong * x).sum, zc)
+    }.toSeq
+    assert(rows.filter(_._1 == id0).sortBy(_._2).toSeq == expect)
+  }
+
   test("byte entropy: known values, empty→null, and the quality ordering") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
