@@ -50,7 +50,7 @@ object Bench {
     "q_regression_trend", "q_ab_welch_ttest", "q_decay_ltv",
     "text_entropy", "dedup_incremental", "graph_label_propagation",
     "q_attribution", "text_ngram_novelty", "dedup_containment",
-    "mm_audio_energy", "graph_hits",
+    "mm_audio_energy", "graph_hits", "sim_centroid_drift",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

@@ -767,6 +767,35 @@ object Similarity {
         .orderBy("label")
     },
 
+    // Embedding distribution drift between two corpus halves (vec_id
+    // parity stands in for "yesterday's batch vs today's"): per label,
+    // the cosine between the halves' centroids — the representation-
+    // drift monitor a training pipeline runs per ingest. Scale shape:
+    // one narrow (label, half, dim) shuffle (map-side combined), then a
+    // label×64 frame — the cosine never touches row-level vectors.
+    // Determinism: exact decimal per-dim means rounded 6dp (the k-means
+    // convention), one final rounded cosine.
+    QueryDef.sql(
+      "sim_centroid_drift",
+      """WITH cent AS (
+        |  SELECT label, vec_id % 2 AS h, i,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    round(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)
+        |      / COUNT(*), 6) AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)
+        |  GROUP BY label, vec_id % 2, i),
+        |j AS (
+        |  SELECT a.label, a.i, a.n AS na, b.n AS nb, a.m AS ma, b.m AS mb
+        |  FROM cent a JOIN cent b
+        |    ON a.label = b.label AND a.i = b.i AND a.h = 0 AND b.h = 1)
+        |SELECT label, CAST(MAX(na) AS BIGINT) AS n_a,
+        |  CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  round(SUM(ma * mb)
+        |    / (sqrt(SUM(ma * ma)) * sqrt(SUM(mb * mb))), 4) AS centroid_cos
+        |FROM j GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      centroidDrift(Tables.embeddings(s, d), pmod(col("vec_id"), lit(2)))
+    },
+
     // ------------------------------------------------------------------
     // Johnson–Lindenstrauss random projection 64 → 8 dims with ±1
     // (Achlioptas 2003) weights, the dimensionality-reduction front end
@@ -811,4 +840,28 @@ object Similarity {
     (0 until dim).map(i =>
       element_at(col("embedding"), i + 1).cast("double") *
         lit(rpSign(j, i).toDouble)).reduce(_ + _)
+
+  /** Per-label cosine between the centroids of the two cohorts defined
+    * by `half` (0/1) — see the sim_centroid_drift QueryDef. Returns
+    * (label, n_a, n_b, centroid_cos). */
+  def centroidDrift(emb: DataFrame, half: Column): DataFrame = {
+    val cent = emb
+      .select(col("label"), half.as("h"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "h", "i")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("m"))
+    val a = cent.filter(col("h") === 0)
+      .select(col("label"), col("i"), col("n").as("na"), col("m").as("ma"))
+    val b = cent.filter(col("h") === 1)
+      .select(col("label"), col("i"), col("n").as("nb"), col("m").as("mb"))
+    a.join(b, Seq("label", "i"))
+      .groupBy("label")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        round(sum(col("ma") * col("mb"))
+          / (sqrt(sum(col("ma") * col("ma")))
+            * sqrt(sum(col("mb") * col("mb")))), 4).as("centroid_cos"))
+      .orderBy("label")
+  }
 }

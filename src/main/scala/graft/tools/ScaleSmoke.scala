@@ -75,7 +75,10 @@ object ScaleSmoke {
       "graph_common_neighbors", "q_shard_pack",
       // r7 verdict: the heaviest benched queries that had no skew gate
       "graph_triangles", "q_winsorized_mean", "q_kll_rollup",
-      "text_count_min", "q_multiway_join")
+      "text_count_min", "q_multiway_join",
+      // r8 additions with non-trivial shuffle shapes
+      "dedup_incremental", "dedup_containment", "text_ngram_novelty",
+      "graph_hits", "graph_label_propagation")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

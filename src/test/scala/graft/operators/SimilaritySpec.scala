@@ -246,4 +246,26 @@ class SimilaritySpec extends SparkTestBase {
     val expected = math.sqrt(v.map(x => x.toDouble * x).sum)
     assert(math.abs(row.getDouble(0) - expected) < 1e-6)
   }
+
+  test("centroid drift: identical cohorts read 1.0, opposed cohorts -1.0") {
+    import spark.implicits._
+    // two labels × two halves; label 0's halves identical (drift cos 1),
+    // label 1's second half is the exact negation (cos -1)
+    def vec(seed: Int) = (1 to 64).map(i => (seed * i % 7 - 3).toFloat)
+    val rows = Seq(
+      (0L, vec(1), 0), (1L, vec(1), 0),           // label 0: same both halves
+      (2L, vec(2), 1), (3L, vec(2).map(-_), 1))   // label 1: negated half
+      .map { case (id, v, l) => (id, v, l) }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidDrift(df, col("vec_id") % 2)
+      .collect().map(x => x.getInt(0) -> x.getDouble(3)).toMap
+    assert(r(0) == 1.0, s"identical halves must read 1.0: ${r(0)}")
+    assert(r(1) == -1.0, s"negated halves must read -1.0: ${r(1)}")
+    // corpus query: bounded cosines, one row per label present in both
+    val corpus = graft.SparkEntry.queries("sim_centroid_drift")(spark, sf0001)
+      .collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(x =>
+      assert(math.abs(x.getDouble(3)) <= 1.0 + 1e-9))
+  }
 }
