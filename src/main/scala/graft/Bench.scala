@@ -51,6 +51,8 @@ object Bench {
     "text_entropy", "dedup_incremental", "graph_label_propagation",
     "q_attribution", "text_ngram_novelty", "dedup_containment",
     "mm_audio_energy", "graph_hits", "sim_centroid_drift",
+    "q_acf_daily", "q_seasonal_dow", "q_ewma_forecast", "q_chi_square_dow",
+    "text_dsir_weights", "text_kl_divergence", "graph_kcore",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries.defs ++ AsofJoin.defs ++ RangeJoin.defs ++ SkewJoin.defs ++
       BucketedJoin.defs ++ BloomJoin.defs ++ Dedup.defs ++ Similarity.defs ++
       TextAnalysis.defs ++ Multimodal.defs ++ StreamingOps.defs ++
-      Graph.defs ++ Sampling.defs ++ Layout.defs ++ ConnectorQueries.defs
+      Graph.defs ++ Sampling.defs ++ Layout.defs ++ SeriesOps.defs ++
+      ConnectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -401,8 +401,113 @@ object Graph {
         |    row_number() OVER (ORDER BY h DESC, node) AS rk FROM h2)
         |WHERE rk <= 10 ORDER BY kind, score DESC, node""".stripMargin) {
       (s, d) => hits(s, d, rounds = 2)
+    },
+
+    // 3-core peeling (3 exactly-unrolled rounds) over the SAME
+    // thresholded similarity graph — the dense-subgraph extractor
+    // (k-core is the standard "keep the structurally supported part"
+    // filter before community/embedding work). Each round is one
+    // degree aggregation over survivor-restricted edges (two semi-join
+    // shapes + a map-side-combined count) — node-cardinality frames
+    // only, never the raw bipartite fan-out; a fixed round count keeps
+    // plan depth constant and lets the oracle unroll the recursion.
+    // Nodes whose neighbors all got peeled leave no degree row — the
+    // LEFT JOIN + coalesce(deg,0) keeps their removal exact. Integer
+    // degrees ⇒ bit-identical rounds in any engine.
+    QueryDef.sql(
+      "graph_kcore",
+      s"""WITH $simEdgeSql,
+        |sym AS (SELECT sa AS src, sb AS dst FROM e
+        |        UNION ALL SELECT sb, sa FROM e),
+        |n0 AS (SELECT DISTINCT src AS node FROM sym),
+        |deg1 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |         FROM sym GROUP BY src),
+        |r1 AS (SELECT n0.node FROM n0 LEFT JOIN deg1 USING (node)
+        |       WHERE coalesce(deg, 0) < 3),
+        |s1 AS (SELECT n0.node FROM n0 LEFT JOIN deg1 USING (node)
+        |       WHERE coalesce(deg, 0) >= 3),
+        |deg2 AS (SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |         FROM sym s JOIN s1 a ON s.src = a.node
+        |         JOIN s1 b ON s.dst = b.node GROUP BY s.src),
+        |r2 AS (SELECT s1.node FROM s1 LEFT JOIN deg2 USING (node)
+        |       WHERE coalesce(deg, 0) < 3),
+        |s2 AS (SELECT s1.node FROM s1 LEFT JOIN deg2 USING (node)
+        |       WHERE coalesce(deg, 0) >= 3),
+        |deg3 AS (SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |         FROM sym s JOIN s2 a ON s.src = a.node
+        |         JOIN s2 b ON s.dst = b.node GROUP BY s.src),
+        |r3 AS (SELECT s2.node FROM s2 LEFT JOIN deg3 USING (node)
+        |       WHERE coalesce(deg, 0) < 3),
+        |s3 AS (SELECT s2.node FROM s2 LEFT JOIN deg3 USING (node)
+        |       WHERE coalesce(deg, 0) >= 3)
+        |SELECT node, removed_round FROM (
+        |  SELECT node, 1 AS removed_round FROM r1
+        |  UNION ALL SELECT node, 2 FROM r2
+        |  UNION ALL SELECT node, 3 FROM r3
+        |  UNION ALL SELECT node, 0 FROM s3)
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      kcorePeelOnEdges(
+        commonNeighborPairs(s, d, maxDeg = 64)
+          .filter(col("jaccard") >= 0.22).select("sa", "sb"),
+        k = 3, rounds = 3)
+        .orderBy("node")
     }
   )
+
+  /** The thresholded supplier-similarity edge CTE shared by the oracle
+    * texts (triangles / label propagation build the same `e` inline). */
+  private val simEdgeSql =
+    """pairs AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+      |sdeg AS (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
+      |small AS (
+      |  SELECT p.cust, p.supp FROM pairs p
+      |  JOIN cdeg USING (cust) WHERE cdeg <= 64),
+      |common AS (
+      |  SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
+      |  FROM small a JOIN small b
+      |    ON a.cust = b.cust AND a.supp < b.supp
+      |  GROUP BY a.supp, b.supp),
+      |e AS (
+      |  SELECT sa, sb FROM common
+      |  JOIN sdeg da ON common.sa = da.supp
+      |  JOIN sdeg db ON common.sb = db.supp
+      |  WHERE round(CAST(common AS DOUBLE)
+      |    / (da.sdeg + db.sdeg - common), 4) >= 0.22)""".stripMargin
+
+  /** `rounds` exactly-unrolled peeling rounds of k-core over an
+    * undirected edge list (sa, sb). Returns (node, removed_round) with
+    * 0 = survived every round. Each round restricts the symmetric edge
+    * frame to current survivors (two node-keyed semi-join shapes),
+    * recounts degrees map-side, and peels nodes under `k` — including
+    * nodes that lost ALL neighbors (left join + coalesce 0). */
+  def kcorePeelOnEdges(rawEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym = CacheRegistry.register(
+      rawEdges.select(explode(array(
+          struct(col("sa").as("src"), col("sb").as("dst")),
+          struct(col("sb").as("src"), col("sa").as("dst")))).as("ed"))
+        .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var surv = sym.select(col("src").as("node")).distinct()
+    var removed: DataFrame = null
+    for (i <- 1 to rounds) {
+      val deg = sym
+        .join(surv.hint("shuffle_hash"), sym("src") === surv("node"))
+        .drop("node")
+        .join(surv.select(col("node").as("dn")).hint("shuffle_hash"),
+          col("dst") === col("dn"))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      val peeled = surv.join(deg, surv("node") === deg("src"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < k)
+        .select(col("node"), lit(i).as("removed_round"))
+      removed =
+        if (removed == null) peeled else removed.unionByName(peeled)
+      surv = surv.join(peeled.select("node"), Seq("node"), "left_anti")
+    }
+    surv.withColumn("removed_round", lit(0)).unionByName(removed)
+  }
 
   private val HitsScale = 1000000L
 

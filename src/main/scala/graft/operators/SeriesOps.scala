@@ -1,0 +1,285 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series diagnostics over the daily event stream: autocorrelation,
+  * seasonal decomposition, EWMA forecasting, and a chi-square
+  * independence test. These are the monitoring primitives a training-data
+  * ingest pipeline runs per cohort (is today's volume seasonal or
+  * anomalous? did the event mix shift?).
+  *
+  * Scale design (100 TB): every query first reduces the event log to the
+  * DAILY frame — one map-side-combined aggregation keyed by date, the
+  * only pass over the raw data. Everything downstream (windows,
+  * self-joins, grids) runs on a date-domain-bounded frame (≤ a few
+  * thousand rows at ANY corpus size), so global windows and tiny
+  * cross-joins are free; the reduction is the distributed part.
+  *
+  * Cross-engine determinism (the q_rolling_anomaly conventions):
+  * daily sums are DECIMAL(18,2) (exact, order-free); decimal×decimal
+  * products and their sums stay exact; the only inexact steps are final
+  * scalar expressions over a handful of exact aggregates (identical
+  * IEEE expression trees in both engines) and `ln`, which is rounded to
+  * 6 decimals per value before any further arithmetic. Day-of-week is
+  * `epoch_days % 7` — locale-free and identical in any engine (0 =
+  * Thursday, 1970-01-01).
+  */
+object SeriesOps {
+
+  /** EWMA smoothing: alpha = 3/10, truncated at 14 lags. The
+    * coefficients c_j = 0.3 * 0.7^j are EXACT decimals (scale j+1), and
+    * the normalizer Σ c_j = 1 - 0.7^14 is the closed-form geometric sum —
+    * both rendered from these BigDecimals into the Spark literals AND
+    * the oracle SQL, so the two engines share one model by construction
+    * (the TextAnalysis.cmHashRows pattern). */
+  val ewmaLags = 14
+  val ewmaCoefs: IndexedSeq[java.math.BigDecimal] = {
+    val a = new java.math.BigDecimal("0.3")
+    val r = new java.math.BigDecimal("0.7")
+    (0 until ewmaLags).map(j => a.multiply(r.pow(j)))
+  }
+  val ewmaNorm: java.math.BigDecimal =
+    ewmaCoefs.reduce(_.add(_)).stripTrailingZeros()
+
+  /** Pre-normalized weights w_j = c_j / Σc, rounded ONCE to 12 decimals
+    * (HALF_UP) — the model constants both engines consume. */
+  val ewmaWeights: IndexedSeq[java.math.BigDecimal] =
+    ewmaCoefs.map(c =>
+      c.divide(ewmaNorm, 12, java.math.RoundingMode.HALF_UP))
+
+  /** Daily total value, the shared reduction. */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+
+  private val dailySql =
+    """daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+      |  FROM events GROUP BY 1)""".stripMargin
+
+  /** `epoch_days % 7` day-of-week bucket (0 = Thursday). */
+  private def dowCol(day: Column): Column =
+    datediff(day, to_date(lit("1970-01-01"))) % 7
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Autocorrelation function at lags 1..7 of the daily value series —
+    // the "is there weekly periodicity?" probe. The lagged pairs come
+    // from a self-join of the daily frame on `a.day = b.day + k` (the
+    // frame is date-domain-bounded, so the 7-way replicated self-join is
+    // trivially small at any corpus scale); all sums (Σxy, Σx, Σy, Σx²)
+    // are exact decimals, and r_k is one closed-form double expression
+    // over them: r_k = (Σxy − x̄(Σx+Σy) + m·x̄²) / (Σx² − (Σx)²/n).
+    QueryDef.sql(
+      "q_acf_daily",
+      s"""WITH $dailySql,
+        |lags AS (SELECT unnest(range(1, 8)) AS k),
+        |pairs AS (
+        |  SELECT k,
+        |    SUM(CAST(a.x AS DECIMAL(18,2)) * CAST(b.x AS DECIMAL(18,2)))
+        |      AS sxy,
+        |    SUM(a.x) AS sx, SUM(b.x) AS sy,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM daily a, daily b, lags
+        |  WHERE a.day = b.day + CAST(k AS INTEGER) GROUP BY k),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s,
+        |    SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS ss
+        |  FROM daily)
+        |SELECT CAST(k AS BIGINT) AS lag, m,
+        |  round((CAST(sxy AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / n) * (CAST(sx AS DOUBLE) + CAST(sy AS DOUBLE))
+        |      + m * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |    / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n),
+        |    4) AS acf
+        |FROM pairs, tot ORDER BY lag""".stripMargin) { (s, d) =>
+      val dy = daily(s, d)
+      val lags = s.range(1, 8).toDF("k")
+      val pairs = dy.as("a")
+        .join(dy.as("b").crossJoin(broadcast(lags)),
+          col("a.day") === date_add(col("b.day"), col("k").cast("int")))
+        .groupBy("k")
+        .agg(
+          sum(col("a.x").cast("decimal(18,2)") *
+            col("b.x").cast("decimal(18,2)")).as("sxy"),
+          sum(col("a.x")).as("sx"), sum(col("b.x")).as("sy"),
+          count(lit(1)).as("m"))
+      val tot = dy.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x").cast("decimal(18,2)") *
+          col("x").cast("decimal(18,2)")).as("ss"))
+      val xbar = col("s").cast("double") / col("n")
+      pairs.crossJoin(broadcast(tot))
+        .select(col("k").as("lag"), col("m"),
+          round((col("sxy").cast("double")
+              - xbar * (col("sx").cast("double") + col("sy").cast("double"))
+              + col("m") * xbar * xbar)
+            / (col("ss").cast("double")
+              - col("s").cast("double") * col("s").cast("double") / col("n")),
+            4).as("acf"))
+        .orderBy("lag")
+    },
+
+    // ------------------------------------------------------------------
+    // Classical seasonal decomposition, day-of-week profile: trend =
+    // centered 7-day moving average (exact decimal numerator / 7),
+    // detrended residual per day, seasonal index = mean residual per
+    // dow bucket. Reports each bucket's index plus its share of
+    // detrended variance — "how much of the wiggle is weekly?".
+    QueryDef.sql(
+      "q_seasonal_dow",
+      s"""WITH $dailySql,
+        |t AS (
+        |  SELECT day, x, SUM(x) OVER w AS s7,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS c7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT ((day - DATE '1970-01-01') % 7) AS dow,
+        |    CAST(round(CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7, 6)
+        |      AS DECIMAL(18,6)) AS r
+        |  FROM t WHERE c7 = 7)
+        |SELECT CAST(dow AS INT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 4) AS seasonal_idx,
+        |  round(CAST(SUM(CAST(round(r, 2) AS DECIMAL(15,2))
+        |      * CAST(round(r, 2) AS DECIMAL(15,2)))
+        |      AS DOUBLE) / COUNT(*), 4) AS mean_sq_resid
+        |FROM det GROUP BY dow ORDER BY dow""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val det = daily(s, d)
+        .select(col("day"), col("x"),
+          sum(col("x")).over(w).as("s7"), count(lit(1)).over(w).as("c7"))
+        .filter(col("c7") === 7)
+        .select(dowCol(col("day")).as("dow"),
+          round(col("x").cast("double") - col("s7").cast("double") / 7, 6)
+            .cast("decimal(18,6)").as("r"))
+      // sums stay NARROW exact decimals (residuals re-rounded to cents
+      // for the square term) so the decimal→double cast is exact while
+      // the raw integer fits 2^53 — the wide-decimal cast is where
+      // engines can disagree by an ulp (two-step int128 conversions)
+      val r2 = round(col("r"), 2).cast("decimal(15,2)")
+      det.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(col("r")).cast("double") / count(lit(1)), 4)
+            .as("seasonal_idx"),
+          round(sum(r2 * r2).cast("double") / count(lit(1)), 4)
+            .as("mean_sq_resid"))
+        .select(col("dow").cast("int").as("dow"), col("n_days"),
+          col("seasonal_idx"), col("mean_sq_resid"))
+        .orderBy("dow")
+    },
+
+    // ------------------------------------------------------------------
+    // Truncated-EWMA one-step-ahead forecast: ewma_t = Σ_{j<14} w_j ·
+    // x_{t−j} with w_j = the PRE-NORMALIZED 0.3·0.7^j / Σ (rounded to 12
+    // decimals once, in ewmaWeights — rendered into both engines from
+    // the same BigDecimals), err_t = x_t − ewma_{t−1}. The recursion is
+    // unrolled to a FIXED 14-term weighted lag sum — unlike the
+    // recursive form it is order-free, exactly mergeable, and one window
+    // pass in any engine. The ENTIRE pipeline is decimal arithmetic:
+    // products, sums, the 6dp ewma round and the 4dp error round all
+    // happen in exact decimals, and only the final narrow (≤6dp-scale)
+    // values are cast to double — wide-decimal→double casts are where
+    // engines disagree by an ulp. Only days with a full 14-lag history
+    // are scored.
+    QueryDef.sql(
+      "q_ewma_forecast", {
+        val terms = ewmaWeights.zipWithIndex.map { case (c, j) =>
+          s"CAST(round(CAST(${c.toPlainString} AS DECIMAL(13,12))" +
+            s" * lag(x, $j) OVER w, 6) AS DECIMAL(18,6))"
+        }.mkString(" + ")
+        s"""WITH $dailySql,
+          |e AS (
+          |  SELECT day, x,
+          |    CASE WHEN lag(x, ${ewmaLags - 1}) OVER w IS NOT NULL THEN
+          |      CAST(round($terms, 6) AS DECIMAL(18,6))
+          |    END AS ewma6
+          |  FROM daily WINDOW w AS (ORDER BY day)),
+          |e2 AS (
+          |  SELECT day, x, ewma6,
+          |    round(x - lag(ewma6, 1) OVER (ORDER BY day), 4) AS errd
+          |  FROM e)
+          |SELECT strftime(day, '%Y-%m-%d') AS day,
+          |  round(CAST(x AS DOUBLE), 2) AS x, CAST(ewma6 AS DOUBLE) AS ewma,
+          |  CAST(errd AS DOUBLE) AS err
+          |FROM e2 WHERE ewma6 IS NOT NULL ORDER BY day""".stripMargin
+      }) { (s, d) =>
+      val w = Window.orderBy("day")
+      val weighted = ewmaWeights.zipWithIndex.map { case (c, j) =>
+        round(lit(new java.math.BigDecimal(c.toPlainString))
+          .cast("decimal(13,12)") * lag(col("x"), j).over(w), 6)
+          .cast("decimal(18,6)")
+      }.reduce(_ + _)
+      val e = daily(s, d)
+        .select(col("day"), col("x"),
+          when(lag(col("x"), ewmaLags - 1).over(w).isNotNull,
+            round(weighted, 6).cast("decimal(18,6)")).as("ewma6"))
+      e.withColumn("errd",
+          round(col("x") - lag(col("ewma6"), 1).over(w), 4))
+        .filter(col("ewma6").isNotNull)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("x").cast("double"), 2).as("x"),
+          col("ewma6").cast("double").as("ewma"),
+          col("errd").cast("double").as("err"))
+        .orderBy("day")
+    },
+
+    // ------------------------------------------------------------------
+    // Chi-square independence test: is event_type independent of
+    // day-of-week? Observed counts over the FULL |types|×|dows| grid
+    // (absent cells count 0 and still contribute their expectation),
+    // expected = row·col/N, χ² = Σ (o−e)²/e with per-cell contributions
+    // rounded at 6 before the exact decimal sum. One aggregation over
+    // the events scan; the grid/totals are |types|×7 — broadcast-sized
+    // forever.
+    QueryDef.sql(
+      "q_chi_square_dow",
+      """WITH cells AS (
+        |  SELECT event_type, ((CAST(ts AS DATE) - DATE '1970-01-01') % 7)
+        |    AS dow, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, w.dow, coalesce(c.o, 0) AS o
+        |  FROM (SELECT DISTINCT event_type FROM cells) t
+        |  CROSS JOIN (SELECT DISTINCT dow FROM cells) w
+        |  LEFT JOIN cells c USING (event_type, dow)),
+        |tot AS (
+        |  SELECT g.*, SUM(o) OVER (PARTITION BY event_type) AS rt,
+        |    SUM(o) OVER (PARTITION BY dow) AS ct, SUM(o) OVER () AS n
+        |  FROM grid g)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST((COUNT(DISTINCT event_type) - 1)
+        |    * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+        |  round(CAST(SUM(CAST(round(
+        |      (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+        |      * (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 4) AS chi2
+        |FROM tot""".stripMargin) { (s, d) =>
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), dowCol(to_date(col("ts"))).as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val types = cells.select("event_type").distinct()
+      val dows = cells.select("dow").distinct()
+      val grid = types.crossJoin(dows)
+        .join(cells, Seq("event_type", "dow"), "left")
+        .na.fill(0L, Seq("o"))
+      val tot = grid
+        .withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("ct", sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", sum("o").over(Window.partitionBy()))
+      val e = col("rt").cast("double") * col("ct").cast("double") / col("n")
+      tot.agg(
+        max("n").cast("bigint").as("n"),
+        ((countDistinct("event_type") - 1) * (countDistinct("dow") - 1))
+          .cast("bigint").as("dof"),
+        round(sum(round((col("o") - e) * (col("o") - e) / e, 6)
+          .cast("decimal(18,6)")).cast("double"), 4).as("chi2"))
+    })
+}

@@ -1206,6 +1206,120 @@ object TextAnalysis {
           col("st.n_distinct").as("n_distinct_chars"))
         .withColumn("is_low_entropy", (col("char_entropy") < 3.5).cast("int"))
         .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every doc
+    // by the log-likelihood ratio of a TARGET unigram LM (here the
+    // English cohort) vs the RAW-corpus LM, add-one smoothed over the
+    // corpus vocabulary — the standard recipe for reweighting a crawl
+    // toward a target domain. Two vocabulary-sized TF frames (broadcast
+    // at 100 TB), one token-stream join, one doc re-aggregation: the
+    // same two-shuffle shape as text_unigram_logprob. Determinism: each
+    // ln is rounded to 6dp BEFORE the subtraction (absorbs last-ulp
+    // libm differences), per-token log-ratios sum as exact decimals.
+    QueryDef.sql(
+      "text_dsir_weights",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |raw AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cr
+        |        FROM tok GROUP BY term),
+        |tgt AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS ct FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE lang = 'en') GROUP BY term),
+        |consts AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(cr) AS BIGINT) AS nr,
+        |    (SELECT CAST(coalesce(SUM(ct), 0) AS BIGINT) FROM tgt) AS nt
+        |  FROM raw)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(
+        |      CAST(round(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+        |          / CAST(nt + v AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |      - CAST(round(ln(CAST(cr + 1 AS DOUBLE)
+        |          / CAST(nr + v AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE), 4) AS dsir_logw
+        |FROM tok JOIN raw USING (term) LEFT JOIN tgt USING (term)
+        |CROSS JOIN consts
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val raw = tok.groupBy("term").agg(count(lit(1)).as("cr"))
+      val tgt = docs.filter(col("lang") === "en")
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("ct"))
+      val consts = raw.agg(count(lit(1)).as("v"), sum("cr").cast("bigint").as("nr"))
+        .crossJoin(tgt.agg(coalesce(sum("ct"), lit(0L)).cast("bigint").as("nt")))
+      val lpT = round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+        (col("nt") + col("v")).cast("double")), 6).cast("decimal(18,6)")
+      val lpR = round(log((col("cr") + 1).cast("double") /
+        (col("nr") + col("v")).cast("double")), 6).cast("decimal(18,6)")
+      tok.join(raw, "term").join(tgt, Seq("term"), "left")
+        .crossJoin(broadcast(consts))
+        .withColumn("lr", lpT - lpR)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("lr")).cast("double"), 4).as("dsir_logw"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
+    // Per-source corpus drift: KL(P_source ‖ P_corpus) over the SHARED
+    // vocabulary with add-one smoothing — the distribution-shift monitor
+    // run between crawl snapshots / ingest cohorts (the unigram-LM
+    // counterpart of the numeric text_drift_psi). The sum runs over the
+    // full |sources|×|vocab| grid (absent terms still carry smoothed
+    // mass), built as a cross-join of two vocabulary-bounded frames —
+    // never touches the token stream a second time. Determinism: the
+    // only libm op (ln) is rounded at 6dp per value; each cell's
+    // contribution p_s·(ln p_s − ln p_c) is rounded at 9dp and summed
+    // exactly.
+    QueryDef.sql(
+      "text_kl_divergence",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cc
+        |          FROM tok GROUP BY term),
+        |srccnt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cs
+        |           FROM tok GROUP BY source, term),
+        |srctot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+        |           FROM tok GROUP BY source),
+        |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(cc) AS BIGINT) AS nc FROM vocab),
+        |grid AS (
+        |  SELECT st.source, st.ns, vb.cc, coalesce(sc.cs, 0) AS cs, c.v, c.nc
+        |  FROM srctot st CROSS JOIN vocab vb CROSS JOIN consts c
+        |  LEFT JOIN srccnt sc ON sc.source = st.source AND sc.term = vb.term)
+        |SELECT source, ns AS n_tokens,
+        |  round(CAST(SUM(CAST(round(
+        |      (CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))
+        |      * (round(ln(CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE)), 6)
+        |        - round(ln(CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE)), 6)),
+        |      9) AS DECIMAL(18,9))) AS DOUBLE), 4) AS kl
+        |FROM grid GROUP BY source, ns ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("cc"))
+      val srccnt = tok.groupBy("source", "term").agg(count(lit(1)).as("cs"))
+      val srctot = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+      val consts = vocab.agg(count(lit(1)).as("v"),
+        sum("cc").cast("bigint").as("nc"))
+      val ps = (col("cs") + 1).cast("double") / (col("ns") + col("v")).cast("double")
+      val contrib = round(ps *
+        (round(log(ps), 6) -
+          round(log((col("cc") + 1).cast("double") /
+            (col("nc") + col("v")).cast("double")), 6)), 9)
+        .cast("decimal(18,9)")
+      broadcast(srctot).crossJoin(vocab).crossJoin(broadcast(consts))
+        .join(srccnt, Seq("source", "term"), "left")
+        .na.fill(0L, Seq("cs"))
+        .groupBy(col("source"), col("ns").as("n_tokens"))
+        .agg(round(sum(contrib).cast("double"), 4).as("kl"))
+        .orderBy("source")
     }
   )
 

@@ -128,4 +128,40 @@ class GraphSpec extends SparkTestBase {
     assert(r.forall(x => x.getLong(1) <= x.getLong(0)))
     assert(r.forall(x => nodes.contains(x.getLong(1))))
   }
+
+  test("k-core peeling removes leaves first, keeps the dense core") {
+    import spark.implicits._
+    // triangle {1,2,3} each also joined to 4 (core of the wheel-ish
+    // graph is {1,2,3,4}: all degree >= 3) plus pendant chain 4-5-6:
+    // 6 peels round 1 (deg 1 < 3), 5 peels round 2 only via cascade?
+    // deg(5)=2 < 3 so round 1; then 4 still has deg 3 (1,2,3) and
+    // survives. 6's only neighbor peels with it in round 1.
+    val e = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 1L -> 4L, 2L -> 4L,
+      3L -> 4L, 4L -> 5L, 5L -> 6L).toDF("sa", "sb")
+    val r = Graph.kcorePeelOnEdges(e, k = 3, rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 1, 6L -> 1))
+  }
+
+  test("k-core cascade: losing a peeled neighbor can peel you next round") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4}; node 5 hangs off 2,3,4 (deg 3) but 6,7 give
+    // nothing: path 5-6, 6-7. Round 1 removes 6,7 (deg<3). 5 keeps
+    // 2,3,4 => survives. Now remove edge 5-4 variant: instead node 5
+    // linked to 2,3,6 only => round 1 peels 6,7; round 2 peels 5
+    // (deg 2). The cascade is the k-core signature.
+    val e = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 5L -> 2L, 5L -> 3L, 5L -> 6L, 6L -> 7L).toDF("sa", "sb")
+    val r = Graph.kcorePeelOnEdges(e, k = 3, rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0,
+      5L -> 2, 6L -> 1, 7L -> 1))
+  }
+
+  test("trade-graph k-core query covers every thresholded-graph node once") {
+    val r = graft.SparkEntry.queries("graph_kcore")(spark, sf0001)
+      .collect().map(x => x.getLong(0) -> x.getInt(1))
+    assert(r.nonEmpty && r.map(_._1).distinct.length == r.length)
+    assert(r.forall { case (_, rr) => rr >= 0 && rr <= 3 })
+  }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** Cross-checks the decimal-exact time-series queries against plain
+  * double-precision recomputations of the same statistics — the
+  * determinism plumbing (decimal sums, per-term rounding) must not
+  * change the math beyond rounding noise. */
+class SeriesOpsSpec extends SparkTestBase {
+
+  private lazy val daily: Seq[(java.sql.Date, Double)] =
+    Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum("value").as("x"))
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0), r.getDouble(1))).toSeq
+
+  test("q_acf_daily matches a float ACF recomputation") {
+    val ours = graft.SparkEntry.queries("q_acf_daily")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val xs = daily.map(_._2)
+    val n = xs.length
+    val mean = xs.sum / n
+    val denom = xs.map(v => (v - mean) * (v - mean)).sum
+    val byDay = daily.map { case (d, v) => d.toLocalDate -> v }.toMap
+    (1L to 7L).foreach { k =>
+      val pairs = daily.flatMap { case (d, v) =>
+        byDay.get(d.toLocalDate.minusDays(k)).map(prev => (v, prev))
+      }
+      val num = pairs.map { case (a, b) => (a - mean) * (b - mean) }.sum
+      val ref = num / denom
+      assert(math.abs(ours(k) - ref) < 1e-3, s"lag $k: ${ours(k)} vs $ref")
+    }
+  }
+
+  test("q_ewma_forecast matches a float truncated-EWMA recomputation") {
+    val ours = graft.SparkEntry.queries("q_ewma_forecast")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ws = SeriesOps.ewmaWeights.map(_.doubleValue())
+    val xs = daily.map(_._2)
+    assert(ours.nonEmpty && ours.size == xs.length - (SeriesOps.ewmaLags - 1))
+    daily.zipWithIndex.drop(SeriesOps.ewmaLags - 1).foreach { case ((d, _), t) =>
+      val ref = ws.zipWithIndex.map { case (w, j) => w * xs(t - j) }.sum
+      val got = ours(d.toLocalDate.toString)
+      assert(math.abs(got - ref) < 1e-3, s"$d: $got vs $ref")
+    }
+  }
+
+  test("q_seasonal_dow matches a float decomposition recomputation") {
+    val rows = graft.SparkEntry.queries("q_seasonal_dow")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (0 until 7))
+    val xs = daily.map(_._2)
+    val resid = daily.indices.drop(3).dropRight(3).map { t =>
+      val ma = (t - 3 to t + 3).map(xs).sum / 7
+      val dow = ((daily(t)._1.toLocalDate.toEpochDay % 7) + 7) % 7
+      (dow.toInt, xs(t) - ma)
+    }
+    val ref = resid.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum / v.size)).toMap
+    rows.foreach { case (dow, n, idx) =>
+      val (rn, ridx) = ref(dow)
+      assert(n == rn, s"dow $dow count $n vs $rn")
+      assert(math.abs(idx - ridx) < 1e-2, s"dow $dow: $idx vs $ridx")
+    }
+  }
+
+  test("q_chi_square_dow matches a float chi-square recomputation") {
+    val row = graft.SparkEntry.queries("q_chi_square_dow")(spark, sf0001)
+      .collect().head
+    val (n, dof, chi2) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val cells = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"),
+        (datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) % 7)
+          .as("dow"))
+      .agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val types = cells.keys.map(_._1).toSeq.distinct
+    val dows = cells.keys.map(_._2).toSeq.distinct
+    val total = cells.values.sum
+    assert(n == total)
+    assert(dof == (types.size - 1).toLong * (dows.size - 1))
+    val rt = types.map(t => t -> cells.collect {
+      case ((tt, _), o) if tt == t => o }.sum).toMap
+    val ct = dows.map(w => w -> cells.collect {
+      case ((_, ww), o) if ww == w => o }.sum).toMap
+    val ref = (for (t <- types; w <- dows) yield {
+      val o = cells.getOrElse((t, w), 0L).toDouble
+      val e = rt(t).toDouble * ct(w) / total
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(chi2 - ref) < 1e-2, s"$chi2 vs $ref")
+  }
+
+  test("text_dsir_weights upweights the target (English) cohort") {
+    val w = graft.SparkEntry.queries("text_dsir_weights")(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_logw") / col("n_tokens")).as("mw"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(w(true) > w(false),
+      s"en per-token logw ${w(true)} should exceed non-en ${w(false)}")
+  }
+
+  test("text_kl_divergence is non-negative and covers every source") {
+    val rows = graft.SparkEntry.queries("text_kl_divergence")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    val nSources = Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    // KL ≥ 0 up to the 9dp per-cell rounding slack
+    rows.foreach { case (src, kl) => assert(kl >= -1e-4, s"$src kl=$kl") }
+  }
+}
