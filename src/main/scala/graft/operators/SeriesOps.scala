@@ -281,5 +281,65 @@ object SeriesOps {
           .cast("bigint").as("dof"),
         round(sum(round((col("o") - e) * (col("o") - e) / e, 6)
           .cast("decimal(18,6)")).cast("double"), 4).as("chi2"))
+    },
+
+    // ------------------------------------------------------------------
+    // Mann-Whitney U rank-sum test (click vs purchase values — the
+    // nonparametric sibling of q_ab_welch_ttest): midranks over the
+    // combined sample, U₁ = R₁ − n₁(n₁+1)/2, z via the normal
+    // approximation (no tie correction — reported U is exact either
+    // way). SCALE SHAPE: ranks are NOT a global sort of the event log —
+    // the samples reduce to the DISTINCT-VALUE frame first (value-domain
+    // bounded), midranks come from one cumulative window over that
+    // frame, and the rank-sum is a weighted aggregate. DETERMINISM:
+    // everything stays in integers by working with DOUBLED midranks
+    // (2·before + c + 1, always integral — no .5 decimals, no division
+    // until the final closed-form z).
+    QueryDef.sql(
+      "q_mann_whitney",
+      """WITH g AS (
+        |  SELECT value AS v,
+        |    CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+        |      AS BIGINT) AS isa
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |cnt AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(isa) AS BIGINT) AS ca
+        |  FROM g GROUP BY v),
+        |mr AS (
+        |  SELECT v, c, ca,
+        |    2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS m2
+        |  FROM cnt),
+        |agg AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(c - ca) AS BIGINT) AS n2,
+        |    CAST(SUM(ca * m2) AS BIGINT) AS r1x2
+        |  FROM mr)
+        |SELECT n1, n2,
+        |  round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2, 1) AS u1,
+        |  round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (n1 + n2 + 1) / 12), 4) AS z
+        |FROM agg""".stripMargin) { (s, d) =>
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("value").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("isa"))
+      val cnt = g.groupBy("v")
+        .agg(count(lit(1)).as("c"), sum("isa").as("ca"))
+      val w = Window.orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val mr = cnt.withColumn("m2",
+        lit(2) * (sum("c").over(w) - col("c")) + col("c") + 1)
+      val agg = mr.agg(
+        sum("ca").cast("bigint").as("n1"),
+        sum(col("c") - col("ca")).cast("bigint").as("n2"),
+        sum(col("ca") * col("m2")).cast("bigint").as("r1x2"))
+      val u1 = (col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") / 2
+      agg.select(col("n1"), col("n2"), round(u1, 1).as("u1"),
+        round((u1 - col("n1").cast("double") * col("n2").cast("double") / 2)
+          / sqrt(col("n1").cast("double") * col("n2").cast("double")
+            * (col("n1") + col("n2") + 1) / 12), 4).as("z"))
     })
 }

@@ -1320,6 +1320,47 @@ object TextAnalysis {
         .groupBy(col("source"), col("ns").as("n_tokens"))
         .agg(round(sum(contrib).cast("double"), 4).as("kl"))
         .orderBy("source")
+    },
+
+    // ------------------------------------------------------------------
+    // Flesch-style readability score — the curriculum/quality signal
+    // ("reading ease") production filters compute per document. Words =
+    // whitespace tokens, sentences = terminal-punctuation runs (floor
+    // 1), syllables ≈ vowel-group runs (the standard cheap proxy).
+    // Score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    // words). A single narrow codegen'd projection (two regexp counts +
+    // a split) — embarrassingly parallel at any corpus size.
+    // Determinism: all three inputs are exact integers; the score is
+    // one fixed closed-form double expression over them.
+    QueryDef.sql(
+      "text_readability",
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+        |    AS flesch
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS INTEGER) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS INTEGER) AS n_syllables
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("int").as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("int").as("n_sentences"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("int")
+            .as("n_syllables"))
+        .withColumn("flesch",
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+            4))
+        .orderBy("doc_id")
     }
   )
 

@@ -93,6 +93,29 @@ class SeriesOpsSpec extends SparkTestBase {
     assert(math.abs(chi2 - ref) < 1e-2, s"$chi2 vs $ref")
   }
 
+  test("q_mann_whitney matches a float rank-sum recomputation") {
+    val row = graft.SparkEntry.queries("q_mann_whitney")(spark, sf0001)
+      .collect().head
+    val (n1, n2, u1, z) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    val vals = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(n1 == vals.count(_._1 == "click"))
+    assert(n2 == vals.count(_._1 == "purchase"))
+    // midranks via sorting the combined sample
+    val sorted = vals.sortBy(_._2)
+    val midrank = sorted.map(_._2).zipWithIndex.groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1.0).sum / g.size).toMap
+    val r1 = vals.filter(_._1 == "click").map(v => midrank(v._2)).sum
+    val refU = r1 - n1 * (n1 + 1) / 2.0
+    assert(math.abs(u1 - refU) < 0.51, s"$u1 vs $refU")
+    val mu = n1.toDouble * n2 / 2
+    val sigma = math.sqrt(n1.toDouble * n2 * (n1 + n2 + 1) / 12)
+    assert(math.abs(z - (refU - mu) / sigma) < 1e-3)
+  }
+
   test("text_dsir_weights upweights the target (English) cohort") {
     val w = graft.SparkEntry.queries("text_dsir_weights")(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select("doc_id", "lang"), "doc_id")

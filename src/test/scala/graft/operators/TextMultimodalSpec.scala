@@ -436,4 +436,23 @@ class TextMultimodalSpec extends SparkTestBase {
       assert(flag == (if (h < 3.5) 1 else 0))
     }
   }
+
+  test("text_readability: flesch formula matches a per-doc recomputation") {
+    val rows = graft.SparkEntry.queries("text_readability")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val (id, w, sent, syl, fl) = (r.getLong(0), r.getInt(1),
+        r.getInt(2), r.getInt(3), r.getDouble(4))
+      val text = docs(id)
+      assert(w == text.split(" ", -1).length, s"doc $id words")
+      assert(sent == math.max("[.!?]+".r.findAllIn(text).length, 1))
+      assert(syl == "[aeiouy]+".r.findAllIn(text.toLowerCase).length)
+      val ref = 206.835 - 1.015 * (w.toDouble / sent) - 84.6 * (syl.toDouble / w)
+      assert(math.abs(fl - ref) < 1e-3, s"doc $id: $fl vs $ref")
+    }
+  }
 }
