@@ -2260,6 +2260,73 @@ object CoreQueries {
         .agg(sum("wc").as("ltv_fp"),
           (sum("wc").cast("double") / 1048576 / 100).as("decayed_ltv"))
         .orderBy("user_id")
+    },
+
+    // Gini coefficient + top-1% revenue share over customer spend — the
+    // concentration/inequality audit (is the corpus dominated by a few
+    // heavy keys?). G = 2·Σi·mᵢ/(n·Σm) − (n+1)/n over ascending-rank
+    // customers. The global rank uses the q_shard_pack recipe — range
+    // repartition + per-partition row_number + broadcast offsets, never
+    // a single-partition sort (the (m, custkey) key is unique, so ranks
+    // are range-boundary-independent). Σi·m and Σm are exact decimals;
+    // the Gini/share scalars are one closed-form double expression each.
+    QueryDef.sql(
+      "q_gini_concentration",
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT o_custkey, m,
+        |    row_number() OVER (ORDER BY m, o_custkey) AS i
+        |  FROM cust),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(m) AS sm,
+        |    SUM(CAST(i AS DECIMAL(18,0)) * m) AS swm
+        |  FROM ranked),
+        |top AS (
+        |  SELECT SUM(r.m) AS tm FROM ranked r, tot
+        |  WHERE r.i > tot.n - CAST(ceil(CAST(tot.n AS DOUBLE) * 0.01)
+        |    AS BIGINT))
+        |SELECT n,
+        |  round(2 * CAST(swm AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(sm AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1) / n, 4) AS gini,
+        |  round(CAST(tm AS DOUBLE) / CAST(sm AS DOUBLE), 4)
+        |    AS top1pct_share
+        |FROM tot, top""".stripMargin) { (s, d) =>
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
+      // persisted before deriving offsets — same single-evaluation
+      // guarantee as q_shard_pack (RangePartitioner seeds differ per
+      // evaluation; ReuseExchange must not be load-bearing)
+      val local = graft.CacheRegistry.register(cust
+        .repartitionByRange(32, col("m"), col("o_custkey"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrk", row_number().over(Window.partitionBy("pid")
+          .orderBy(col("m"), col("o_custkey"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          sum("cnt").over(Window.orderBy("pid")) - col("cnt"))
+        .select("pid", "offset")
+      val ranked = local.join(broadcast(offsets), "pid")
+        .withColumn("i", col("lrk") + col("offset"))
+      val tot = ranked.agg(count(lit(1)).cast("bigint").as("n"),
+        sum("m").as("sm"),
+        sum(col("i").cast("decimal(18,0)") * col("m")).as("swm"))
+      val top = ranked.crossJoin(broadcast(tot.select("n")))
+        .filter(col("i") >
+          col("n") - ceil(col("n").cast("double") * 0.01).cast("bigint"))
+        .agg(sum("m").as("tm"))
+      tot.crossJoin(top)
+        .select(col("n"),
+          round(lit(2) * col("swm").cast("double")
+              / (col("n").cast("double") * col("sm").cast("double"))
+            - (col("n").cast("double") + 1) / col("n"), 4).as("gini"),
+          round(col("tm").cast("double") / col("sm").cast("double"), 4)
+            .as("top1pct_share"))
     }
   )
 }

@@ -469,7 +469,110 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Maximal-marginal-relevance diversified top-k: greedily pick the
+    * candidate maximizing λ·relevance − (1−λ)·max-similarity-to-selected
+    * — the standard diversified retrieval/sampling step for training-data
+    * curation (don't feed the model k near-copies of the best hit).
+    *
+    * Scale shape: the DISTRIBUTED work is the relevance scan + bounded
+    * top-`pool` (bruteForceTopK — corpus-sized, broadcast query); the
+    * inherently sequential greedy loop then runs as k tiny Spark jobs
+    * over the pool²-row pair frame (pool = 20 here; pool² = 400 rows at
+    * ANY corpus size). Nothing is collected to the driver — each step is
+    * an anti-join + max-aggregate + TakeOrdered(1).
+    *
+    * Determinism: relevances and pairwise sims are 4dp-rounded before
+    * any comparison, every argmax carries a vec_id tiebreak, and the λ
+    * blend uses the same double constants in both engines (0.3 is an
+    * explicit literal — `1 − 0.7` in IEEE is 0.30000000000000004). */
+  def mmrDiversify(emb: DataFrame, queryId: Long, pool: Int, k: Int)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cand = graft.CacheRegistry.register(
+      bruteForceTopK(emb, emb.filter(col("vec_id") === queryId), pool)
+        .select(col("neighbor_id").as("vec_id"), col("sim").as("rel"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val p = graft.CacheRegistry.register(
+      cand.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+        .join(cand.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+          col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          round(graft.functions.GraftFunctions.cosine(col("ea"), col("eb")),
+            4).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var result = cand.orderBy(desc("rel"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel").as("score"), lit(1).as("step"))
+    for (i <- 2 to k) {
+      val selIds = result.select("vec_id")
+      val step = cand.join(selIds, Seq("vec_id"), "left_anti")
+        .join(p, col("vec_id") === col("ia"))
+        .join(selIds.withColumnRenamed("vec_id", "sid"),
+          col("ib") === col("sid"))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max("s").as("ms"))
+        .select(col("vec_id"),
+          round(lit(0.7) * col("rel") - lit(0.3) * col("ms"), 4).as("score"),
+          lit(i).as("step"))
+        .orderBy(desc("score"), col("vec_id")).limit(1)
+      result = result.unionByName(step)
+    }
+    result.select("step", "vec_id", "score").orderBy("step")
+  }
+
+  /** DuckDB rendering of [[mmrDiversify]] (query 0, pool 20, k 5):
+    * greedy steps exactly unrolled, same 4dp rounds and tiebreaks. */
+  private def mmrOracleSql(pool: Int, k: Int): String = {
+    def cos(a: String, b: String) =
+      s"""CASE WHEN list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * x)) = 0
+         |           OR list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * x)) = 0
+         |         THEN 0.0
+         |         ELSE round(list_cosine_similarity(
+         |           CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 4)
+         |    END""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (
+         |  SELECT c.vec_id,
+         |    round(CAST(0.7 AS DOUBLE) * c.rel
+         |      - CAST(0.3 AS DOUBLE) * max(p.s), 4) AS score, $i AS step
+         |  FROM cand c JOIN p ON p.ia = c.vec_id
+         |  JOIN sel${i - 1} sl ON p.ib = sl.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY c.vec_id, c.rel ORDER BY score DESC, c.vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM sel${i - 1}
+         |          UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id, ${cos("e.embedding", "qv.qe")} AS rel
+       |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+       |cand AS (SELECT vec_id, rel FROM scored
+       |         ORDER BY rel DESC, vec_id LIMIT $pool),
+       |ce AS (SELECT c.vec_id, c.rel, e.embedding
+       |       FROM cand c JOIN embeddings e USING (vec_id)),
+       |p AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ${cos("a.embedding", "b.embedding")} AS s
+       |  FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
+       |s1 AS (SELECT vec_id, rel AS score, 1 AS step FROM cand
+       |       ORDER BY rel DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$steps
+       |SELECT step, vec_id, score FROM (
+       |  ${(1 to k).map(i => s"SELECT * FROM s$i")
+          .mkString("\n  UNION ALL ")})
+       |ORDER BY step""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    // MMR diversified top-5 over the embedding corpus (query vector 0,
+    // candidate pool 20). See [[mmrDiversify]] for the scale/determinism
+    // contract; the oracle unrolls all five greedy steps.
+    QueryDef.sql("sim_mmr_diversify", mmrOracleSql(pool = 20, k = 5)) {
+      (s, d) =>
+        mmrDiversify(Tables.embeddings(s, d), queryId = 0L, pool = 20, k = 5)
+    },
+
     // Exact per-vector L2 norm, computed through DECIMAL so the sum of
     // squares is order-independent and matches DuckDB exactly.
     QueryDef.sql(

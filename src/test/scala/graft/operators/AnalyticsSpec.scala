@@ -171,4 +171,23 @@ class AnalyticsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     ours.foreach { case (u, v) => assert(v <= plain(u) + 1e-6) }
   }
+
+  test("q_gini_concentration matches a float Gini recomputation") {
+    val row = graft.SparkEntry.queries("q_gini_concentration")(spark, sf0001)
+      .collect().head
+    val (n, gini, top1) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val ms = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("m"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, m) => (m, id) }.map(_._2)
+    assert(n == ms.length)
+    val sm = ms.sum
+    val swm = ms.zipWithIndex.map { case (m, i) => (i + 1) * m }.sum
+    val refG = 2 * swm / (n * sm) - (n + 1.0) / n
+    assert(math.abs(gini - refG) < 1e-3, s"$gini vs $refG")
+    val k = math.ceil(n * 0.01).toInt
+    val refTop = ms.takeRight(k).sum / sm
+    assert(math.abs(top1 - refTop) < 1e-3, s"$top1 vs $refTop")
+    assert(gini > 0 && gini < 1 && top1 > 0.01 * 0.5)
+  }
 }

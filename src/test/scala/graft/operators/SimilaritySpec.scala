@@ -268,4 +268,42 @@ class SimilaritySpec extends SparkTestBase {
     corpus.foreach(x =>
       assert(math.abs(x.getDouble(3)) <= 1.0 + 1e-9))
   }
+
+  test("sim_mmr_diversify replays the greedy selection exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val ours = graft.SparkEntry.queries("sim_mmr_diversify")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(ours.map(_._1).toSeq == (1 to 5))
+    assert(ours.map(_._2).distinct.length == 5)
+    // replay greedy from the same rounded inputs
+    val cand = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0L), 20)
+      .select(col("neighbor_id"), col("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    graft.functions.GraftFunctions.register(spark)
+    val ids = cand.map(_._1).toSet
+    val ce = emb.filter(col("vec_id").isin(ids.toSeq: _*))
+      .select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val pairs = ce.join(
+        ce.select(col("ia").as("ib"), col("ea").as("eb")),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(graft.functions.GraftFunctions.cosine(col("ea"), col("eb")), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val rel = cand.toMap
+    var sel = Vector(cand.maxBy { case (id, r) => (r, -id) }._1)
+    (2 to 5).foreach { _ =>
+      val next = cand.filterNot(c => sel.contains(c._1)).map { case (id, r) =>
+        val ms = sel.map(sid => pairs((id, sid))).max
+        id -> BigDecimal(0.7 * r - 0.3 * ms)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.maxBy { case (id, sc) => (sc, -id) }
+      sel = sel :+ next._1
+    }
+    assert(ours.map(_._2).toVector == sel,
+      s"${ours.map(_._2).toVector} vs $sel")
+    assert(math.abs(ours.head._3 - rel(sel.head)) < 1e-9)
+  }
 }
