@@ -484,13 +484,22 @@ object Graph {
     * recounts degrees map-side, and peels nodes under `k` — including
     * nodes that lost ALL neighbors (left join + coalesce 0). */
   def kcorePeelOnEdges(rawEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val sym = CacheRegistry.register(
-      rawEdges.select(explode(array(
-          struct(col("sa").as("src"), col("sb").as("dst")),
-          struct(col("sb").as("src"), col("sa").as("dst")))).as("ed"))
-        .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    var surv = sym.select(col("src").as("node")).distinct()
+    // LINEAGE TRUNCATION, not just caching: each round's frames are
+    // multi-consumer (deg uses surv twice; peeled feeds the union AND
+    // the next surv), so the logical plan nests multiplicatively per
+    // round — and the upstream edge derivation (orders⋈lineitem,
+    // deg-capped self-join) rides along in every copy. `persist` caches
+    // runtime data but Catalyst still re-analyzes the full tree per
+    // action (measured: 17 s driver time on an EMPTY edge set at
+    // sf0.1). `localCheckpoint` (eager) cuts the plan to a LogicalRDD
+    // leaf; each round is then one tiny job over node-cardinality
+    // frames and the final plan is constant-size.
+    val sym = rawEdges.select(explode(array(
+        struct(col("sa").as("src"), col("sb").as("dst")),
+        struct(col("sb").as("src"), col("sa").as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+      .localCheckpoint()
+    var surv = sym.select(col("src").as("node")).distinct().localCheckpoint()
     var removed: DataFrame = null
     for (i <- 1 to rounds) {
       val deg = sym
@@ -502,9 +511,11 @@ object Graph {
       val peeled = surv.join(deg, surv("node") === deg("src"), "left")
         .filter(coalesce(col("deg"), lit(0L)) < k)
         .select(col("node"), lit(i).as("removed_round"))
+        .localCheckpoint()
       removed =
         if (removed == null) peeled else removed.unionByName(peeled)
       surv = surv.join(peeled.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
     }
     surv.withColumn("removed_round", lit(0)).unionByName(removed)
   }
@@ -520,13 +531,21 @@ object Graph {
 
   /** HITS over any bipartite (cust, supp) edge frame. */
   def hitsOnEdges(edges: DataFrame, rounds: Int): DataFrame = {
+    // lineage truncation per half-round: hRaw/aRaw each feed BOTH the
+    // L1-normalizer aggregate and the rescale join, so without a
+    // checkpoint the logical plan (with the orders⋈lineitem edge
+    // derivation inside) nests ~2× per half-round and Catalyst
+    // re-analysis dominates (measured 12.9 s at sf0.1 → ~3 s). The
+    // score frames are node-cardinality — checkpointing them is cheap.
     var auth = edges.select(col("supp").as("node")).distinct()
       .withColumn("a", lit(HitsScale))
+      .localCheckpoint()
     var hubs: DataFrame = null
     for (_ <- 1 to rounds) {
       val hRaw = edges.join(auth.hint("shuffle_hash"),
           edges("supp") === auth("node"))
         .groupBy(col("cust")).agg(sum("a").as("h"))
+        .localCheckpoint()
       val hTot = hRaw.agg(sum("h").as("t"))
       hubs = hRaw.crossJoin(broadcast(hTot))
         .select(col("cust").as("node"),
@@ -534,6 +553,7 @@ object Graph {
       val aRaw = edges.join(hubs.hint("shuffle_hash"),
           edges("cust") === hubs("node"))
         .groupBy(col("supp")).agg(sum("h").as("a"))
+        .localCheckpoint()
       val aTot = aRaw.agg(sum("a").as("t"))
       auth = aRaw.crossJoin(broadcast(aTot))
         .select(col("supp").as("node"),

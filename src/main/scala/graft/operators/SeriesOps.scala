@@ -50,6 +50,20 @@ object SeriesOps {
     ewmaCoefs.map(c =>
       c.divide(ewmaNorm, 12, java.math.RoundingMode.HALF_UP))
 
+  /** Poisson-bootstrap model: replica count and the Poisson(1) CDF
+    * cutoffs as 4-hex-char strings over the uniform 16-bit md5 prefix —
+    * weight w = #cutoffs ≤ prefix reproduces w ~ Poisson(1) (truncated
+    * at 6). Rendered into BOTH engines from these values (the
+    * cmHashRows pattern); lexicographic compare of fixed-length
+    * lowercase hex equals numeric compare, the q_hash_split trick. */
+  val bootstrapB = 40
+  val poissonCutsHex: Seq[String] = {
+    val pmf = (0 to 5).scanLeft(0.0) { case (cdf, k) =>
+      cdf + math.exp(-1.0) / (1 to k).product.toDouble
+    }.tail // CDF at k = 0..5
+    pmf.map(c => f"${math.floor(c * 65536).toLong}%04x")
+  }
+
   /** Daily total value, the shared reduction. */
   private def daily(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -341,5 +355,68 @@ object SeriesOps {
         round((u1 - col("n1").cast("double") * col("n2").cast("double") / 2)
           / sqrt(col("n1").cast("double") * col("n2").cast("double")
             * (col("n1") + col("n2") + 1) / 12), 4).as("z"))
+    },
+
+    // ------------------------------------------------------------------
+    // Poisson-bootstrap 95% CI for the mean purchase value: B=40
+    // replicas, each row's replica weight w ~ Poisson(1) derived
+    // DETERMINISTICALLY from md5(event_id:replica) against the CDF
+    // cutoffs in poissonCutsHex — reruns, backfills, and engines agree
+    // replica-for-replica (the reason production bootstraps never use
+    // rand()). The CI is the 2nd/39th order statistic of the replica
+    // means. SCALE: one pass over the events scan computing all B
+    // weights per row (a B-wide explode feeding a map-side-combined
+    // per-replica aggregate — the shuffle carries B×partitions partial
+    // rows, never B× the data), then order statistics over the B-row
+    // frame.
+    QueryDef.sql(
+      "q_bootstrap_ci", {
+        val wSql = poissonCutsHex.map(c =>
+          s"CAST((substring(md5(CAST(event_id AS VARCHAR) || ':' ||"
+            + s" CAST(r AS VARCHAR)), 1, 4) >= '$c') AS INT)")
+          .mkString("(", " + ", ")")
+        s"""WITH ev AS (
+          |  SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v
+          |  FROM events WHERE event_type = 'purchase'),
+          |reps AS (SELECT unnest(range(1, ${bootstrapB + 1})) AS r),
+          |wt AS (SELECT r, v, $wSql AS w FROM ev, reps),
+          |means AS (
+          |  SELECT r,
+          |    round(CAST(SUM(w * v) AS DOUBLE) / SUM(w), 4) AS m
+          |  FROM wt GROUP BY r),
+          |ranked AS (
+          |  SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM means),
+          |pt AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |    round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS point_mean
+          |  FROM ev)
+          |SELECT $bootstrapB AS b, n_rows, point_mean,
+          |  MAX(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+          |  MAX(CASE WHEN rk = ${bootstrapB - 1} THEN m END) AS ci_hi
+          |FROM ranked, pt GROUP BY n_rows, point_mean""".stripMargin
+      }) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value").cast("decimal(18,2)").as("v"))
+      val reps = s.range(1, bootstrapB + 1).toDF("r")
+      val h4 = substring(md5(concat(col("event_id").cast("string"),
+        lit(":"), col("r").cast("string"))), 1, 4)
+      val w = poissonCutsHex.map(c => (h4 >= lit(c)).cast("int"))
+        .reduce(_ + _)
+      val means = ev.crossJoin(broadcast(reps))
+        .select(col("r"), col("v"), w.as("w"))
+        .groupBy("r")
+        .agg(round(sum(col("w") * col("v")).cast("double") / sum("w"), 4)
+          .as("m"))
+      val rkw = Window.orderBy("m", "r")
+      val ranked = means.withColumn("rk", row_number().over(rkw))
+      val pt = ev.agg(count(lit(1)).cast("bigint").as("n_rows"),
+        round(sum("v").cast("double") / count(lit(1)), 4).as("point_mean"))
+      ranked.crossJoin(broadcast(pt))
+        .groupBy("n_rows", "point_mean")
+        .agg(max(when(col("rk") === 2, col("m"))).as("ci_lo"),
+          max(when(col("rk") === bootstrapB - 1, col("m"))).as("ci_hi"))
+        .select(lit(bootstrapB).as("b"), col("n_rows"), col("point_mean"),
+          col("ci_lo"), col("ci_hi"))
     })
 }

@@ -488,22 +488,31 @@ object Similarity {
   def mmrDiversify(emb: DataFrame, queryId: Long, pool: Int, k: Int)
       : DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val cand = graft.CacheRegistry.register(
-      bruteForceTopK(emb, emb.filter(col("vec_id") === queryId), pool)
-        .select(col("neighbor_id").as("vec_id"), col("sim").as("rel"))
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val p = graft.CacheRegistry.register(
-      cand.select(col("vec_id").as("ia"), col("embedding").as("ea"))
-        .join(cand.select(col("vec_id").as("ib"), col("embedding").as("eb")),
-          col("ia") =!= col("ib"))
-        .select(col("ia"), col("ib"),
-          round(graft.functions.GraftFunctions.cosine(col("ea"), col("eb")),
-            4).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // localCheckpoint, not persist: the greedy chain references cand/p/
+    // result many times per step, so the LOGICAL plan (with the corpus
+    // scoring scan inside) would nest multiplicatively and Catalyst
+    // re-analysis would dominate the runtime (measured 9 s at sf0.1 for
+    // 400-row greedy work). Checkpointing cuts each to a LogicalRDD
+    // leaf: the corpus is scored exactly once, the greedy tail is k
+    // tiny jobs on constant-size plans.
+    val cand = bruteForceTopK(emb, emb.filter(col("vec_id") === queryId), pool)
+      .select(col("neighbor_id").as("vec_id"), col("sim").as("rel"))
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .localCheckpoint()
+    val p = cand.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(cand.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(graft.functions.GraftFunctions.cosine(col("ea"), col("eb")),
+          4).as("s"))
+      .localCheckpoint()
     var result = cand.orderBy(desc("rel"), col("vec_id")).limit(1)
       .select(col("vec_id"), col("rel").as("score"), lit(1).as("step"))
     for (i <- 2 to k) {
+      // the running selection feeds THREE consumers per step (anti-
+      // join, sim join, next union) — checkpoint each round or the
+      // greedy chain re-analyzes all earlier steps multiplicatively
+      result = result.localCheckpoint()
       val selIds = result.select("vec_id")
       val step = cand.join(selIds, Seq("vec_id"), "left_anti")
         .join(p, col("vec_id") === col("ia"))

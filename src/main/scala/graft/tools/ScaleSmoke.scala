@@ -78,7 +78,14 @@ object ScaleSmoke {
       "text_count_min", "q_multiway_join",
       // r8 additions with non-trivial shuffle shapes
       "dedup_incremental", "dedup_containment", "text_ngram_novelty",
-      "graph_hits", "graph_label_propagation")
+      "graph_hits", "graph_label_propagation",
+      // r8 second wave: token-stream joins (DSIR/KL), survivor-restricted
+      // degree iterations (k-core), the B-wide bootstrap explode, the
+      // range-repartition rank (gini), the distinct-value rank-sum
+      // window (mann-whitney), and the MMR pool tail
+      "text_dsir_weights", "text_kl_divergence", "graph_kcore",
+      "q_bootstrap_ci", "q_gini_concentration", "q_mann_whitney",
+      "sim_mmr_diversify")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

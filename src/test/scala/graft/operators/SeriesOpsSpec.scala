@@ -135,4 +135,30 @@ class SeriesOpsSpec extends SparkTestBase {
     // KL ≥ 0 up to the 9dp per-cell rounding slack
     rows.foreach { case (src, kl) => assert(kl >= -1e-4, s"$src kl=$kl") }
   }
+
+  test("q_bootstrap_ci brackets the point estimate with ordered bounds") {
+    val row = graft.SparkEntry.queries("q_bootstrap_ci")(spark, sf0001)
+      .collect().head
+    val (b, n, pt, lo, hi) = (row.getInt(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(b == SeriesOps.bootstrapB)
+    val ref = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), avg("value")).collect().head
+    assert(n == ref.getLong(0))
+    assert(math.abs(pt - ref.getDouble(1)) < 1e-2)
+    // CI must bracket the point estimate and be ordered; with B=40
+    // Poisson replicas on thousands of rows, the bracket is tight
+    assert(lo < hi && lo <= pt && pt <= hi, s"$lo $pt $hi")
+    assert((hi - lo) / pt < 0.5, s"CI implausibly wide: $lo..$hi vs $pt")
+  }
+
+  test("poisson bootstrap weights have mean ~1 and match the CDF cutoffs") {
+    assert(SeriesOps.poissonCutsHex.length == 6)
+    // cutoffs are the Poisson(1) CDF scaled to 16 bits
+    val cdf = SeriesOps.poissonCutsHex.map(h => Integer.parseInt(h, 16) / 65536.0)
+    val expect = Seq(0.3679, 0.7358, 0.9197, 0.9810, 0.9963, 0.9994)
+    cdf.zip(expect).foreach { case (c, e) =>
+      assert(math.abs(c - e) < 1e-4, s"$c vs $e") }
+  }
 }
