@@ -54,7 +54,7 @@ object Bench {
     "q_acf_daily", "q_seasonal_dow", "q_ewma_forecast", "q_chi_square_dow",
     "text_dsir_weights", "text_kl_divergence", "graph_kcore",
     "q_mann_whitney", "text_readability", "sim_mmr_diversify",
-    "q_gini_concentration", "q_bootstrap_ci",
+    "q_gini_concentration", "q_bootstrap_ci", "graph_ppr",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

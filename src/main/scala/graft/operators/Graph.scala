@@ -199,11 +199,89 @@ object Graph {
             (col("da") + col("db") - col("common")), 4).as("jaccard"))
     }
 
+  /** Personalized PageRank from a single seed node, `iters` unrolled
+    * iterations: r_i = restart·[node=seed] + (1−α)·Σ incoming shares,
+    * fixed-point integers exactly like [[pagerankOnEdges]] (restart mass
+    * goes ONLY to the seed — the "similarity to this node" centrality
+    * used for related-item retrieval). Same per-iteration shape: one
+    * src-keyed shuffle-hash join + one map-side-combined dst aggregate;
+    * constant plan depth. */
+  def pprOnEdges(rawEdges: DataFrame, seed: Long, iters: Int): DataFrame = {
+    val edges = CacheRegistry.register(
+      rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = CacheRegistry.register(
+      edges.select("src").distinct().withColumnRenamed("src", "node")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var ranks = nodes
+      .select(col("node"),
+        when(col("node") === seed, lit(Scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks.hint("shuffle_hash"),
+          edges("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("share"))
+        .groupBy("dst").agg(sum("share").as("in_mass"))
+      ranks = nodes.join(contrib.hint("shuffle_hash"),
+          nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (when(col("node") === seed, lit(15L * Scale / 100))
+            .otherwise(lit(0L)) +
+            expr("(85 * coalesce(in_mass, 0L)) div 100")).as("r"))
+    }
+    ranks
+  }
+
+  private def pprOracleSql(seedExpr: String, iters: Int): String = {
+    val base =
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM edges GROUP BY src),
+        |r0 AS (SELECT node,
+        |         CASE WHEN node = $seedExpr
+        |           THEN 1000000000000 ELSE 0 END AS r
+        |       FROM nodes)""".stripMargin
+    val iterations = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM(r.r // d.deg) AS BIGINT) AS in_mass
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    CASE WHEN nodes.node = $seedExpr
+         |      THEN ${15L * Scale / 100} ELSE 0 END
+         |      + (85 * COALESCE(s$i.in_mass, 0)) // 100 AS r
+         |  FROM nodes
+         |  LEFT JOIN s$i ON nodes.node = s$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iterations
+       |SELECT node, r AS rank_fp FROM r$iters
+       |WHERE r > 0 ORDER BY rank_fp DESC, node LIMIT 10""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef.sql("graph_pagerank", oracleSqlFor(3)) { (s, d) =>
       pagerank(s, d, iters = 3)
         .select(col("node"), col("r").as("rank_fp"))
         .orderBy(desc("rank_fp"), col("node")).limit(10)
+    },
+
+    // Personalized PageRank seeded at customer 1 (node 2): the
+    // "retrieval neighborhood" ranking. WHERE r > 0 keeps the output
+    // independent of graph regions the 3-hop mass never reaches.
+    QueryDef.sql("graph_ppr", pprOracleSql(seedExpr = "2", iters = 3)) {
+      (s, d) =>
+        pprOnEdges(edgesWithDeg(s, d), seed = 2L, iters = 3)
+          .filter(col("r") > 0)
+          .select(col("node"), col("r").as("rank_fp"))
+          .orderBy(desc("rank_fp"), col("node")).limit(10)
     },
 
     // Min-hop BFS vs a DuckDB RECURSIVE CTE: the recursive UNION

@@ -164,4 +164,41 @@ class GraphSpec extends SparkTestBase {
     assert(r.nonEmpty && r.map(_._1).distinct.length == r.length)
     assert(r.forall { case (_, rr) => rr >= 0 && rr <= 3 })
   }
+
+  test("personalized pagerank localizes mass around the seed") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (undirected, deg attached): seed 1; after 3 iters
+    // only nodes within 3 hops carry mass, and the seed dominates
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val deg = edges.groupBy("src").count().withColumnRenamed("count", "deg")
+    val e = edges.join(deg, "src")
+    val r = Graph.pprOnEdges(e, seed = 1L, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(5L) == 0L, "4 hops away must carry no mass after 3 iters")
+    // replay the exact integer recurrence
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val scale = 1000000000000L
+    var ref = adj.keys.map(n => n -> (if (n == 1L) scale else 0L)).toMap
+    (1 to 3).foreach { _ =>
+      val in = adj.keys.map { n =>
+        n -> adj.filter(_._2.contains(n)).keys
+          .map(src => ref(src) / adj(src).size).sum
+      }.toMap
+      ref = adj.keys.map(n =>
+        n -> ((if (n == 1L) 15L * scale / 100 else 0L) + 85L * in(n) / 100))
+        .toMap
+    }
+    assert(r == ref, s"$r vs $ref")
+  }
+
+  test("trade-graph PPR query returns a top-10 containing the seed") {
+    val r = graft.SparkEntry.queries("graph_ppr")(spark, sf0001)
+      .collect().map(x => x.getLong(0) -> x.getLong(1))
+    assert(r.nonEmpty && r.length <= 10)
+    assert(r.map(_._2).toSeq == r.map(_._2).sortBy(-_).toSeq)
+    assert(r.map(_._1).contains(2L), "seed node 2 must rank in its own PPR")
+  }
 }
