@@ -55,6 +55,7 @@ object Bench {
     "text_dsir_weights", "text_kl_divergence", "graph_kcore",
     "q_mann_whitney", "text_readability", "sim_mmr_diversify",
     "q_gini_concentration", "q_bootstrap_ci", "graph_ppr",
+    "q_ks_test", "q_quantile_normalize", "mm_scene_cut",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

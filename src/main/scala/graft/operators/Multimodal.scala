@@ -199,6 +199,45 @@ object Multimodal {
         |ORDER BY media_id, window_idx""".stripMargin) { (s, d) =>
       audioWindowFeatures(binaryView(Tables.documents(s, d)), win = 160)
         .orderBy("media_id", "window_idx")
+    },
+
+    // Scene-cut detection on the video-shaped payload: frames = 256-byte
+    // windows through the SAME decode seam (a real pipeline swaps in a
+    // codec and keeps the frame/feature shape), per-frame integer energy,
+    // and a cut wherever consecutive-frame energy jumps by ≥ 50000 — the
+    // shot-boundary primitive behind frame-sampling curricula. One lag
+    // window PER MEDIA (shuffle keyed by media_id; frames of one medium
+    // sort locally), all-integer features ⇒ the oracle replays verbatim.
+    QueryDef.sql(
+      "mm_scene_cut",
+      """WITH fr AS (
+        |  SELECT doc_id AS media_id, CAST(wi AS INTEGER) AS frame_idx,
+        |    CAST(coalesce(list_sum(list_transform(range(1, length(w) + 1),
+        |      i -> CAST((unicode(w[i]) - 64) * (unicode(w[i]) - 64)
+        |        AS BIGINT))), 0) AS BIGINT) AS energy
+        |  FROM (
+        |    SELECT doc_id, wi,
+        |      substring(text, CAST(1 + wi*256 AS INTEGER), 256) AS w
+        |    FROM (
+        |      SELECT doc_id, text,
+        |        unnest(range(0, greatest(CAST(ceil(length(text) / 256.0)
+        |          AS BIGINT), 1))) AS wi
+        |      FROM documents)))
+        |SELECT media_id, frame_idx, energy,
+        |  energy - lag(energy) OVER w AS d_energy,
+        |  CAST(abs(energy - lag(energy) OVER w) >= 50000 AS INTEGER)
+        |    AS is_cut
+        |FROM fr WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("frame_idx")
+      audioWindowFeatures(binaryView(Tables.documents(s, d)), win = 256)
+        .select(col("media_id"), col("window_idx").as("frame_idx"),
+          col("energy"))
+        .withColumn("d_energy", col("energy") - lag("energy", 1).over(w))
+        .withColumn("is_cut",
+          (abs(col("d_energy")) >= 50000).cast("int"))
+        .orderBy("media_id", "frame_idx")
     }
   )
 

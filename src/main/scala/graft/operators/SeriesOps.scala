@@ -358,6 +358,125 @@ object SeriesOps {
     },
 
     // ------------------------------------------------------------------
+    // Two-sample Kolmogorov-Smirnov test (click vs purchase values):
+    // D = max |F₁−F₂| over the combined support, computed EXACTLY as
+    // max |n₂·C₁ − n₁·C₂| over the distinct-value frame (integer
+    // cumulative counts — no float CDFs), normalized once at the end;
+    // p-value via the 5-term asymptotic series with each exp() term
+    // rounded at 8dp before the exact alternating sum (libm exp differs
+    // across engines in the last ulp; the pre-round absorbs it — the
+    // text_unigram_logprob ln convention). Same distinct-value scale
+    // shape as q_mann_whitney: never a global sort of the event log.
+    QueryDef.sql(
+      "q_ks_test", {
+        val terms = (1 to 5).map(j =>
+          s"${if (j % 2 == 1) "+" else "-"} CAST(round(exp(-2 * $j * $j"
+            + " * lam * lam), 8) AS DECIMAL(18,8))").mkString(" ")
+        s"""WITH g AS (
+          |  SELECT value AS v,
+          |    CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+          |      AS BIGINT) AS isa
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |cnt AS (
+          |  SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+          |    CAST(SUM(isa) AS BIGINT) AS ca
+          |  FROM g GROUP BY v),
+          |cum AS (
+          |  SELECT SUM(ca) OVER w AS c1, SUM(c - ca) OVER w AS c2
+          |  FROM cnt WINDOW w AS (ORDER BY v)),
+          |tot AS (
+          |  SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+          |    CAST(SUM(c - ca) AS BIGINT) AS n2 FROM cnt),
+          |dm AS (
+          |  SELECT CAST(MAX(abs(n2 * c1 - n1 * c2)) AS BIGINT) AS dmax
+          |  FROM cum, tot),
+          |stat AS (
+          |  SELECT n1, n2,
+          |    round(CAST(dmax AS DOUBLE)
+          |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d,
+          |    (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (n1 + n2))
+          |      + 0.12 + 0.11 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          |        / (n1 + n2)))
+          |      * (CAST(dmax AS DOUBLE)
+          |        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS lam
+          |  FROM dm, tot)
+          |SELECT n1, n2, d,
+          |  round(least(greatest(CAST(2 * ($terms) AS DOUBLE), 0.0), 1.0), 4)
+          |    AS p_approx
+          |FROM stat""".stripMargin
+      }) { (s, d) =>
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("value").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("isa"))
+      val cnt = g.groupBy("v")
+        .agg(count(lit(1)).as("c"), sum("isa").as("ca"))
+      val w = Window.orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cnt.select(sum("ca").over(w).as("c1"),
+        sum(col("c") - col("ca")).over(w).as("c2"))
+      val tot = cnt.agg(sum("ca").cast("bigint").as("n1"),
+        sum(col("c") - col("ca")).cast("bigint").as("n2"))
+      val dm = cum.crossJoin(broadcast(tot))
+        .agg(max(abs(col("n2") * col("c1") - col("n1") * col("c2")))
+          .cast("bigint").as("dmax"))
+      val dD = col("dmax").cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double"))
+      val ne = col("n1").cast("double") * col("n2").cast("double") /
+        (col("n1") + col("n2"))
+      val lam = (sqrt(ne) + 0.12 + lit(0.11) / sqrt(ne)) * dD
+      val series = (1 to 5).map { j =>
+        val t = round(exp(lit(-2.0 * j * j) * lam * lam), 8)
+          .cast("decimal(18,8)")
+        if (j % 2 == 1) t else t * -1
+      }.reduce(_ + _)
+      dm.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"), round(dD, 6).as("d"),
+          round(least(greatest((lit(2) * series).cast("double"), lit(0.0)),
+            lit(1.0)), 4).as("p_approx"))
+    },
+
+    // ------------------------------------------------------------------
+    // Quantile normalization (percentile-rank feature transform): each
+    // value maps to its exact mid-CDF percentile (C(<v) + c(=v)/2)/n,
+    // kept integral as (2·before + c)/2n until one final division — the
+    // feature-preprocessing step for rank-based models and drift-robust
+    // features. The rank table lives on the DISTINCT-VALUE frame
+    // (broadcast-sized at any corpus scale) and joins back to the rows;
+    // output pins the 50 smallest event_ids as the checked sample.
+    QueryDef.sql(
+      "q_quantile_normalize",
+      """WITH g AS (
+        |  SELECT event_id, value AS v FROM events
+        |  WHERE event_type = 'purchase'),
+        |cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM g GROUP BY v),
+        |mr AS (
+        |  SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c AS m2,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n
+        |  FROM cnt)
+        |SELECT g.event_id, round(CAST(g.v AS DOUBLE), 2) AS v,
+        |  round(CAST(m2 AS DOUBLE) / (2 * n), 6) AS pct
+        |FROM g JOIN mr ON g.v = mr.v
+        |ORDER BY g.event_id LIMIT 50""".stripMargin) { (s, d) =>
+      val g = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value").as("v"))
+      val cnt = g.groupBy("v").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val mr = cnt
+        .withColumn("m2", lit(2) * (sum("c").over(w) - col("c")) + col("c"))
+        .withColumn("n", sum("c").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      g.join(mr, "v")
+        .select(col("event_id"), round(col("v").cast("double"), 2).as("v"),
+          round(col("m2").cast("double") / (lit(2) * col("n")), 6).as("pct"))
+        .orderBy("event_id").limit(50)
+    },
+
+    // ------------------------------------------------------------------
     // Poisson-bootstrap 95% CI for the mean purchase value: B=40
     // replicas, each row's replica weight w ~ Poisson(1) derived
     // DETERMINISTICALLY from md5(event_id:replica) against the CDF

@@ -161,4 +161,51 @@ class SeriesOpsSpec extends SparkTestBase {
     cdf.zip(expect).foreach { case (c, e) =>
       assert(math.abs(c - e) < 1e-4, s"$c vs $e") }
   }
+
+  test("q_ks_test matches a float ECDF recomputation") {
+    val row = graft.SparkEntry.queries("q_ks_test")(spark, sf0001)
+      .collect().head
+    val (n1, n2, dStat, p) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    val vals = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "purchase").map(_._2).sorted
+    assert(n1 == a.length && n2 == b.length)
+    val support = (a ++ b).distinct.sorted
+    val refD = support.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.length
+        - b.count(_ <= x).toDouble / b.length)
+    }.max
+    assert(math.abs(dStat - refD) < 1e-4, s"$dStat vs $refD")
+    assert(p >= 0 && p <= 1)
+    val ne = n1.toDouble * n2 / (n1 + n2)
+    val lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * refD
+    val refP = math.min(1.0, math.max(0.0, 2.0 * (1 to 5).map(j =>
+      math.pow(-1, j - 1) * math.exp(-2.0 * j * j * lam * lam)).sum))
+    assert(math.abs(p - refP) < 1e-3, s"$p vs $refP")
+  }
+
+  test("q_quantile_normalize: mid-CDF percentiles, monotone in value") {
+    val rows = graft.SparkEntry.queries("q_quantile_normalize")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 50)
+    assert(rows.forall { case (_, _, p) => p > 0 && p <= 1 })
+    val byV = rows.sortBy(_._2)
+    assert(byV.map(_._3).toSeq == byV.map(_._3).sorted.toSeq)
+    // spot-check one percentile against the full sample
+    val all = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select("value").collect().map(_.getDouble(0))
+    val (_, v0, p0) = rows.head
+    // v0 was rounded to 2dp for display; compare against raw values that
+    // round to it
+    val below = all.count(x => x < v0 - 0.005)
+    val atMost = all.count(x => x <= v0 + 0.005)
+    val lo = below.toDouble / all.length
+    val hi = atMost.toDouble / all.length
+    assert(p0 >= lo - 1e-6 && p0 <= hi + 1e-6, s"$p0 not in [$lo,$hi]")
+  }
 }

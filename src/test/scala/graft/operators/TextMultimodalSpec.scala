@@ -455,4 +455,28 @@ class TextMultimodalSpec extends SparkTestBase {
       assert(math.abs(fl - ref) < 1e-3, s"doc $id: $fl vs $ref")
     }
   }
+
+  test("mm_scene_cut: frame energies and lag diffs are consistent") {
+    val rows = graft.SparkEntry.queries("mm_scene_cut")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.nonEmpty)
+    val byMedia = rows.groupBy(_._1)
+    byMedia.values.foreach { fs =>
+      val sorted = fs.sortBy(_._2)
+      assert(sorted.head._4.isEmpty, "first frame has no diff")
+      sorted.sliding(2).foreach {
+        case Array((_, _, e0, _), (_, _, e1, Some(d))) =>
+          assert(d == e1 - e0, s"diff $d != $e1 - $e0")
+        case _ => ()
+      }
+    }
+    // energies match the independently-tested audio kernel at win=256
+    val ref = Multimodal.audioWindowFeatures(
+        Multimodal.binaryView(graft.Tables.documents(spark, sf0001)), 256)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    rows.take(100).foreach { case (m, f, e, _) =>
+      assert(ref((m, f)) == e)
+    }
+  }
 }
