@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** Cross-checks the classifier-evaluation queries against float
+  * recomputations from the raw (label, score) pairs. */
+class ModelEvalSpec extends SparkTestBase {
+
+  private lazy val pairs: Seq[(Long, Double)] =
+    Tables.documents(spark, sf0001)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        TextAnalysis.qualityScore(col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("q_roc_auc equals the midrank AUC recomputation") {
+    val row = graft.SparkEntry.queries("q_roc_auc")(spark, sf0001)
+      .collect().head
+    val (n1, n2, auc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(n1 == pairs.count(_._1 == 1L) && n2 == pairs.count(_._1 == 0L))
+    val sorted = pairs.map(_._2).sorted
+    val midrank = sorted.zipWithIndex.groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1.0).sum / g.size).toMap
+    val r1 = pairs.filter(_._1 == 1L).map(p => midrank(p._2)).sum
+    val refAuc = (r1 - n1 * (n1 + 1) / 2.0) / (n1.toDouble * n2)
+    assert(math.abs(auc - refAuc) < 1e-5, s"$auc vs $refAuc")
+    assert(auc > 0 && auc < 1)
+  }
+
+  test("q_decile_lift: balanced deciles, lift consistent with base rate") {
+    val rows = graft.SparkEntry.queries("q_decile_lift")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    val n = pairs.length
+    assert(rows.map(_._2).sum == n)
+    // equal-rank buckets differ by at most 1 doc
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    val base = pairs.count(_._1 == 1L).toDouble / n
+    rows.foreach { case (d, _, _, rate, lift) =>
+      assert(math.abs(lift - rate / base) < 1e-3, s"decile $d")
+    }
+  }
+
+  test("q_calibration_bins: bins partition the corpus, rates in range") {
+    val rows = graft.SparkEntry.queries("q_calibration_bins")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._2).sum == pairs.length)
+    rows.foreach { case (bin, _, meanScore, rate) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(rate >= 0 && rate <= 1)
+      // mean score falls inside (or at the edge of) its bin
+      assert(meanScore >= bin / 10.0 - 1e-9 &&
+        meanScore <= math.min((bin + 1) / 10.0, 1.0) + 1e-9,
+        s"bin $bin mean $meanScore")
+    }
+  }
+}
