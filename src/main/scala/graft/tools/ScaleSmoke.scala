@@ -85,7 +85,10 @@ object ScaleSmoke {
       // window (mann-whitney), and the MMR pool tail
       "text_dsir_weights", "text_kl_divergence", "graph_kcore",
       "q_bootstrap_ci", "q_gini_concentration", "q_mann_whitney",
-      "sim_mmr_diversify")
+      "sim_mmr_diversify",
+      // r8 third wave: PPR iterations, KS distinct-value window, the
+      // media-keyed scene-cut lag, the ranked lift table
+      "graph_ppr", "q_ks_test", "mm_scene_cut", "q_decile_lift")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies
