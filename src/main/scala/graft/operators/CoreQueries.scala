@@ -2327,6 +2327,40 @@ object CoreQueries {
             - (col("n").cast("double") + 1) / col("n"), 4).as("gini"),
           round(col("tm").cast("double") / col("sm").cast("double"), 4)
             .as("top1pct_share"))
+    },
+
+    // Hot-key skew profile of the lineitem⋈supplier join key — the
+    // "which keys will melt a reducer?" diagnostic a pipeline runs
+    // before choosing salting/broadcast strategy. One map-side-combined
+    // count per key, one broadcast of the 2-value totals frame, top-10
+    // via TakeOrdered — never a sort of the key frame. skew_vs_avg is
+    // the key's row count over the uniform expectation (rows/keys).
+    QueryDef.sql(
+      "q_skew_profile",
+      """WITH k AS (
+        |  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM k)
+        |SELECT key, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+        |  round(CAST(n_rows AS DOUBLE)
+        |    / (CAST(total AS DOUBLE) / n_keys), 2) AS skew_vs_avg
+        |FROM k, tot
+        |ORDER BY n_rows DESC, key LIMIT 10""".stripMargin) { (s, d) =>
+      val k = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("n_rows"))
+      val tot = k.agg(sum("n_rows").cast("bigint").as("total"),
+        count(lit(1)).cast("bigint").as("n_keys"))
+      k.crossJoin(broadcast(tot))
+        .select(col("key"), col("n_rows"),
+          round(col("n_rows").cast("double") / col("total"), 6).as("share"),
+          round(col("n_rows").cast("double")
+            / (col("total").cast("double") / col("n_keys")), 2)
+            .as("skew_vs_avg"))
+        .orderBy(desc("n_rows"), col("key")).limit(10)
     }
   )
 }

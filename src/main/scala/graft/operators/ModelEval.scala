@@ -159,5 +159,47 @@ object ModelEval {
             / count(lit(1)), 4).as("mean_score"),
           round(sum("y").cast("double") / count(lit(1)), 4).as("pos_rate"))
         .orderBy("bin")
+    },
+
+    // ------------------------------------------------------------------
+    // Expected calibration error — the one-number summary of the
+    // calibration table: ECE = Σ_b (n_b/n)·|mean_score_b − pos_rate_b|,
+    // plus the worst per-bin gap. Computed FROM the same 4dp-rounded
+    // bin statistics as q_calibration_bins (single-source definition);
+    // per-bin contributions round at 6dp then sum exactly.
+    QueryDef.sql(
+      "q_ece",
+      s"""WITH $scoredSql,
+        |bins AS (
+        |  SELECT CAST(least(9, CAST(floor(score * 10) AS BIGINT))
+        |      AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    round(CAST(SUM(CAST(score AS DECIMAL(10,4))) AS DOUBLE)
+        |      / COUNT(*), 4) AS mean_score,
+        |    round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 4) AS pos_rate
+        |  FROM sc GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  round(CAST(SUM(CAST(round(
+        |      n_docs * abs(mean_score - pos_rate), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / SUM(n_docs), 4) AS ece,
+        |  round(MAX(abs(mean_score - pos_rate)), 4) AS max_gap
+        |FROM bins""".stripMargin) { (s, d) =>
+      val bins = scored(s, d)
+        .groupBy(least(lit(9L), floor(col("score") * 10).cast("bigint"))
+          .cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("score").cast("decimal(10,4)")).cast("double")
+            / count(lit(1)), 4).as("mean_score"),
+          round(sum("y").cast("double") / count(lit(1)), 4).as("pos_rate"))
+      bins.agg(
+        count(lit(1)).cast("bigint").as("n_bins"),
+        sum("n_docs").cast("bigint").as("n_docs"),
+        round(sum(round(col("n_docs") *
+            abs(col("mean_score") - col("pos_rate")), 6)
+          .cast("decimal(18,6)")).cast("double") / sum("n_docs"), 4)
+          .as("ece"),
+        round(max(abs(col("mean_score") - col("pos_rate"))), 4)
+          .as("max_gap"))
     })
 }

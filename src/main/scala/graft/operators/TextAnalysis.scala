@@ -1323,6 +1323,62 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Bigram language-model scoring — the stronger fluency filter one
+    // step up from text_unigram_logprob: per-doc mean NLL under the
+    // add-one-smoothed conditional P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V).
+    // Same scale shape with one extra vocabulary-bounded frame: bigram
+    // TF + unigram TF (both ≪ corpus, broadcast in production) joined
+    // onto the bigram stream, then a doc re-aggregation. Determinism:
+    // per-bigram ln rounded 6dp, summed as exact decimals.
+    QueryDef.sql(
+      "text_bigram_logprob",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |bgi AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM d),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM bgi),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        |         SELECT unnest(toks) AS term FROM d) GROUP BY term),
+        |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(-SUM(CAST(round(ln(
+        |      CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS nll
+        |FROM bg
+        |JOIN c2 USING (w1, w2)
+        |JOIN c1 ON c1.term = bg.w1
+        |CROSS JOIN vv
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = tokens(col("text"))
+      val bgPairs = filter(
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks), lit(1))),
+          (x, y) => struct(x.as("w1"), y.as("w2"))),
+        p => p("w2").isNotNull)
+      val bg = docs.select(col("doc_id"), explode(bgPairs).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = docs.select(explode(toks).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c1"))
+      val vv = c1.agg(count(lit(1)).cast("bigint").as("v"))
+      val lp = round(log((col("c2") + 1).cast("double") /
+        (col("c1") + col("v")).cast("double")), 6).cast("decimal(18,6)")
+      bg.join(c2, Seq("w1", "w2"))
+        .join(c1, bg("w1") === c1("term"))
+        .crossJoin(broadcast(vv))
+        .withColumn("lp", lp)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round((-sum(col("lp"))).cast("double") / count(lit(1)), 4)
+            .as("nll"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
     // Flesch-style readability score — the curriculum/quality signal
     // ("reading ease") production filters compute per document. Words =
     // whitespace tokens, sentences = terminal-punctuation runs (floor

@@ -190,4 +190,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(top1 - refTop) < 1e-3, s"$top1 vs $refTop")
     assert(gini > 0 && gini < 1 && top1 > 0.01 * 0.5)
   }
+
+  test("q_skew_profile: shares and skew factors match direct counts") {
+    val rows = graft.SparkEntry.queries("q_skew_profile")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.length == 10)
+    val counts = Tables.lineitem(spark, sf0001)
+      .groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val top = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+    assert(rows.map(r => (r._1, r._2)).toSeq == top)
+    rows.foreach { case (_, n, share, skew) =>
+      assert(math.abs(share - n.toDouble / total) < 1e-5)
+      assert(math.abs(skew - n.toDouble / (total.toDouble / counts.size)) < 0.01)
+    }
+  }
 }

@@ -56,4 +56,18 @@ class ModelEvalSpec extends SparkTestBase {
         s"bin $bin mean $meanScore")
     }
   }
+
+  test("q_ece matches a direct recomputation from the bin table") {
+    val bins = graft.SparkEntry.queries("q_calibration_bins")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    val row = graft.SparkEntry.queries("q_ece")(spark, sf0001)
+      .collect().head
+    val (nBins, nDocs, ece, maxGap) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3))
+    assert(nBins == bins.length && nDocs == bins.map(_._1).sum)
+    val refEce = bins.map { case (n, m, r) => n * math.abs(m - r) }.sum / nDocs
+    val refMax = bins.map { case (_, m, r) => math.abs(m - r) }.max
+    assert(math.abs(ece - refEce) < 1e-3, s"$ece vs $refEce")
+    assert(math.abs(maxGap - refMax) < 1e-3)
+  }
 }

@@ -479,4 +479,30 @@ class TextMultimodalSpec extends SparkTestBase {
       assert(ref((m, f)) == e)
     }
   }
+
+  test("text_bigram_logprob: NLL matches a driver-side bigram LM replay") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val allToks = docs.flatMap(_._2.split(" ", -1))
+    val c1 = allToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val v = c1.size
+    val bigrams = docs.flatMap { case (_, t) =>
+      val w = t.split(" ", -1); w.dropRight(1).zip(w.drop(1)) }
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ours = graft.SparkEntry.queries("text_bigram_logprob")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    docs.take(40).foreach { case (id, t) =>
+      val w = t.split(" ", -1)
+      val bg = w.dropRight(1).zip(w.drop(1))
+      if (bg.nonEmpty) {
+        val (n, nll) = ours(id)
+        assert(n == bg.length)
+        val ref = -bg.map { case (a, b) =>
+          math.log((c2((a, b)) + 1.0) / (c1(a) + v)) }.sum / bg.length
+        assert(math.abs(nll - ref) < 1e-3, s"doc $id: $nll vs $ref")
+      }
+    }
+  }
 }
