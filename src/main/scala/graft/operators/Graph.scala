@@ -273,6 +273,61 @@ object Graph {
         .orderBy(desc("rank_fp"), col("node")).limit(10)
     },
 
+    // Degree assortativity of the trade graph: Pearson correlation of
+    // endpoint degrees over the directed edge list — "do hubs connect
+    // to hubs?", the one-number structure diagnostic run before
+    // choosing partition/skew strategy. All five sums are EXACT
+    // decimals over integer degrees, and the numerator/denominator
+    // differences (m·Σxy − Σx·Σy …) are computed in decimal BEFORE the
+    // double cast — doing them in double would catastrophically cancel
+    // at 100 TB edge counts.
+    QueryDef.sql(
+      "q_graph_assortativity",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM edges GROUP BY src),
+        |ed AS (
+        |  SELECT d1.deg AS dx, d2.deg AS dy
+        |  FROM edges e
+        |  JOIN deg d1 ON e.src = d1.src
+        |  JOIN deg d2 ON e.dst = d2.src),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+        |    SUM(CAST(dx * dx AS DECIMAL(38,0))) AS sx2,
+        |    SUM(CAST(dy * dy AS DECIMAL(38,0))) AS sy2
+        |  FROM ed)
+        |SELECT m,
+        |  round(CAST(m * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(m * sx2 - sx * sx AS DOUBLE)
+        |      * CAST(m * sy2 - sy * sy AS DOUBLE)), 4) AS assortativity
+        |FROM agg""".stripMargin) { (s, d) =>
+      val e = edgesWithDeg(s, d)
+      val dd = e.select(col("src").as("d2node"), col("deg").as("dy"))
+        .distinct()
+      val ed = e.select(col("dst"), col("deg").as("dx"))
+        .join(dd, col("dst") === col("d2node"))
+      val agg = ed.agg(
+        count(lit(1)).cast("bigint").as("m"),
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).as("sy"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sx2"),
+        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("sy2"))
+      agg.select(col("m"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("m") * col("sx2") - col("sx") * col("sx"))
+              .cast("double")
+            * (col("m") * col("sy2") - col("sy") * col("sy"))
+              .cast("double")), 4).as("assortativity"))
+    },
+
     // Personalized PageRank seeded at customer 1 (node 2): the
     // "retrieval neighborhood" ranking. WHERE r > 0 keeps the output
     // independent of graph regions the 3-hop mass never reaches.

@@ -310,6 +310,61 @@ object StreamingOps {
             .as("win_start"), col("n"), col("total")),
         outputMode = "append")
         .orderBy("win_start")
+    },
+
+    // Streaming anomaly monitor: the STREAM produces the daily totals
+    // (watermarked tumbling window, bounded state); the rolling z-score
+    // then runs on the aggregate — the standard online-monitoring
+    // topology (heavy reduction in the stream, scoring on the
+    // date-domain-bounded result). Must equal the batch
+    // q_rolling_anomaly answer exactly (same oracle text, same decimal
+    // conventions).
+    QueryDef.sql(
+      "stream_rolling_anomaly",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, x,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    SUM(x) OVER w AS s1,
+        |    SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+        |      OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  round(CAST(x AS DOUBLE), 2) AS x,
+        |  round((CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / n) / (n - 1)), 4) AS z
+        |FROM m WHERE n >= 5
+        |  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |    * CAST(s1 AS DOUBLE) / n) / (n - 1) > 0
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = runToCompletion(s, d,
+        df => df.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+          .select(to_date(col("w.start")).as("day"), col("x")),
+        outputMode = "complete")
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      val m = daily.select(col("day"), col("x"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("s1"),
+        sum(col("x").cast("decimal(18,2)") * col("x").cast("decimal(18,2)"))
+          .over(w).as("s2"))
+      val variance = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+        (col("n") - 1)
+      m.filter(col("n") >= 5 && variance > 0)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("x").cast("double"), 2).as("x"),
+          round((col("x").cast("double") -
+            col("s1").cast("double") / col("n")) / sqrt(variance), 4)
+            .as("z"))
+        .orderBy("day")
     }
   )
 }

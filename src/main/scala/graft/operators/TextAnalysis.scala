@@ -259,6 +259,42 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Language-ID confusion matrix: predicted vs true language with
+    // per-true-language share — the evaluation table for the langid
+    // filter (which languages bleed into which). One map-side-combined
+    // count over the |langs|² grid plus a window share on that
+    // broadcast-sized frame. Same single-source langMarkers rendering
+    // as text_langid_quality.
+    QueryDef.sql(
+      "q_langid_confusion",
+      s"""WITH pred AS (
+        |  SELECT lang,
+        |    CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END
+        |      AS lang_pred
+        |  FROM (
+        |    SELECT lang, list_sort([
+        |${langMarkers.toSeq.map { case (lang, words) =>
+          s"      {'hits': len(list_filter(toks, t -> t IN (${words
+            .map(w => s"'$w'").mkString(",")}))), 'lang': '$lang'}"
+        }.mkString(",\n")}
+        |    ])[-1] AS best
+        |    FROM (SELECT lang, string_split(lower(text), ' ') AS toks
+        |          FROM documents)))
+        |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(COUNT(*) AS DOUBLE)
+        |    / SUM(COUNT(*)) OVER (PARTITION BY lang), 4) AS share
+        |FROM pred GROUP BY lang, lang_pred
+        |ORDER BY lang, lang_pred""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      Tables.documents(s, d)
+        .select(col("lang"), langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          round(col("n").cast("double") / sum("n").over(w), 4))
+        .orderBy("lang", "lang_pred")
+    },
+
     // PII-style masking: emails and long digit runs replaced with typed
     // placeholder tokens — the standard pre-training redaction pass, as a
     // single codegen'd projection. Oracle needs DuckDB's 'g' flag (Spark

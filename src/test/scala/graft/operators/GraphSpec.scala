@@ -201,4 +201,31 @@ class GraphSpec extends SparkTestBase {
     assert(r.map(_._2).toSeq == r.map(_._2).sortBy(-_).toSeq)
     assert(r.map(_._1).contains(2L), "seed node 2 must rank in its own PPR")
   }
+
+  test("q_graph_assortativity matches a float Pearson recomputation") {
+    val row = graft.SparkEntry.queries("q_graph_assortativity")(spark, sf0001)
+      .collect().head
+    val (m, r) = (row.getLong(0), row.getDouble(1))
+    import org.apache.spark.sql.functions._
+    val pairs = graft.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.Tables.lineitem(spark, sf0001)
+        .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edges = pairs.flatMap { case (c, s2) => Seq((c, s2), (s2, c)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xy = edges.map { case (a, b) => (deg(a).toDouble, deg(b).toDouble) }
+    assert(m == xy.length)
+    val n = xy.length
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sx2 = xy.map(p => p._1 * p._1).sum
+    val sy2 = xy.map(p => p._2 * p._2).sum
+    val ref = (n * sxy - sx * sy) /
+      math.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    assert(math.abs(r - ref) < 1e-3, s"$r vs $ref")
+  }
 }

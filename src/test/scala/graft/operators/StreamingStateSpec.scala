@@ -82,4 +82,12 @@ class StreamingStateSpec extends SparkTestBase {
     }
     assert(drops > 0, "corpus should exercise the late-drop path")
   }
+
+  test("stream_rolling_anomaly equals the batch rolling z-score") {
+    val stream = graft.SparkEntry.queries("stream_rolling_anomaly")(
+      spark, sf0001).collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("q_rolling_anomaly")(
+      spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
 }

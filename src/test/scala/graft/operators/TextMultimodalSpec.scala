@@ -505,4 +505,24 @@ class TextMultimodalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q_langid_confusion: totals and diagonal match text_langid_quality") {
+    val m = graft.SparkEntry.queries("q_langid_confusion")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(m.map(_._3).sum == nDocs)
+    // per-lang shares sum to 1
+    m.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 0.01) }
+    // diagonal agrees with the langid query's own predictions
+    import org.apache.spark.sql.functions._
+    val preds = graft.SparkEntry.queries("text_langid_quality")(spark, sf0001)
+      .join(graft.Tables.documents(spark, sf0001).select("doc_id", "lang"),
+        "doc_id")
+      .groupBy("lang", "lang_pred").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    m.foreach { case (l, p, n, _) => assert(preds((l, p)) == n) }
+  }
 }
