@@ -2361,6 +2361,131 @@ object CoreQueries {
             / (col("total").cast("double") / col("n_keys")), 2)
             .as("skew_vs_avg"))
         .orderBy(desc("n_rows"), col("key")).limit(10)
+    },
+
+    // Kaplan-Meier survival curve for customer lifetime (weeks from
+    // first to last order; churn event = last order > 8 weeks before
+    // the dataset horizon, else censored) — the retention-analysis
+    // primitive. The estimator runs entirely on the DURATION-DOMAIN
+    // frame (≤ a few hundred distinct weeks at any corpus size): n-at-
+    // risk via a reversed cumulative window, the KM product as a
+    // cumulative sum of 6dp-rounded ln(1−d/n) terms (EXACT decimal
+    // cumsum — a sequential product would be order-fragile), and
+    // survival = exp of that narrow decimal.
+    QueryDef.sql(
+      "q_survival_km",
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(floor((CAST(max(o_orderdate) AS DATE)
+        |      - CAST(min(o_orderdate) AS DATE)) / 7.0) AS BIGINT) AS w,
+        |    CAST((SELECT CAST(max(o_orderdate) AS DATE) FROM orders)
+        |      - CAST(max(o_orderdate) AS DATE) > 56 AS BIGINT) AS ev
+        |  FROM orders GROUP BY o_custkey),
+        |per_w AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ending,
+        |    CAST(SUM(ev) AS BIGINT) AS d
+        |  FROM cust GROUP BY w),
+        |risk AS (
+        |  SELECT w, d,
+        |    CAST(SUM(ending) OVER (ORDER BY w DESC) AS BIGINT) AS n_risk
+        |  FROM per_w),
+        |km AS (
+        |  SELECT w, d, n_risk,
+        |    SUM(CASE WHEN d > 0 AND d < n_risk THEN
+        |      CAST(round(ln(1 - CAST(d AS DOUBLE) / n_risk), 6)
+        |        AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+        |      OVER (ORDER BY w) AS ln_s
+        |  FROM risk)
+        |SELECT w AS week, n_risk, d AS n_events,
+        |  CAST(ln_s AS DOUBLE) AS ln_survival,
+        |  round(exp(CAST(ln_s AS DOUBLE)), 4) AS survival
+        |FROM km ORDER BY week""".stripMargin) { (s, d) =>
+      val horizon = Tables.orders(s, d)
+        .agg(to_date(max("o_orderdate")).as("dmax"))
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(to_date(min("o_orderdate")).as("dfirst"),
+          to_date(max("o_orderdate")).as("dlast"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          floor(datediff(col("dlast"), col("dfirst")) / 7.0).cast("bigint")
+            .as("w"),
+          (datediff(col("dmax"), col("dlast")) > 56).cast("bigint").as("ev"))
+      val perW = cust.groupBy("w")
+        .agg(count(lit(1)).as("ending"), sum("ev").as("d"))
+      val wDesc = Window.orderBy(col("w").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy("w")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = perW.withColumn("n_risk",
+        sum("ending").over(wDesc).cast("bigint"))
+      val lnTerm = when(col("d") > 0 && col("d") < col("n_risk"),
+        round(log(lit(1) - col("d").cast("double") / col("n_risk")), 6)
+          .cast("decimal(18,6)"))
+        .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)"))
+      risk.withColumn("ln_s", sum(lnTerm).over(wAsc))
+        .select(col("w").as("week"), col("n_risk"), col("d").as("n_events"),
+          col("ln_s").cast("double").as("ln_survival"),
+          round(exp(col("ln_s").cast("double")), 4).as("survival"))
+        .orderBy("week")
+    },
+
+    // Lorenz curve by customer-spend decile (cumulative share of total
+    // revenue held by the bottom k/10 of customers) — the distribution
+    // view behind q_gini_concentration, same range-repartition rank, no
+    // single-partition sort; decile sums and the running share stay
+    // exact decimals until the final divisions.
+    QueryDef.sql(
+      "q_lorenz_deciles",
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, o_custkey) - 1 AS rk
+        |  FROM cust),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(m) AS sm
+        |        FROM cust),
+        |dec AS (
+        |  SELECT CAST((rk * 10) // n AS BIGINT) AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cust, SUM(m) AS dm
+        |  FROM ranked, tot GROUP BY 1)
+        |SELECT decile, n_cust,
+        |  round(CAST(dm AS DOUBLE) / CAST(sm AS DOUBLE), 4)
+        |    AS decile_share,
+        |  round(CAST(SUM(dm) OVER (ORDER BY decile) AS DOUBLE)
+        |    / CAST(sm AS DOUBLE), 4) AS cum_share
+        |FROM dec, tot ORDER BY decile""".stripMargin) { (s, d) =>
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
+      val local = graft.CacheRegistry.register(cust
+        .repartitionByRange(32, col("m"), col("o_custkey"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrk", row_number().over(Window.partitionBy("pid")
+          .orderBy(col("m"), col("o_custkey"))) - 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          sum("cnt").over(Window.orderBy("pid")) - col("cnt"))
+        .select("pid", "offset")
+      val tot = local.agg(count(lit(1)).cast("bigint").as("n"),
+        sum("m").as("sm"))
+      val dec = local.join(broadcast(offsets), "pid")
+        .withColumn("rk", col("lrk") + col("offset"))
+        .crossJoin(broadcast(tot))
+        .groupBy(expr("(rk * 10) div n").cast("bigint").as("decile"),
+          col("sm"))
+        .agg(count(lit(1)).as("n_cust"), sum("m").as("dm"))
+      dec.withColumn("cum",
+          sum("dm").over(Window.orderBy("decile")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile"), col("n_cust"),
+          round(col("dm").cast("double") / col("sm").cast("double"), 4)
+            .as("decile_share"),
+          round(col("cum").cast("double") / col("sm").cast("double"), 4)
+            .as("cum_share"))
+        .orderBy("decile")
     }
   )
 }

@@ -238,6 +238,74 @@ object Multimodal {
         .withColumn("is_cut",
           (abs(col("d_energy")) >= 50000).cast("int"))
         .orderBy("media_id", "frame_idx")
+    },
+
+    // Near-duplicate media by shared patch hashes: the mm_image_patches
+    // tiling, distinct patch digests per media, pairs generated PER
+    // PATCH BUCKET with boilerplate patches dropped by a deterministic
+    // cap (a patch shared by > 16 media is template content, not
+    // duplication signal — the LSH stop-shingle convention), then pairs
+    // sharing ≥ 3 patches scored by patch-set Jaccard. Never all-pairs:
+    // the bucket join is bounded by cap² per patch.
+    QueryDef.sql(
+      "mm_patch_dedup",
+      """WITH patches AS (
+        |  SELECT DISTINCT doc_id AS media_id,
+        |    md5(substring(text, CAST(1 + pi*64 AS INTEGER), 64)) AS ph
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range(0, greatest(CAST(ceil(length(text) / 64.0)
+        |        AS BIGINT), 1))) AS pi
+        |    FROM documents)),
+        |np AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS np
+        |       FROM patches GROUP BY media_id),
+        |keep AS (
+        |  SELECT ph FROM patches GROUP BY ph HAVING COUNT(*) <= 16),
+        |pairs AS (
+        |  SELECT a.media_id AS ma, b.media_id AS mb,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM patches a
+        |  JOIN keep USING (ph)
+        |  JOIN patches b ON a.ph = b.ph AND a.media_id < b.media_id
+        |  GROUP BY a.media_id, b.media_id
+        |  HAVING COUNT(*) >= 3)
+        |SELECT ma, mb, shared,
+        |  round(CAST(shared AS DOUBLE) / (na.np + nb.np - shared), 4)
+        |    AS patch_jaccard
+        |FROM pairs JOIN np na ON pairs.ma = na.media_id
+        |JOIN np nb ON pairs.mb = nb.media_id
+        |ORDER BY ma, mb""".stripMargin) { (s, d) =>
+      val nPatches = greatest(
+        ceil(length(col("payload")).cast("double") / 64.0).cast("bigint"),
+        lit(1L))
+      val patches = graft.CacheRegistry.register(
+        binaryView(Tables.documents(s, d))
+          .select(col("media_id"), col("payload"),
+            explode(sequence(lit(0L), nPatches - 1)).as("pi"))
+          .select(col("media_id"),
+            md5(expr("substring(payload, CAST(1 + pi*64 AS INT), 64)"))
+              .as("ph"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val np = patches.groupBy("media_id").agg(count(lit(1)).as("np"))
+      val keep = patches.groupBy("ph").agg(count(lit(1)).as("bs"))
+        .filter(col("bs") <= 16).select("ph")
+      val pairs = patches.join(keep, "ph")
+        .select(col("ph"), col("media_id").as("ma"))
+        .join(patches.select(col("ph"), col("media_id").as("mb")), "ph")
+        .filter(col("ma") < col("mb"))
+        .groupBy("ma", "mb").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+      pairs
+        .join(broadcast(np.select(col("media_id").as("ma"),
+          col("np").as("npa"))), "ma")
+        .join(broadcast(np.select(col("media_id").as("mb"),
+          col("np").as("npb"))), "mb")
+        .select(col("ma"), col("mb"), col("shared"),
+          round(col("shared").cast("double")
+            / (col("npa") + col("npb") - col("shared")), 4)
+            .as("patch_jaccard"))
+        .orderBy("ma", "mb")
     }
   )
 

@@ -207,4 +207,44 @@ class AnalyticsSpec extends SparkTestBase {
       assert(math.abs(skew - n.toDouble / (total.toDouble / counts.size)) < 0.01)
     }
   }
+
+  test("q_survival_km matches a float Kaplan-Meier recomputation") {
+    val rows = graft.SparkEntry.queries("q_survival_km")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val cust = Tables.orders(spark, sf0001).groupBy("o_custkey")
+      .agg(to_date(min("o_orderdate")).as("f"),
+        to_date(max("o_orderdate")).as("l"))
+      .collect().map(r => (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    val dmax = cust.map(_._2).max
+    val durEv = cust.map { case (f, l) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(f, l) / 7,
+        java.time.temporal.ChronoUnit.DAYS.between(l, dmax) > 56) }
+    var s = 1.0
+    val ref = durEv.map(_._1).distinct.sorted.map { w =>
+      val nRisk = durEv.count(_._1 >= w)
+      val d = durEv.count(x => x._1 == w && x._2)
+      if (d > 0 && d < nRisk) s *= 1.0 - d.toDouble / nRisk
+      w -> (nRisk.toLong, d.toLong, s)
+    }.toMap
+    rows.foreach { case (w, nRisk, d, surv) =>
+      val (rn, rd, rs) = ref(w)
+      assert(nRisk == rn && d == rd, s"week $w counts")
+      assert(math.abs(surv - rs) < 1e-3, s"week $w: $surv vs $rs")
+    }
+  }
+
+  test("q_lorenz_deciles: monotone shares consistent with the gini query") {
+    val rows = graft.SparkEntry.queries("q_lorenz_deciles")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 0.01)
+    assert(math.abs(rows.last._4 - 1.0) < 1e-6)
+    // deciles are ordered ascending by spend, so shares are monotone
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    val cum = rows.map(_._4)
+    assert(cum.toSeq == cum.sorted.toSeq)
+  }
 }

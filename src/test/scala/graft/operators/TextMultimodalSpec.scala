@@ -525,4 +525,27 @@ class TextMultimodalSpec extends SparkTestBase {
       .toMap
     m.foreach { case (l, p, n, _) => assert(preds((l, p)) == n) }
   }
+
+  test("mm_patch_dedup finds the corpus near-dup pairs by shared patches") {
+    val pairs = graft.SparkEntry.queries("mm_patch_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // the synthetic corpus contains exact/near duplicates -> nonempty
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, shared, j) =>
+      assert(a < b && shared >= 3 && j > 0 && j <= 1.0001)
+    }
+    // exact duplicate docs (identical text) must appear with jaccard 1
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dupPair = texts.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.sliding(2).map(_.toSeq))
+      .collectFirst { case Seq(a, b) => (a, b) }
+    dupPair.foreach { case (a, b) =>
+      val hit = pairs.find(p => p._1 == a && p._2 == b)
+      assert(hit.exists(_._4 >= 0.999),
+        s"exact dup ($a,$b) missing or low: $hit")
+    }
+  }
 }
