@@ -298,6 +298,54 @@ object SeriesOps {
     },
 
     // ------------------------------------------------------------------
+    // Differentially-private-STYLE noisy counts: per-event-type counts
+    // + Laplace(1/ε) noise, with the noise drawn DETERMINISTICALLY from
+    // the md5 of the group key (inverse-CDF over the uniform 16-bit
+    // prefix) — the reproducible-release plumbing of a DP pipeline (a
+    // real deployment swaps the hash for a sealed RNG and this query
+    // keeps its shape; determinism here is what makes the release
+    // replayable and the oracle checkable). The hex prefix becomes an
+    // integer via an explicit 4-digit positional sum (portable — hex
+    // CASTs are not); ln rounded 6dp (libm ulp), noise and output
+    // rounded 2dp. One map-side-combined count.
+    QueryDef.sql(
+      "q_dp_noisy_counts", {
+        val hexDigitsSql = (1 to 4).map { i =>
+          val mult = math.pow(16, 4 - i).toLong
+          s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1) * $mult"
+        }.mkString(" + ")
+        s"""WITH c AS (
+          |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY event_type),
+          |u AS (
+          |  SELECT event_type, n,
+          |    (CAST($hexDigitsSql AS DOUBLE) + 0.5) / 65536 AS u
+          |  FROM (SELECT event_type, n,
+          |          substring(md5('dp1:' || event_type), 1, 4) AS h
+          |        FROM c))
+          |SELECT event_type, 1.0 AS epsilon,
+          |  round(n + CAST(round(
+          |    -CAST(sign(u - 0.5) AS DOUBLE)
+          |      * round(ln(1 - 2 * abs(u - 0.5)), 6), 2) AS DOUBLE), 2)
+          |    AS noisy_n
+          |FROM u ORDER BY event_type""".stripMargin
+      }) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val h = substring(md5(concat(lit("dp1:"), col("event_type"))), 1, 4)
+      val hexVal = (1 to 4).map { i =>
+        val mult = math.pow(16, 4 - i).toLong
+        (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1) * mult
+      }.reduce(_ + _)
+      val u = (hexVal.cast("double") + 0.5) / 65536
+      c.select(col("event_type"), lit(1.0).as("epsilon"),
+          round(col("n") + round(-signum(u - 0.5) *
+            round(log(lit(1) - lit(2) * abs(u - 0.5)), 6), 2)
+            .cast("double"), 2).as("noisy_n"))
+        .orderBy("event_type")
+    },
+
+    // ------------------------------------------------------------------
     // Mann-Whitney U rank-sum test (click vs purchase values — the
     // nonparametric sibling of q_ab_welch_ttest): midranks over the
     // combined sample, U₁ = R₁ − n₁(n₁+1)/2, z via the normal

@@ -208,4 +208,20 @@ class SeriesOpsSpec extends SparkTestBase {
     val hi = atMost.toDouble / all.length
     assert(p0 >= lo - 1e-6 && p0 <= hi + 1e-6, s"$p0 not in [$lo,$hi]")
   }
+
+  test("q_dp_noisy_counts: noise is Laplace-shaped and reproducible") {
+    val a = graft.SparkEntry.queries("q_dp_noisy_counts")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    val b = graft.SparkEntry.queries("q_dp_noisy_counts")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq, "deterministic release must be stable")
+    val real = Tables.events(spark, sf0001)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.foreach { case (t, noisy) =>
+      val diff = noisy - real(t)
+      // Laplace(b=1) at 16-bit resolution: |noise| < ln(65536) ≈ 11.1
+      assert(math.abs(diff) < 12, s"$t: implausible noise $diff")
+    }
+  }
 }
