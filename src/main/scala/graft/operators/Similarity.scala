@@ -582,6 +582,58 @@ object Similarity {
         mmrDiversify(Tables.embeddings(s, d), queryId = 0L, pool = 20, k = 5)
     },
 
+    // Embedding-space health check: the distribution of pairwise cosines
+    // on a DETERMINISTIC 100-vector sample (md5 order — the
+    // stratifiedSample convention), bucketed into 0.1-wide bins. A
+    // collapsed or anisotropic embedding space shows up here before any
+    // ANN index is built. The 100×99/2 pair frame is constant-size at
+    // any corpus scale; the sample selection is the only corpus pass.
+    QueryDef.sql(
+      "sim_cosine_histogram",
+      """WITH samp AS (
+        |  SELECT vec_id, embedding FROM (
+        |    SELECT vec_id, embedding,
+        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+        |        AS rk
+        |    FROM embeddings) WHERE rk <= 100),
+        |p AS (
+        |  SELECT CASE
+        |      WHEN list_sum(list_transform(a.embedding,
+        |             x -> CAST(x AS DOUBLE) * x)) = 0
+        |        OR list_sum(list_transform(b.embedding,
+        |             x -> CAST(x AS DOUBLE) * x)) = 0 THEN 0.0
+        |      ELSE round(list_cosine_similarity(
+        |        CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 4)
+        |    END AS sim
+        |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id)
+        |SELECT CAST(greatest(least(CAST(floor(sim * 10) AS BIGINT), 9),
+        |    -10) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CAST(sim AS DECIMAL(10,4))) AS DOUBLE) AS sum_sim
+        |FROM p GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(md5(col("vec_id").cast("string")))
+      val samp = Tables.embeddings(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .select(col("vec_id"), col("embedding"))
+      val p = samp.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+        .join(samp.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+          col("ia") < col("ib"))
+        .select(round(graft.functions.GraftFunctions.cosine(
+          col("ea"), col("eb")), 4).as("sim"))
+      p.groupBy(greatest(least(floor(col("sim") * 10).cast("bigint"),
+          lit(9L)), lit(-10L)).cast("bigint").as("bin"))
+        // sum (an exact scale-4 decimal, bit-exact as a double), NOT
+        // mean: mean-of-k 4dp values lands on exact half-ties at the
+        // 4dp round boundary, where engines' double-rounding diverges
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("sim").cast("decimal(10,4)")).cast("double").as("sum_sim"))
+        .orderBy("bin")
+    },
+
     // Exact per-vector L2 norm, computed through DECIMAL so the sum of
     // squares is order-independent and matches DuckDB exactly.
     QueryDef.sql(

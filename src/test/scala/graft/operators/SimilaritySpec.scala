@@ -306,4 +306,17 @@ class SimilaritySpec extends SparkTestBase {
       s"${ours.map(_._2).toVector} vs $sel")
     assert(math.abs(ours.head._3 - rel(sel.head)) < 1e-9)
   }
+
+  test("sim_cosine_histogram: bins partition all sample pairs") {
+    val rows = graft.SparkEntry.queries("sim_cosine_histogram")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._2).sum == 100L * 99 / 2)
+    rows.foreach { case (bin, n, sumSim) =>
+      assert(bin >= -10 && bin <= 9)
+      // every pair in bin b has sim in [b/10, (b+1)/10): the sum must
+      // stay inside those bounds times n
+      assert(sumSim >= bin / 10.0 * n - 1e-6)
+      assert(sumSim <= (bin + 1) / 10.0 * n + 1e-6)
+    }
+  }
 }
