@@ -33,27 +33,38 @@ object Graph {
   private val Scale = 1000000000000L // 1e12 fixed-point
 
   /** Directed edge list: customer 2c ↔ supplier 2s+1 (both directions,
-    * so no node is dangling), node ids disjoint by parity. */
-  private def edgesWithDeg(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    edges.join(deg, "src") // (src, dst, deg): per-iteration join input
-  }
+    * so no node is dangling), node ids disjoint by parity.
+    *
+    * Cross-query SHARED (CacheRegistry.sharedFrame): pagerank, BFS
+    * reachability, PPR, and assortativity all consume this exact frame —
+    * without the memo each of the four benched graph queries re-scans
+    * orders⋈lineitem and re-derives degrees (the 100 TB rule is "derive
+    * the graph ONCE", the same reasoning as commonNeighborPairs). */
+  private def edgesWithDeg(s: SparkSession, d: String): DataFrame =
+    CacheRegistry.sharedFrame(
+      s"graph:ewd:${System.identityHashCode(s)}:$d") {
+      val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      edges.join(deg, "src") // (src, dst, deg): per-iteration join input
+    }
 
   /** Fixed-point PageRank, `iters` exactly-unrolled iterations, over any
     * directed edge frame `(src, dst, deg)` in which every node occurs as
     * a src (no dangling nodes — the trade graph guarantees it by being
     * bidirectional; a caller with dangling nodes must add self-loops). */
   def pagerankOnEdges(rawEdges: DataFrame, iters: Int): DataFrame = {
-    val edges = CacheRegistry.register(
-      rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
+    // an already-persisted input (the shared trade-edge frame) must NOT
+    // be re-registered: releaseAll would unpersist the cross-query memo
+    val edges = if (rawEdges.storageLevel == StorageLevel.NONE)
+      CacheRegistry.register(rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
+    else rawEdges
     val nodes = CacheRegistry.register(
       edges.select("src").distinct().withColumnRenamed("src", "node")
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -127,8 +138,9 @@ object Graph {
     * constant plan depth. */
   def reachabilityOnEdges(rawEdges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    val edges = CacheRegistry.register(
-      rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
+    val edges = if (rawEdges.storageLevel == StorageLevel.NONE)
+      CacheRegistry.register(rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
+    else rawEdges
     var reached = seeds.select(col("node"), lit(0L).as("hop"))
     var frontier = reached
     for (i <- 1 to maxHops) {
@@ -207,8 +219,9 @@ object Graph {
     * src-keyed shuffle-hash join + one map-side-combined dst aggregate;
     * constant plan depth. */
   def pprOnEdges(rawEdges: DataFrame, seed: Long, iters: Int): DataFrame = {
-    val edges = CacheRegistry.register(
-      rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
+    val edges = if (rawEdges.storageLevel == StorageLevel.NONE)
+      CacheRegistry.register(rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
+    else rawEdges
     val nodes = CacheRegistry.register(
       edges.select("src").distinct().withColumnRenamed("src", "node")
         .persist(StorageLevel.MEMORY_AND_DISK))
