@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the FLAGSHIP composition: the quality
+  * filter, exact dedup, and the deterministic train/val/test split
+  * chained into one lineage report, plus a one-row "dataset card". This
+  * is the query a data team actually ships: every stage is an operator
+  * already certified on its own (qualityScore, keeper-dedup, hashSplit),
+  * composed without materializing intermediates.
+  *
+  * Scale: one pass computes (tokens, quality); dedup is a text-keyed
+  * window (shuffle by content key — production keys on a 128-bit digest
+  * to shrink shuffle width; md5-free here because the oracle replays
+  * raw text equality); the split is a narrow hash projection. The
+  * report unions five stage-level aggregates — each map-side combined.
+  *
+  * Determinism: counts/token sums are integers; quality totals are 4dp
+  * decimal sums (totals, NOT means — a mean of k 4dp values can land
+  * exactly on the rounding half-tie where engines diverge).
+  */
+object Curation {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q_curation_pipeline",
+      s"""WITH f AS (SELECT doc_id, text, string_split(text, ' ') AS rtoks
+        |           FROM documents),
+        |sc AS (
+        |  SELECT doc_id, text, CAST(len(rtoks) AS BIGINT) AS ntoks,
+        |    ${TextAnalysis.qualityExprSql} AS q
+        |  FROM (SELECT doc_id, text, rtoks,
+        |          ${TextAnalysis.qualityFeaturesSql}
+        |        FROM f)),
+        |qf AS (SELECT * FROM sc WHERE q >= 0.5),
+        |dd AS (
+        |  SELECT * FROM (
+        |    SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper
+        |    FROM qf) WHERE doc_id = keeper),
+        |sp AS (
+        |  SELECT *,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |           THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM dd)
+        |SELECT stage, n_docs, n_tokens, total_quality FROM (
+        |  SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(ntoks) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(q AS DECIMAL(10,4))) AS DOUBLE) AS total_quality
+        |  FROM sc
+        |  UNION ALL
+        |  SELECT '1_quality', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(ntoks) AS BIGINT),
+        |    CAST(SUM(CAST(q AS DECIMAL(10,4))) AS DOUBLE) FROM qf
+        |  UNION ALL
+        |  SELECT '2_dedup', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(ntoks) AS BIGINT),
+        |    CAST(SUM(CAST(q AS DECIMAL(10,4))) AS DOUBLE) FROM dd
+        |  UNION ALL
+        |  SELECT '3_' || split, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(ntoks) AS BIGINT),
+        |    CAST(SUM(CAST(q AS DECIMAL(10,4))) AS DOUBLE)
+        |  FROM sp GROUP BY split)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val sc = Tables.documents(s, d).select(
+        col("doc_id"), col("text"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("ntoks"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val qf = sc.filter(col("q") >= 0.5)
+      val dd = qf
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("text")))
+        .filter(col("doc_id") === col("keeper"))
+      val sp = dd.withColumn("split", Sampling.hashSplit(col("doc_id")))
+      def stageAgg(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum("ntoks").cast("bigint").as("n_tokens"),
+            sum(col("q").cast("decimal(10,4)")).cast("double")
+              .as("total_quality"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+            col("total_quality"))
+      stageAgg(sc, "0_raw")
+        .unionByName(stageAgg(qf, "1_quality"))
+        .unionByName(stageAgg(dd, "2_dedup"))
+        .unionByName(sp.groupBy("split")
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum("ntoks").cast("bigint").as("n_tokens"),
+            sum(col("q").cast("decimal(10,4)")).cast("double")
+              .as("total_quality"))
+          .select(concat(lit("3_"), col("split")).as("stage"),
+            col("n_docs"), col("n_tokens"), col("total_quality")))
+        .orderBy("stage")
+    },
+
+    // One-row all-integer dataset card — the summary block of a dataset
+    // release: corpus size, distinct-content count (the dup signal),
+    // token/char volume, source/language coverage. One pass over the
+    // scan, every statistic map-side combined; all integers so the
+    // hash gate is trivially exact.
+    QueryDef.sql(
+      "q_dataset_card",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        countDistinct("text").cast("bigint").as("n_distinct_texts"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("bigint"))
+          .cast("bigint").as("n_tokens"),
+        sum(length(col("text")).cast("bigint")).cast("bigint").as("n_chars"),
+        countDistinct("source").cast("bigint").as("n_sources"),
+        countDistinct("lang").cast("bigint").as("n_langs"),
+        min("doc_id").cast("bigint").as("min_doc_id"),
+        max("doc_id").cast("bigint").as("max_doc_id"))
+    })
+}
