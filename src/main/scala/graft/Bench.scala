@@ -61,7 +61,7 @@ object Bench {
     "q_langid_confusion", "q_graph_assortativity",
     "q_survival_km", "q_lorenz_deciles", "mm_patch_dedup",
     "q_dp_noisy_counts", "sim_cosine_histogram",
-    "q_curation_pipeline", "q_dataset_card",
+    "q_curation_pipeline", "q_dataset_card", "sim_embedding_pipeline",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

@@ -809,6 +809,46 @@ object Similarity {
       corpusKmeans(s, d)
     },
 
+    // Vector-side FLAGSHIP composition: the per-cluster embedding
+    // pipeline report — k-means assignment (the shared corpusKmeans
+    // memo: computed once, reused by sim_kmeans / dedup_semantic / this)
+    // joined with exact per-vector L2 norms, rolled up per cluster.
+    // The table a vector-ingest team reviews before building an IVF
+    // index: cluster balance, spread (Σ dist²), and norm mass. Sums are
+    // exact decimals of 4dp-rounded per-vector values (totals, not
+    // means — the half-tie rule).
+    QueryDef.sql(
+      "sim_embedding_pipeline",
+      s"""WITH $kmeansOracleCte,
+        |nrm AS (
+        |  SELECT vec_id, round(sqrt(CAST(SUM(
+        |      CAST(x AS DECIMAL(12,8)) * CAST(x AS DECIMAL(12,8))
+        |    ) AS DOUBLE)), 4) AS l2
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CAST(round(dist2, 4) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_dist2,
+        |  CAST(SUM(CAST(l2 AS DECIMAL(18,4))) AS DOUBLE) AS sum_norm
+        |FROM a2 JOIN nrm USING (vec_id)
+        |GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+      val nrm = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(sqrt(
+          aggregate(col("embedding"),
+            lit(BigDecimal(0)).cast("decimal(32,16)"),
+            (acc, x) => (acc + x.cast("decimal(12,8)") *
+              x.cast("decimal(12,8)")).cast("decimal(32,16)"))
+            .cast("double")), 4).as("l2"))
+      corpusKmeans(s, d).join(nrm, "vec_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+          sum(round(col("dist2"), 4).cast("decimal(18,4)")).cast("double")
+            .as("sum_dist2"),
+          sum(col("l2").cast("decimal(18,4)")).cast("double").as("sum_norm"))
+        .orderBy("cluster")
+    },
+
     // Product quantization + asymmetric-distance search. Unlike
     // sim_topk_ann/ivf (whose hyperplanes live in a native kernel), the
     // whole PQ pipeline — codebook seeding, Lloyd refinement, encoding,

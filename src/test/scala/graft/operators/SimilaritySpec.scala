@@ -319,4 +319,20 @@ class SimilaritySpec extends SparkTestBase {
       assert(sumSim <= (bin + 1) / 10.0 * n + 1e-6)
     }
   }
+
+  test("sim_embedding_pipeline: clusters partition the corpus, sums positive") {
+    val rows = graft.SparkEntry.queries("sim_embedding_pipeline")(
+      spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = graft.Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_._2).sum == total)
+    rows.foreach { case (c, n, d2, nm) =>
+      assert(c >= 0 && c < 8 && n > 0 && d2 >= 0 && nm > 0)
+    }
+    // cluster stats agree with the shared assignment frame
+    val km = Similarity.corpusKmeans(spark, sf0001)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (c, n, _, _) => assert(km(c) == n) }
+  }
 }
