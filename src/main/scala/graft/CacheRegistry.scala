@@ -40,6 +40,15 @@ object CacheRegistry {
     sharedFrames.clear()
   }
 
+  /** Persist-and-register `df` unless it is ALREADY persisted (e.g. a
+    * cross-query shared frame): re-registering would let [[releaseAll]]
+    * unpersist the shared memo out from under later consumers. */
+  def ensurePersisted(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      register(df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else df
+
   /** Register an already-persisted frame for later release; returns it
     * unchanged so call sites can chain `.persist(...).pipe(register)`. */
   def register[T](ds: Dataset[T]): Dataset[T] = synchronized {

@@ -1724,27 +1724,11 @@ object CoreQueries {
         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
-      // PERSISTED before deriving offsets: the offset subtree and the
-      // final join both consume this frame, and rank = lrk + offset is
-      // only exact if both see the SAME range boundaries. Spark's
-      // RangePartitioner samples with an RDD-id-dependent seed, so two
-      // independent evaluations could pick different boundaries; the
-      // persist pins one evaluation instead of relying on ReuseExchange.
-      val local = graft.CacheRegistry.register(
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars"))
-          .repartitionByRange(32, desc("n_chars"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-          .withColumn("lrk", row_number().over(Window.partitionBy("pid")
-            .orderBy(desc("n_chars"), col("doc_id"))) - 1)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // 32-row offset frame: rank = local rank + earlier partitions' size
-      val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-        .withColumn("offset",
-          sum("cnt").over(Window.orderBy("pid")) - col("cnt"))
-        .select("pid", "offset")
-      local.join(broadcast(offsets), "pid")
-        .withColumn("rk", col("lrk") + col("offset"))
+      // global rank via the shared range-repartition recipe (see
+      // GlobalRank for the persist-before-offsets contract)
+      GlobalRank.withRank(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq(desc("n_chars"), col("doc_id")))
         .withColumn("shard",
           when(expr("rk div 8") % 2 === 0, col("rk") % 8)
             .otherwise(lit(7) - col("rk") % 8))
@@ -2298,21 +2282,10 @@ object CoreQueries {
       val cust = Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
-      // persisted before deriving offsets — same single-evaluation
-      // guarantee as q_shard_pack (RangePartitioner seeds differ per
-      // evaluation; ReuseExchange must not be load-bearing)
-      val local = graft.CacheRegistry.register(cust
-        .repartitionByRange(32, col("m"), col("o_custkey"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrk", row_number().over(Window.partitionBy("pid")
-          .orderBy(col("m"), col("o_custkey"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-        .withColumn("offset",
-          sum("cnt").over(Window.orderBy("pid")) - col("cnt"))
-        .select("pid", "offset")
-      val ranked = local.join(broadcast(offsets), "pid")
-        .withColumn("i", col("lrk") + col("offset"))
+      // global ascending rank via the shared recipe; i is 1-based
+      val ranked = GlobalRank.withRank(cust,
+        Seq(col("m"), col("o_custkey")))
+        .withColumn("i", col("rk") + 1)
       val tot = ranked.agg(count(lit(1)).cast("bigint").as("n"),
         sum("m").as("sm"),
         sum(col("i").cast("decimal(18,0)") * col("m")).as("swm"))
@@ -2459,20 +2432,11 @@ object CoreQueries {
       val cust = Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
-      val local = graft.CacheRegistry.register(cust
-        .repartitionByRange(32, col("m"), col("o_custkey"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrk", row_number().over(Window.partitionBy("pid")
-          .orderBy(col("m"), col("o_custkey"))) - 1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-        .withColumn("offset",
-          sum("cnt").over(Window.orderBy("pid")) - col("cnt"))
-        .select("pid", "offset")
-      val tot = local.agg(count(lit(1)).cast("bigint").as("n"),
+      val ranked = GlobalRank.withRank(cust,
+        Seq(col("m"), col("o_custkey")))
+      val tot = ranked.agg(count(lit(1)).cast("bigint").as("n"),
         sum("m").as("sm"))
-      val dec = local.join(broadcast(offsets), "pid")
-        .withColumn("rk", col("lrk") + col("offset"))
+      val dec = ranked
         .crossJoin(broadcast(tot))
         .groupBy(expr("(rk * 10) div n").cast("bigint").as("decile"),
           col("sm"))

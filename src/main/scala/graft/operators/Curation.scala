@@ -67,14 +67,19 @@ object Curation {
         |    CAST(SUM(CAST(q AS DECIMAL(10,4))) AS DOUBLE)
         |  FROM sp GROUP BY split)
         |ORDER BY stage""".stripMargin) { (s, d) =>
-      val sc = Tables.documents(s, d).select(
+      // sc feeds FOUR stage aggregates and dd feeds two — persist both
+      // or the union re-scans documents and re-runs the quality
+      // projection once per stage (the multi-consumer convention)
+      val sc = graft.CacheRegistry.register(Tables.documents(s, d).select(
         col("doc_id"), col("text"),
         size(TextAnalysis.tokens(col("text"))).cast("bigint").as("ntoks"),
         TextAnalysis.qualityScore(col("text")).as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val qf = sc.filter(col("q") >= 0.5)
-      val dd = qf
+      val dd = graft.CacheRegistry.register(qf
         .withColumn("keeper", min("doc_id").over(Window.partitionBy("text")))
         .filter(col("doc_id") === col("keeper"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val sp = dd.withColumn("split", Sampling.hashSplit(col("doc_id")))
       def stageAgg(df: org.apache.spark.sql.DataFrame, name: String) =
         df.agg(count(lit(1)).cast("bigint").as("n_docs"),

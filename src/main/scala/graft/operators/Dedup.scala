@@ -711,7 +711,16 @@ object Dedup {
     * is bucket-keyed; oversized buckets pair each new member with only
     * the bucket's min old id (the cross-corpus analogue of
     * [[minhashPairs]]'s chain-linking: bounded edges, still yields a
-    * duplicate verdict for every member of a boilerplate mega-bucket). */
+    * duplicate verdict for every member of a boilerplate mega-bucket).
+    *
+    * SCALE CONTRACT: like every capped-LSH path in this engine, recall
+    * (and therefore n_dups / dup_of) is defined over the CANDIDATE set,
+    * which is exact at gate scale (no cap trips, banding recall ≈ 1 at
+    * θ=0.8) but bounded at 100 TB — a heterogeneous mega-bucket whose
+    * min-id representative is dissimilar can miss a true dup. The cap
+    * and single-representative rule are the deliberate skew bound; a
+    * deployment wanting higher mega-bucket recall raises
+    * `maxBucketSize` or samples k>1 representatives. */
   def incrementalDedup(
       docs: DataFrame,
       idCol: String,

@@ -60,11 +60,7 @@ object Graph {
     * a src (no dangling nodes — the trade graph guarantees it by being
     * bidirectional; a caller with dangling nodes must add self-loops). */
   def pagerankOnEdges(rawEdges: DataFrame, iters: Int): DataFrame = {
-    // an already-persisted input (the shared trade-edge frame) must NOT
-    // be re-registered: releaseAll would unpersist the cross-query memo
-    val edges = if (rawEdges.storageLevel == StorageLevel.NONE)
-      CacheRegistry.register(rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
-    else rawEdges
+    val edges = CacheRegistry.ensurePersisted(rawEdges)
     val nodes = CacheRegistry.register(
       edges.select("src").distinct().withColumnRenamed("src", "node")
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -138,9 +134,7 @@ object Graph {
     * constant plan depth. */
   def reachabilityOnEdges(rawEdges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    val edges = if (rawEdges.storageLevel == StorageLevel.NONE)
-      CacheRegistry.register(rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
-    else rawEdges
+    val edges = CacheRegistry.ensurePersisted(rawEdges)
     var reached = seeds.select(col("node"), lit(0L).as("hop"))
     var frontier = reached
     for (i <- 1 to maxHops) {
@@ -219,9 +213,7 @@ object Graph {
     * src-keyed shuffle-hash join + one map-side-combined dst aggregate;
     * constant plan depth. */
   def pprOnEdges(rawEdges: DataFrame, seed: Long, iters: Int): DataFrame = {
-    val edges = if (rawEdges.storageLevel == StorageLevel.NONE)
-      CacheRegistry.register(rawEdges.persist(StorageLevel.MEMORY_AND_DISK))
-    else rawEdges
+    val edges = CacheRegistry.ensurePersisted(rawEdges)
     val nodes = CacheRegistry.register(
       edges.select("src").distinct().withColumnRenamed("src", "node")
         .persist(StorageLevel.MEMORY_AND_DISK))

@@ -109,20 +109,11 @@ object ModelEval {
         |    / (CAST(tp AS DOUBLE) / n), 4) AS lift
         |FROM ranked, tot GROUP BY 1, tp, n ORDER BY decile""".stripMargin) {
       (s, d) =>
-      val local = graft.CacheRegistry.register(scored(s, d)
-        .repartitionByRange(32, desc("score"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrk", row_number().over(Window.partitionBy("pid")
-          .orderBy(desc("score"), col("doc_id"))) - 1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-        .withColumn("offset",
-          sum("cnt").over(Window.orderBy("pid")) - col("cnt"))
-        .select("pid", "offset")
-      val tot = local.agg(count(lit(1)).cast("bigint").as("n"),
+      val ranked = GlobalRank.withRank(scored(s, d),
+        Seq(desc("score"), col("doc_id")))
+      val tot = ranked.agg(count(lit(1)).cast("bigint").as("n"),
         sum("y").cast("bigint").as("tp"))
-      local.join(broadcast(offsets), "pid")
-        .withColumn("rk", col("lrk") + col("offset"))
+      ranked
         .crossJoin(broadcast(tot))
         .groupBy(expr("(rk * 10) div n").cast("bigint").as("decile"),
           col("tp"), col("n"))

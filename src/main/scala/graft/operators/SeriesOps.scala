@@ -64,11 +64,18 @@ object SeriesOps {
     pmf.map(c => f"${math.floor(c * 65536).toLong}%04x")
   }
 
-  /** Daily total value, the shared reduction. */
+  /** Daily total value — the one pass over the raw event log that ACF,
+    * seasonal decomposition, and EWMA all start from. Cross-query
+    * SHARED (the edgesWithDeg/corpusKmeans convention): without the
+    * memo each consumer re-scans the full events table to rebuild the
+    * identical date-keyed decimal-sum frame. */
   private def daily(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+    graft.CacheRegistry.sharedFrame(
+      s"series:daily:${System.identityHashCode(s)}:$d") {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+    }
 
   private val dailySql =
     """daily AS (

@@ -591,11 +591,8 @@ object Similarity {
     QueryDef.sql(
       "sim_cosine_histogram",
       """WITH samp AS (
-        |  SELECT vec_id, embedding FROM (
-        |    SELECT vec_id, embedding,
-        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
-        |        AS rk
-        |    FROM embeddings) WHERE rk <= 100),
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100),
         |p AS (
         |  SELECT CASE
         |      WHEN list_sum(list_transform(a.embedding,
@@ -613,11 +610,12 @@ object Similarity {
         |  CAST(SUM(CAST(sim AS DECIMAL(10,4))) AS DOUBLE) AS sum_sim
         |FROM p GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(md5(col("vec_id").cast("string")))
+      // orderBy+limit compiles to TakeOrdered (per-partition top-k +
+      // merge) — an unpartitioned row_number window would single-
+      // partition-sort the whole corpus just to take 100 rows
       val samp = Tables.embeddings(s, d)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 100)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(100)
         .select(col("vec_id"), col("embedding"))
       val p = samp.select(col("vec_id").as("ia"), col("embedding").as("ea"))
         .join(samp.select(col("vec_id").as("ib"), col("embedding").as("eb")),

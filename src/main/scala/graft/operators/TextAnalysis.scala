@@ -1205,7 +1205,13 @@ object TextAnalysis {
     },
 
     // Character-entropy quality filter: byte-level Shannon entropy +
-    // distinct-char count per document, via the one-pass codegen'd
+    // distinct-char count per document. NOTE the engine computes BYTE
+    // entropy (the production definition — codecs and binary payloads
+    // have no chars) while the oracle folds over CHARACTERS; the two
+    // are equal on this ASCII corpus (the same documented equivalence
+    // as the mm_* byte/char windows) and would diverge on multi-byte
+    // UTF-8 — a non-ASCII deployment drops the SQL oracle and keeps
+    // the byte semantics. Via the one-pass codegen'd
     // [[graft.functions.ByteEntropyStats]] kernel — a narrow projection
     // at any corpus size. The naive shape (explode one row per char,
     // groupBy doc) shuffles |corpus chars| rows; the oracle takes that

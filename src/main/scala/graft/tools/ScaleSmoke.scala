@@ -170,6 +170,13 @@ object ScaleSmoke {
     // can't masquerade as the full audit)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names -- heavyQueries.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names not in heavyQueries: " +
+          s"${unknown.mkString(", ")} — a typo would otherwise audit " +
+          "nothing and still print ALL OK")
+    }
     heavyQueries.filter(n => only.forall(_.contains(n))).foreach { name =>
       stageTasks.clear()
       val t0 = System.nanoTime()
