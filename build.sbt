@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The bench driver keeps only the LAST 2000 stdout chars; sbt's
+// "[success] Total time" trailer printed AFTER Bench's one-line JSON
+// summary pushed the head of that line out of the window in round 8
+// (BENCH_r08 "parsed": null). Suppress it so the JSON line is last.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -283,9 +283,30 @@ object Bench {
       val sfShort = sfDir.split('/').last
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"qunit":"$unit","queries_$unit":$fams,"errors":$errJson,"sf":"$sfShort"}"""
     }
+    // Final-fallback stdout line: per-FAMILY total milliseconds only
+    // (a dozen entries — fits any window at any future query count);
+    // per-query detail lives in the committed BENCH_FULL.json.
+    def famTotalsLine: String = {
+      val fams = results
+        .groupBy { case (k, _) => k.substring(0, k.indexOf('_')) }
+        .toSeq.sortBy(_._1)
+        .map { case (fam, es) =>
+          s""""$fam":${math.round(es.map(_._2._1).sum * 1000)}"""
+        }.mkString("{", ",", "}")
+      val sfShort = sfDir.split('/').last
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"qunit":"ms","families_ms":$fams,"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfShort"}"""
+    }
+    // Budget 1800 (not the full 2000-char tail window): r8's 1900-char
+    // ms line PLUS sbt's ~80-char "[success] Total time" trailer
+    // overflowed the window and the driver parsed nothing. The trailer
+    // is now suppressed (build.sbt showSuccess := false) but the slack
+    // stays as insurance against any other trailing output.
     val line = {
       val ms = summaryLine(1000.0, "ms")
-      if (ms.length <= 1900) ms else summaryLine(100.0, "cs")
+      lazy val cs = summaryLine(100.0, "cs")
+      if (ms.length <= 1800) ms
+      else if (cs.length <= 1800) cs
+      else famTotalsLine
     }
     println(line)
     CacheRegistry.releaseShared()

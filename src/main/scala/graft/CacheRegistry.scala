@@ -18,6 +18,23 @@ object CacheRegistry {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val sharedFrames =
     scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+  private val sessionTokens =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]()
+
+  /** Unique token for a live session, for use in [[sharedFrame]] keys.
+    * `System.identityHashCode` is NOT unique across a session's
+    * lifetime boundary — after a stop+GC a new session can land on a
+    * colliding hash and be served a stale frame bound to the dead
+    * session. A random UUID held in a WeakHashMap can't collide (fresh
+    * per live instance) and can't pin stopped sessions (weak keys). */
+  def sessionToken(s: org.apache.spark.sql.SparkSession): String =
+    synchronized {
+      Option(sessionTokens.get(s)).getOrElse {
+        val t = java.util.UUID.randomUUID().toString
+        sessionTokens.put(s, t)
+        t
+      }
+    }
 
   /** Memoized CROSS-QUERY shared frame: built and persisted once per key
     * for the lifetime of the JVM. [[releaseAll]] does NOT touch these —

@@ -162,7 +162,7 @@ object GraftFunctions {
   /** Idempotently register graft_dot / graft_cosine in the session's
     * function registry so `expr("graft_cosine(a,b)")` resolves. */
   def register(spark: SparkSession): Unit =
-    if (registered.add(String.valueOf(System.identityHashCode(spark)))) {
+    if (registered.add(graft.CacheRegistry.sessionToken(spark))) {
       val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
       reg.createOrReplaceTempFunction("graft_dot",

@@ -449,7 +449,7 @@ object Dedup {
     * trade-graph pair frame in Graph). */
   def corpusPairs(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.sharedFrame(
-      s"dedup:pairs:${System.identityHashCode(s)}:$d") {
+      s"dedup:pairs:${graft.CacheRegistry.sessionToken(s)}:$d") {
       minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
     }
 

@@ -42,7 +42,7 @@ object Graph {
     * the graph ONCE", the same reasoning as commonNeighborPairs). */
   private def edgesWithDeg(s: SparkSession, d: String): DataFrame =
     CacheRegistry.sharedFrame(
-      s"graph:ewd:${System.identityHashCode(s)}:$d") {
+      s"graph:ewd:${graft.CacheRegistry.sessionToken(s)}:$d") {
       val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
@@ -169,7 +169,7 @@ object Graph {
     * derives from. Persisted once per (session, dir). */
   def tradeBipartite(s: SparkSession, d: String): DataFrame =
     CacheRegistry.sharedFrame(
-      s"graph:bipartite:${System.identityHashCode(s)}:$d") {
+      s"graph:bipartite:${graft.CacheRegistry.sessionToken(s)}:$d") {
       Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
@@ -186,7 +186,7 @@ object Graph {
     // session identity (a frame is only valid in its own session), data
     // dir, and the cap.
     CacheRegistry.sharedFrame(
-      s"graph:cnp:${System.identityHashCode(s)}:$d:$maxDeg") {
+      s"graph:cnp:${graft.CacheRegistry.sessionToken(s)}:$d:$maxDeg") {
       val edges = tradeBipartite(s, d)
       val custDeg = edges.groupBy("cust").agg(count(lit(1)).as("cdeg"))
       val suppDeg = edges.groupBy("supp").agg(count(lit(1)).as("sdeg"))

@@ -394,7 +394,7 @@ object Similarity {
     * consumer). Same memo convention as the dedup pair frame. */
   def corpusKmeans(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.sharedFrame(
-      s"sim:kmeans:${System.identityHashCode(s)}:$d") {
+      s"sim:kmeans:${graft.CacheRegistry.sessionToken(s)}:$d") {
       kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
     }
 
