@@ -62,6 +62,9 @@ object Bench {
     "q_survival_km", "q_lorenz_deciles", "mm_patch_dedup",
     "q_dp_noisy_counts", "sim_cosine_histogram",
     "q_curation_pipeline", "q_dataset_card", "sim_embedding_pipeline",
+    "q_pr_auc", "q_spearman_corr", "q_theil_sen", "q_mad_anomaly",
+    "graph_degree_powerlaw", "sim_kcenter_coreset", "text_hashed_features",
+    "q_itemset_pairs", "sim_pca_power",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging
@@ -296,16 +299,18 @@ object Bench {
       val sfShort = sfDir.split('/').last
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"qunit":"ms","families_ms":$fams,"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfShort"}"""
     }
-    // Budget 1800 (not the full 2000-char tail window): r8's 1900-char
-    // ms line PLUS sbt's ~80-char "[success] Total time" trailer
-    // overflowed the window and the driver parsed nothing. The trailer
-    // is now suppressed (build.sbt showSuccess := false) but the slack
-    // stays as insurance against any other trailing output.
+    // Budget 1900 of the 2000-char tail window: r8's 1900-char ms line
+    // PLUS sbt's ~80-char "[success] Total time" trailer overflowed the
+    // window and the driver parsed nothing. The trailer is now
+    // suppressed (build.sbt showSuccess := false) so this line is the
+    // last stdout output; 100 chars of slack remain for any stray
+    // shutdown logging, and the family-totals fallback can never
+    // overflow regardless of future query growth.
     val line = {
       val ms = summaryLine(1000.0, "ms")
       lazy val cs = summaryLine(100.0, "cs")
-      if (ms.length <= 1800) ms
-      else if (cs.length <= 1800) cs
+      if (ms.length <= 1900) ms
+      else if (cs.length <= 1900) cs
       else famTotalsLine
     }
     println(line)

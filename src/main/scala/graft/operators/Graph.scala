@@ -589,6 +589,69 @@ object Graph {
           .filter(col("jaccard") >= 0.22).select("sa", "sb"),
         k = 3, rounds = 3)
         .orderBy("node")
+    },
+
+    // ------------------------------------------------------------------
+    // Degree-distribution power-law fit: OLS of ln(count) on ln(degree)
+    // over the degree HISTOGRAM — the "is this graph scale-free, and
+    // how heavy is the hub tail?" diagnostic that decides whether the
+    // per-key joins above need hub caps/salting before they're run at
+    // 100 TB. SCALE SHAPE: degrees already exist on the shared edge
+    // frame; the histogram is one distinct + one count aggregate, and
+    // the regression runs on the DISTINCT-DEGREE frame (≤ max-degree
+    // rows — tiny forever). DETERMINISM: each ln() is rounded 6dp
+    // before the exact decimal sums (libm ulp), closed-form slope/
+    // intercept as one double expression rounded 4; alpha = −slope.
+    QueryDef.sql(
+      "graph_degree_powerlaw",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM edges GROUP BY src),
+        |hist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM deg GROUP BY deg),
+        |pts AS (
+        |  SELECT round(ln(CAST(deg AS DOUBLE)), 6) AS lx,
+        |    round(ln(CAST(cnt AS DOUBLE)), 6) AS ly
+        |  FROM hist),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(round(lx * ly, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(round(lx * lx, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS sxx
+        |  FROM pts)
+        |SELECT m AS n_degrees,
+        |  round(-((m * sxy - sx * sy) / (m * sxx - sx * sx)), 4)
+        |    AS alpha,
+        |  round((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx)
+        |    / m, 4) AS intercept
+        |FROM agg""".stripMargin) { (s, d) =>
+      val hist = edgesWithDeg(s, d)
+        .select("src", "deg").distinct()
+        .groupBy("deg").agg(count(lit(1)).as("cnt"))
+      val pts = hist.select(
+        round(log(col("deg").cast("double")), 6).as("lx"),
+        round(log(col("cnt").cast("double")), 6).as("ly"))
+      val agg = pts.agg(
+        count(lit(1)).cast("bigint").as("m"),
+        sum(col("lx").cast("decimal(18,6)")).cast("double").as("sx"),
+        sum(col("ly").cast("decimal(18,6)")).cast("double").as("sy"),
+        sum(round(col("lx") * col("ly"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sxy"),
+        sum(round(col("lx") * col("lx"), 6).cast("decimal(18,6)"))
+          .cast("double").as("sxx"))
+      val slope = (col("m") * col("sxy") - col("sx") * col("sy")) /
+        (col("m") * col("sxx") - col("sx") * col("sx"))
+      agg.select(col("m").as("n_degrees"),
+        round(-slope, 4).as("alpha"),
+        round((col("sy") - slope * col("sx")) / col("m"), 4)
+          .as("intercept"))
     }
   )
 

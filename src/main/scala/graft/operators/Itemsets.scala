@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset co-occurrence mining over the order baskets — the
+  * association-rule primitive (support / lift) behind "what goes
+  * together" curation and negative-sampling decisions. The reference's
+  * relational surface delegates this class of self-join analytics to its
+  * engine (`/root/reference/src/datasource/table.rs:150-204` scan →
+  * DataFusion); here it is expressed as the canonical Spark basket
+  * pipeline.
+  *
+  * Scale design: baskets reduce to DISTINCT (order, brand) first — the
+  * brand domain is catalog-bounded (25 values here, ≤ thousands in any
+  * real catalog), so per-order pair generation is C(items,2) with items
+  * ≤ |brand| by construction, never the raw line-item fan-out. The
+  * pair space itself is ≤ |brand|² — the support/lift tables are
+  * broadcast-sized forever, and the one real shuffle is the order-keyed
+  * self-join (co-partitioned on the same key it groups by next).
+  * Everything is exact integers until one lift division per output row.
+  */
+object Itemsets {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "q_itemset_pairs",
+      """WITH ob AS (
+        |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM ob),
+        |bs AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS s FROM ob GROUP BY b),
+        |pr AS (
+        |  SELECT a.b AS ba, c.b AS bb, CAST(COUNT(*) AS BIGINT) AS supp
+        |  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+        |  GROUP BY 1, 2)
+        |SELECT ba, bb, supp,
+        |  round(CAST(supp AS DOUBLE) * n
+        |    / (CAST(sa.s AS DOUBLE) * sb.s), 4) AS lift
+        |FROM pr JOIN bs sa ON pr.ba = sa.b JOIN bs sb ON pr.bb = sb.b, n
+        |ORDER BY supp DESC, ba, bb LIMIT 10""".stripMargin) { (s, d) =>
+      val ob = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+      val obP = graft.CacheRegistry.ensurePersisted(ob)
+      val n = obP.agg(countDistinct("o").cast("bigint").as("n"))
+      val bs = obP.groupBy("b").agg(count(lit(1)).cast("bigint").as("s"))
+      val pr = obP.join(
+          obP.select(col("o"), col("b").as("b2")), "o")
+        .filter(col("b") < col("b2"))
+        .groupBy(col("b").as("ba"), col("b2").as("bb"))
+        .agg(count(lit(1)).cast("bigint").as("supp"))
+      pr.join(broadcast(bs.select(col("b").as("ba"), col("s").as("sa"))),
+          "ba")
+        .join(broadcast(bs.select(col("b").as("bb"), col("s").as("sb"))),
+          "bb")
+        .crossJoin(broadcast(n))
+        .select(col("ba"), col("bb"), col("supp"),
+          round(col("supp").cast("double") * col("n")
+            / (col("sa").cast("double") * col("sb")), 4).as("lift"))
+        .orderBy(desc("supp"), col("ba"), col("bb")).limit(10)
+    })
+}

@@ -192,5 +192,138 @@ object ModelEval {
           .as("ece"),
         round(max(abs(col("mean_score") - col("pos_rate"))), 4)
           .as("max_gap"))
+    },
+
+    // ------------------------------------------------------------------
+    // Average precision (PR-AUC, step interpolation): AP = Σ_t ΔTP_t ·
+    // P_t / n_pos over DESCENDING distinct score thresholds — the
+    // ranking metric that, unlike ROC-AUC, stays honest under the heavy
+    // class imbalance of corpus filtering (a few % "good" docs in a
+    // crawl). Same distinct-score-frame shape as q_roc_auc: 4dp scores
+    // ⇒ ≤ 10⁴ threshold rows at ANY corpus size, cumulative TP/rank via
+    // one window, never a per-document sort. Determinism: per-threshold
+    // precision is double-divided from exact integer cumulative counts
+    // (ΔTP·TP may exceed BIGINT at trillion-doc scale, so the product is
+    // taken in double), each term rounded 6dp, summed exactly as
+    // decimals, one final division by n_pos rounded 6.
+    QueryDef.sql(
+      "q_pr_auc",
+      s"""WITH $scoredSql,
+        |cnt AS (
+        |  SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(y) AS BIGINT) AS cy
+        |  FROM sc GROUP BY score),
+        |cum AS (
+        |  SELECT cy,
+        |    CAST(SUM(cy) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+        |    CAST(SUM(c) OVER (ORDER BY score DESC) AS BIGINT) AS rk
+        |  FROM cnt)
+        |SELECT CAST(MAX(tp) AS BIGINT) AS n_pos,
+        |  CAST(MAX(rk) - MAX(tp) AS BIGINT) AS n_neg,
+        |  round(CAST(SUM(CAST(round(CAST(cy AS DOUBLE) * tp / rk, 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) / MAX(tp), 6) AS ap
+        |FROM cum""".stripMargin) { (s, d) =>
+      val cnt = scored(s, d).groupBy("score")
+        .agg(count(lit(1)).as("c"), sum("y").as("cy"))
+      val w = Window.orderBy(desc("score"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cnt.select(col("cy"),
+        sum("cy").over(w).cast("bigint").as("tp"),
+        sum("c").over(w).cast("bigint").as("rk"))
+      cum.agg(
+        max("tp").cast("bigint").as("n_pos"),
+        (max("rk") - max("tp")).cast("bigint").as("n_neg"),
+        round(sum(round(col("cy").cast("double") * col("tp") / col("rk"), 6)
+            .cast("decimal(28,6)")).cast("double") / max("tp"), 6).as("ap"))
+    },
+
+    // ------------------------------------------------------------------
+    // Spearman rank correlation between document length (n_chars) and
+    // the quality score — "is the filter just a length detector?", the
+    // standard confound check before shipping a quality classifier.
+    // SCALE SHAPE: midranks come from the two DISTINCT-VALUE frames
+    // (length domain + 4dp score domain, both value-bounded ⇒ broadcast
+    // rank tables at any corpus size) joined back to the doc frame —
+    // never a global per-document sort. DETERMINISM: doubled midranks
+    // stay integral; normalized ranks u = m2/(2n) are identical double
+    // divisions in both engines, rounded 6dp; cross-products rounded
+    // 6dp then summed exactly as decimals; the closed-form Pearson over
+    // those sums is one final double expression rounded 4. (At
+    // trillion-row scale the 6dp pre-rounds would be coarsened — the
+    // sums here stay ≤ 15 significant digits so the decimal→double
+    // casts are exact.)
+    QueryDef.sql(
+      "q_spearman_corr",
+      s"""WITH $scoredSql,
+        |docs AS (
+        |  SELECT d.doc_id, d.n_chars AS x, sc.score AS y
+        |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+        |rx AS (
+        |  SELECT x, 2 * (SUM(c) OVER (ORDER BY x) - c) + c + 1 AS m2x
+        |  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM docs GROUP BY x)),
+        |ry AS (
+        |  SELECT y, 2 * (SUM(c) OVER (ORDER BY y) - c) + c + 1 AS m2y
+        |  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM docs GROUP BY y)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+        |uv AS (
+        |  SELECT round(CAST(m2x AS DOUBLE) / (2 * n), 6) AS u,
+        |    round(CAST(m2y AS DOUBLE) / (2 * n), 6) AS v
+        |  FROM docs JOIN rx USING (x) JOIN ry USING (y), n),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(u, 6) AS DECIMAL(18,6))) AS DOUBLE) AS su,
+        |    CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(round(u * v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS suv,
+        |    CAST(SUM(CAST(round(u * u, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS suu,
+        |    CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS svv
+        |  FROM uv)
+        |SELECT n,
+        |  round((suv - su * sv / n)
+        |    / sqrt((suu - su * su / n) * (svv - sv * sv / n)), 4) AS rho
+        |FROM agg""".stripMargin) { (s, d) =>
+      // one documents pass: length + score are both narrow projections
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("n_chars").as("x"),
+        TextAnalysis.qualityScore(col("text")).as("y"))
+      val wx = Window.orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val rx = docs.groupBy("x").agg(count(lit(1)).as("c"))
+        .select(col("x"),
+          (lit(2) * (sum("c").over(wx) - col("c")) + col("c") + 1)
+            .as("m2x"))
+      val wy = Window.orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val ry = docs.groupBy("y").agg(count(lit(1)).as("c"))
+        .select(col("y"),
+          (lit(2) * (sum("c").over(wy) - col("c")) + col("c") + 1)
+            .as("m2y"))
+      val n = docs.agg(count(lit(1)).cast("bigint").as("n"))
+      val uv = docs.join(broadcast(rx), "x").join(broadcast(ry), "y")
+        .crossJoin(broadcast(n))
+        .select(
+          round(col("m2x").cast("double") / (lit(2) * col("n")), 6).as("u"),
+          round(col("m2y").cast("double") / (lit(2) * col("n")), 6).as("v"))
+      val agg = uv.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum(round(col("u"), 6).cast("decimal(18,6)")).cast("double")
+          .as("su"),
+        sum(round(col("v"), 6).cast("decimal(18,6)")).cast("double")
+          .as("sv"),
+        sum(round(col("u") * col("v"), 6).cast("decimal(18,6)"))
+          .cast("double").as("suv"),
+        sum(round(col("u") * col("u"), 6).cast("decimal(18,6)"))
+          .cast("double").as("suu"),
+        sum(round(col("v") * col("v"), 6).cast("decimal(18,6)"))
+          .cast("double").as("svv"))
+      agg.select(col("n"),
+        round((col("suv") - col("su") * col("sv") / col("n"))
+          / sqrt((col("suu") - col("su") * col("su") / col("n"))
+            * (col("svv") - col("sv") * col("sv") / col("n"))), 4)
+          .as("rho"))
     })
 }

@@ -56,7 +56,7 @@ object SeriesOps {
     * at 6). Rendered into BOTH engines from these values (the
     * cmHashRows pattern); lexicographic compare of fixed-length
     * lowercase hex equals numeric compare, the q_hash_split trick. */
-  val bootstrapB = 40
+  val bootstrapB = 80
   val poissonCutsHex: Seq[String] = {
     val pmf = (0 to 5).scanLeft(0.0) { case (cdf, k) =>
       cdf + math.exp(-1.0) / (1 to k).product.toDouble
@@ -71,7 +71,7 @@ object SeriesOps {
     * identical date-keyed decimal-sum frame. */
   private def daily(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.sharedFrame(
-      s"series:daily:${System.identityHashCode(s)}:$d") {
+      s"series:daily:${graft.CacheRegistry.sessionToken(s)}:$d") {
       Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
@@ -356,8 +356,11 @@ object SeriesOps {
     // Mann-Whitney U rank-sum test (click vs purchase values — the
     // nonparametric sibling of q_ab_welch_ttest): midranks over the
     // combined sample, U₁ = R₁ − n₁(n₁+1)/2, z via the normal
-    // approximation (no tie correction — reported U is exact either
-    // way). SCALE SHAPE: ranks are NOT a global sort of the event log —
+    // approximation WITH the standard tie correction — values are
+    // 2dp-bounded so ties are extensive and the no-tie variance would
+    // systematically overstate |z|: var = n1·n2/12 · ((n+1) −
+    // Σ(t³−t)/(n(n−1))), with the tie counts t read off the same
+    // distinct-value frame. SCALE SHAPE: ranks are NOT a global sort of the event log —
     // the samples reduce to the DISTINCT-VALUE frame first (value-domain
     // bounded), midranks come from one cumulative window over that
     // frame, and the rank-sum is a weighted aggregate. DETERMINISM:
@@ -382,14 +385,17 @@ object SeriesOps {
         |agg AS (
         |  SELECT CAST(SUM(ca) AS BIGINT) AS n1,
         |    CAST(SUM(c - ca) AS BIGINT) AS n2,
-        |    CAST(SUM(ca * m2) AS BIGINT) AS r1x2
+        |    CAST(SUM(ca * m2) AS BIGINT) AS r1x2,
+        |    CAST(SUM(c * c * c - c) AS BIGINT) AS tsum
         |  FROM mr)
         |SELECT n1, n2,
         |  round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2, 1) AS u1,
         |  round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
         |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
-        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-        |      * (n1 + n2 + 1) / 12), 4) AS z
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+        |      * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tsum AS DOUBLE)
+        |        / (CAST(n1 + n2 AS DOUBLE)
+        |          * CAST(n1 + n2 - 1 AS DOUBLE)))), 4) AS z
         |FROM agg""".stripMargin) { (s, d) =>
       val g = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
@@ -404,12 +410,18 @@ object SeriesOps {
       val agg = mr.agg(
         sum("ca").cast("bigint").as("n1"),
         sum(col("c") - col("ca")).cast("bigint").as("n2"),
-        sum(col("ca") * col("m2")).cast("bigint").as("r1x2"))
+        sum(col("ca") * col("m2")).cast("bigint").as("r1x2"),
+        sum(col("c") * col("c") * col("c") - col("c")).cast("bigint")
+          .as("tsum"))
       val u1 = (col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") / 2
       agg.select(col("n1"), col("n2"), round(u1, 1).as("u1"),
         round((u1 - col("n1").cast("double") * col("n2").cast("double") / 2)
-          / sqrt(col("n1").cast("double") * col("n2").cast("double")
-            * (col("n1") + col("n2") + 1) / 12), 4).as("z"))
+          / sqrt(col("n1").cast("double") * col("n2").cast("double") / 12
+            * ((col("n1") + col("n2") + 1).cast("double")
+              - col("tsum").cast("double")
+                / ((col("n1") + col("n2")).cast("double")
+                  * (col("n1") + col("n2") - 1).cast("double")))), 4)
+          .as("z"))
     },
 
     // ------------------------------------------------------------------
@@ -532,13 +544,15 @@ object SeriesOps {
     },
 
     // ------------------------------------------------------------------
-    // Poisson-bootstrap 95% CI for the mean purchase value: B=40
+    // Poisson-bootstrap 95% CI for the mean purchase value: B=80
     // replicas, each row's replica weight w ~ Poisson(1) derived
     // DETERMINISTICALLY from md5(event_id:replica) against the CDF
     // cutoffs in poissonCutsHex — reruns, backfills, and engines agree
     // replica-for-replica (the reason production bootstraps never use
-    // rand()). The CI is the 2nd/39th order statistic of the replica
-    // means. SCALE: one pass over the events scan computing all B
+    // rand()). The CI is the 2nd/79th order statistic of the replica
+    // means — ceil(B·α/2) = ceil(80·0.025) = 2, so the percentile-
+    // bootstrap indices land exactly on a 95% interval (B=40's 2nd/39th
+    // was really a ~92.5% CI). SCALE: one pass over the events scan computing all B
     // weights per row (a B-wide explode feeding a map-side-combined
     // per-replica aggregate — the shuffle carries B×partitions partial
     // rows, never B× the data), then order statistics over the B-row
@@ -592,5 +606,119 @@ object SeriesOps {
           max(when(col("rk") === bootstrapB - 1, col("m"))).as("ci_hi"))
         .select(lit(bootstrapB).as("b"), col("n_rows"), col("point_mean"),
           col("ci_lo"), col("ci_hi"))
+    },
+
+    // ------------------------------------------------------------------
+    // Theil-Sen robust trend slope of the daily value series: the
+    // median of all pairwise slopes (xⱼ−xᵢ)/(dⱼ−dᵢ) — outlier-immune
+    // where the OLS slope of q_regression_trend is not (one bad
+    // ingestion day can't move it). SCALE SHAPE: the pair frame is the
+    // DAILY frame self-joined — date-domain bounded (k days ⇒ k(k−1)/2
+    // rows at ANY corpus volume), so the O(k²) pair set and its
+    // single-partition rank are trivially small forever; the only
+    // corpus-scale pass is the shared daily aggregate. DETERMINISM:
+    // slopes are identical double divisions of exact decimal diffs,
+    // rounded 6dp; the median is the average of the two middle order
+    // statistics under a total (slope, day-pair) order, re-rounded 6dp.
+    QueryDef.sql(
+      "q_theil_sen",
+      s"""WITH $dailySql,
+        |p AS (
+        |  SELECT round(CAST(b.x - a.x AS DOUBLE) / (b.day - a.day), 6)
+        |      AS slope,
+        |    a.day AS da, b.day AS db
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |rk AS (
+        |  SELECT slope,
+        |    row_number() OVER (ORDER BY slope, da, db) AS r,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |  FROM p)
+        |SELECT m AS n_pairs,
+        |  round(SUM(slope) / COUNT(*), 6) AS sen_slope
+        |FROM rk WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
+        |GROUP BY m""".stripMargin) { (s, d) =>
+      val dd = daily(s, d)
+      val a = dd.select(col("day").as("da"), col("x").as("ax"))
+      val b = dd.select(col("day").as("db"), col("x").as("bx"))
+      val p = a.join(b, col("db") > col("da"))
+        .select(round((col("bx") - col("ax")).cast("double")
+          / datediff(col("db"), col("da")), 6).as("slope"),
+          col("da"), col("db"))
+      val rk = p.select(col("slope"),
+        row_number().over(Window.orderBy("slope", "da", "db")).as("r"),
+        count(lit(1)).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("bigint").as("m"))
+      // `div`, not `/`: Column `/` is DOUBLE division, and r === 181.5
+      // silently drops the lower middle order statistic on even counts
+      rk.filter(col("r") === expr("(m + 1) div 2")
+          || col("r") === expr("(m + 2) div 2"))
+        .groupBy(col("m").as("n_pairs"))
+        .agg(round(sum("slope") / count(lit(1)), 6).as("sen_slope"))
+    },
+
+    // ------------------------------------------------------------------
+    // MAD-based robust anomaly days: median / median-absolute-deviation
+    // of the daily totals, robust z = 0.6745·(x−med)/MAD, top-5 |z|
+    // days — the robust sibling of q_rolling_anomaly (a mean/std
+    // monitor is itself dragged by the outliers it should flag; the
+    // breakdown point of MAD is 50%). Same daily-frame boundedness as
+    // q_theil_sen: both medians are order statistics of the k-day
+    // frame. DETERMINISM: med/MAD stay UNROUNDED doubles (identical
+    // IEEE arithmetic from identical decimal inputs in both engines);
+    // rounding happens only on output columns, and the top-5 order is
+    // (4dp |z|, day) — boundary-proof.
+    QueryDef.sql(
+      "q_mad_anomaly",
+      s"""WITH $dailySql,
+        |rk AS (
+        |  SELECT day, x, row_number() OVER (ORDER BY x, day) AS r,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS k
+        |  FROM daily),
+        |med AS (
+        |  SELECT SUM(CAST(x AS DOUBLE)) / COUNT(*) AS med FROM rk
+        |  WHERE r = (k + 1) // 2 OR r = (k + 2) // 2),
+        |dev AS (
+        |  SELECT day, x, abs(CAST(x AS DOUBLE) - med) AS ad, med
+        |  FROM rk, med),
+        |drk AS (
+        |  SELECT day, x, ad, med, row_number() OVER (ORDER BY ad, day)
+        |      AS r,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS k
+        |  FROM dev),
+        |mad AS (
+        |  SELECT SUM(ad) / COUNT(*) AS mad FROM drk
+        |  WHERE r = (k + 1) // 2 OR r = (k + 2) // 2)
+        |SELECT day, round(CAST(x AS DOUBLE), 2) AS x,
+        |  round(med, 4) AS med, round(mad, 4) AS mad,
+        |  round(0.6745 * (CAST(x AS DOUBLE) - med) / mad, 4) AS z
+        |FROM dev, mad
+        |ORDER BY abs(round(0.6745 * (CAST(x AS DOUBLE) - med) / mad, 4))
+        |  DESC, day LIMIT 5""".stripMargin) { (s, d) =>
+      val dd = daily(s, d)
+      val kw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val rk = dd.select(col("day"), col("x"),
+        row_number().over(Window.orderBy("x", "day")).as("r"),
+        count(lit(1)).over(kw).cast("bigint").as("k"))
+      val med = rk.filter(col("r") === expr("(k + 1) div 2")
+          || col("r") === expr("(k + 2) div 2"))
+        .agg((sum(col("x").cast("double")) / count(lit(1))).as("med"))
+      val dev = dd.crossJoin(broadcast(med))
+        .select(col("day"), col("x"),
+          abs(col("x").cast("double") - col("med")).as("ad"), col("med"))
+      val drk = dev.select(col("day"), col("ad"),
+        row_number().over(Window.orderBy("ad", "day")).as("r"),
+        count(lit(1)).over(kw).cast("bigint").as("k"))
+      val mad = drk.filter(col("r") === expr("(k + 1) div 2")
+          || col("r") === expr("(k + 2) div 2"))
+        .agg((sum("ad") / count(lit(1))).as("mad"))
+      val z = round(lit(0.6745) * (col("x").cast("double") - col("med"))
+        / col("mad"), 4)
+      dev.crossJoin(broadcast(mad))
+        .select(col("day"), round(col("x").cast("double"), 2).as("x"),
+          round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+          z.as("z"))
+        .orderBy(abs(col("z")).desc, col("day")).limit(5)
     })
 }

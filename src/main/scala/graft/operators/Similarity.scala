@@ -529,6 +529,163 @@ object Similarity {
     result.select("step", "vec_id", "score").orderBy("step")
   }
 
+  /** Greedy k-center coreset (farthest-point sampling) over the
+    * embedding corpus: start from a deterministic seed, then k−1 times
+    * add the vector FARTHEST (max over candidates of min cosine
+    * distance) from everything selected so far — the classic diversity
+    * coreset for training-data selection (2-approximation of the
+    * optimal k-center cover; picks one vector per region of the space
+    * instead of k near-copies).
+    *
+    * Scale shape: this is exactly how distributed farthest-point
+    * sampling runs at 100 TB — each round is ONE corpus pass: the
+    * selected set (≤ k rows, with embeddings) broadcasts, every
+    * candidate computes its min-distance-to-selected in a narrow
+    * projection, and the argmax is a TakeOrdered(1). k rounds ⇒ k
+    * passes; nothing is ever collected to the driver.
+    *
+    * Determinism: cosines are 4dp-rounded (the mmrDiversify contract),
+    * distances re-rounded after 1−s, every argmax carries a vec_id
+    * tiebreak; localCheckpoint per round cuts the plan-nesting blowup
+    * (the graph_kcore lesson). */
+  def kcenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding")).localCheckpoint()
+    var result = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id"), lit(0.0).as("dist"), lit(1).as("step"))
+    for (i <- 2 to k) {
+      result = result.localCheckpoint()
+      val sel = result.select(col("vec_id").as("sid"))
+        .join(e.select(col("vec_id").as("sid"),
+          col("embedding").as("se")), "sid")
+      val step = e
+        .join(result.select(col("vec_id").as("sid")),
+          col("vec_id") === col("sid"), "left_anti")
+        .crossJoin(broadcast(sel))
+        .select(col("vec_id"),
+          round(lit(1.0) - round(graft.functions.GraftFunctions.cosine(
+            col("embedding"), col("se")), 4), 4).as("dc"))
+        .groupBy("vec_id").agg(min("dc").as("dist"))
+        .select(col("vec_id"), col("dist"), lit(i).as("step"))
+        .orderBy(desc("dist"), col("vec_id")).limit(1)
+      result = result.unionByName(step)
+    }
+    result.select("step", "vec_id", "dist").orderBy("step")
+  }
+
+  /** Matrix-free power iteration for the TOP PRINCIPAL DIRECTION of the
+    * (uncentered) embedding second-moment matrix: v ← normalize(Eᵀ(E v)),
+    * `iters` rounds from the uniform seed — the whitening/drift-analysis
+    * primitive (is the space collapsing onto one direction?) that never
+    * materializes the d×d covariance.
+    *
+    * Scale shape: each round is the canonical distributed mat-vec pair —
+    * (1) dotᵢ = eᵢ·v via the exploded (vec_id, dim, comp) frame joined
+    * to the BROADCAST 64-row v frame, partial-aggregated per vec_id;
+    * (2) w_d = Σᵢ comp·dotᵢ, a dim-keyed aggregate that map-side
+    * combines to ≤ d partial rows per partition regardless of corpus
+    * size. The iterate v never touches the driver — it stays a 64-row
+    * frame, re-broadcast each round.
+    *
+    * Determinism: both mat-vecs sum EXACT DECIMALS of 8dp-rounded
+    * products (order-independent — a float Σ over a shuffled corpus is
+    * not reproducible), dots re-round at 6dp, and the normalized
+    * components at 6dp; the norm is one sqrt over an exact decimal sum
+    * of 8dp-rounded squares. All decimal→double casts stay ≤ 12
+    * significant digits at gate scale. */
+  def pcaPowerIteration(emb: DataFrame, iters: Int): DataFrame = {
+    val ed = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "compf")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        col("compf").cast("double").as("comp"))
+      .localCheckpoint()
+    val dims = ed.select("dim").distinct()
+    var v = dims.select(col("dim"), lit(0.125).as("val"))
+    for (_ <- 1 to iters) {
+      val dots = ed.join(broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(round(sum(round(col("comp") * col("val"), 8)
+          .cast("decimal(28,8)")).cast("double"), 6).as("dot"))
+      val w = ed.join(dots, "vec_id")
+        .groupBy("dim")
+        .agg(sum(round(col("comp") * col("dot"), 8).cast("decimal(28,8)"))
+          .as("wraw"))
+      val nrm = w.agg(sqrt(sum(round(col("wraw").cast("double")
+          * col("wraw").cast("double"), 8).cast("decimal(38,8)"))
+        .cast("double")).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("dim"),
+          round(col("wraw").cast("double") / col("nrm"), 6).as("val"))
+        .localCheckpoint()
+    }
+    v.select(col("dim"), col("val").as("loading")).orderBy("dim")
+  }
+
+  /** DuckDB rendering of [[pcaPowerIteration]]: iterations exactly
+    * unrolled, same 8dp-product decimal sums / 6dp rounds. */
+  private def pcaOracleSql(dim: Int, iters: Int): String = {
+    val its = (1 to iters).map { i =>
+      val pv = if (i == 1) "v0" else s"v${i - 1}"
+      s"""dots$i AS (
+         |  SELECT vec_id, round(CAST(SUM(CAST(round(comp * val, 8)
+         |    AS DECIMAL(28,8))) AS DOUBLE), 6) AS dot
+         |  FROM ed JOIN $pv USING (dim) GROUP BY vec_id),
+         |w$i AS (
+         |  SELECT dim, SUM(CAST(round(comp * dot, 8) AS DECIMAL(28,8)))
+         |    AS wraw
+         |  FROM ed JOIN dots$i USING (vec_id) GROUP BY dim),
+         |n$i AS (
+         |  SELECT sqrt(CAST(SUM(CAST(round(CAST(wraw AS DOUBLE)
+         |    * CAST(wraw AS DOUBLE), 8) AS DECIMAL(38,8))) AS DOUBLE))
+         |    AS nrm
+         |  FROM w$i),
+         |v$i AS (SELECT dim, round(CAST(wraw AS DOUBLE) / nrm, 6) AS val
+         |        FROM w$i, n$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT vec_id, d.dim,
+       |    CAST(embedding[d.dim] AS DOUBLE) AS comp
+       |  FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS dim) d),
+       |v0 AS (SELECT unnest(range(1, ${dim + 1})) AS dim,
+       |       CAST(0.125 AS DOUBLE) AS val),
+       |$its
+       |SELECT dim, val AS loading FROM v$iters ORDER BY dim""".stripMargin
+  }
+
+  /** DuckDB rendering of [[kcenterCoreset]]: greedy rounds exactly
+    * unrolled (the mmrOracleSql convention), same 4dp rounds and
+    * vec_id tiebreaks. */
+  private def kcenterOracleSql(k: Int): String = {
+    def cos(a: String, b: String) =
+      s"""CASE WHEN list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * x)) = 0
+         |           OR list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * x)) = 0
+         |         THEN 0.0
+         |         ELSE round(list_cosine_similarity(
+         |           CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 4)
+         |    END""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (
+         |  SELECT e.vec_id,
+         |    min(round(1 - ${cos("e.embedding", "se.embedding")}, 4))
+         |      AS dist, $i AS step
+         |  FROM e, e se
+         |  WHERE se.vec_id IN (SELECT vec_id FROM sel${i - 1})
+         |    AND e.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY e.vec_id ORDER BY dist DESC, e.vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM sel${i - 1}
+         |          UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |s1 AS (SELECT vec_id, CAST(0.0 AS DOUBLE) AS dist, 1 AS step
+       |       FROM e WHERE vec_id = 0),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$steps
+       |SELECT step, vec_id, dist FROM (
+       |  ${(1 to k).map(i => s"SELECT * FROM s$i")
+          .mkString("\n  UNION ALL ")})
+       |ORDER BY step""".stripMargin
+  }
+
   /** DuckDB rendering of [[mmrDiversify]] (query 0, pool 20, k 5):
     * greedy steps exactly unrolled, same 4dp rounds and tiebreaks. */
   private def mmrOracleSql(pool: Int, k: Int): String = {
@@ -580,6 +737,20 @@ object Similarity {
     QueryDef.sql("sim_mmr_diversify", mmrOracleSql(pool = 20, k = 5)) {
       (s, d) =>
         mmrDiversify(Tables.embeddings(s, d), queryId = 0L, pool = 20, k = 5)
+    },
+
+    // Greedy k-center coreset, k = 6, seeded at vec_id 0. See
+    // [[kcenterCoreset]] for the scale/determinism contract; the
+    // oracle unrolls all five farthest-point rounds.
+    QueryDef.sql("sim_kcenter_coreset", kcenterOracleSql(k = 6)) {
+      (s, d) => kcenterCoreset(Tables.embeddings(s, d), k = 6)
+    },
+
+    // Top principal direction via 3 matrix-free power-iteration rounds.
+    // See [[pcaPowerIteration]]; the oracle unrolls all three mat-vec
+    // pairs over the exploded (vec_id, dim, comp) frame.
+    QueryDef.sql("sim_pca_power", pcaOracleSql(dim = 64, iters = 3)) {
+      (s, d) => pcaPowerIteration(Tables.embeddings(s, d), iters = 3)
     },
 
     // Embedding-space health check: the distribution of pairwise cosines

@@ -1459,6 +1459,47 @@ object TextAnalysis {
             - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
             4))
         .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------------------
+    // Feature hashing ("hashing trick", Weinberger 2009): every token
+    // maps to one of 16 signed buckets — bucket = h(tok) mod 16, sign =
+    // bit 4 of h(tok) — and the per-(doc, bucket) signed counts are the
+    // sparse feature vector a linear model trains on without ever
+    // materializing a vocabulary. THE vectorizer shape for trillion-
+    // token corpora: no dictionary build, no OOV path, a two-stage
+    // hash aggregate (per-doc partials map-side combine; the bucket
+    // roll-up shuffles ≤ 16 rows per partition). Output is the GLOBAL
+    // per-bucket profile (doc support, signed mass, absolute mass) —
+    // bounded at 16 rows forever; fully integer ⇒ bit-exact oracle.
+    QueryDef.sql(
+      "text_hashed_features",
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, ${fpSql("tok")} AS f FROM t),
+        |db AS (
+        |  SELECT doc_id, CAST(f % 16 AS BIGINT) AS bucket,
+        |    CAST(SUM(CASE WHEN f % 32 < 16 THEN 1 ELSE -1 END)
+        |      AS BIGINT) AS w
+        |  FROM h GROUP BY 1, 2)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS sum_w,
+        |  CAST(SUM(abs(w)) AS BIGINT) AS sum_abs
+        |FROM db GROUP BY bucket ORDER BY bucket""".stripMargin) {
+      (s, d) =>
+      val f = rollingFingerprint(col("tok"))
+      val db = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("tok"))
+        .select(col("doc_id"), pmod(f, lit(16L)).cast("bigint").as("bucket"),
+          when(pmod(f, lit(32L)) < 16, 1L).otherwise(-1L).as("sgn"))
+        .groupBy("doc_id", "bucket").agg(sum("sgn").as("w"))
+      db.groupBy("bucket")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("w").cast("bigint").as("sum_w"),
+          sum(abs(col("w"))).cast("bigint").as("sum_abs"))
+        .orderBy("bucket")
     }
   )
 

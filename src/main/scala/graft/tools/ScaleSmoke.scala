@@ -88,7 +88,12 @@ object ScaleSmoke {
       "sim_mmr_diversify",
       // r8 third wave: PPR iterations, KS distinct-value window, the
       // media-keyed scene-cut lag, the ranked lift table
-      "graph_ppr", "q_ks_test", "mm_scene_cut", "q_decile_lift")
+      "graph_ppr", "q_ks_test", "mm_scene_cut", "q_decile_lift",
+      // r9 wave: the basket self-join (order-keyed pair explosion), the
+      // exploded mat-vec shuffles, the k-round corpus passes of
+      // farthest-point sampling, and the token-bucket hash aggregate
+      "q_itemset_pairs", "sim_pca_power", "sim_kcenter_coreset",
+      "text_hashed_features")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

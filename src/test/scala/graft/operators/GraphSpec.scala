@@ -228,4 +228,32 @@ class GraphSpec extends SparkTestBase {
       math.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
     assert(math.abs(r - ref) < 1e-3, s"$r vs $ref")
   }
+
+  test("graph_degree_powerlaw matches a float OLS on the degree histogram") {
+    val row = graft.SparkEntry.queries("graph_degree_powerlaw")(
+      spark, sf0001).collect().head
+    val (m, alpha, intercept) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    // rebuild the degree histogram independently from the fact tables
+    val degs = graft.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .select(explode(array(struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .groupBy("e.src").count()
+      .groupBy("count").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m == degs.length)
+    val pts = degs.map { case (d, c) => (math.log(d), math.log(c)) }
+    val k = pts.length
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(alpha - -slope) < 1e-3, s"$alpha vs ${-slope}")
+    assert(math.abs(intercept - (sy - slope * sx) / k) < 1e-3)
+  }
 }

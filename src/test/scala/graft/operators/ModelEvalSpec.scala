@@ -70,4 +70,47 @@ class ModelEvalSpec extends SparkTestBase {
     assert(math.abs(ece - refEce) < 1e-3, s"$ece vs $refEce")
     assert(math.abs(maxGap - refMax) < 1e-3)
   }
+
+  test("q_pr_auc matches the sklearn-style step-interpolated AP") {
+    val row = graft.SparkEntry.queries("q_pr_auc")(spark, sf0001)
+      .collect().head
+    val (nPos, nNeg, ap) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(nPos == pairs.count(_._1 == 1L) && nNeg == pairs.count(_._1 == 0L))
+    // AP = sum over descending distinct thresholds of dTP * precision
+    val byScore = pairs.groupBy(_._2).view
+      .mapValues(g => (g.size.toLong, g.count(_._1 == 1L).toLong))
+      .toSeq.sortBy(-_._1)
+    var (tp, rk, sum) = (0L, 0L, 0.0)
+    byScore.foreach { case (_, (c, cy)) =>
+      tp += cy; rk += c
+      sum += cy.toDouble * tp / rk
+    }
+    val refAp = sum / nPos
+    assert(math.abs(ap - refAp) < 1e-4, s"$ap vs $refAp")
+    assert(ap > 0 && ap <= 1)
+  }
+
+  test("q_spearman_corr matches a rank-then-Pearson recomputation") {
+    val row = graft.SparkEntry.queries("q_spearman_corr")(spark, sf0001)
+      .collect().head
+    val (n, rho) = (row.getLong(0), row.getDouble(1))
+    val xy = graft.Tables.documents(spark, sf0001)
+      .select(col("n_chars").cast("double"),
+        TextAnalysis.qualityScore(col("text")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(n == xy.length)
+    def midranks(vs: Seq[Double]): Map[Double, Double] =
+      vs.sorted.zipWithIndex.groupBy(_._1).view
+        .mapValues(g => g.map(_._2 + 1.0).sum / g.size).toMap
+    val rx = midranks(xy.map(_._1)); val ry = midranks(xy.map(_._2))
+    val rs = xy.map { case (x, y) => (rx(x), ry(y)) }
+    val m = rs.length.toDouble
+    val (su, sv) = (rs.map(_._1).sum, rs.map(_._2).sum)
+    val suv = rs.map(p => p._1 * p._2).sum
+    val suu = rs.map(p => p._1 * p._1).sum
+    val svv = rs.map(p => p._2 * p._2).sum
+    val ref = (suv - su * sv / m) /
+      math.sqrt((suu - su * su / m) * (svv - sv * sv / m))
+    assert(math.abs(rho - ref) < 1e-3, s"$rho vs $ref")
+  }
 }

@@ -224,4 +224,47 @@ class SeriesOpsSpec extends SparkTestBase {
       assert(math.abs(diff) < 12, s"$t: implausible noise $diff")
     }
   }
+
+  /** Local daily-total series (epochDay, total) for robust-stat replays. */
+  private def dailySeries: Seq[(Long, Double)] =
+    Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1)))
+      .sortBy(_._1).toSeq
+
+  test("q_theil_sen matches the local median-of-pairwise-slopes") {
+    val row = graft.SparkEntry.queries("q_theil_sen")(spark, sf0001)
+      .collect().head
+    val (m, sen) = (row.getLong(0), row.getDouble(1))
+    val pts = dailySeries
+    val slopes = (for {
+      i <- pts.indices; j <- (i + 1) until pts.length
+    } yield BigDecimal((pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).sorted
+    assert(m == slopes.length)
+    val med = (slopes((m.toInt - 1) / 2) + slopes(m.toInt / 2)) / 2
+    assert(math.abs(sen - med) < 2e-6, s"$sen vs $med")
+  }
+
+  test("q_mad_anomaly: med/MAD match the local replay, top-5 by |z|") {
+    val rows = graft.SparkEntry.queries("q_mad_anomaly")(spark, sf0001)
+      .collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 5)
+    val xs = dailySeries.map(_._2).sorted
+    val k = xs.length
+    val med = (xs((k - 1) / 2) + xs(k / 2)) / 2
+    val ads = xs.map(x => math.abs(x - med)).sorted
+    val mad = (ads((k - 1) / 2) + ads(k / 2)) / 2
+    assert(math.abs(rows.head._1 - med) < 0.01, s"med ${rows.head._1} vs $med")
+    assert(math.abs(rows.head._2 - mad) < 0.01, s"mad ${rows.head._2} vs $mad")
+    // the 5 reported days carry the largest |z| of the whole series
+    val zs = dailySeries.map(p => math.abs(0.6745 * (p._2 - med) / mad))
+      .sorted.reverse
+    val reported = rows.map(r => math.abs(r._3)).sorted.reverse
+    reported.zip(zs.take(5)).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-3, s"$got vs $want") }
+  }
 }

@@ -335,4 +335,69 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     rows.foreach { case (c, n, _, _) => assert(km(c) == n) }
   }
+
+  test("sim_kcenter_coreset replays greedy farthest-point exactly") {
+    val rows = graft.SparkEntry.queries("sim_kcenter_coreset")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1 to 6))
+    assert(rows.map(_._2).distinct.length == 6, "centers must be distinct")
+    assert(rows.head == ((1, 0L, 0.0)))
+    // local greedy replay with the same 4dp rounding + id tiebreaks
+    val embs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(a.zip(b).map(p => p._1 * p._2).sum / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var sel = Vector(0L)
+    rows.drop(1).foreach { case (_, got, gotDist) =>
+      val cands = embs.keys.filterNot(sel.contains).toSeq.sorted
+      val best = cands.map { id =>
+        val dmin = sel.map(sid => BigDecimal(1.0 - cos(embs(id), embs(sid)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).min
+        (id, dmin)
+      }.maxBy { case (id, dm) => (dm, -id) }
+      assert(got == best._1, s"center $got vs ${best._1}")
+      assert(math.abs(gotDist - best._2) < 2e-4, s"$gotDist vs ${best._2}")
+      sel :+= got
+    }
+    // farthest-point radii are non-increasing
+    val ds = rows.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
+  test("sim_pca_power replays the rounded power iteration exactly") {
+    val rows = graft.SparkEntry.queries("sim_pca_power")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSeq == (1 to 64))
+    // unit vector (up to the 6dp component rounding)
+    val norm = math.sqrt(rows.map(p => p._2 * p._2).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"norm $norm")
+    // exact local replay with the same rounding schedule
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val embs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1).map(_.toDouble).toArray)
+    var v = Array.fill(64)(0.125)
+    for (_ <- 1 to 3) {
+      val dots = embs.map { case (_, e) =>
+        (e, r(e.indices.map(d => BigDecimal(r(e(d) * v(d), 8))).sum
+          .toDouble, 6))
+      }
+      val w = (0 until 64).map(d =>
+        dots.map { case (e, dot) => BigDecimal(r(e(d) * dot, 8)) }.sum
+          .toDouble).toArray
+      val nrm = math.sqrt(w.map(x => BigDecimal(r(x * x, 8))).sum.toDouble)
+      v = w.map(x => r(x / nrm, 6))
+    }
+    rows.foreach { case (dim, loading) =>
+      assert(math.abs(loading - v(dim - 1)) < 1e-6,
+        s"dim $dim: $loading vs ${v(dim - 1)}") }
+  }
 }

@@ -548,4 +548,31 @@ class TextMultimodalSpec extends SparkTestBase {
         s"exact dup ($a,$b) missing or low: $hit")
     }
   }
+
+  test("text_hashed_features matches a local hashing-trick replay") {
+    val rows = graft.SparkEntry.queries("text_hashed_features")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def fp(s: String): Long =
+      s.toLowerCase.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % 2147483629L)
+    val perDoc = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .view.mapValues { text =>
+        text.toLowerCase.split(" ", -1).toSeq
+          .groupBy(t => fp(t) % 16)
+          .view.mapValues(_.map(t => if (fp(t) % 32 < 16) 1L else -1L).sum)
+          .toMap
+      }.toMap
+    val byBucket = perDoc.values.flatMap(_.toSeq).groupBy(_._1)
+      .view.mapValues { ws =>
+        val vs = ws.map(_._2).toSeq
+        (vs.size.toLong, vs.sum, vs.map(math.abs).sum)
+      }.toMap
+    rows.foreach { case (b, nDocs, sumW, sumAbs) =>
+      val (rn, rs, ra) = byBucket(b)
+      assert(nDocs == rn && sumW == rs && sumAbs == ra, s"bucket $b")
+    }
+    assert(rows.map(_._1).toSeq == byBucket.keys.toSeq.sorted)
+  }
 }
