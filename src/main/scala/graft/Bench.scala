@@ -65,6 +65,7 @@ object Bench {
     "q_pr_auc", "q_spearman_corr", "q_theil_sen", "q_mad_anomaly",
     "graph_degree_powerlaw", "sim_kcenter_coreset", "text_hashed_features",
     "q_itemset_pairs", "sim_pca_power",
+    "q_join_size_estimate", "q_fd_audit",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging
