@@ -18,8 +18,10 @@ object PlanAudit {
     // the bench set IS the audit set (single-sourced so a query added to
     // one can't silently miss the other), plus the connector scans whose
     // pushdown evidence only shows through the sharing path
-    val audit = Bench.headline ++
-      Seq("connector_filter_pushdown", "connector_partition_values")
+    val audit = (Bench.headline ++
+      Seq("connector_filter_pushdown", "connector_partition_values"))
+      // optional arg: comma-separated name filter (local iteration)
+      .filter(n => args.headOption.forall(_.split(',').contains(n)))
     val qs = SparkEntry.queries
     audit.foreach { name =>
       println(s"\n## $name\n")
