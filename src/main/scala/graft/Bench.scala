@@ -287,9 +287,12 @@ object Bench {
       val sfShort = sfDir.split('/').last
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"qunit":"$unit","queries_$unit":$fams,"errors":$errJson,"sf":"$sfShort"}"""
     }
-    // Final-fallback stdout line: per-FAMILY total milliseconds only
-    // (a dozen entries — fits any window at any future query count);
-    // per-query detail lives in the committed BENCH_FULL.json.
+    // Final-fallback stdout line: per-query millisecond integers as an
+    // ORDERED ARRAY (values follow Bench.headline order — the name list
+    // lives in this commit's Bench.scala, and the named map is in the
+    // committed BENCH_FULL.json) plus per-family totals. ~7 chars per
+    // query instead of ~20, so every number still reaches the driver's
+    // 2000-char tail window at any plausible future query count.
     def famTotalsLine: String = {
       val fams = results
         .groupBy { case (k, _) => k.substring(0, k.indexOf('_')) }
@@ -297,8 +300,11 @@ object Bench {
         .map { case (fam, es) =>
           s""""$fam":${math.round(es.map(_._2._1).sum * 1000)}"""
         }.mkString("{", ",", "}")
+      val ordered = results
+        .map { case (_, (med, _)) => math.round(med * 1000) }
+        .mkString("[", ",", "]")
       val sfShort = sfDir.split('/').last
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"qunit":"ms","families_ms":$fams,"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfShort"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"qunit":"ms","queries_ms_in_headline_order":$ordered,"families_ms":$fams,"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfShort"}"""
     }
     // Budget 1900 of the 2000-char tail window: r8's 1900-char ms line
     // PLUS sbt's ~80-char "[success] Total time" trailer overflowed the

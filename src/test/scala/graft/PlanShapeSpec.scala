@@ -227,4 +227,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"loop join crept in:\n$p")
   }
+
+  test("itemset pairs: part broadcasts, pair ranking is TakeOrdered") {
+    val p = plan("q_itemset_pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part/support sides should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 should plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  test("spearman: both rank tables broadcast onto one corpus pass") {
+    val p = plan("q_spearman_corr")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"both distinct-value rank tables should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join belongs in this shape:\n$p")
+  }
+
+  test("join-size estimate: the join is predicted, never executed") {
+    val p = plan("q_join_size_estimate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the estimated self-join must not appear in the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top key should ride TakeOrdered:\n$p")
+  }
+
+  test("kcenter coreset: selected set broadcasts; argmax is TakeOrdered") {
+    val p = graft.operators.Similarity
+      .kcenterCoreset(Tables.embeddings(spark, sf0001), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Union"),
+      s"greedy steps should surface as TakeOrdered/Union:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
 }
