@@ -73,7 +73,8 @@ object Bench {
     // ConnectorQueries.stage; timings cover client listing → signed
     // URLs → graftshare filesystem → vectorized parquet → operators.
     "connector_scan", "connector_filter_pushdown",
-    "connector_cdf_snapshot", "connector_catalog_sql")
+    "connector_cdf_snapshot", "connector_catalog_sql",
+    "connector_oauth_scan")
 
   /** Bench-only RAW operator variants. The gate versions of these
     * queries certify QUALITY by computing the exact ground truth in-plan

@@ -30,7 +30,10 @@ object ConnectorQueries {
 
   private def shared(spark: SparkSession, sfDir: String): DeltaSharingClient =
     servers.getOrElseUpdate(sfDir, {
-      val server = new LocalSharingServer()
+      // the server also speaks the OAuth client_credentials grant so the
+      // v2-profile path rides the same staged tables (connector_oauth_scan)
+      val server = new LocalSharingServer(
+        oauthClient = Some(("graft-client", "graft-secret")))
       val names = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents", "embeddings")
       names.foreach { n =>
@@ -155,6 +158,18 @@ object ConnectorQueries {
   private def sharedTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     GraftSharing.readTable(spark, shared(spark, sfDir), TableRef("graft", "main", name))
 
+  /** A SECOND client for the same server authenticated via the OAuth
+    * client_credentials grant (shareCredentialsVersion 2) — the
+    * production M2M auth path for long-running jobs. Lazy per sfDir so
+    * the token grant itself happens on first use. */
+  private val oauthClients =
+    scala.collection.concurrent.TrieMap.empty[String, DeltaSharingClient]
+  private def oauthClient(spark: SparkSession, sfDir: String): DeltaSharingClient =
+    oauthClients.getOrElseUpdate(sfDir, {
+      shared(spark, sfDir)
+      new DeltaSharingClient(Profile.fromJson(servers(sfDir)._1.profileJsonV2))
+    })
+
   /** Pre-stage this sfDir's sharing server (fixture slicing, temp
     * parquet, server start) and catalog registration OUTSIDE a timed
     * window — staging is ingest/layout cost, not query cost. Idempotent. */
@@ -190,6 +205,25 @@ object ConnectorQueries {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    // Scan through the connector AUTHENTICATED VIA THE OAUTH
+    // client_credentials GRANT (shareCredentialsVersion 2): profile →
+    // token endpoint → short-lived bearer → listing → signed URLs →
+    // vectorized parquet. A hash match against DuckDB on the raw
+    // parquet certifies the whole v2 auth path end-to-end (previously
+    // spec-only coverage in OAuthSpec).
+    QueryDef.sql(
+      "connector_oauth_scan",
+      """SELECT c_custkey, c_name, round(CAST(c_acctbal AS DOUBLE), 2)
+        |    AS acctbal
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin) {
+      (s, d) =>
+      GraftSharing.readTable(s, oauthClient(s, d),
+          TableRef("graft", "main", "customer"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal").cast("double"), 2).as("acctbal"))
+        .orderBy("c_custkey").limit(200)
+    },
+
     // Scan through the connector; oracle reads the same parquet directly.
     QueryDef.sql(
       "connector_scan",
