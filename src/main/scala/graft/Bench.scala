@@ -66,6 +66,7 @@ object Bench {
     "graph_degree_powerlaw", "sim_kcenter_coreset", "text_hashed_features",
     "q_itemset_pairs", "sim_pca_power",
     "q_join_size_estimate", "q_fd_audit",
+    "q_weighted_percentile", "text_heaps_law",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

@@ -1018,6 +1018,52 @@ object CoreQueries {
     },
 
     // ------------------------------------------------------------------
+    // WEIGHTED percentiles (price percentiles weighted by quantity —
+    // the "token-weighted doc-length percentile" shape every corpus
+    // report needs: percentile of a value where each row counts w
+    // times). Exact and scale-shaped: the aggregate runs on the
+    // DISTINCT-VALUE frame per group (price domain is value-bounded),
+    // one cumulative-weight window, then the smallest value whose
+    // cumulative weight crosses q·W. DETERMINISM: weights stay exact
+    // decimals and the thresholds compare as integer-scaled decimals
+    // (cw·100 ≥ tw·q100) — no float quantile interpolation anywhere.
+    QueryDef.sql(
+      "q_weighted_percentile",
+      """WITH cnt AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, SUM(w) OVER (PARTITION BY g ORDER BY v) AS cw,
+        |    SUM(w) OVER (PARTITION BY g) AS tw
+        |  FROM cnt)
+        |SELECT g AS l_returnflag,
+        |  round(CAST(MIN(CASE WHEN cw * 100 >= tw * 50 THEN v END)
+        |    AS DOUBLE), 2) AS wp50,
+        |  round(CAST(MIN(CASE WHEN cw * 100 >= tw * 90 THEN v END)
+        |    AS DOUBLE), 2) AS wp90,
+        |  round(CAST(MIN(CASE WHEN cw * 100 >= tw * 99 THEN v END)
+        |    AS DOUBLE), 2) AS wp99
+        |FROM cum GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+      val cnt = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("decimal(18,2)").as("v"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("w"))
+      val wOrd = Window.partitionBy("g").orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("g")
+      val cum = cnt.select(col("g"), col("v"),
+        sum("w").over(wOrd).as("cw"), sum("w").over(wAll).as("tw"))
+      def wp(q: Int) = min(when(col("cw") * 100 >= col("tw") * q,
+        col("v"))).cast("double")
+      cum.groupBy(col("g").as("l_returnflag"))
+        .agg(round(wp(50), 2).as("wp50"), round(wp(90), 2).as("wp90"),
+          round(wp(99), 2).as("wp99"))
+        .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // match each other — distinct join semantics from plain equality,
     // still planned as a hash join on the wrapped key.

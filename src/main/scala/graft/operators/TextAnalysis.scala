@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over `documents`:
@@ -1500,6 +1501,121 @@ object TextAnalysis {
           sum("w").cast("bigint").as("sum_w"),
           sum(abs(col("w"))).cast("bigint").as("sum_abs"))
         .orderBy("bucket")
+    },
+
+    // ------------------------------------------------------------------
+    // Heaps'-law vocabulary-growth curve: cumulative distinct vocabulary
+    // after each decile of the corpus (ingestion order = doc rank), plus
+    // the fitted Heaps exponent β (V(n) ≈ K·n^β) — the "is this corpus
+    // still yielding new vocabulary or has novelty saturated?" curation
+    // report. SCALE SHAPE: first occurrence is min(doc_id) per bigram —
+    // a two-stage hash aggregate over the token stream, never a sort;
+    // doc ranks come from the range-repartition GlobalRank recipe (no
+    // single-partition rank); everything after lives on the 10-row
+    // decile grid, where the β OLS uses the 6dp-ln + exact-decimal-sum
+    // convention of graph_degree_powerlaw.
+    QueryDef.sql(
+      "text_heaps_law",
+      """WITH docs AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+        |  FROM documents),
+        |dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM docs),
+        |dd AS (SELECT doc_id, CAST((rk * 10) // nd AS BIGINT) AS decile
+        |       FROM docs, dtot),
+        |ft AS (
+        |  SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS fd
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i + 1])) AS tok
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |          FROM documents)
+        |    WHERE len(ts) >= 2)
+        |  GROUP BY tok),
+        |fo AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_grams
+        |  FROM ft JOIN dd ON ft.fd = dd.doc_id GROUP BY decile),
+        |dc AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS docs_in
+        |       FROM dd GROUP BY decile),
+        |grid AS (
+        |  SELECT g.decile, coalesce(fo.new_grams, 0) AS new_grams,
+        |    dc.docs_in
+        |  FROM (SELECT unnest(range(0, 10)) AS decile) g
+        |  LEFT JOIN fo ON g.decile = fo.decile
+        |  JOIN dc ON g.decile = dc.decile),
+        |cum AS (
+        |  SELECT decile, new_grams,
+        |    CAST(SUM(docs_in) OVER (ORDER BY decile) AS BIGINT) AS docs_cum,
+        |    CAST(SUM(new_grams) OVER (ORDER BY decile) AS BIGINT)
+        |      AS vocab_cum
+        |  FROM grid),
+        |pts AS (
+        |  SELECT round(ln(CAST(docs_cum AS DOUBLE)), 6) AS lx,
+        |    round(ln(CAST(vocab_cum AS DOUBLE)), 6) AS ly
+        |  FROM cum),
+        |fit AS (
+        |  SELECT round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) + 0
+        |      AS beta
+        |  FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |      CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |      CAST(SUM(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |      CAST(SUM(CAST(round(lx * ly, 6) AS DECIMAL(18,6)))
+        |        AS DOUBLE) AS sxy,
+        |      CAST(SUM(CAST(round(lx * lx, 6) AS DECIMAL(18,6)))
+        |        AS DOUBLE) AS sxx
+        |    FROM pts))
+        |SELECT decile, new_grams, docs_cum, vocab_cum, beta
+        |FROM cum, fit ORDER BY decile""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val ranked = graft.operators.GlobalRank.withRank(docs,
+        Seq(col("doc_id")))
+      val dtot = ranked.agg(count(lit(1)).cast("bigint").as("nd"))
+      val dd = ranked.crossJoin(broadcast(dtot))
+        .select(col("doc_id"),
+          expr("(rk * 10) div nd").cast("bigint").as("decile"))
+      // BIGRAM vocabulary (unigram vocab saturates in one decile on any
+      // small-alphabet corpus; bigrams give the curve room to grow)
+      val first = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1)))).as("tok"))
+        .groupBy("tok").agg(min("doc_id").cast("bigint").as("fd"))
+      val fo = first.join(dd, col("fd") === col("doc_id"))
+        .groupBy("decile").agg(count(lit(1)).cast("bigint").as("new_grams"))
+      val dc = dd.groupBy("decile")
+        .agg(count(lit(1)).cast("bigint").as("docs_in"))
+      val grid = s.range(0, 10).toDF("decile")
+        .join(fo, Seq("decile"), "left").na.fill(0L, Seq("new_grams"))
+        .join(dc, "decile")
+      val wCum = Window.orderBy("decile")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.select(col("decile"), col("new_grams"),
+        sum("docs_in").over(wCum).cast("bigint").as("docs_cum"),
+        sum("new_grams").over(wCum).cast("bigint").as("vocab_cum"))
+      val pts = cum.select(
+        round(log(col("docs_cum").cast("double")), 6).as("lx"),
+        round(log(col("vocab_cum").cast("double")), 6).as("ly"))
+      val fit = pts.agg(
+          count(lit(1)).cast("bigint").as("m"),
+          sum(col("lx").cast("decimal(18,6)")).cast("double").as("sx"),
+          sum(col("ly").cast("decimal(18,6)")).cast("double").as("sy"),
+          sum(round(col("lx") * col("ly"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sxy"),
+          sum(round(col("lx") * col("lx"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sxx"))
+        // + 0 normalizes IEEE negative zero (a flat curve rounds to
+        // -0.0 in one engine and 0.0 in the other — same value,
+        // different string under the hash gate)
+        .select((round((col("m") * col("sxy") - col("sx") * col("sy"))
+          / (col("m") * col("sxx") - col("sx") * col("sx")), 4) + 0)
+          .as("beta"))
+      cum.crossJoin(broadcast(fit))
+        .select("decile", "new_grams", "docs_cum", "vocab_cum", "beta")
+        .orderBy("decile")
     }
   )
 

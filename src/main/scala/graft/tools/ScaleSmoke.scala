@@ -93,7 +93,10 @@ object ScaleSmoke {
       // exploded mat-vec shuffles, the k-round corpus passes of
       // farthest-point sampling, and the token-bucket hash aggregate
       "q_itemset_pairs", "sim_pca_power", "sim_kcenter_coreset",
-      "text_hashed_features")
+      "text_hashed_features",
+      // r9 second wave: the bigram first-occurrence explode + global
+      // doc rank, and the per-group cumulative-weight window
+      "text_heaps_law", "q_weighted_percentile")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

@@ -247,4 +247,31 @@ class AnalyticsSpec extends SparkTestBase {
     val cum = rows.map(_._4)
     assert(cum.toSeq == cum.sorted.toSeq)
   }
+
+  test("q_weighted_percentile matches a local weighted-order-statistic") {
+    val rows = graft.SparkEntry.queries("q_weighted_percentile")(
+      spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val data = graft.Tables.lineitem(spark, sf0001)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    data.groupBy(_._1).foreach { case (g, xs) =>
+      // distinct-value cumulative weights, smallest v with cw >= q*W
+      val byV = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      def wp(q: Double): Double = {
+        var cw = 0.0
+        byV.find { case (_, w) => cw += w; cw >= q * tot - 1e-9 }.get._1
+      }
+      val (p50, p90, p99) = rows(g)
+      assert(math.abs(p50 - wp(0.50)) < 0.01, s"$g wp50")
+      assert(math.abs(p90 - wp(0.90)) < 0.01, s"$g wp90")
+      assert(math.abs(p99 - wp(0.99)) < 0.01, s"$g wp99")
+      // weighted median is pulled by weight, not just rank: sanity that
+      // the percentiles are ordered
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
 }

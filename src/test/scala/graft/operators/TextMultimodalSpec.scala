@@ -575,4 +575,36 @@ class TextMultimodalSpec extends SparkTestBase {
     }
     assert(rows.map(_._1).toSeq == byBucket.keys.toSeq.sorted)
   }
+
+  test("text_heaps_law: cumulative curve is consistent and complete") {
+    val rows = graft.SparkEntry.queries("text_heaps_law")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    // cumulative columns really are running sums
+    assert(rows.map(_._2).sum == rows.last._4)
+    rows.foldLeft(0L) { case (acc, (_, ng, _, vc, _)) =>
+      assert(acc + ng == vc); vc }
+    // docs_cum ends at the corpus size; vocab_cum at the distinct
+    // bigram count
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.last._3 == docs.length)
+    val bigrams = docs.flatMap { case (_, t) =>
+      val ts = t.toLowerCase.split(" ", -1)
+      ts.zip(ts.drop(1)).map(p => p._1 + " " + p._2)
+    }.toSet
+    assert(rows.last._4 == bigrams.size)
+    // beta equals the local log-log OLS over the 10 decile points
+    val pts = rows.map(r => (math.log(r._3.toDouble), math.log(r._4.toDouble)))
+    val m = pts.length
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(math.abs(rows.head._5 - beta) < 1e-3,
+      s"${rows.head._5} vs $beta")
+  }
 }
