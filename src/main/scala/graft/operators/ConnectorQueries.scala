@@ -26,6 +26,9 @@ object ConnectorQueries {
   def stopAll(): Unit = {
     servers.values.foreach { case (srv, _) => srv.stop() }
     servers.clear()
+    // keep the lifecycles symmetric: a cached OAuth client holds the
+    // DEAD server's tokenEndpoint and would fail any restaged run
+    oauthClients.clear()
   }
 
   private def shared(spark: SparkSession, sfDir: String): DeltaSharingClient =

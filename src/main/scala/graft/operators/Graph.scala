@@ -604,7 +604,7 @@ object Graph {
     // intercept as one double expression rounded 4; alpha = −slope.
     QueryDef.sql(
       "graph_degree_powerlaw",
-      """WITH pairs AS (
+      s"""WITH pairs AS (
         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
         |edges AS (SELECT c AS src, s AS dst FROM pairs
@@ -617,20 +617,11 @@ object Graph {
         |  SELECT round(ln(CAST(deg AS DOUBLE)), 6) AS lx,
         |    round(ln(CAST(cnt AS DOUBLE)), 6) AS ly
         |  FROM hist),
-        |agg AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
-        |    CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(round(lx * ly, 6) AS DECIMAL(18,6)))
-        |      AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(round(lx * lx, 6) AS DECIMAL(18,6)))
-        |      AS DOUBLE) AS sxx
-        |  FROM pts)
+        |agg AS (${LogLogFit.aggSql("pts")})
         |SELECT m AS n_degrees,
-        |  round(-((m * sxy - sx * sy) / (m * sxx - sx * sx)), 4)
-        |    AS alpha,
-        |  round((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx)
-        |    / m, 4) AS intercept
+        |  round(-(${LogLogFit.slopeSql}), 4) + 0 AS alpha,
+        |  round((sy - (${LogLogFit.slopeSql}) * sx) / m, 4) + 0
+        |    AS intercept
         |FROM agg""".stripMargin) { (s, d) =>
       val hist = edgesWithDeg(s, d)
         .select("src", "deg").distinct()
@@ -638,20 +629,11 @@ object Graph {
       val pts = hist.select(
         round(log(col("deg").cast("double")), 6).as("lx"),
         round(log(col("cnt").cast("double")), 6).as("ly"))
-      val agg = pts.agg(
-        count(lit(1)).cast("bigint").as("m"),
-        sum(col("lx").cast("decimal(18,6)")).cast("double").as("sx"),
-        sum(col("ly").cast("decimal(18,6)")).cast("double").as("sy"),
-        sum(round(col("lx") * col("ly"), 6).cast("decimal(18,6)"))
-          .cast("double").as("sxy"),
-        sum(round(col("lx") * col("lx"), 6).cast("decimal(18,6)"))
-          .cast("double").as("sxx"))
-      val slope = (col("m") * col("sxy") - col("sx") * col("sy")) /
-        (col("m") * col("sxx") - col("sx") * col("sx"))
+      val agg = LogLogFit.fit(pts)
       agg.select(col("m").as("n_degrees"),
-        round(-slope, 4).as("alpha"),
-        round((col("sy") - slope * col("sx")) / col("m"), 4)
-          .as("intercept"))
+        (round(-LogLogFit.slope, 4) + 0).as("alpha"),
+        (round((col("sy") - LogLogFit.slope * col("sx")) / col("m"), 4)
+          + 0).as("intercept"))
     }
   )
 

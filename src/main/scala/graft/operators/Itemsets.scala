@@ -25,7 +25,7 @@ object Itemsets {
   def defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "q_itemset_pairs",
-      """WITH ob AS (
+      s"""WITH ob AS (
         |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
         |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM ob),
@@ -35,8 +35,7 @@ object Itemsets {
         |  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
         |  GROUP BY 1, 2)
         |SELECT ba, bb, supp,
-        |  round(CAST(supp AS DOUBLE) * n
-        |    / (CAST(sa.s AS DOUBLE) * sb.s), 4) AS lift
+        |  ${TextAnalysis.halfUp4Sql("supp * n", "sa.s * sb.s")} AS lift
         |FROM pr JOIN bs sa ON pr.ba = sa.b JOIN bs sb ON pr.bb = sb.b, n
         |ORDER BY supp DESC, ba, bb LIMIT 10""".stripMargin) { (s, d) =>
       val ob = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
@@ -57,9 +56,11 @@ object Itemsets {
         .join(broadcast(bs.select(col("b").as("bb"), col("s").as("sb"))),
           "bb")
         .crossJoin(broadcast(n))
+        // halfUp4: the all-integer ratio supp*n/(sa*sb) can terminate
+        // exactly on a 5th-decimal half where float round() splits the
+        // engines - the single integer rounding law avoids the boundary
         .select(col("ba"), col("bb"), col("supp"),
-          round(col("supp").cast("double") * col("n")
-            / (col("sa").cast("double") * col("sb")), 4).as("lift"))
+          TextAnalysis.halfUp4("supp * n", "sa * sb").as("lift"))
         .orderBy(desc("supp"), col("ba"), col("bb")).limit(10)
     })
 }

@@ -286,10 +286,14 @@ object ModelEval {
         |  round((suv - su * sv / n)
         |    / sqrt((suu - su * su / n) * (svv - sv * sv / n)), 4) AS rho
         |FROM agg""".stripMargin) { (s, d) =>
-      // one documents pass: length + score are both narrow projections
-      val docs = Tables.documents(s, d).select(col("doc_id"),
-        col("n_chars").as("x"),
-        TextAnalysis.qualityScore(col("text")).as("y"))
+      // one documents pass: length + score are both narrow projections;
+      // persisted because FOUR consumers read it (both rank tables, n,
+      // and the main uv join) — without the cache the scan plus the
+      // tokenizing quality score would run four times
+      val docs = graft.CacheRegistry.ensurePersisted(
+        Tables.documents(s, d).select(col("doc_id"),
+          col("n_chars").as("x"),
+          TextAnalysis.qualityScore(col("text")).as("y")))
       val wx = Window.orderBy("x")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       val rx = docs.groupBy("x").agg(count(lit(1)).as("c"))

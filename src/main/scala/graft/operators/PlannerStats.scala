@@ -25,7 +25,7 @@ object PlannerStats {
     // rides a TakeOrdered(1), the summary is one row.
     QueryDef.sql(
       "q_join_size_estimate",
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
         |  FROM lineitem GROUP BY 1),
         |top AS (SELECT k, c FROM c ORDER BY c DESC, k LIMIT 1),
@@ -35,10 +35,10 @@ object PlannerStats {
         |    SUM(CAST(c AS DECIMAL(38,0))) AS n_rows
         |  FROM c)
         |SELECT n_keys, CAST(n_rows AS BIGINT) AS n_rows,
-        |  CAST(join_rows AS BIGINT) AS join_rows,
+        |  join_rows,
         |  t.k AS top_key, t.c AS top_key_rows,
-        |  round(CAST(t.c AS DOUBLE) * t.c * n_keys
-        |    / CAST(join_rows AS DOUBLE), 4) AS skew_ratio
+        |  ${TextAnalysis.halfUp4Sql("t.c * t.c * n_keys",
+             "CAST(join_rows AS BIGINT)")} AS skew_ratio
         |FROM agg, top t""".stripMargin) { (s, d) =>
       val c = Tables.lineitem(s, d).groupBy(col("l_partkey").as("k"))
         .agg(count(lit(1)).as("c"))
@@ -49,13 +49,18 @@ object PlannerStats {
         count(lit(1)).cast("bigint").as("n_keys"),
         sum(col("c").cast("decimal(38,0)") * col("c")).as("join_rows"),
         sum(col("c").cast("decimal(38,0)")).as("n_rows"))
+      // join_rows STAYS decimal on output: the sum of c^2 overflows
+      // BIGINT at the corpus scale the header designs for, and the two
+      // engines disagree on the overflowing cast (silent NULL vs error).
+      // The skew ratio works in the BIGINT domain via halfUp4 (fails
+      // loudly and identically if a pathological key ever pushes
+      // 2*c^2*n_keys*10^4 past it).
       agg.crossJoin(broadcast(top))
         .select(col("n_keys"), col("n_rows").cast("bigint").as("n_rows"),
-          col("join_rows").cast("bigint").as("join_rows"),
+          col("join_rows"),
           col("top_key"), col("top_key_rows"),
-          round(col("top_key_rows").cast("double") * col("top_key_rows")
-            * col("n_keys") / col("join_rows").cast("double"), 4)
-            .as("skew_ratio"))
+          TextAnalysis.halfUp4("top_key_rows * top_key_rows * n_keys",
+            "CAST(join_rows AS BIGINT)").as("skew_ratio"))
     },
 
     // ------------------------------------------------------------------
@@ -69,14 +74,16 @@ object PlannerStats {
     QueryDef.sql(
       "q_fd_audit", {
         def fd(table: String, x: String, y: String) =
-          s"""SELECT '$table' AS tbl, '$x' AS lhs, '$y' AS rhs,
-             |  CAST(COUNT(*) AS BIGINT) AS n_groups,
-             |  CAST(SUM(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_violating,
-             |  round(CAST(SUM(CASE WHEN dy > 1 THEN 1 ELSE 0 END)
-             |    AS DOUBLE) / COUNT(*), 4) AS violation_rate
-             |FROM (SELECT $x, CAST(COUNT(DISTINCT $y) AS BIGINT) AS dy
-             |      FROM $table GROUP BY $x)""".stripMargin
+          s"""SELECT tbl, lhs, rhs, n_groups, n_violating,
+             |  ${TextAnalysis.halfUp4Sql("n_violating", "n_groups")}
+             |    AS violation_rate
+             |FROM (
+             |  SELECT '$table' AS tbl, '$x' AS lhs, '$y' AS rhs,
+             |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |    CAST(SUM(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_violating
+             |  FROM (SELECT $x, CAST(COUNT(DISTINCT $y) AS BIGINT) AS dy
+             |        FROM $table GROUP BY $x))""".stripMargin
         Seq(
           fd("orders", "o_orderkey", "o_orderdate"),
           fd("orders", "o_custkey", "o_orderpriority"),
@@ -89,11 +96,11 @@ object PlannerStats {
         df.groupBy(col(x)).agg(countDistinct(col(y)).as("dy"))
           .agg(count(lit(1)).cast("bigint").as("n_groups"),
             sum(when(col("dy") > 1, 1L).otherwise(0L)).cast("bigint")
-              .as("n_violating"),
-            round(sum(when(col("dy") > 1, 1L).otherwise(0L))
-              .cast("double") / count(lit(1)), 4).as("violation_rate"))
+              .as("n_violating"))
           .select(lit(table).as("tbl"), lit(x).as("lhs"), lit(y).as("rhs"),
-            col("n_groups"), col("n_violating"), col("violation_rate"))
+            col("n_groups"), col("n_violating"),
+            TextAnalysis.halfUp4("n_violating", "n_groups")
+              .as("violation_rate"))
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
       fd(o, "orders", "o_orderkey", "o_orderdate")

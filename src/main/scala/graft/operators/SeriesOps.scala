@@ -618,8 +618,11 @@ object SeriesOps {
     // single-partition rank are trivially small forever; the only
     // corpus-scale pass is the shared daily aggregate. DETERMINISM:
     // slopes are identical double divisions of exact decimal diffs,
-    // rounded 6dp; the median is the average of the two middle order
-    // statistics under a total (slope, day-pair) order, re-rounded 6dp.
+    // rounded 6dp; the median is the LOWER-median order statistic under
+    // a total (slope, day-pair) order — a single picked value, because
+    // averaging the two middle 6dp slopes lands exactly on 7th-decimal
+    // halves where Spark's decimal HALF_UP and DuckDB's binary rounding
+    // diverge (the half-tie class the determinism rules forbid).
     QueryDef.sql(
       "q_theil_sen",
       s"""WITH $dailySql,
@@ -633,10 +636,8 @@ object SeriesOps {
         |    row_number() OVER (ORDER BY slope, da, db) AS r,
         |    CAST(COUNT(*) OVER () AS BIGINT) AS m
         |  FROM p)
-        |SELECT m AS n_pairs,
-        |  round(SUM(slope) / COUNT(*), 6) AS sen_slope
-        |FROM rk WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
-        |GROUP BY m""".stripMargin) { (s, d) =>
+        |SELECT m AS n_pairs, slope AS sen_slope
+        |FROM rk WHERE r = (m + 1) // 2""".stripMargin) { (s, d) =>
       val dd = daily(s, d)
       val a = dd.select(col("day").as("da"), col("x").as("ax"))
       val b = dd.select(col("day").as("db"), col("x").as("bx"))
@@ -649,12 +650,10 @@ object SeriesOps {
         count(lit(1)).over(Window.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing))
           .cast("bigint").as("m"))
-      // `div`, not `/`: Column `/` is DOUBLE division, and r === 181.5
-      // silently drops the lower middle order statistic on even counts
-      rk.filter(col("r") === expr("(m + 1) div 2")
-          || col("r") === expr("(m + 2) div 2"))
-        .groupBy(col("m").as("n_pairs"))
-        .agg(round(sum("slope") / count(lit(1)), 6).as("sen_slope"))
+      // `div`, not `/`: Column `/` is DOUBLE division and the equality
+      // against a .5 index would silently never match
+      rk.filter(col("r") === expr("(m + 1) div 2"))
+        .select(col("m").as("n_pairs"), col("slope").as("sen_slope"))
     },
 
     // ------------------------------------------------------------------

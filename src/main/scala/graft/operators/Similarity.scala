@@ -551,23 +551,31 @@ object Similarity {
   def kcenterCoreset(emb: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding")).localCheckpoint()
+    // `result` CARRIES the selected embeddings (the argmax row keeps its
+    // vector), so each round broadcasts the <=k-row selection directly —
+    // never a corpus join to re-fetch vectors. Both per-round joins are
+    // explicitly broadcast: the checkpointed frames have no stats, and
+    // without the hints Spark would plan corpus-shuffling SMJs.
     var result = e.filter(col("vec_id") === 0L)
-      .select(col("vec_id"), lit(0.0).as("dist"), lit(1).as("step"))
+      .select(col("vec_id"), col("embedding"),
+        lit(0.0).as("dist"), lit(1).as("step"))
     for (i <- 2 to k) {
       result = result.localCheckpoint()
-      val sel = result.select(col("vec_id").as("sid"))
-        .join(e.select(col("vec_id").as("sid"),
-          col("embedding").as("se")), "sid")
       val step = e
-        .join(result.select(col("vec_id").as("sid")),
+        .join(broadcast(result.select(col("vec_id").as("sid"))),
           col("vec_id") === col("sid"), "left_anti")
-        .crossJoin(broadcast(sel))
-        .select(col("vec_id"),
+        .crossJoin(broadcast(result.select(col("embedding").as("se"))))
+        .select(col("vec_id"), col("embedding"),
           round(lit(1.0) - round(graft.functions.GraftFunctions.cosine(
             col("embedding"), col("se")), 4), 4).as("dc"))
-        .groupBy("vec_id").agg(min("dc").as("dist"))
-        .select(col("vec_id"), col("dist"), lit(i).as("step"))
+        .groupBy("vec_id")
+        .agg(min("dc").as("dist"),
+          // constant per key (the group IS one vector) — kept through
+          // the aggregate so the winner's embedding rides into `result`
+          first("embedding").as("embedding"))
         .orderBy(desc("dist"), col("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding"), col("dist"),
+          lit(i).as("step"))
       result = result.unionByName(step)
     }
     result.select("step", "vec_id", "dist").orderBy("step")

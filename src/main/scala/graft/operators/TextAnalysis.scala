@@ -1516,7 +1516,7 @@ object TextAnalysis {
     // convention of graph_degree_powerlaw.
     QueryDef.sql(
       "text_heaps_law",
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
         |  FROM documents),
         |dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM docs),
@@ -1551,20 +1551,11 @@ object TextAnalysis {
         |  FROM grid),
         |pts AS (
         |  SELECT round(ln(CAST(docs_cum AS DOUBLE)), 6) AS lx,
-        |    round(ln(CAST(vocab_cum AS DOUBLE)), 6) AS ly
+        |    round(ln(CAST(greatest(vocab_cum, 1) AS DOUBLE)), 6) AS ly
         |  FROM cum),
         |fit AS (
-        |  SELECT round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) + 0
-        |      AS beta
-        |  FROM (
-        |    SELECT CAST(COUNT(*) AS BIGINT) AS m,
-        |      CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |      CAST(SUM(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |      CAST(SUM(CAST(round(lx * ly, 6) AS DECIMAL(18,6)))
-        |        AS DOUBLE) AS sxy,
-        |      CAST(SUM(CAST(round(lx * lx, 6) AS DECIMAL(18,6)))
-        |        AS DOUBLE) AS sxx
-        |    FROM pts))
+        |  SELECT round(${LogLogFit.slopeSql}, 4) + 0 AS beta
+        |  FROM (${LogLogFit.aggSql("pts")}))
         |SELECT decile, new_grams, docs_cum, vocab_cum, beta
         |FROM cum, fit ORDER BY decile""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id")
@@ -1596,23 +1587,15 @@ object TextAnalysis {
       val cum = grid.select(col("decile"), col("new_grams"),
         sum("docs_in").over(wCum).cast("bigint").as("docs_cum"),
         sum("new_grams").over(wCum).cast("bigint").as("vocab_cum"))
+      // greatest(,1): a slice whose first decile yields no bigrams
+      // would hit ln(0) — an ERROR in DuckDB but NULL in Spark, so the
+      // engines would diverge structurally, not just numerically
       val pts = cum.select(
         round(log(col("docs_cum").cast("double")), 6).as("lx"),
-        round(log(col("vocab_cum").cast("double")), 6).as("ly"))
-      val fit = pts.agg(
-          count(lit(1)).cast("bigint").as("m"),
-          sum(col("lx").cast("decimal(18,6)")).cast("double").as("sx"),
-          sum(col("ly").cast("decimal(18,6)")).cast("double").as("sy"),
-          sum(round(col("lx") * col("ly"), 6).cast("decimal(18,6)"))
-            .cast("double").as("sxy"),
-          sum(round(col("lx") * col("lx"), 6).cast("decimal(18,6)"))
-            .cast("double").as("sxx"))
-        // + 0 normalizes IEEE negative zero (a flat curve rounds to
-        // -0.0 in one engine and 0.0 in the other — same value,
-        // different string under the hash gate)
-        .select((round((col("m") * col("sxy") - col("sx") * col("sy"))
-          / (col("m") * col("sxx") - col("sx") * col("sx")), 4) + 0)
-          .as("beta"))
+        round(log(greatest(col("vocab_cum"), lit(1L)).cast("double")), 6)
+          .as("ly"))
+      val fit = LogLogFit.fit(pts)
+        .select((round(LogLogFit.slope, 4) + 0).as("beta"))
       cum.crossJoin(broadcast(fit))
         .select("decile", "new_grams", "docs_cum", "vocab_cum", "beta")
         .orderBy("decile")

@@ -261,5 +261,10 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject") || p.contains("Union"),
       s"greedy steps should surface as TakeOrdered/Union:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    // the docstring contract: each round is ONE corpus pass — the <=k-row
+    // selection broadcasts into both the anti-join and the distance cross,
+    // never a corpus-shuffling sort-merge join
+    assert(!p.contains("SortMergeJoin"),
+      s"selection joins must broadcast, not shuffle the corpus:\n$p")
   }
 }

@@ -10,8 +10,11 @@ class PlannerStatsSpec extends SparkTestBase {
   test("q_join_size_estimate predicts the real self-join cardinality") {
     val row = graft.SparkEntry.queries("q_join_size_estimate")(
       spark, sf0001).collect().head
+    // join_rows is DECIMAL(38,0) on purpose (sum of c^2 overflows
+    // BIGINT at corpus scale)
     val (nKeys, nRows, joinRows, topKey, topKeyRows, skew) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      (row.getLong(0), row.getLong(1),
+        row.getDecimal(2).longValueExact(), row.getLong(3),
         row.getLong(4), row.getDouble(5))
     val li = graft.Tables.lineitem(spark, sf0001).select("l_partkey")
     assert(nRows == li.count())

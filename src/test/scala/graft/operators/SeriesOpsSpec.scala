@@ -112,8 +112,17 @@ class SeriesOpsSpec extends SparkTestBase {
     val refU = r1 - n1 * (n1 + 1) / 2.0
     assert(math.abs(u1 - refU) < 0.51, s"$u1 vs $refU")
     val mu = n1.toDouble * n2 / 2
-    val sigma = math.sqrt(n1.toDouble * n2 * (n1 + n2 + 1) / 12)
+    // tie-corrected variance, recomputed from the tie counts like the
+    // query: var = n1*n2/12 * ((n+1) - sum(t^3 - t)/(n*(n-1)))
+    val n = n1 + n2
+    val tsum = vals.groupBy(_._2).values
+      .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
+    val sigma = math.sqrt(n1.toDouble * n2 / 12 *
+      ((n + 1).toDouble - tsum / (n.toDouble * (n - 1))))
     assert(math.abs(z - (refU - mu) / sigma) < 1e-3)
+    // the correction must actually bite on this tie-heavy fixture
+    val sigmaNoTie = math.sqrt(n1.toDouble * n2 * (n + 1) / 12)
+    assert(sigma < sigmaNoTie)
   }
 
   test("text_dsir_weights upweights the target (English) cohort") {
@@ -244,7 +253,8 @@ class SeriesOpsSpec extends SparkTestBase {
     } yield BigDecimal((pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).sorted
     assert(m == slopes.length)
-    val med = (slopes((m.toInt - 1) / 2) + slopes(m.toInt / 2)) / 2
+    // lower-median variant: the ((m+1) div 2)-th order statistic
+    val med = slopes((m.toInt - 1) / 2)
     assert(math.abs(sen - med) < 2e-6, s"$sen vs $med")
   }
 
