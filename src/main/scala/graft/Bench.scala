@@ -67,6 +67,8 @@ object Bench {
     "q_itemset_pairs", "sim_pca_power",
     "q_join_size_estimate", "q_fd_audit",
     "q_weighted_percentile", "text_heaps_law",
+    "q_anova_f", "q_fdr_bh", "q_did_lift", "q_conformal_interval",
+    "q_kendall_tau", "q_fuzzy_linkage",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

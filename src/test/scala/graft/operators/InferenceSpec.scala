@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+/** Invariant checks for the statistical-inference suite (the DuckDB
+  * hash gate is the primary correctness check; these pin the structural
+  * properties a hash can't articulate). */
+class InferenceSpec extends SparkTestBase {
+
+  private def run(name: String): Array[Row] =
+    Inference.defs.find(_.name == name).get.build(spark, sf0001).collect()
+
+  test("q_anova_f: single row, F >= 0, eta_sq in [0,1]") {
+    val rows = run("q_anova_f")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_total") > 0)
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0.0 && eta <= 1.0)
+  }
+
+  test("q_fdr_bh: step-up property — rejections form a rank prefix") {
+    val rows = run("q_fdr_bh").sortBy(_.getAs[Int]("rnk"))
+    assert(rows.nonEmpty)
+    // ranks are 1..m with no gaps
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
+    // p-values are non-decreasing in rank
+    val ps = rows.map(_.getAs[Double]("p_value"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    // BH rejects a prefix of the ranking, never a gap
+    val rej = rows.map(_.getAs[Int]("rejected"))
+    assert(rej.zip(rej.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_did_lift: four arms partition the purchase events") {
+    val r = run("q_did_lift").head
+    val armSum = Seq("n_t_pre", "n_t_post", "n_c_pre", "n_c_post")
+      .map(r.getAs[Long]).sum
+    val purchases = graft.Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(armSum == purchases)
+  }
+
+  test("q_conformal_interval: calibration coverage is >= the 90% target") {
+    val r = run("q_conformal_interval").head
+    assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_calib") > 0)
+    // count(r <= q_hat) >= rank(q_hat) = ceil(0.9 (n+1)) >= 0.9 n
+    assert(r.getAs[Double]("coverage") >= 0.89)
+    assert(r.getAs[Double]("q90_resid") >= 0.0)
+  }
+
+  test("q_kendall_tau: tau_b bounded, pair counts consistent") {
+    val r = run("q_kendall_tau").head
+    val n = r.getAs[Long]("n_months")
+    val pairs = n * (n - 1) / 2
+    assert(r.getAs[Long]("n_concordant") + r.getAs[Long]("n_discordant")
+      <= pairs)
+    val tau = r.getAs[Double]("tau_b")
+    assert(tau >= -1.0 && tau <= 1.0)
+  }
+
+  test("q_fuzzy_linkage: ordered pairs within edit-distance budget") {
+    val rows = run("q_fuzzy_linkage")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("name_a") < r.getAs[String]("name_b"))
+      assert(r.getAs[Int]("edit_dist") <= 2)
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+  }
+}
