@@ -701,7 +701,10 @@ object Inference {
       "q_cem_att",
       s"""WITH $prePostSql,
         |binned AS (
-        |  SELECT CAST(x // 100 AS BIGINT) AS bin, treat, x, y
+        |  -- floor(x/100), NOT x//100: DuckDB's // on DECIMAL is plain
+        |  -- double division (only integer // floors), and its
+        |  -- double->BIGINT cast ROUNDS, which would bin by round()
+        |  SELECT CAST(floor(x / 100) AS BIGINT) AS bin, treat, x, y
         |  FROM byuser),
         |cells AS (
         |  SELECT bin,
@@ -810,8 +813,8 @@ object Inference {
       def m(t: String) = col(s"s1_$t").cast("double") / col(s"n_$t")
       def va(t: String) =
         (col(s"s2_$t").cast("double") - col(s"s1_$t").cast("double")
-          * col(s"s1_$t").cast("double") / col(s"n_$t"))
-          / (col(s"n_$t") - 1)
+          * col(s"s1_$t").cast("double") / col(s"n_$t")) /
+          (col(s"n_$t") - 1)
       val zsum = lit(1.959964) + lit(0.841621)
       val k = g
         .withColumn("gm", (col("s1_t") + col("s1_c")).cast("double")

@@ -62,6 +62,40 @@ class InferenceSpec extends SparkTestBase {
     assert(tau >= -1.0 && tau <= 1.0)
   }
 
+  test("q_cuped: correlation-derived variance ratio stays in [0,1]") {
+    val r = run("q_cuped").head
+    assert(r.getAs[Long]("n_t") > 0 && r.getAs[Long]("n_c") > 0)
+    val vr = r.getAs[Double]("var_ratio") // 1 - rho^2
+    assert(vr >= 0.0 && vr <= 1.0)
+  }
+
+  test("q_cem_att: only two-armed strata survive; weights total n_t") {
+    val rows = run("q_cem_att")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_t") > 0 && r.getAs[Long]("n_c") > 0)
+    }
+    val mt = rows.head.getAs[Long]("m_t")
+    assert(rows.map(_.getAs[Long]("n_t")).sum == mt)
+    assert(rows.head.getAs[Long]("n_bins") == rows.length)
+  }
+
+  test("q_power_mde: positive detectable effect and sample size") {
+    val r = run("q_power_mde").head
+    assert(r.getAs[Double]("mde_abs") > 0.0)
+    assert(r.getAs[Double]("mde_rel") > 0.0)
+    assert(r.getAs[Long]("n_req_per_arm") > 0L)
+  }
+
+  test("q_qte: nine deciles, monotone quantile curves") {
+    val rows = run("q_qte").sortBy(_.getAs[Long]("q"))
+    assert(rows.map(_.getAs[Long]("q")).toSeq == (1L to 9L))
+    val vt = rows.map(_.getAs[Double]("v_treat"))
+    val vc = rows.map(_.getAs[Double]("v_ctrl"))
+    assert(vt.zip(vt.tail).forall { case (a, b) => a <= b })
+    assert(vc.zip(vc.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q_fuzzy_linkage: ordered pairs within edit-distance budget") {
     val rows = run("q_fuzzy_linkage")
     assert(rows.nonEmpty)
