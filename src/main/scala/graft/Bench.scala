@@ -70,6 +70,7 @@ object Bench {
     "q_anova_f", "q_fdr_bh", "q_did_lift", "q_conformal_interval",
     "q_kendall_tau", "q_fuzzy_linkage",
     "q_cuped", "q_cem_att", "q_power_mde", "q_qte",
+    "q_qini", "q_srm_check", "text_jsd",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

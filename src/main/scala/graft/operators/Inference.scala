@@ -893,6 +893,130 @@ object Inference {
             - max(when(col("treat") === 0, col("v")))).cast("double"), 4)
             .as("qte"))
         .orderBy("q")
+    },
+
+    // ------------------------------------------------------------------
+    // Qini uplift curve: users ranked by the pre-period score (the
+    // stand-in targeting model), cumulative incremental outcome
+    // Y_t(k) − Y_c(k)·N_t(k)/N_c(k) per decile against the random-
+    // targeting diagonal — the uplift-model evaluation metric. SCALE
+    // SHAPE: ranks via range-repartition GlobalRank; everything after
+    // the decile aggregate lives on the 10-row grid (decimal-exact
+    // cumulative sums, fixed-tree doubles).
+    QueryDef.sql(
+      "q_qini",
+      s"""WITH $prePostSql,
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM byuser),
+        |ranked AS (
+        |  SELECT treat, y,
+        |    CAST(row_number() OVER (ORDER BY x DESC, user_id) AS BIGINT)
+        |      - 1 AS rk
+        |  FROM byuser),
+        |dec AS (SELECT CAST((rk * 10) // n AS BIGINT) AS decile, treat, y
+        |        FROM ranked, tot),
+        |cells AS (
+        |  SELECT decile,
+        |    CAST(COUNT(*) FILTER (treat = 1) AS BIGINT) AS n_t,
+        |    CAST(COUNT(*) FILTER (treat = 0) AS BIGINT) AS n_c,
+        |    COALESCE(SUM(y) FILTER (treat = 1), CAST(0 AS DECIMAL(18,2)))
+        |      AS sy_t,
+        |    COALESCE(SUM(y) FILTER (treat = 0), CAST(0 AS DECIMAL(18,2)))
+        |      AS sy_c
+        |  FROM dec GROUP BY decile),
+        |cum AS (
+        |  SELECT decile,
+        |    CAST(SUM(n_t) OVER w AS BIGINT) AS cn_t,
+        |    CAST(SUM(n_c) OVER w AS BIGINT) AS cn_c,
+        |    SUM(sy_t) OVER w AS cy_t, SUM(sy_c) OVER w AS cy_c
+        |  FROM cells WINDOW w AS (ORDER BY decile
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |lastq AS (
+        |  SELECT CAST(cy_t AS DOUBLE) - CAST(cy_c AS DOUBLE) * cn_t / cn_c
+        |    AS q_total
+        |  FROM cum WHERE decile = 9)
+        |SELECT decile, cn_t, cn_c,
+        |  round(CAST(cy_t AS DOUBLE) - CAST(cy_c AS DOUBLE) * cn_t / cn_c,
+        |    4) AS qini_k,
+        |  round((decile + 1) * q_total / 10, 4) AS qini_random,
+        |  round((CAST(cy_t AS DOUBLE) - CAST(cy_c AS DOUBLE) * cn_t / cn_c)
+        |    - (decile + 1) * q_total / 10, 4) AS qini_excess
+        |FROM cum CROSS JOIN lastq ORDER BY decile""".stripMargin) {
+      (s, d) =>
+      val u = prePost(s, d)
+      val tot = u.agg(count(lit(1)).as("n"))
+      val ranked = GlobalRank.withRank(
+        u.select("treat", "y", "x", "user_id"),
+        Seq(col("x").desc, col("user_id")), "rk")
+      val dec = ranked.crossJoin(broadcast(tot))
+        .select(expr("(rk * 10) div n").cast("bigint").as("decile"),
+          col("treat"), col("y"))
+      val cells = dec.groupBy("decile").agg(
+        count(when(col("treat") === 1, 1)).as("n_t"),
+        count(when(col("treat") === 0, 1)).as("n_c"),
+        coalesce(sum(when(col("treat") === 1, col("y"))),
+          lit(0).cast("decimal(18,2)")).as("sy_t"),
+        coalesce(sum(when(col("treat") === 0, col("y"))),
+          lit(0).cast("decimal(18,2)")).as("sy_c"))
+      val w = Window.orderBy("decile")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = graft.CacheRegistry.ensurePersisted(cells.select(
+        col("decile"),
+        sum("n_t").over(w).cast("bigint").as("cn_t"),
+        sum("n_c").over(w).cast("bigint").as("cn_c"),
+        sum("sy_t").over(w).as("cy_t"), sum("sy_c").over(w).as("cy_c")))
+      val qk = col("cy_t").cast("double") -
+        col("cy_c").cast("double") * col("cn_t") / col("cn_c")
+      val lastq = cum.filter(col("decile") === 9)
+        .select(qk.as("q_total"))
+      cum.crossJoin(broadcast(lastq))
+        .select(col("decile"), col("cn_t"), col("cn_c"),
+          round(qk, 4).as("qini_k"),
+          round((col("decile") + 1) * col("q_total") / 10, 4)
+            .as("qini_random"),
+          round(qk - (col("decile") + 1) * col("q_total") / 10, 4)
+            .as("qini_excess"))
+        .orderBy("decile")
+    },
+
+    // ------------------------------------------------------------------
+    // Sample-ratio-mismatch check — the first experiment-health gate any
+    // A/B platform runs: χ² of the observed user split against 50/50
+    // ((n_t − n_c)²/(n_t + n_c) for two cells), p via the shared normal-
+    // tail approximation at z = √χ², and the p < 0.001 alarm flag
+    // compared in exact decimal space. One count over the shared
+    // per-user frame; output cardinality = 1.
+    QueryDef.sql(
+      "q_srm_check",
+      s"""WITH $prePostSql,
+        |g AS (SELECT CAST(COUNT(*) FILTER (treat = 1) AS BIGINT) AS n_t,
+        |             CAST(COUNT(*) FILTER (treat = 0) AS BIGINT) AS n_c
+        |      FROM byuser),
+        |k AS (SELECT n_t, n_c,
+        |  CAST(n_t - n_c AS DOUBLE) * CAST(n_t - n_c AS DOUBLE)
+        |    / (n_t + n_c) AS chi2 FROM g)
+        |SELECT n_t, n_c, round(chi2, 4) AS chi2,
+        |  CAST(CAST(least(1.0,
+        |      2 * round(exp(-0.717 * sqrt(chi2) - 0.416 * chi2), 6))
+        |    AS DECIMAL(8,6)) AS DOUBLE) AS p_value,
+        |  CAST(CASE WHEN CAST(least(1.0,
+        |      2 * round(exp(-0.717 * sqrt(chi2) - 0.416 * chi2), 6))
+        |    AS DECIMAL(8,6)) < CAST(0.001 AS DECIMAL(8,6))
+        |    THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+        |FROM k""".stripMargin) { (s, d) =>
+      val g = prePost(s, d).agg(
+        count(when(col("treat") === 1, 1)).as("n_t"),
+        count(when(col("treat") === 0, 1)).as("n_c"))
+      val chi2 = (col("n_t") - col("n_c")).cast("double") *
+        (col("n_t") - col("n_c")).cast("double") /
+        (col("n_t") + col("n_c"))
+      val k = g.withColumn("chi2", chi2)
+      val pdec = least(lit(1.0),
+        lit(2) * round(exp(lit(-0.717) * sqrt(col("chi2"))
+          - lit(0.416) * col("chi2")), 6)).cast("decimal(8,6)")
+      k.select(col("n_t"), col("n_c"), round(col("chi2"), 4).as("chi2"),
+        pdec.cast("double").as("p_value"),
+        when(pdec < lit(BigDecimal("0.001")), 1).otherwise(0).cast("int")
+          .as("srm_flag"))
     }
   )
 }

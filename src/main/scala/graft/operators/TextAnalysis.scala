@@ -1366,6 +1366,68 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Jensen–Shannon divergence per source vs the corpus — the SYMMETRIC,
+    // bounded ([0, ln 2]) sibling of text_kl_divergence, preferred when
+    // the drift score must be comparable across snapshots (KL explodes
+    // on vocabulary the reference lacks; JSD cannot). Identical scale
+    // shape: the |sources|×|vocab| smoothed grid from two vocabulary-
+    // bounded frames; per-cell ½p·(ln p−ln m)+½q·(ln q−ln m) with each
+    // ln rounded 6dp, cells rounded 9dp and summed exactly.
+    QueryDef.sql(
+      "text_jsd",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cc
+        |          FROM tok GROUP BY term),
+        |srccnt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cs
+        |           FROM tok GROUP BY source, term),
+        |srctot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+        |           FROM tok GROUP BY source),
+        |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(cc) AS BIGINT) AS nc FROM vocab),
+        |grid AS (
+        |  SELECT st.source, st.ns, vb.cc, coalesce(sc.cs, 0) AS cs, c.v, c.nc
+        |  FROM srctot st CROSS JOIN vocab vb CROSS JOIN consts c
+        |  LEFT JOIN srccnt sc ON sc.source = st.source AND sc.term = vb.term)
+        |SELECT source, ns AS n_tokens,
+        |  round(CAST(SUM(CAST(round(
+        |      0.5 * (CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))
+        |        * (round(ln(CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE)), 6)
+        |          - round(ln((CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE)
+        |            + CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE)) / 2), 6))
+        |      + 0.5 * (CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE))
+        |        * (round(ln(CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE)), 6)
+        |          - round(ln((CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE)
+        |            + CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE)) / 2), 6)),
+        |      9) AS DECIMAL(18,9))) AS DOUBLE), 4) AS jsd
+        |FROM grid GROUP BY source, ns ORDER BY source""".stripMargin) {
+      (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("cc"))
+      val srccnt = tok.groupBy("source", "term").agg(count(lit(1)).as("cs"))
+      val srctot = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+      val consts = vocab.agg(count(lit(1)).as("v"),
+        sum("cc").cast("bigint").as("nc"))
+      val ps = (col("cs") + 1).cast("double") /
+        (col("ns") + col("v")).cast("double")
+      val qs = (col("cc") + 1).cast("double") /
+        (col("nc") + col("v")).cast("double")
+      val ms = (ps + qs) / 2
+      val contrib = round(
+        lit(0.5) * ps * (round(log(ps), 6) - round(log(ms), 6))
+          + lit(0.5) * qs * (round(log(qs), 6) - round(log(ms), 6)), 9)
+        .cast("decimal(18,9)")
+      broadcast(srctot).crossJoin(vocab).crossJoin(broadcast(consts))
+        .join(srccnt, Seq("source", "term"), "left")
+        .na.fill(0L, Seq("cs"))
+        .groupBy(col("source"), col("ns").as("n_tokens"))
+        .agg(round(sum(contrib).cast("double"), 4).as("jsd"))
+        .orderBy("source")
+    },
+
+    // ------------------------------------------------------------------
     // Bigram language-model scoring — the stronger fluency filter one
     // step up from text_unigram_logprob: per-doc mean NLL under the
     // add-one-smoothed conditional P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V).

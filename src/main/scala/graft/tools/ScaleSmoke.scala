@@ -96,7 +96,10 @@ object ScaleSmoke {
       "text_hashed_features",
       // r9 second wave: the bigram first-occurrence explode + global
       // doc rank, and the per-group cumulative-weight window
-      "text_heaps_law", "q_weighted_percentile")
+      "text_heaps_law", "q_weighted_percentile",
+      // r9 third wave (inference suite): the two GlobalRank order-
+      // statistic pipelines and the |sources|x|vocab| smoothed JSD grid
+      "q_qte", "q_qini", "text_jsd")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

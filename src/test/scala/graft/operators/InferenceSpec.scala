@@ -96,6 +96,36 @@ class InferenceSpec extends SparkTestBase {
     assert(vc.zip(vc.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q_qini: ten deciles, curve anchored to total uplift at k=10") {
+    val rows = run("q_qini").sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (0L to 9L))
+    // cumulative counts are non-decreasing
+    val cnt = rows.map(_.getAs[Long]("cn_t"))
+    assert(cnt.zip(cnt.tail).forall { case (a, b) => a <= b })
+    // at the last decile the random diagonal meets the curve exactly
+    assert(math.abs(rows.last.getAs[Double]("qini_excess")) <= 0.01)
+  }
+
+  test("q_srm_check: balanced deterministic split never alarms") {
+    val r = run("q_srm_check").head
+    assert(r.getAs[Long]("n_t") > 0 && r.getAs[Long]("n_c") > 0)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 0.0 && p <= 1.0)
+    // even/odd user_id split is near-50/50 on the generator
+    assert(r.getAs[Int]("srm_flag") == 0)
+  }
+
+  test("text_jsd: symmetric divergence bounded by ln 2") {
+    val rows = TextAnalysis.defs.find(_.name == "text_jsd").get
+      .build(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9)
+    }
+  }
+
   test("q_fuzzy_linkage: ordered pairs within edit-distance budget") {
     val rows = run("q_fuzzy_linkage")
     assert(rows.nonEmpty)
