@@ -143,6 +143,64 @@ object StreamingOps {
         .orderBy("day")
     },
 
+    // Streaming A/B monitor: the two-arm purchase moments maintained as
+    // streaming state (complete mode — the dashboard a live experiment
+    // watches), finished with the Welch z over the 2-row sink frame.
+    // State is 2 rows × 3 exact aggregates regardless of corpus size;
+    // parity oracle = the identical batch moments + the identical fixed
+    // z tree (the q_ab_welch_ttest determinism conventions).
+    QueryDef.sql(
+      "stream_ab_monitor", {
+        def m(t: String) = s"CAST(s1_$t AS DOUBLE) / n_$t"
+        def va(t: String) = s"(CAST(s2_$t AS DOUBLE) - CAST(s1_$t AS DOUBLE)" +
+          s" * CAST(s1_$t AS DOUBLE) / n_$t) / (n_$t - 1)"
+        s"""WITH g AS (
+          |  SELECT CAST(user_id % 2 = 0 AS INTEGER) AS treat,
+          |    CAST(COUNT(*) AS BIGINT) AS n,
+          |    SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+          |    SUM(CAST(value AS DECIMAL(18,2))
+          |      * CAST(value AS DECIMAL(18,2))) AS s2
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |p AS (
+          |  SELECT
+          |    MAX(CASE WHEN treat = 1 THEN n END) AS n_t,
+          |    MAX(CASE WHEN treat = 1 THEN s1 END) AS s1_t,
+          |    MAX(CASE WHEN treat = 1 THEN s2 END) AS s2_t,
+          |    MAX(CASE WHEN treat = 0 THEN n END) AS n_c,
+          |    MAX(CASE WHEN treat = 0 THEN s1 END) AS s1_c,
+          |    MAX(CASE WHEN treat = 0 THEN s2 END) AS s2_c
+          |  FROM g)
+          |SELECT n_t, n_c,
+          |  round(${m("t")}, 4) AS mean_t, round(${m("c")}, 4) AS mean_c,
+          |  round((${m("t")} - ${m("c")})
+          |    / sqrt((${va("t")}) / n_t + (${va("c")}) / n_c), 4) AS z_stat
+          |FROM p""".stripMargin
+      }) { (s, d) =>
+      val sink = runToCompletion(s, d,
+        df => df.filter(col("event_type") === "purchase")
+          .groupBy((col("user_id") % 2 === 0).cast("int").as("treat"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("s1"),
+            sum(col("value").cast("decimal(18,2)")
+              * col("value").cast("decimal(18,2)")).as("s2")),
+        outputMode = "complete")
+      def pick(t: Int, c: String, tag: String) =
+        max(when(col("treat") === t, col(c))).as(s"${c}_$tag")
+      val p = sink.agg(pick(1, "n", "t"), pick(1, "s1", "t"),
+        pick(1, "s2", "t"), pick(0, "n", "c"), pick(0, "s1", "c"),
+        pick(0, "s2", "c"))
+      def m(t: String) = col(s"s1_$t").cast("double") / col(s"n_$t")
+      def va(t: String) =
+        (col(s"s2_$t").cast("double") - col(s"s1_$t").cast("double")
+          * col(s"s1_$t").cast("double") / col(s"n_$t")) /
+          (col(s"n_$t") - 1)
+      p.select(col("n_t"), col("n_c"),
+        round(m("t"), 4).as("mean_t"), round(m("c"), 4).as("mean_c"),
+        round((m("t") - m("c")) /
+          sqrt(va("t") / col("n_t") + va("c") / col("n_c")), 4)
+          .as("z_stat"))
+    },
+
     // Stream-static join: the streaming fact joins a static dimension
     // (broadcast per micro-batch), then aggregates — the canonical
     // enrichment topology. Result equals the batch join.

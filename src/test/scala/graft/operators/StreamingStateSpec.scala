@@ -90,4 +90,13 @@ class StreamingStateSpec extends SparkTestBase {
       spark, sf0001).collect().map(_.toSeq).toSeq
     assert(stream == batch)
   }
+
+  test("stream_ab_monitor: one-row z readout with both arms populated") {
+    val rows = graft.SparkEntry.queries("stream_ab_monitor")(
+      spark, sf0001).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_t") > 0 && r.getAs[Long]("n_c") > 0)
+    assert(!r.isNullAt(r.fieldIndex("z_stat")))
+  }
 }
