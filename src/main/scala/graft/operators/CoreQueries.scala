@@ -1021,12 +1021,15 @@ object CoreQueries {
     // WEIGHTED percentiles (price percentiles weighted by quantity —
     // the "token-weighted doc-length percentile" shape every corpus
     // report needs: percentile of a value where each row counts w
-    // times). Exact and scale-shaped: the aggregate runs on the
-    // DISTINCT-VALUE frame per group (price domain is value-bounded),
-    // one cumulative-weight window, then the smallest value whose
-    // cumulative weight crosses q·W. DETERMINISM: weights stay exact
-    // decimals and the thresholds compare as integer-scaled decimals
-    // (cw·100 ≥ tw·q100) — no float quantile interpolation anywhere.
+    // times). Exact and scale-shaped: dedupe to the distinct (group,
+    // value) frame, then the smallest value whose cumulative weight
+    // crosses q·W. The distinct frame is DATA-sized (prices are near-
+    // unique), so the cumulative sum uses the weighted GlobalRank
+    // recipe — range repartition, per-partition running sums, broadcast
+    // per-group offsets — never a per-group single-partition window.
+    // DETERMINISM: weights stay exact decimals (order-free sums) and
+    // the thresholds compare as integer-scaled decimals (cw·100 ≥
+    // tw·q100) — no float quantile interpolation anywhere.
     QueryDef.sql(
       "q_weighted_percentile",
       """WITH cnt AS (
@@ -1050,11 +1053,15 @@ object CoreQueries {
         .groupBy(col("l_returnflag").as("g"),
           col("l_extendedprice").cast("decimal(18,2)").as("v"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("w"))
-      val wOrd = Window.partitionBy("g").orderBy("v")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy("g")
-      val cum = cnt.select(col("g"), col("v"),
-        sum("w").over(wOrd).as("cw"), sum("w").over(wAll).as("tw"))
+      // the distinct (g, v) frame is DATA-sized (prices are near-unique),
+      // so a per-group cumulative window would sort each group on one
+      // partition; the weighted GlobalRank recipe (range repartition +
+      // local running sums + broadcast per-group offsets) keeps the sort
+      // parallel at any scale. Decimal sums are exact in any grouping,
+      // so cw/tw are bit-identical to the single-sequence window.
+      val cum = GlobalRank.withRunningWeight(cnt, col("g"), col("v"),
+          col("w"))
+        .select(col("g"), col("v"), col("cw"), col("tw"))
       def wp(q: Int) = min(when(col("cw") * 100 >= col("tw") * q,
         col("v"))).cast("double")
       cum.groupBy(col("g").as("l_returnflag"))
