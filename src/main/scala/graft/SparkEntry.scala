@@ -17,7 +17,7 @@ object SparkEntry {
       BucketedJoin.defs ++ BloomJoin.defs ++ Dedup.defs ++ Similarity.defs ++
       TextAnalysis.defs ++ Multimodal.defs ++ StreamingOps.defs ++
       Graph.defs ++ Sampling.defs ++ Layout.defs ++ SeriesOps.defs ++
-      ModelEval.defs ++ Curation.defs ++ Itemsets.defs ++
+      ModelEval.defs ++ Curation.defs ++ Itemsets.defs ++ Retrieval.defs ++
       PlannerStats.defs ++ Inference.defs ++ ConnectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

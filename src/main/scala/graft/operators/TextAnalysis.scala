@@ -111,6 +111,67 @@ object TextAnalysis {
       |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
       |      6) AS DECIMAL(18,6))) * 1000000 AS BIGINT)""".stripMargin
 
+  /** Query term set shared by the sparse-retrieval queries
+    * (text_bm25_topk, sim_hybrid_rrf). */
+  val bm25QueryTerms: Seq[String] = Seq("hash", "join", "spark")
+
+  /** Oracle CTE chain ending at `bmscored(doc_id, bm25)` — every doc
+    * containing a query term with its 4dp BM25 score. Single source for
+    * text_bm25_topk and the RRF hybrid fusion oracle. */
+  def bm25ScoredCteSql: String =
+    s"""toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+      |       FROM toks GROUP BY doc_id),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
+      |          FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+      |  WHERE term IN (${bm25QueryTerms.map(t => s"'$t'").mkString(", ")})
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+      |       GROUP BY term),
+      |bmscored AS (
+      |  SELECT tf.doc_id,
+      |    ${halfUp4Sql(bm25SumSql, "1000000")} AS bm25
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+      |  GROUP BY tf.doc_id)""".stripMargin
+
+  /** Spark twin of [[bm25ScoredCteSql]]: (doc_id, bm25) for every doc
+    * matching a query term. One explode pass feeds tf; df / doclen /
+    * corpus stats are broadcast-sized; per-term partials are rounded to
+    * 6dp and summed through DECIMAL (double addition is not
+    * associative), final score by the exact half-up-4 law. */
+  def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.CacheRegistry.register(Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dl = toks.groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl"))
+    val tf = toks.filter(col("term").isin(bm25QueryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    // operand order mirrors the oracle expression exactly — float
+    // arithmetic is not associative, round(6) only absorbs ulps
+    val termScore = idf * col("tf") * 2.2 /
+      (col("tf") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      // 4-decimal score via the shared exact-integer half-up law on
+      // the e6-scaled decimal sum — a float round could land on a
+      // non-binary-exact .xxxx5 half, where engines' rounding splits
+      .agg(sum(round(termScore, 6).cast("decimal(18,6)")).as("sdec"))
+      .select(col("doc_id"),
+        halfUp4("CAST(sdec * 1000000 AS BIGINT)", "1000000").as("bm25"))
+  }
+
   /** DuckDB rendering of [[qualityScore]] from the raw feature columns
     * `ntok` / `mean_len` / `stop_r` — THE single source of the quality
     * formula; every doc-scoring oracle interpolates this (and
@@ -423,55 +484,13 @@ object TextAnalysis {
     // rounded score with a doc_id tiebreak.
     QueryDef.sql(
       "text_bm25_topk",
-      s"""WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
-        |       FROM toks GROUP BY doc_id),
-        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
-        |          FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
-        |  WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term),
-        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
-        |       GROUP BY term),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    ${halfUp4Sql(bm25SumSql, "1000000")} AS bm25
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
-        |  GROUP BY tf.doc_id)
+      s"""WITH $bm25ScoredCteSql
         |SELECT doc_id, bm25, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT doc_id, bm25,
         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
-        |  FROM scored)
+        |  FROM bmscored)
         |WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, d) =>
-      val queryTerms = Seq("hash", "join", "spark")
-      val toks = graft.CacheRegistry.register(Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val dl = toks.groupBy("doc_id")
-        .agg(count(lit(1)).cast("double").as("dl"))
-      val stats = dl.agg(count(lit(1)).cast("double").as("n"),
-        avg("dl").as("avgdl"))
-      val tf = toks.filter(col("term").isin(queryTerms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-      // operand order mirrors the oracle expression exactly — float
-      // arithmetic is not associative, round(6) only absorbs ulps
-      val termScore = idf * col("tf") * 2.2 /
-        (col("tf") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      val scored = tf.join(broadcast(dfT), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .groupBy("doc_id")
-        // 4-decimal score via the shared exact-integer half-up law on
-        // the e6-scaled decimal sum — a float round could land on a
-        // non-binary-exact .xxxx5 half, where engines' rounding splits
-        .agg(sum(round(termScore, 6).cast("decimal(18,6)")).as("sdec"))
-        .select(col("doc_id"),
-          halfUp4("CAST(sdec * 1000000 AS BIGINT)", "1000000").as("bm25"))
+      val scored = bm25Scored(s, d)
       // global top-10 via sort+limit → TakeOrderedAndProject (no
       // single-partition shuffle of the full scored set); row_number
       // then ranks only the 10 surviving rows
