@@ -18,7 +18,8 @@ object SparkEntry {
       TextAnalysis.defs ++ Multimodal.defs ++ StreamingOps.defs ++
       Graph.defs ++ Sampling.defs ++ Layout.defs ++ SeriesOps.defs ++
       ModelEval.defs ++ Curation.defs ++ Itemsets.defs ++ Retrieval.defs ++
-      PlannerStats.defs ++ Inference.defs ++ ConnectorQueries.defs
+      PlannerStats.defs ++ Inference.defs ++ SpatialOps.defs ++
+      ConnectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
