@@ -34,3 +34,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // (BENCH_r08 "parsed": null). Suppress it so the JSON line is last.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// …and round 9 showed the forked run's stdout still carries sbt's
+// "[info] " log prefix (fork default LoggedOutput), which breaks a bare
+// json.loads of the last line. Pass the child's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -70,7 +70,7 @@ object Bench {
     "q_anova_f", "q_fdr_bh", "q_did_lift", "q_conformal_interval",
     "q_kendall_tau", "q_fuzzy_linkage",
     "q_cuped", "q_cem_att", "q_power_mde", "q_qte",
-    "q_qini", "q_srm_check", "text_jsd",
+    "q_qini", "q_srm_check", "text_jsd", "text_pack_offsets",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging
@@ -326,10 +326,13 @@ object Bench {
       else if (cs.length <= 1900) cs
       else famTotalsLine
     }
-    println(line)
     CacheRegistry.releaseShared()
     graft.operators.ConnectorQueries.stopAll()
     spark.stop()
+    // The JSON line prints AFTER spark.stop(): with the raw-stdout
+    // output strategy (build.sbt), nothing may land on stdout behind it
+    // or the driver's last-line json.loads breaks again.
+    println(line)
     sys.exit(0) // don't let stray non-daemon threads pin the JVM
   }
 }

@@ -620,11 +620,13 @@ object TextAnalysis {
 
     // Sequence packing for fixed context windows (GPT-style: concatenate
     // the token stream in doc_id order, slice into 256-token windows).
-    // Expressed relationally as ONE prefix-sum window — each doc learns
+    // Expressed relationally as a SHARDED prefix sum — each doc learns
     // its start offset and the window span it lands in; no sequential
-    // driver loop, identical layout on any engine. At 100 TB packing
-    // runs per-shard with the same prefix-sum inside each range
-    // partition.
+    // driver loop, identical layout on any engine. SCALE: the running
+    // sum rides [[GlobalRank.withRunningWeight]] (range-repartition on
+    // doc_id, per-partition running sums, broadcast partition offsets)
+    // — NO corpus-wide single-partition window; exclusive start =
+    // inclusive cumulative − n, exact in BIGINT.
     QueryDef.sql(
       "text_pack_offsets",
       """SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
@@ -638,16 +640,15 @@ object TextAnalysis {
         |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("bigint").as("n"))
-        .withColumn("start", coalesce(sum("n").over(w), lit(0L)))
+      GlobalRank.withRunningWeight(base, lit(0L), col("doc_id"), col("n"))
+        .withColumn("start", col("cw") - col("n"))
         .select(col("doc_id"), col("n").as("n_tokens"),
           col("start").as("start_offset"),
-          floor(col("start") / 256).as("first_window"),
-          floor((col("start") + col("n") - 1) / 256).as("last_window"))
+          expr("start div 256").as("first_window"),
+          expr("(start + n - 1) div 256").as("last_window"))
         .orderBy("doc_id")
     },
 

@@ -99,7 +99,13 @@ object ScaleSmoke {
       "text_heaps_law", "q_weighted_percentile",
       // r9 third wave (inference suite): the two GlobalRank order-
       // statistic pipelines and the |sources|x|vocab| smoothed JSD grid
-      "q_qte", "q_qini", "text_jsd")
+      "q_qte", "q_qini", "text_jsd",
+      // r10 wave (r9 verdict ask): the 9-cell explode equi-join, the
+      // blocked quadratic linkage compare, the two bounded-pool fusion /
+      // mining pipelines, the coarsened-matching aggregate, and the
+      // newly SHARDED corpus prefix-sum packing
+      "spatial_grid_nn", "q_fuzzy_linkage", "sim_hybrid_rrf",
+      "sim_margin_mining", "q_cem_att", "text_pack_offsets")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

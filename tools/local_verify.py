@@ -26,6 +26,7 @@ if not skip_spark:
             print(line)
 
 import duckdb, pandas as pd
+import pyarrow.parquet as pq
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -41,11 +42,25 @@ for missing in sorted(expected - dumped):
     bad.append((missing, "SPARK-SIDE FAILURE (no output dir)"))
 
 def canon(df):
+    import numpy as np
     df = df[sorted(df.columns)]
     def fmt(v):
-        if v is None or v != v: return "NULL"
-        if isinstance(v, float): return repr(round(v, 9))
-        return str(v)
+        if isinstance(v, np.ndarray): v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(fmt(x) for x in v) + "]"
+        if v is None: return "NULL"
+        try:
+            if v != v: return "NULL"
+        except Exception: pass
+        if isinstance(v, (float, np.floating)):
+            return repr(round(float(v), 9))
+        # Decimal & everything else: raw str() ON PURPOSE — a Decimal
+        # here renders '1858320' while DuckDB's .df() renders the same
+        # value 1858320.0, which is EXACTLY the driver-hash divergence
+        # class this tool must surface (round-9 q_join_size_estimate).
+        s = str(v)
+        if s.endswith(" 00:00:00"): s = s[:-9]  # date-vs-midnight-ts
+        return s
     rows = sorted(tuple(fmt(v) for v in row) for row in df.itertuples(index=False))
     return rows
 
@@ -67,6 +82,20 @@ for name in sorted(os.listdir(out)):
         bad.append((name, f"oracle SQL error: {e}")); continue
     a, b = canon(spark_df), canon(ora_df)
     if a == b:
+        # Second read path: the driver hashes the Spark output through a
+        # NON-DuckDB reader. Re-read via pyarrow and compare its value
+        # rendering against the oracle frame — catches type-rendering
+        # divergences (e.g. DECIMAL(38,0) → Decimal vs float) that a
+        # DuckDB-reads-both-sides compare can never see.
+        try:
+            pa_df = pq.ParquetDataset(d).read().to_pandas()
+            c = canon(pa_df)
+        except Exception as e:
+            bad.append((name, f"pyarrow read error: {e}")); continue
+        if c != b:
+            diff = next(((i, x, y) for i, (x, y) in enumerate(zip(c, b))
+                         if x != y), ("len", len(c), len(b)))
+            bad.append((name, f"PYARROW-RENDER mismatch {diff}")); continue
         ok.append(name)
     else:
         diff = next(((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y),
