@@ -71,6 +71,9 @@ object Bench {
     "q_kendall_tau", "q_fuzzy_linkage",
     "q_cuped", "q_cem_att", "q_power_mde", "q_qte",
     "q_qini", "q_srm_check", "text_jsd", "text_pack_offsets",
+    "q_zonemap_prune", "q_equidepth_histogram", "q_sample_extrapolation",
+    "sim_sq8_topk", "q_k_anonymity", "q_shard_manifest",
+    "graph_modularity", "text_kneser_ney", "text_perplexity_buckets",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

@@ -101,6 +101,70 @@ object Curation {
         .orderBy("stage")
     },
 
+    // k-anonymity / l-diversity audit — the privacy gate a dataset
+    // release runs before shipping: group by the quasi-identifier tuple
+    // (nation, market segment, coarse balance band), then for each
+    // policy threshold k count the groups and rows that would re-identify
+    // (group size < k), plus the worst-case l-diversity of the sensitive
+    // attribute (distinct exact balances per QI group). SCALE: ONE hash
+    // aggregate over the table builds the QI-group frame (map-side
+    // combined); the k-threshold sweep is a broadcast 3-row cross over
+    // the group frame; all outputs integer or halfUp4.
+    QueryDef.sql(
+      "q_k_anonymity",
+      s"""WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_div
+        |  FROM customer GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(MIN(n) AS BIGINT) AS min_group_size,
+        |    CAST(MIN(l_div) AS BIGINT) AS min_l_diversity
+        |  FROM g),
+        |ks AS (SELECT unnest([2, 5, 10]) AS k)
+        |SELECT ks.k, t.n_groups, t.n_rows, t.min_group_size,
+        |  t.min_l_diversity,
+        |  CAST(SUM(CASE WHEN g.n < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_below,
+        |  CAST(SUM(CASE WHEN g.n < ks.k THEN g.n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  ${TextAnalysis.halfUp4Sql(
+           "SUM(CASE WHEN g.n < ks.k THEN g.n ELSE 0 END)", "t.n_rows")}
+        |    AS risk_rate
+        |FROM ks CROSS JOIN g CROSS JOIN t
+        |GROUP BY ks.k, t.n_groups, t.n_rows, t.min_group_size,
+        |  t.min_l_diversity
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val g = graft.CacheRegistry.ensurePersisted(
+        Tables.customer(s, d)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct("c_acctbal").as("l_div")))
+      val t = g.agg(count(lit(1)).cast("bigint").as("n_groups"),
+        sum("n").cast("bigint").as("n_rows"),
+        min("n").cast("bigint").as("min_group_size"),
+        min("l_div").cast("bigint").as("min_l_diversity"))
+      val ks = s.range(1, 4).select(
+        when(col("id") === 1, 2L).when(col("id") === 2, 5L)
+          .otherwise(10L).as("k"))
+      g.crossJoin(broadcast(ks)).crossJoin(broadcast(t))
+        .groupBy("k", "n_groups", "n_rows", "min_group_size",
+          "min_l_diversity")
+        .agg(
+          sum(when(col("n") < col("k"), 1L).otherwise(0L)).cast("bigint")
+            .as("groups_below"),
+          sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+            .cast("bigint").as("rows_at_risk"),
+          TextAnalysis.halfUp4(
+            "SUM(CASE WHEN n < k THEN n ELSE 0 END)", "n_rows")
+            .as("risk_rate"))
+        .orderBy("k")
+    },
+
     // One-row all-integer dataset card — the summary block of a dataset
     // release: corpus size, distinct-content count (the dup signal),
     // token/char volume, source/language coverage. One pass over the

@@ -634,6 +634,56 @@ object Graph {
         (round(-LogLogFit.slope, 4) + 0).as("alpha"),
         (round((col("sy") - LogLogFit.slope * col("sx")) / col("m"), 4)
           + 0).as("intercept"))
+    },
+
+    // ------------------------------------------------------------------
+    // Modularity of a community assignment (community = node mod 7 — a
+    // deterministic stand-in for a partitioner's output): per community
+    // Q_c = L_c/T − (D_c/T)², with T = total DIRECTED edge count (= 2m
+    // on the doubled edge list), L_c = intra-community directed edges,
+    // D_c = community degree mass. The quality score every graph-
+    // partitioning / community job reports. DETERMINISM: both terms are
+    // exact rationals over integers; each is independently half-up
+    // e6-scaled (nonnegative, so Spark `div` truncation == DuckDB `//`
+    // floor) and the contribution is their exact integer difference —
+    // no float division anywhere. SCALE: two aggregates over the shared
+    // edge frame (one filtered to intra edges), both map-side combined;
+    // the 7-row community frame crosses a 1-row broadcast total.
+    // Overflow bound: 2·D_c²·10⁶ must fit BIGINT — holds to T ≈ 2·10⁶
+    // directed edges and fails loudly (ANSI) beyond, the engine-wide
+    // convention for scaled-integer determinism.
+    QueryDef.sql(
+      "graph_modularity",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM edges),
+        |bycomm AS (
+        |  SELECT src % 7 AS community,
+        |    CAST(COUNT(*) AS BIGINT) AS d_c,
+        |    CAST(SUM(CASE WHEN src % 7 = dst % 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS l_c
+        |  FROM edges GROUP BY 1)
+        |SELECT community, l_c, d_c,
+        |  CAST((2 * l_c * 1000000 + t.t) // (2 * t.t)
+        |    - (2 * d_c * d_c * 1000000 + t.t * t.t) // (2 * t.t * t.t)
+        |    AS BIGINT) AS q_e6
+        |FROM bycomm, t ORDER BY community""".stripMargin) { (s, d) =>
+      val edges = edgesWithDeg(s, d).select("src", "dst")
+      val t = edges.agg(count(lit(1)).cast("bigint").as("t"))
+      val bycomm = edges
+        .groupBy((col("src") % 7).as("community"))
+        .agg(count(lit(1)).cast("bigint").as("d_c"),
+          sum(when(col("src") % 7 === col("dst") % 7, 1L).otherwise(0L))
+            .cast("bigint").as("l_c"))
+      bycomm.crossJoin(broadcast(t))
+        .select(col("community"), col("l_c"), col("d_c"),
+          (expr("(2 * l_c * 1000000 + t) div (2 * t)")
+            - expr("(2 * d_c * d_c * 1000000 + t * t) div (2 * t * t)"))
+            .cast("bigint").as("q_e6"))
+        .orderBy("community")
     }
   )
 

@@ -154,6 +154,50 @@ object Layout {
           expr("bytes div n_files").as("avg_file_bytes"),
           expr("n_docs div n_files").as("docs_per_file"))
         .orderBy("source")
+    },
+
+    // ------------------------------------------------------------------
+    // Shard content manifest — the integrity ledger of a 100 TB corpus:
+    // per shard (doc_id div 100 ≈ ingest file), an ORDER-INDEPENDENT
+    // content fingerprint (sum of a 16-bit integer decode of each row's
+    // md5(doc_id:text) prefix), row count, and byte volume. Re-running
+    // the manifest after a copy/compaction/engine-migration detects any
+    // lost, duplicated, or silently-corrupted row without comparing data
+    // — the exact use the cross-engine hash gate itself demonstrates.
+    // SCALE: one codegen'd projection + one map-side-combined aggregate;
+    // the fingerprint sum is commutative so partitioning never matters.
+    QueryDef.sql(
+      "q_shard_manifest", {
+        val hexDigitsSql = (1 to 4).map { i =>
+          val mult = math.pow(16, 4 - i).toLong
+          s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1) * $mult"
+        }.mkString(" + ")
+        s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+          |  CAST(SUM($hexDigitsSql) AS BIGINT) AS fingerprint
+          |FROM (
+          |  SELECT doc_id // 100 AS shard, n_chars,
+          |    substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4)
+          |      AS h
+          |  FROM documents)
+          |GROUP BY shard ORDER BY shard""".stripMargin
+      }) { (s, d) =>
+      val h = substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
+        1, 4)
+      val hexVal = (1 to 4).map { i =>
+        val mult = math.pow(16, 4 - i).toLong
+        (instr(lit("0123456789abcdef"), substring(col("h"), i, 1)) - 1)
+          .cast("bigint") * mult
+      }.reduce(_ + _)
+      Tables.documents(s, d)
+        .select(expr("doc_id div 100").as("shard"), col("n_chars"),
+          h.as("h"))
+        .groupBy("shard")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_chars").cast("bigint").as("n_bytes"),
+          sum(hexVal).cast("bigint").as("fingerprint"))
+        .orderBy("shard")
     }
   )
 }

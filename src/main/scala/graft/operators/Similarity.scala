@@ -82,6 +82,44 @@ object Similarity {
       .transform(topKSelect(_, k))
   }
 
+  /** Int8 scalar-quantized top-k (symmetric max-abs scaling, the
+    * q_quantize_embeddings codebook): both sides quantize to 8-bit
+    * integers and rank on the cosine OF THE QUANTIZED vectors — the
+    * per-vector scales cancel, so scoring is an exact integer dot plus
+    * two integer norms (one IEEE division at the end). This is the
+    * memory/bandwidth lever for billion-vector search: the corpus scan
+    * reads 4× fewer bytes than f32 and the kernel is pure int math.
+    * Determinism: the integer sums are exact in any order; the final
+    * S/(√A·√B) is one correctly-rounded double expression over identical
+    * integers in both engines; topKSelect rounds 4dp + id tiebreak. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def quantized(df: DataFrame, idAs: String, qAs: String, n2As: String) =
+      df.select(col("vec_id").as(idAs), col("embedding"),
+          array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))).as("ma"))
+        .select(col(idAs),
+          when(col("ma") === 0,
+            transform(col("embedding"), _ => lit(0L)))
+            .otherwise(transform(col("embedding"),
+              x => floor(x.cast("double") / col("ma") * 127.0 + 0.5)
+                .cast("long"))).as(qAs))
+        .withColumn(n2As,
+          aggregate(col(qAs), lit(0L), (acc, x) => acc + x * x))
+    val q = broadcast(quantized(queries, "query_id", "q_q", "q_n2"))
+    quantized(corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism),
+        "vec_id", "c_q", "c_n2")
+      .join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("c_n2") === 0 || col("q_n2") === 0, lit(0.0))
+          .otherwise(
+            aggregate(zip_with(col("c_q"), col("q_q"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).cast("double")
+              / (sqrt(col("c_n2").cast("double"))
+                * sqrt(col("q_n2").cast("double")))).as("sim"))
+      .transform(topKSelect(_, k))
+  }
+
   /** Bucket keys for multi-table LSH: `numTables` independent signatures
     * of `bitsPerTable` hyperplane bits each. Two vectors are candidates
     * iff they share a bucket in ANY table (OR-amplification). HOF
@@ -883,6 +921,21 @@ object Similarity {
       searchQuality(bruteForceTopK(emb, qs, k = 5),
         ivfTopK(emb, qs, k = 5, numCells = 32, nprobe = 8),
         k = 5, floor = 0.2)
+    },
+
+    // Int8 scalar-quantized top-5 (the 4×-smaller corpus-scan path).
+    // Quantization barely perturbs ranking on these vectors, so the
+    // recall floor is strict (0.8 = at least 4 of the true top-5 per
+    // query); same quality-summary pinning as sim_topk_ann.
+    QueryDef.sql(
+      "sim_sq8_topk",
+      s"""WITH $bruteScoredCte
+        |SELECT query_id, max(sim) AS best_sim, 1 AS recall_ok
+        |FROM scored GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      searchQuality(bruteForceTopK(emb, qs, k = 5), sq8TopK(emb, qs, k = 5),
+        k = 5, floor = 0.8)
     },
 
     // Embedding-cosine near-dup pairs over LSH buckets. Pinned to a

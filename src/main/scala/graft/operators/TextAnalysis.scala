@@ -788,6 +788,153 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Kneser–Ney smoothed bigram probabilities (d = 3/4) for a fixed
+    // probe set — the LM-smoothing backbone behind perplexity filters
+    // and n-gram contamination scores. Every KN ingredient is a count
+    // over the bigram-TYPE frame (continuation fan-outs N1+(w1,·),
+    // N1+(·,w2), the type total) — vocabulary-bounded, tiny at any
+    // corpus size. DETERMINISM: with d = 3/4 the probability is the
+    // exact rational [(4·c12−3)·Ntot + 3·N1w1·Ncont2] / (4·c1·Ntot)
+    // (first term dropped when c12 = 0), emitted half-up e6-scaled in
+    // pure integer arithmetic — no float division anywhere.
+    QueryDef.sql(
+      "text_kneser_ney",
+      """WITH bg AS (
+        |  SELECT b[1] AS w1, b[2] AS w2 FROM (
+        |    SELECT string_split(unnest(list_transform(
+        |      generate_series(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i + 1])), ' ') AS b
+        |    FROM (SELECT string_split(lower(text), ' ') AS ts
+        |          FROM documents)
+        |    WHERE len(ts) >= 2)),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |         CAST(COUNT(*) AS BIGINT) AS n1w1
+        |       FROM c12 GROUP BY w1),
+        |nc2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont2
+        |        FROM c12 GROUP BY w2),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM c12),
+        |probes AS (SELECT p[1] AS w1, p[2] AS w2 FROM (
+        |  SELECT string_split(unnest(['table hash', 'part filter',
+        |    'merge group', 'customer join', 'table zzxq', 'hash table']),
+        |    ' ') AS p))
+        |SELECT p.w1, p.w2, coalesce(x.c12, 0) AS c12, c1.c1, c1.n1w1,
+        |  coalesce(nc2.ncont2, 0) AS ncont2,
+        |  CAST((2 * (CASE WHEN coalesce(x.c12, 0) > 0
+        |        THEN (4 * x.c12 - 3) * nt.ntot ELSE 0 END
+        |      + 3 * c1.n1w1 * coalesce(nc2.ncont2, 0)) * 1000000
+        |      + 4 * c1.c1 * nt.ntot) // (2 * 4 * c1.c1 * nt.ntot)
+        |    AS BIGINT) AS p_kn_e6
+        |FROM probes p
+        |JOIN c1 ON p.w1 = c1.w1
+        |LEFT JOIN c12 x ON p.w1 = x.w1 AND p.w2 = x.w2
+        |LEFT JOIN nc2 ON p.w2 = nc2.w2
+        |CROSS JOIN nt
+        |ORDER BY p.w1, p.w2""".stripMargin) { (s, d) =>
+      val toksL = tokens(lower(col("text")))
+      val bgs = filter(
+        zip_with(toksL, slice(toksL, lit(2), greatest(size(toksL), lit(1))),
+          (x, y) => concat(x, lit(" "), y)),
+        b => b.isNotNull)
+      val bg = Tables.documents(s, d)
+        .select(explode(bgs).as("b"))
+        .select(split(col("b"), " ").getItem(0).as("w1"),
+          split(col("b"), " ").getItem(1).as("w2"))
+      val c12 = graft.CacheRegistry.ensurePersisted(
+        bg.groupBy("w1", "w2").agg(count(lit(1)).cast("bigint").as("c12")))
+      val c1 = c12.groupBy("w1")
+        .agg(sum("c12").cast("bigint").as("c1"),
+          count(lit(1)).cast("bigint").as("n1w1"))
+      val nc2 = c12.groupBy("w2")
+        .agg(count(lit(1)).cast("bigint").as("ncont2"))
+      val nt = c12.agg(count(lit(1)).cast("bigint").as("ntot"))
+      val probes = {
+        import s.implicits._
+        Seq(("table", "hash"), ("part", "filter"), ("merge", "group"),
+          ("customer", "join"), ("table", "zzxq"), ("hash", "table"))
+          .toDF("w1", "w2")
+      }
+      probes
+        .join(c1, "w1")
+        .join(c12.withColumnRenamed("c12", "c12x"), Seq("w1", "w2"), "left")
+        .join(nc2, Seq("w2"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("w1"), col("w2"),
+          coalesce(col("c12x"), lit(0L)).as("c12"), col("c1"), col("n1w1"),
+          coalesce(col("ncont2"), lit(0L)).as("ncont2"),
+          expr("""CAST((2 * (CASE WHEN coalesce(c12x, 0) > 0
+            |    THEN (4 * c12x - 3) * ntot ELSE 0 END
+            |    + 3 * n1w1 * coalesce(ncont2, 0)) * 1000000
+            |    + 4 * c1 * ntot) div (2 * 4 * c1 * ntot)
+            |  AS BIGINT)""".stripMargin).as("p_kn_e6"))
+        .orderBy("w1", "w2")
+    },
+
+    // ------------------------------------------------------------------
+    // Perplexity-bucket shard grid (the CCNet curation step): score each
+    // doc by unigram NLL (the text_unigram_logprob model), cut into
+    // head/middle/tail quality buckets on an EXACT e4-scaled integer
+    // score (no float threshold anywhere — the half-up scaled division
+    // runs in BIGINT), and emit the lang × bucket grid a curriculum
+    // sampler consumes. SCALE: the same two-shuffle shape as the NLL
+    // scorer (vocabulary agg broadcasts back, one doc re-agg) plus one
+    // grid aggregate over lang × 3 buckets.
+    QueryDef.sql(
+      "text_perplexity_buckets",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+        |doc AS (
+        |  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(-SUM(CAST(round(ln(CAST(cnt AS DOUBLE)
+        |        / CAST(n.n AS DOUBLE)), 6) AS DECIMAL(18,6))) * 1000000
+        |      AS BIGINT) AS s_e6
+        |  FROM tok JOIN tf USING (term) CROSS JOIN n
+        |  GROUP BY doc_id, lang),
+        |scored AS (
+        |  SELECT lang, n_tokens,
+        |    (2 * s_e6 + 100 * n_tokens) // (200 * n_tokens) AS nll_e4
+        |  FROM doc)
+        |SELECT lang,
+        |  CASE WHEN nll_e4 < 34000 THEN '0_head'
+        |       WHEN nll_e4 < 34040 THEN '1_middle'
+        |       ELSE '2_tail' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(MIN(nll_e4) AS BIGINT) AS min_nll_e4,
+        |  CAST(MAX(nll_e4) AS BIGINT) AS max_nll_e4
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = tf.agg(sum(col("cnt")).cast("bigint").as("n"))
+      val doc = tok.join(tf, "term")
+        .crossJoin(broadcast(total))
+        .withColumn("lp",
+          round(log(col("cnt").cast("double") / col("n").cast("double")), 6)
+            .cast("decimal(18,6)"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+          ((-sum(col("lp"))) * 1000000).cast("bigint").as("s_e6"))
+      doc
+        .withColumn("nll_e4",
+          expr("(2 * s_e6 + 100 * n_tokens) div (200 * n_tokens)"))
+        .groupBy(col("lang"),
+          when(col("nll_e4") < 34000, "0_head")
+            .when(col("nll_e4") < 34040, "1_middle")
+            .otherwise("2_tail").as("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_tokens").cast("bigint").as("n_tokens"),
+          min("nll_e4").cast("bigint").as("min_nll_e4"),
+          max("nll_e4").cast("bigint").as("max_nll_e4"))
+        .orderBy("lang", "bucket")
+    },
+
+    // ------------------------------------------------------------------
     // Cross-corpus duplicate SPAN removal (exact-substring dedup à la
     // Lee et al. 2022, span-granular): cut every doc into non-overlapping
     // 10-word spans, keep only each span's globally FIRST occurrence

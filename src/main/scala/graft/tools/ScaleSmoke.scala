@@ -105,7 +105,12 @@ object ScaleSmoke {
       // mining pipelines, the coarsened-matching aggregate, and the
       // newly SHARDED corpus prefix-sum packing
       "spatial_grid_nn", "q_fuzzy_linkage", "sim_hybrid_rrf",
-      "sim_margin_mining", "q_cem_att", "text_pack_offsets")
+      "sim_margin_mining", "q_cem_att", "text_pack_offsets",
+      // r10 second wave: the quantized corpus scan, the token-stream
+      // scorer join, the bigram-type aggregates, and the GlobalRank
+      // histogram build
+      "sim_sq8_topk", "text_perplexity_buckets", "text_kneser_ney",
+      "q_equidepth_histogram")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

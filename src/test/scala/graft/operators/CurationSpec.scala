@@ -37,4 +37,23 @@ class CurationSpec extends SparkTestBase {
     assert(r.getLong(2) > r.getLong(0), "tokens exceed docs")
     assert(r.getLong(3) > r.getLong(2), "chars exceed tokens")
   }
+
+  test("k-anonymity: risk is monotone in k and accounts every row") {
+    val rows = graft.SparkEntry.queries("q_k_anonymity")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))
+    assert(rows.map(_._1).toSeq == Seq(2L, 5L, 10L))
+    // group/row totals identical across threshold rows
+    assert(rows.map(x => (x._2, x._3)).distinct.size == 1)
+    val nRows = rows.head._3
+    assert(nRows == graft.Tables.customer(spark, sf0001).count())
+    // raising k can only put MORE groups/rows at risk
+    assert(rows.map(_._6).toSeq == rows.map(_._6).toSeq.sorted)
+    assert(rows.map(_._7).toSeq == rows.map(_._7).toSeq.sorted)
+    rows.foreach { case (_, ng, nr, minG, minL, gb, rar, rate) =>
+      assert(gb <= ng && rar <= nr && minL >= 1 && minG >= 1)
+      assert(math.abs(rate - rar.toDouble / nr) < 1e-3)
+    }
+  }
 }

@@ -256,4 +256,28 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(alpha - -slope) < 1e-3, s"$alpha vs ${-slope}")
     assert(math.abs(intercept - (sy - slope * sx) / k) < 1e-3)
   }
+
+  test("modularity: mass accounting closes and Q matches a float replay") {
+    val rows = graft.SparkEntry.queries("graph_modularity")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSeq.sorted == rows.map(_._1).toSeq)
+    val t = graft.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.Tables.lineitem(spark, sf0001)
+        .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().count() * 2
+    // degree mass sums to the directed edge total; intra ≤ degree mass
+    assert(rows.map(_._3).sum == t)
+    rows.foreach { case (_, lc, dc, _) => assert(lc <= dc) }
+    // the e6-scaled integer Q matches a double replay to rounding error
+    val q = rows.map(_._4).sum.toDouble / 1e6
+    val qRef = rows.map { case (_, lc, dc, _) =>
+      lc.toDouble / t - math.pow(dc.toDouble / t, 2) }.sum
+    assert(math.abs(q - qRef) < 1e-5, s"$q vs $qRef")
+    assert(q > -1.0 && q < 1.0)
+  }
 }

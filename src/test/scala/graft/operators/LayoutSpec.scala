@@ -82,4 +82,35 @@ class LayoutSpec extends SparkTestBase {
         s"bucket ${r.get(0)} order span")
     }
   }
+
+  test("shard manifest: detects a single-row corruption, ignores order") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val base = graft.SparkEntry.queries("q_shard_manifest")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(base.values.map(_._1).sum == docs.count())
+    // recompute over a REVERSED-order scan: fingerprints are identical
+    // (the sum is commutative — the property that makes the manifest
+    // layout-independent)
+    val rev = docs.orderBy(col("doc_id").desc)
+    val h = substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("text"))), 1, 4)
+    val hexVal = (1 to 4).map { i =>
+      val mult = math.pow(16, 4 - i).toLong
+      (instr(lit("0123456789abcdef"), substring(col("h"), i, 1)) - 1)
+        .cast("bigint") * mult
+    }.reduce(_ + _)
+    def fp(df: org.apache.spark.sql.DataFrame) = df
+      .select(expr("doc_id div 100").as("shard"), h.as("h"))
+      .groupBy("shard").agg(sum(hexVal).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(rev) == base.view.mapValues(_._2).toMap)
+    // flip one character of one doc: exactly that shard's print changes
+    val corrupted = docs.withColumn("text",
+      when(col("doc_id") === 0, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val after = fp(corrupted)
+    val changed = base.keys.filter(k => after(k) != base(k)._2).toSeq
+    assert(changed == Seq(0L), s"changed shards: $changed")
+  }
 }

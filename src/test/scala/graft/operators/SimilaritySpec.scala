@@ -400,4 +400,33 @@ class SimilaritySpec extends SparkTestBase {
       assert(math.abs(loading - v(dim - 1)) < 1e-6,
         s"dim $dim: $loading vs ${v(dim - 1)}") }
   }
+
+  test("sq8: quantized ranking tracks exact cosine; recall@5 >= 0.8") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(emb, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // per-query recall against the exact top-5
+    val recall = sq8.count(x => brute.contains((x._1, x._2))).toDouble /
+      brute.size
+    assert(recall >= 0.8, s"sq8 recall@5 = $recall")
+    // quantized cosine stays within int8 quantization error of exact
+    graft.functions.GraftFunctions.register(spark)
+    val exact = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("b"), col("embedding").as("eb")),
+        col("a") =!= col("b"))
+      .select(col("b"), col("a"),
+        round(graft.functions.GraftFunctions.cosine(col("ea"), col("eb")),
+          4).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    sq8.foreach { case (q, n, s) =>
+      assert(math.abs(s - exact((q, n))) < 0.02,
+        s"quantization error too large for ($q,$n): $s vs ${exact((q, n))}")
+    }
+  }
 }

@@ -607,4 +607,44 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(math.abs(rows.head._5 - beta) < 1e-3,
       s"${rows.head._5} vs $beta")
   }
+
+  test("kneser-ney: smoothing orders probes sanely and replays exactly") {
+    val rows = graft.SparkEntry.queries("text_kneser_ney")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val byProbe = rows.map(r => (r._1, r._2) -> r).toMap
+    // an unseen continuation with an unseen w2 gets probability 0
+    val unseen = byProbe(("table", "zzxq"))
+    assert(unseen._3 == 0 && unseen._6 == 0 && unseen._7 == 0)
+    // a frequent seen bigram dominates the unseen one on the same history
+    assert(byProbe(("table", "hash"))._7 > unseen._7)
+    // KN invariants: a probability in [0,1], counts consistent, and the
+    // discounted term never exceeds the raw MLE by more than the
+    // continuation mass
+    rows.foreach { case (_, _, c12, c1, n1w1, ncont2, pE6) =>
+      assert(pE6 >= 0 && pE6 <= 1000000)
+      assert(c12 <= c1 && n1w1 <= c1 && ncont2 >= 0)
+      val mleE6 = math.round(c12.toDouble / c1 * 1e6)
+      assert(pE6 <= mleE6 + 3L * n1w1 * 1000000 / (4 * c1) + 1,
+        s"p exceeds MLE + backoff mass: $pE6 vs $mleE6")
+    }
+  }
+
+  test("perplexity buckets: every doc lands once; bucket bounds ordered") {
+    val rows = graft.SparkEntry.queries("text_perplexity_buckets")(
+      spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nDocs = rows.map(_._3).sum
+    assert(nDocs == graft.Tables.documents(spark, sf0001).count())
+    // bucket score ranges respect the cut points
+    rows.foreach { case (_, b, _, _, mn, mx) =>
+      assert(mn <= mx)
+      b match {
+        case "0_head"   => assert(mx < 34000)
+        case "1_middle" => assert(mn >= 34000 && mx < 34040)
+        case "2_tail"   => assert(mn >= 34040)
+      }
+    }
+  }
 }
