@@ -131,6 +131,107 @@ case class CosineSimilarityFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused int8 scalar-quantized cosine: quantize BOTH float vectors with
+  * the symmetric max-abs codebook (q = floor(x/maxabs·127 + 0.5), the
+  * q_quantize_embeddings recipe) and compute the cosine of the quantized
+  * integer vectors in one kernel — dot and norms are exact 64-bit
+  * integer sums, with a single correctly-rounded double division at the
+  * end. Bit-identical to the higher-order-function formulation in
+  * [[graft.operators.Similarity.sq8TopK]] (parity-tested): the same
+  * `(double)dot / (sqrt(na)·sqrt(nb))` association, null elements read
+  * as 0 like [[CosineSimilarityFloat]]. At 100 TB the corpus side is
+  * pre-quantized once and stored at 1 byte/dim; this kernel is the
+  * score loop that path runs.
+  */
+case class Sq8CosineFloat(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_cosine"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((left.dataType == ArrayType(FloatType, true) ||
+        left.dataType == ArrayType(FloatType, false)) &&
+        (right.dataType == ArrayType(FloatType, true) ||
+        right.dataType == ArrayType(FloatType, false)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    def maxAbs(v: ArrayData): Double = {
+      var m = 0.0; var i = 0
+      while (i < v.numElements()) {
+        val xv = if (v.isNullAt(i)) 0.0 else math.abs(v.getFloat(i).toDouble)
+        if (xv > m) m = xv
+        i += 1
+      }
+      m
+    }
+    val ma = maxAbs(x); val mb = maxAbs(y)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yv = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      val qa = if (ma == 0.0) 0L else math.floor(xv / ma * 127.0 + 0.5).toLong
+      val qb = if (mb == 0.0) 0L else math.floor(yv / mb * 127.0 + 0.5).toLong
+      dot += qa * qb; na += qa * qa; nb += qb * qb
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ma = ctx.freshName("ma")
+      val mb = ctx.freshName("mb")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val qa = ctx.freshName("qa")
+      val qb = ctx.freshName("qb")
+      s"""
+         |double $ma = 0.0; double $mb = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $xv = $a.isNullAt($i) ? 0.0 :
+         |    java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($xv > $ma) $ma = $xv;
+         |}
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  double $yv = $b.isNullAt($i) ? 0.0 :
+         |    java.lang.Math.abs((double) $b.getFloat($i));
+         |  if ($yv > $mb) $mb = $yv;
+         |}
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double $yv = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  long $qa = $ma == 0.0 ? 0L :
+         |    (long) java.lang.Math.floor($xv / $ma * 127.0 + 0.5);
+         |  long $qb = $mb == 0.0 ? 0L :
+         |    (long) java.lang.Math.floor($yv / $mb * 127.0 + 0.5);
+         |  $dot += $qa * $qb; $na += $qa * $qa; $nb += $qb * $qb;
+         |}
+         |${ev.value} = ($na == 0L || $nb == 0L) ? 0.0 :
+         |  (double) $dot /
+         |    (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8CosineFloat =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   private val registered =
     java.util.Collections.newSetFromMap(
@@ -169,6 +270,8 @@ object GraftFunctions {
         exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_cosine",
         exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("graft_sq8_cosine",
+        exprs => Sq8CosineFloat(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_minhash",
         exprs => MinHashSignature(exprs(0),
           litNumArg("graft_minhash", exprs, 1, "numHashes").intValue), "built-in")
@@ -218,6 +321,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  def sq8Cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_sq8_cosine", a, b)
   def minhash(shingleHashes: Column, numHashes: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash",
       shingleHashes, org.apache.spark.sql.functions.lit(numHashes))

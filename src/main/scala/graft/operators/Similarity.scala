@@ -93,31 +93,39 @@ object Similarity {
     * S/(√A·√B) is one correctly-rounded double expression over identical
     * integers in both engines; topKSelect rounds 4dp + id tiebreak. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    def quantized(df: DataFrame, idAs: String, qAs: String, n2As: String) =
-      df.select(col("vec_id").as(idAs), col("embedding"),
-          array_max(transform(col("embedding"),
-            x => abs(x.cast("double")))).as("ma"))
-        .select(col(idAs),
-          when(col("ma") === 0,
-            transform(col("embedding"), _ => lit(0L)))
-            .otherwise(transform(col("embedding"),
-              x => floor(x.cast("double") / col("ma") * 127.0 + 0.5)
-                .cast("long"))).as(qAs))
-        .withColumn(n2As,
-          aggregate(col(qAs), lit(0L), (acc, x) => acc + x * x))
-    val q = broadcast(quantized(queries, "query_id", "q_q", "q_n2"))
-    quantized(corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism),
-        "vec_id", "c_q", "c_n2")
+    // fused codegen kernel (graft.functions.Sq8CosineFloat) on the hot
+    // path — one loop per row; the HOF formulation below is the parity
+    // reference
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
       .join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        when(col("c_n2") === 0 || col("q_n2") === 0, lit(0.0))
-          .otherwise(
-            aggregate(zip_with(col("c_q"), col("q_q"), (a, b) => a * b),
-              lit(0L), (acc, x) => acc + x).cast("double")
-              / (sqrt(col("c_n2").cast("double"))
-                * sqrt(col("q_n2").cast("double")))).as("sim"))
+        graft.functions.GraftFunctions.sq8Cosine(
+          col("embedding"), col("q_emb")).as("sim"))
       .transform(topKSelect(_, k))
+  }
+
+  /** Higher-order-function formulation of the sq8 cosine — kept for
+    * kernel-parity tests against [[graft.functions.Sq8CosineFloat]]. */
+  def sq8CosineHof(a: Column, b: Column): Column = {
+    def q(v: Column) = {
+      val ma = array_max(transform(v, x => abs(x.cast("double"))))
+      when(ma === 0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v,
+          x => floor(x.cast("double") / ma * 127.0 + 0.5).cast("long")))
+    }
+    val qa = q(a); val qb = q(b)
+    val na = aggregate(qa, lit(0L), (acc, x) => acc + x * x)
+    val nb = aggregate(qb, lit(0L), (acc, x) => acc + x * x)
+    val dot = aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L),
+      (acc, x) => acc + x)
+    when(na === 0 || nb === 0, lit(0.0))
+      .otherwise(dot.cast("double")
+        / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
   }
 
   /** Bucket keys for multi-table LSH: `numTables` independent signatures

@@ -114,6 +114,16 @@ class SimilaritySpec extends SparkTestBase {
       .agg(max("dc"), max("dd")).collect()(0)
     assert(diff.getDouble(0) < 1e-9, s"cosine kernel drift ${diff.getDouble(0)}")
     assert(diff.getDouble(1) < 1e-9, s"dot kernel drift ${diff.getDouble(1)}")
+    // the sq8 kernel is BIT-identical to its HOF formulation (integer
+    // sums + one identically-associated double division)
+    val sq8diff = emb.limit(200).as("a")
+      .crossJoin(emb.limit(20).select(col("embedding").as("e2"),
+        col("vec_id").as("v2")).as("b"))
+      .select(abs(
+        graft.functions.GraftFunctions.sq8Cosine(col("embedding"), col("e2"))
+          - Similarity.sq8CosineHof(col("embedding"), col("e2"))).as("dq"))
+      .agg(max("dq")).collect()(0).getDouble(0)
+    assert(sq8diff == 0.0, s"sq8 kernel drift $sq8diff")
   }
 
   test("native LSH-key kernel matches the HOF signature formulation exactly") {
