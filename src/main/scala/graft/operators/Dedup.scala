@@ -312,11 +312,16 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nbr_label"))
+      // localCheckpoint, not persist: `labels` feeds BOTH nbrMin and the
+      // left join, so the un-truncated logical plan doubles per round
+      // (2^rounds — a ~8-round component graph OOMs Catalyst's plan
+      // strings before any data moves). The eager checkpoint cuts each
+      // round to a LogicalRDD leaf; results are unchanged.
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val nextSum = sumLabels(next)
       labels.unpersist(blocking = false)
       labels = next

@@ -194,5 +194,103 @@ object SpatialOps {
         .select(col("id"), col("nid"),
           round(round(asin(sqrt(col("a"))), 6) * 12742.0, 6).as("dist_km"))
         .orderBy("id")
+    },
+
+    // ------------------------------------------------------------------
+    // Grid DBSCAN (eps = one 40000-e4 cell, minPts = 3): density
+    // clustering as pure dataflow. The eps-neighbor pairs come from the
+    // SAME 9-cell equi-join as spatial_grid_nn (never |points|²); core
+    // points (≥ minPts in their eps-ball, self included) link into
+    // clusters via [[Dedup.connectedComponents]] — min-id labels, the
+    // deterministic join-shaped closure already certified by
+    // dedup_clusters — and border points attach to their smallest core
+    // cluster. Output: per-cluster core/total counts plus one cluster=-1
+    // noise row. The oracle replays core/border classification and a
+    // recursive-CTE closure. SCALE: candidates bounded by 9-cell
+    // occupancy; every later stage runs on the pair/core frames; label
+    // propagation rounds are bounded by cluster diameter (switch to
+    // large-star/small-star for continental-scale components — the
+    // documented escape hatch in connectedComponents).
+    QueryDef.sql(
+      "spatial_dbscan", {
+        val d2 = "(a.lat_e4 - b.lat_e4) * (a.lat_e4 - b.lat_e4) + " +
+          "(a.lon_e4 - b.lon_e4) * (a.lon_e4 - b.lon_e4)"
+        s"""WITH RECURSIVE $ptsCte,
+          |nbrs AS (
+          |  SELECT a.id, b.id AS nid FROM pts a JOIN pts b
+          |  ON a.id <> b.id AND $d2 <= CAST(1600000000 AS BIGINT)),
+          |core AS (
+          |  SELECT id FROM (SELECT id, COUNT(*) AS n FROM nbrs GROUP BY id)
+          |  WHERE n + 1 >= 3),
+          |cedges AS (
+          |  SELECT n.id AS src, n.nid AS dst FROM nbrs n
+          |  WHERE n.id IN (SELECT id FROM core)
+          |    AND n.nid IN (SELECT id FROM core)),
+          |reach AS (
+          |  SELECT src AS id, dst AS r FROM cedges
+          |  UNION
+          |  SELECT e.src, reach.r FROM cedges e JOIN reach ON e.dst = reach.id),
+          |cc AS (
+          |  SELECT c.id, least(c.id, coalesce(mr.r, c.id)) AS cluster
+          |  FROM core c LEFT JOIN
+          |    (SELECT id, MIN(r) AS r FROM reach GROUP BY id) mr
+          |    ON c.id = mr.id),
+          |border AS (
+          |  SELECT n.id, MIN(cc.cluster) AS cluster
+          |  FROM nbrs n JOIN cc ON n.nid = cc.id
+          |  WHERE n.id NOT IN (SELECT id FROM core) GROUP BY n.id),
+          |labeled AS (
+          |  SELECT id, cluster, 1 AS is_core FROM cc
+          |  UNION ALL SELECT id, cluster, 0 FROM border)
+          |SELECT CAST(cluster AS BIGINT) AS cluster,
+          |  CAST(SUM(is_core) AS BIGINT) AS n_core,
+          |  CAST(COUNT(*) AS BIGINT) AS n_pts
+          |FROM labeled GROUP BY cluster
+          |UNION ALL
+          |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pts
+          |   WHERE id NOT IN (SELECT id FROM labeled))
+          |ORDER BY cluster""".stripMargin
+      }) { (s, d) =>
+      val eps2 = 40000L * 40000L
+      val pts = points(s, d)
+      val cand = pts.select(col("id").as("nid"), col("lat_e4").as("nlat"),
+        col("lon_e4").as("nlon"),
+        expr(cellSql("lat_e4", "lon_e4")).as("ncell"))
+      val pairs = graft.CacheRegistry.ensurePersisted(pts
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("pcell", expr(cellSql("lat_e4", "lon_e4", "dy", "dx")))
+        .join(cand, col("pcell") === col("ncell") && col("id") =!= col("nid"))
+        .withColumn("dist2", expr(
+          "(lat_e4 - nlat) * (lat_e4 - nlat) + (lon_e4 - nlon) * (lon_e4 - nlon)"))
+        .filter(col("dist2") <= eps2)
+        .select("id", "nid"))
+      val core = graft.CacheRegistry.ensurePersisted(
+        pairs.groupBy("id").agg(count(lit(1)).as("n"))
+          .filter(col("n") + 1 >= 3).select("id"))
+      val cedges = pairs
+        .join(core, Seq("id"), "left_semi")
+        .join(core.withColumnRenamed("id", "nid"), Seq("nid"), "left_semi")
+      val cc = Dedup.connectedComponents(cedges, "id", "nid")
+      val coreLab = core.join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster"))
+      val border = pairs
+        .join(core, Seq("id"), "left_anti")
+        .join(coreLab.select(col("id").as("nid"), col("cluster")), "nid")
+        .groupBy("id").agg(min("cluster").as("cluster"))
+      val labeled = graft.CacheRegistry.ensurePersisted(
+        coreLab.withColumn("is_core", lit(1))
+          .unionByName(border.withColumn("is_core", lit(0))))
+      val clusters = labeled.groupBy("cluster")
+        .agg(sum("is_core").cast("bigint").as("n_core"),
+          count(lit(1)).cast("bigint").as("n_pts"))
+      val noise = pts.join(labeled.select("id"), Seq("id"), "left_anti")
+        .agg(count(lit(1)).cast("bigint").as("n_pts"))
+        .select(lit(-1L).as("cluster"), lit(0L).cast("bigint").as("n_core"),
+          col("n_pts"))
+      clusters.select(col("cluster").cast("bigint"), col("n_core"),
+          col("n_pts"))
+        .unionByName(noise).orderBy("cluster")
     })
 }

@@ -110,7 +110,9 @@ object ScaleSmoke {
       // scorer join, the bigram-type aggregates, and the GlobalRank
       // histogram build
       "sim_sq8_topk", "text_perplexity_buckets", "text_kneser_ney",
-      "q_equidepth_histogram")
+      "q_equidepth_histogram",
+      // the 9-cell pair join + iterative closure at 10x point density
+      "spatial_dbscan")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

@@ -75,4 +75,45 @@ class SpatialOpsSpec extends SparkTestBase {
       assert(rows(n) == cnt, s"probe $n")
     }
   }
+
+  test("dbscan: accounting closes and labels match a driver replay") {
+    val out = graft.SparkEntry.queries("spatial_dbscan")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.Tables.customer(spark, sf0001).count()
+    // every point is exactly one of: clustered (core/border) or noise
+    assert(out.map(_._3).sum == n, s"points lost: ${out.map(_._3).sum} vs $n")
+    val noise = out.filter(_._1 == -1L)
+    assert(noise.length == 1 && noise.head._2 == 0)
+    out.filter(_._1 != -1L).foreach { case (c, nCore, nPts) =>
+      assert(nCore >= 1 && nCore <= nPts, s"cluster $c: $nCore/$nPts")
+    }
+    // independent driver-side DBSCAN replay (exact integer arithmetic)
+    val pts = graft.Tables.customer(spark, sf0001)
+      .selectExpr("c_custkey",
+        "CAST(((c_custkey * (c_custkey + 12345)) % 1600001 * 7919 + 13) % 1600001 - 800000 AS BIGINT)",
+        "CAST(((c_custkey * (c_custkey + 54321)) % 3600001 * 104729 + 97) % 3600001 - 1800000 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val eps2 = 40000L * 40000L
+    def near(a: (Long, Long, Long), b: (Long, Long, Long)) = {
+      val d = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      a._1 != b._1 && d <= eps2
+    }
+    val core = pts.filter(p => pts.count(q => near(p, q)) + 1 >= 3)
+      .map(_._1).toSet
+    val coreArr = pts.filter(p => core(p._1))
+    // min-id closure over core-core edges
+    var label = coreArr.map(p => p._1 -> p._1).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (p <- coreArr; q <- coreArr if near(p, q)) {
+        val m = math.min(label(p._1), label(q._1))
+        if (label(p._1) != m) { label += p._1 -> m; changed = true }
+      }
+    }
+    val refClusters = label.groupBy(_._2).map { case (c, m) => c -> m.size }
+    val gotCore = out.filter(_._1 != -1L).map(r => r._1 -> r._2).toMap
+    assert(gotCore == refClusters,
+      s"core clusters differ: $gotCore vs $refClusters")
+  }
 }
