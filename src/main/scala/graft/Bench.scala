@@ -74,7 +74,7 @@ object Bench {
     "q_zonemap_prune", "q_equidepth_histogram", "q_sample_extrapolation",
     "sim_sq8_topk", "q_k_anonymity", "q_shard_manifest",
     "graph_modularity", "text_kneser_ney", "text_perplexity_buckets",
-    "spatial_dbscan",
+    "spatial_dbscan", "q_freshness_audit", "text_bpe_merges",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging

@@ -719,5 +719,45 @@ object SeriesOps {
           round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
           z.as("z"))
         .orderBy(abs(col("z")).desc, col("day")).limit(5)
+    },
+
+    // ------------------------------------------------------------------
+    // Data-freshness / pipeline-lag audit: per event stream, how stale is
+    // the newest record vs the globally newest (in whole seconds —
+    // second-floored subtraction is identical across engines), and what
+    // share of the stream arrived in the trailing 24 h window. The ops
+    // dashboard every streaming ingest runs; a stream whose staleness
+    // grows is a dead producer. SCALE: one map-side-combined aggregate
+    // per type + a 1-row broadcast global max; all integers + halfUp4.
+    QueryDef.sql(
+      "q_freshness_audit",
+      s"""WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+        |t AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MAX(ts) AS tmax,
+        |    CAST(SUM(CASE WHEN ts >= g.gmax - INTERVAL 24 HOUR
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h,
+        |    MAX(g.gmax) AS gmax
+        |  FROM events CROSS JOIN g GROUP BY event_type)
+        |SELECT event_type, n_events,
+        |  CAST(datediff('second', tmax, gmax) AS BIGINT) AS staleness_s,
+        |  n_last_24h,
+        |  ${TextAnalysis.halfUp4Sql("n_last_24h", "n_events")}
+        |    AS share_24h
+        |FROM t ORDER BY event_type""".stripMargin) { (s, d) =>
+      val g = Tables.events(s, d).agg(max("ts").as("gmax"))
+      Tables.events(s, d).crossJoin(broadcast(g))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          max("ts").as("tmax"),
+          sum(when(col("ts") >= col("gmax") - expr("INTERVAL 24 HOUR"), 1L)
+            .otherwise(0L)).cast("bigint").as("n_last_24h"),
+          max("gmax").as("gmax"))
+        .select(col("event_type"), col("n_events"),
+          (unix_timestamp(col("gmax")) - unix_timestamp(col("tmax")))
+            .cast("bigint").as("staleness_s"),
+          col("n_last_24h"),
+          TextAnalysis.halfUp4("n_last_24h", "n_events").as("share_24h"))
+        .orderBy("event_type")
     })
 }

@@ -935,6 +935,77 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // BPE vocabulary induction, round-unrolled: the first two merge
+    // rounds of byte-pair encoding over the word corpus. Round 1 counts
+    // adjacent symbol pairs (2-char substrings of each word occurrence),
+    // picks the top merge (count desc, pair asc — a total order), applies
+    // it corpus-wide as a 1-char marker substitution (replace() is
+    // leftmost-nonoverlapping in both engines), and round 2 re-counts
+    // over the re-segmented symbol stream. The training step behind
+    // every BPE/WordPiece tokenizer, expressed as two aggregate+
+    // broadcast passes. SCALE: pair frames are symbol-alphabet-bounded
+    // (≤ |alphabet|² rows); the merge rides a 1-row broadcast; the only
+    // corpus-sized work is two codegen'd projections. The top-5 ranking
+    // windows sit above LIMIT 5 frames (bounded).
+    QueryDef.sql(
+      "text_bpe_merges",
+      """WITH w AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2),
+        |c1 AS (
+        |  SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |      i -> substring(w, i, 2))) AS p FROM w)
+        |  GROUP BY p),
+        |t1 AS (SELECT p AS mp FROM c1 ORDER BY cnt DESC, p LIMIT 1),
+        |m AS (
+        |  SELECT w FROM (SELECT replace(w.w, t1.mp, chr(1)) AS w
+        |                 FROM w, t1)
+        |  WHERE length(w) >= 2),
+        |c2 AS (
+        |  SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |      i -> substring(w, i, 2))) AS p FROM m)
+        |  GROUP BY p)
+        |SELECT merge_round, rk, pair, cnt FROM (
+        |  SELECT 1 AS merge_round,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, p) AS INTEGER) AS rk,
+        |    replace(p, chr(1), '<m>') AS pair, cnt
+        |  FROM (SELECT p, cnt FROM c1 ORDER BY cnt DESC, p LIMIT 5)
+        |  UNION ALL
+        |  SELECT 2,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, p) AS INTEGER),
+        |    replace(p, chr(1), '<m>'), cnt
+        |  FROM (SELECT p, cnt FROM c2 ORDER BY cnt DESC, p LIMIT 5))
+        |ORDER BY merge_round, rk""".stripMargin) { (s, d) =>
+      val w = graft.CacheRegistry.ensurePersisted(
+        Tables.documents(s, d)
+          .select(explode(tokens(lower(col("text")))).as("w"))
+          .filter(length(col("w")) >= 2))
+      def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("p"))
+        .groupBy("p").agg(count(lit(1)).cast("bigint").as("cnt"))
+      val c1 = graft.CacheRegistry.ensurePersisted(pairCounts(w))
+      val t1 = c1.orderBy(desc("cnt"), col("p")).limit(1)
+        .select(col("p").as("mp"))
+      val m = w.crossJoin(broadcast(t1))
+        .select(expr("replace(w, mp, chr(1))").as("w"))
+        .filter(length(col("w")) >= 2)
+      val c2 = pairCounts(m)
+      def top5(c: org.apache.spark.sql.DataFrame, r: Int) =
+        c.orderBy(desc("cnt"), col("p")).limit(5)
+          .select(lit(r).as("merge_round"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(desc("cnt"), col("p"))).as("rk"),
+            expr("replace(p, chr(1), '<m>')").as("pair"), col("cnt"))
+      top5(c1, 1).unionByName(top5(c2, 2)).orderBy("merge_round", "rk")
+    },
+
+    // ------------------------------------------------------------------
     // Cross-corpus duplicate SPAN removal (exact-substring dedup à la
     // Lee et al. 2022, span-granular): cut every doc into non-overlapping
     // 10-word spans, keep only each span's globally FIRST occurrence

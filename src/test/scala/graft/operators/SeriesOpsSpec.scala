@@ -277,4 +277,19 @@ class SeriesOpsSpec extends SparkTestBase {
     reported.zip(zs.take(5)).foreach { case (got, want) =>
       assert(math.abs(got - want) < 1e-3, s"$got vs $want") }
   }
+
+  test("freshness audit: the freshest stream reads zero staleness") {
+    val rows = graft.SparkEntry.queries("q_freshness_audit")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._2).sum ==
+      graft.Tables.events(spark, sf0001).count())
+    // exactly the globally-freshest stream(s) read zero staleness
+    assert(rows.map(_._3).min == 0L)
+    rows.foreach { case (t, n, st, n24, share) =>
+      assert(st >= 0, s"$t staleness negative")
+      assert(n24 <= n && share >= 0 && share <= 1)
+      assert(math.abs(share - n24.toDouble / n) < 1e-3)
+    }
+  }
 }

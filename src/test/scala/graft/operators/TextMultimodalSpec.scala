@@ -630,6 +630,30 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("bpe merges: round-1 top pair matches a driver replay; round 2 re-segments") {
+    val rows = graft.SparkEntry.queries("text_bpe_merges")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+    assert(rows.count(_._1 == 1) == 5 && rows.count(_._1 == 2) == 5)
+    // driver replay of round-1 pair counting
+    val words = graft.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.lower(
+        org.apache.spark.sql.functions.col("text")))
+      .collect().flatMap(_.getString(0).split(" ")).filter(_.length >= 2)
+    val counts = words.flatMap(w => w.sliding(2))
+      .groupBy(identity).map { case (p, o) => p -> o.length.toLong }
+    val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    val got1 = rows.filter(_._1 == 1).minBy(_._2)
+    assert((got1._3, got1._4) == top, s"$got1 vs $top")
+    // round 2 counts come from the merged stream: applying the merge
+    // strictly reduces the top pair's raw count (it was consumed)
+    val r2 = rows.filter(_._1 == 2)
+    assert(r2.forall(_._4 > 0))
+    r2.filter(_._3 == top._1).foreach { r =>
+      assert(r._4 < top._2, s"unconsumed merge pair survived: $r")
+    }
+  }
+
   test("perplexity buckets: every doc lands once; bucket bounds ordered") {
     val rows = graft.SparkEntry.queries("text_perplexity_buckets")(
       spark, sf0001).collect()
