@@ -1716,6 +1716,50 @@ object CoreQueries {
         .orderBy("cohort", "week_offset")
     },
 
+    // Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
+    // streak/continuity primitive behind engagement metrics and
+    // sensor-coverage audits). The classic trick: within each user,
+    // day_number − row_number() is CONSTANT across a consecutive run and
+    // jumps at every gap, so runs become plain group keys — no
+    // self-join, no iteration. Output is the streak-length histogram
+    // (how many islands of each length, across how many users). SCALE:
+    // the distinct + both windows partition BY USER (shuffle on
+    // user_id, per-user streams sort locally); the histogram is
+    // day-domain bounded. All arithmetic is integer day numbers.
+    QueryDef.sql(
+      "q_gaps_islands",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    dn - row_number() OVER (PARTITION BY user_id ORDER BY dn)
+        |      AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days
+        |  FROM isl GROUP BY user_id, grp)
+        |SELECT streak_days, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM runs GROUP BY streak_days ORDER BY streak_days""".stripMargin) {
+      (s, d) =>
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+              .as("dn"))
+          .distinct()
+        val isl = days.withColumn("grp",
+          col("dn") - row_number().over(
+            Window.partitionBy("user_id").orderBy("dn")))
+        val runs = isl.groupBy("user_id", "grp")
+          .agg(count(lit(1)).cast("bigint").as("streak_days"))
+        runs.groupBy("streak_days")
+          .agg(count(lit(1)).cast("bigint").as("n_islands"),
+            countDistinct("user_id").cast("bigint").as("n_users"))
+          .orderBy("streak_days")
+    },
+
     // Event-transition (first-order Markov) matrix: per-user event
     // streams yield (prev_type → type) bigram counts and row-normalized
     // transition probabilities — the sequence-mining primitive behind

@@ -403,6 +403,47 @@ object Graph {
         .orderBy(desc("jaccard"), col("sa"), col("sb")).limit(20)
     },
 
+    // Resource-allocation link prediction (Zhou/Lü/Zhang's RA index):
+    // score(sa,sb) = Σ_{z ∈ common neighbors} 1/deg(z) — common
+    // neighbors weighted by how DISCRIMINATIVE each shared customer is
+    // (a 2-supplier customer says more than a 60-supplier one). Each
+    // 1/deg term is half-up rounded to an exact e6 BIGINT once per
+    // customer, so pair scores are integer sums — order-free and
+    // engine-identical. SCALE: rides the SAME deg-capped per-customer
+    // pair join as graph_common_neighbors (pairs per customer ≤ cap²,
+    // never all supplier pairs); the weight attach is a projection on
+    // the already-joined cdeg.
+    QueryDef.sql(
+      "graph_resource_alloc",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+        |small AS (
+        |  SELECT p.cust, p.supp,
+        |    CAST((2 * 1000000 + cdeg) // (2 * cdeg) AS BIGINT) AS w
+        |  FROM pairs p JOIN cdeg USING (cust) WHERE cdeg <= 64),
+        |ra AS (
+        |  SELECT a.supp AS sa, b.supp AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS common,
+        |    CAST(SUM(a.w) AS BIGINT) AS ra_e6
+        |  FROM small a JOIN small b
+        |    ON a.cust = b.cust AND a.supp < b.supp
+        |  GROUP BY a.supp, b.supp)
+        |SELECT sa, sb, common, ra_e6 FROM ra
+        |ORDER BY ra_e6 DESC, sa, sb LIMIT 20""".stripMargin) { (s, d) =>
+      val edges = tradeBipartite(s, d)
+      val cdeg = edges.groupBy("cust").agg(count(lit(1)).as("cdeg"))
+      val small = edges.join(cdeg, "cust").filter(col("cdeg") <= 64)
+        .withColumn("w", expr("(2 * 1000000 + cdeg) div (2 * cdeg)"))
+      small.as("a").join(small.as("b"),
+          col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
+        .groupBy(col("a.supp").as("sa"), col("b.supp").as("sb"))
+        .agg(count(lit(1)).cast("bigint").as("common"),
+          sum(col("a.w")).cast("bigint").as("ra_e6"))
+        .orderBy(desc("ra_e6"), col("sa"), col("sb")).limit(20)
+    },
+
     // Triangle count on the thresholded similarity graph — the
     // clustering-structure measure (community density) over the SAME
     // capped common-neighbor edges. Ordered edges (sa < sb) make each

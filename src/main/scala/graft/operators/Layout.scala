@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout clustering for multi-dimensional file skipping.
@@ -198,6 +199,70 @@ object Layout {
           sum("n_chars").cast("bigint").as("n_bytes"),
           sum(hexVal).cast("bigint").as("fingerprint"))
         .orderBy("shard")
+    },
+
+    // Clustering-depth audit (Delta/Iceberg "overlap depth"): how many
+    // files' [min,max] sort-key ranges stack on top of each other — THE
+    // metric that decides whether a table needs re-clustering. Depth at
+    // any point = number of shard intervals covering it; computed by the
+    // classic sweep: +1 at each interval start, −1 at each end, running
+    // sum in (time, starts-before-ends, shard) order — inclusive
+    // overlaps counted exactly, all BIGINT. max_depth is the worst-case
+    // "files a point lookup must read"; avg_start_depth ≈ 1 means
+    // perfectly clustered, ≈ n_shards means fully interleaved ingest.
+    // SCALE: the sweep runs over the ZONE-MAP frame (2 rows per file —
+    // metadata scale, ~1e6 rows for a 100 TB table), built by one
+    // map-side-combined aggregate over the data; the unpartitioned
+    // window sits strictly above that aggregate, never the raw table.
+    QueryDef.sql(
+      "q_overlap_depth",
+      s"""WITH z AS (
+        |  SELECT l_orderkey // 1000 AS shard,
+        |    MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx
+        |  FROM lineitem GROUP BY 1),
+        |ev AS (
+        |  SELECT mn AS t, 1 AS delta, 0 AS is_end, shard FROM z
+        |  UNION ALL
+        |  SELECT mx AS t, -1 AS delta, 1 AS is_end, shard FROM z),
+        |sweep AS (
+        |  SELECT is_end,
+        |    CAST(SUM(delta) OVER (ORDER BY t, is_end, shard) AS BIGINT)
+        |      AS depth
+        |  FROM ev)
+        |SELECT
+        |  CAST(SUM(CASE WHEN is_end = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shards,
+        |  CAST(MAX(depth) AS BIGINT) AS max_depth,
+        |  CAST(SUM(CASE WHEN is_end = 0 THEN depth ELSE 0 END) AS BIGINT)
+        |    AS sum_start_depth,
+        |  CAST(SUM(CASE WHEN is_end = 0 AND depth = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean_starts,
+        |  ${TextAnalysis.halfUp4Sql(
+             "SUM(CASE WHEN is_end = 0 THEN depth ELSE 0 END)",
+             "SUM(CASE WHEN is_end = 0 THEN 1 ELSE 0 END)")}
+        |    AS avg_start_depth
+        |FROM sweep""".stripMargin) { (s, d) =>
+      val z = Tables.lineitem(s, d)
+        .groupBy(expr("l_orderkey div 1000").as("shard"))
+        .agg(min("l_shipdate").as("mn"), max("l_shipdate").as("mx"))
+      val ev = z.select(col("mn").as("t"), lit(1L).as("delta"),
+          lit(0).as("is_end"), col("shard"))
+        .unionByName(z.select(col("mx").as("t"), lit(-1L).as("delta"),
+          lit(1).as("is_end"), col("shard")))
+      val sweep = ev.withColumn("depth",
+        sum("delta").over(Window.orderBy("t", "is_end", "shard")))
+      sweep.agg(
+        sum(when(col("is_end") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_shards"),
+        max("depth").cast("bigint").as("max_depth"),
+        sum(when(col("is_end") === 0, col("depth")).otherwise(0L))
+          .cast("bigint").as("sum_start_depth"),
+        sum(when(col("is_end") === 0 && col("depth") === 1, 1L)
+          .otherwise(0L)).cast("bigint").as("n_clean_starts"),
+        TextAnalysis.halfUp4(
+          "SUM(CASE WHEN is_end = 0 THEN depth ELSE 0 END)",
+          "SUM(CASE WHEN is_end = 0 THEN 1 ELSE 0 END)")
+          .as("avg_start_depth"))
     }
   )
 }

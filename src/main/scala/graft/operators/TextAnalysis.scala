@@ -1899,6 +1899,55 @@ object TextAnalysis {
       cum.crossJoin(broadcast(fit))
         .select("decile", "new_grams", "docs_cum", "vocab_cum", "beta")
         .orderBy("decile")
+    },
+
+    // Lexical-diversity profile: per-doc type-token ratio (distinct
+    // words / words) and hapax-legomenon share, rolled into a TTR-decile
+    // histogram — the vocabulary-richness cut of corpus curation
+    // (low-TTR docs are boilerplate/repetition; a high hapax share marks
+    // OCR noise or code). TTR is half-up rounded to an exact integer
+    // percent BEFORE bucketing, so bucket boundaries are engine-free.
+    // SCALE: one doc-keyed (doc,term) count + one doc-keyed reduce —
+    // the same two-shuffle shape as TF-IDF — then a 11-row histogram;
+    // no vocabulary frame is ever collected.
+    QueryDef.sql(
+      "text_lexical_diversity",
+      s"""WITH tc AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |per AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM tc GROUP BY doc_id)
+        |SELECT
+        |  CAST((2 * n_types * 100 + n_tokens) // (2 * n_tokens) // 10
+        |    AS BIGINT) AS ttr_decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  ${halfUp4Sql("SUM(n_types)", "COUNT(*)")} AS avg_types,
+        |  ${halfUp4Sql("SUM(n_hapax)", "SUM(n_types)")} AS hapax_share
+        |FROM per GROUP BY 1 ORDER BY ttr_decile""".stripMargin) { (s, d) =>
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val per = tc.groupBy("doc_id").agg(
+        sum("c").cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_hapax"))
+      per.groupBy(
+          expr("(2 * n_types * 100 + n_tokens) div (2 * n_tokens) div 10")
+            .cast("bigint").as("ttr_decile"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_tokens").cast("bigint").as("sum_tokens"),
+          halfUp4("SUM(n_types)", "COUNT(*)").as("avg_types"),
+          halfUp4("SUM(n_hapax)", "SUM(n_types)").as("hapax_share"))
+        .orderBy("ttr_decile")
     }
   )
 

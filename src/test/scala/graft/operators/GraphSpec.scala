@@ -280,4 +280,22 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(q - qRef) < 1e-5, s"$q vs $qRef")
     assert(q > -1.0 && q < 1.0)
   }
+
+  test("resource-allocation index bounds and ordering hold") {
+    val rows = graft.SparkEntry.queries("graph_resource_alloc")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // sa < sb canonical pair order; ra_e6 non-increasing down the list
+    rows.foreach { case (sa, sb, _, _) => assert(sa < sb) }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sortBy(-_))
+    // every common neighbor contributes w = halfUp-e6(1/cdeg) with
+    // cdeg ∈ [1, 64]  ⇒  15625 ≤ w ≤ 1e6, so the pair score is bounded
+    // by common × those extremes — the invariant that pins the weight
+    // attach to the SAME capped edge set as the pair join
+    rows.foreach { case (_, _, common, ra) =>
+      assert(ra >= common * 15625L && ra <= common * 1000000L,
+        s"ra_e6 $ra outside [${common * 15625L}, ${common * 1000000L}]")
+    }
+  }
 }

@@ -113,4 +113,27 @@ class LayoutSpec extends SparkTestBase {
     val changed = base.keys.filter(k => after(k) != base(k)._2).toSeq
     assert(changed == Seq(0L), s"changed shards: $changed")
   }
+
+  test("overlap depth matches a driver-side interval replay") {
+    val r = graft.SparkEntry.queries("q_overlap_depth")(spark, sf0001)
+      .collect()(0)
+    val nShards = r.getAs[Long]("n_shards")
+    val maxDepth = r.getAs[Long]("max_depth")
+    val sumStart = r.getAs[Long]("sum_start_depth")
+    // replay the sweep on the collected zone maps (shard count is
+    // metadata-scale, so the replay is cheap and exact)
+    val z = graft.Tables.lineitem(spark, sf0001)
+      .groupBy(expr("l_orderkey div 1000").as("shard"))
+      .agg(min("l_shipdate").as("mn"), max("l_shipdate").as("mx"))
+      .collect()
+      .map(x => (x.getTimestamp(1).getTime, x.getTimestamp(2).getTime))
+    assert(nShards == z.length)
+    val expMax = z.map { case (a, _) =>
+      z.count { case (c, d) => c <= a && a <= d } }.max
+    assert(maxDepth == expMax, s"max depth $maxDepth vs replay $expMax")
+    val expSum = z.map { case (a, _) =>
+      z.count { case (c, d) => c <= a && a <= d }.toLong }.sum
+    assert(sumStart == expSum)
+    assert(r.getAs[Double]("avg_start_depth") >= 1.0)
+  }
 }

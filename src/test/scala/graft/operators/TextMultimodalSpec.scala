@@ -671,4 +671,23 @@ class TextMultimodalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("lexical diversity: token mass closes; buckets and shares in range") {
+    val rows = graft.SparkEntry.queries("text_lexical_diversity")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val docs = graft.Tables.documents(spark, sf0001)
+    assert(rows.map(_._2).sum == docs.count())
+    // histogram token mass equals an independent whole-corpus count
+    val total = docs.select(org.apache.spark.sql.functions.size(
+      TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == total)
+    rows.foreach { case (decile, _, _, avgTypes, hapax) =>
+      assert(decile >= 0 && decile <= 10)
+      assert(avgTypes >= 1.0)
+      assert(hapax >= 0.0 && hapax <= 1.0)
+    }
+  }
 }
