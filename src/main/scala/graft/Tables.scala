@@ -22,31 +22,45 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** The driver-generated events parquet has carried `ts` as
-    * TIMESTAMP(NANOS) in some rounds and as µs `isAdjustedToUTC=false`
-    * (⇒ Spark infers TIMESTAMP_NTZ) in others. Normalize every variant to
-    * a µs TimestampType (LTZ) column: the streaming surface requires it
-    * (`withWatermark` rejects NTZ event time), and the session timezone
-    * is pinned UTC so the NTZ→LTZ cast preserves the wall-clock values
-    * the DuckDB oracle sees. Nanos are read as long (Spark 4's parquet
-    * reader otherwise rejects them) and converted with integer
-    * arithmetic (`div`, not `/`: double division of an int64 epoch-nanos
-    * loses precision). */
+  /** Canonicalize every timestamp column to µs `TimestampType` (LTZ).
+    *
+    * The driver's generator has flipped timestamp physical types across
+    * rounds — TIMESTAMP(NANOS), µs `isAdjustedToUTC=false` (⇒ Spark 4
+    * infers TIMESTAMP_NTZ), and LTZ — and not only on `events.ts`: the
+    * current testdata stores `l_shipdate`/`o_orderdate` as NTZ too. The
+    * gate tolerates NTZ under the pinned-UTC session, but any
+    * `Row.getTimestamp` accessor or LTZ-assuming operator breaks on the
+    * `LocalDateTime` it collects. Casting NTZ→LTZ under a UTC session
+    * preserves the wall-clock values the DuckDB oracle sees, so every
+    * operator and spec is immune to the next generator flip. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
+
+  /** The events parquet additionally needs the nanos escape hatch:
+    * TIMESTAMP(NANOS) is read as long (Spark 4's parquet reader otherwise
+    * rejects it) and converted with integer arithmetic (`div`, not `/`:
+    * double division of an int64 epoch-nanos loses precision). The
+    * streaming surface requires the LTZ result (`withWatermark` rejects
+    * NTZ event time). */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.schema("ts").dataType match {
+    val tsFixed = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
+    normalizeTimestamps(tsFixed)
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
