@@ -269,12 +269,38 @@ object SpatialOps {
       val core = graft.CacheRegistry.ensurePersisted(
         pairs.groupBy("id").agg(count(lit(1)).as("n"))
           .filter(col("n") + 1 >= 3).select("id"))
-      val cedges = pairs
+      val cedges = graft.CacheRegistry.ensurePersisted(pairs
         .join(core, Seq("id"), "left_semi")
-        .join(core.withColumnRenamed("id", "nid"), Seq("nid"), "left_semi")
-      val cc = Dedup.connectedComponents(cedges, "id", "nid")
-      val coreLab = core.join(cc, Seq("id"), "left")
-        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster"))
+        .join(core.withColumnRenamed("id", "nid"), Seq("nid"), "left_semi"))
+      // Two exact star-contraction rounds before the closure
+      // (Dedup.starContract): each maps every core point to the min id of
+      // its closed eps-neighborhood — a star, provably one cluster — and
+      // quarters the label-propagation rounds the closure needs (the
+      // round-10 fixed-overhead hot spot: ~8 rounds × 2 jobs +
+      // localCheckpoint each). NOTE a same-CELL collapse would NOT be
+      // exact here: cell width = eps, so two same-cell points can be
+      // √2·eps apart with no direct edge. Contraction preserves min-id
+      // labels (the component min is its own rep), so the oracle's
+      // recursive closure still matches bit-for-bit. The closure itself
+      // fails loudly on non-convergence — a silent split would read as
+      // an engine divergence against the exact oracle.
+      val (rep1, e1raw) = Dedup.starContract(cedges, "id", "nid")
+      val e1 = graft.CacheRegistry.ensurePersisted(e1raw)
+      val (rep2, e2) = Dedup.starContract(e1, "id", "nid")
+      val cc = Dedup.connectedComponents(e2, "id", "nid",
+        maxIter = 40, failOnMaxIter = true)
+      // map back: cluster(p) = cc(rep2(rep1(p))); each level falls back
+      // to the previous when the component fully contracted (no edge
+      // survived into the next graph — its rep IS the component min)
+      val coreLab = core
+        .join(rep1.select(col("v").as("id"), col("rep").as("r1")),
+          Seq("id"), "left")
+        .join(rep2.select(col("v").as("r1"), col("rep").as("r2")),
+          Seq("r1"), "left")
+        .withColumn("rfin", coalesce(col("r2"), col("r1"), col("id")))
+        .join(cc.withColumnRenamed("id", "rfin"), Seq("rfin"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("rfin")).as("cluster"))
       val border = pairs
         .join(core, Seq("id"), "left_anti")
         .join(coreLab.select(col("id").as("nid"), col("cluster")), "nid")

@@ -169,6 +169,42 @@ class DedupSpec extends SparkTestBase {
     assert(cc.length == 8 && cc.forall(_._2 == 1L))
   }
 
+  test("star contraction preserves components and min-id labels exactly") {
+    import spark.implicits._
+    // adversarial shapes in one edge list: a long chain (17-24), a
+    // clique (1,2,3), a star (30; 31-34), and an isolated edge (50,51)
+    val edges = (
+      (17L until 24L).map(i => (i, i + 1)) ++
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++
+        (31L to 34L).map(i => (30L, i)) ++
+        Seq((50L, 51L))).toDF("doc_a", "doc_b")
+    val edgesP = graft.CacheRegistry.ensurePersisted(edges)
+    val direct = Dedup.connectedComponents(edgesP, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two contraction rounds, closure on the contracted graph, map back
+    val (rep1, e1raw) = Dedup.starContract(edgesP, "doc_a", "doc_b")
+    val e1 = graft.CacheRegistry.ensurePersisted(e1raw)
+    val (rep2, e2) = Dedup.starContract(e1, "doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(e2, "doc_a", "doc_b",
+      maxIter = 40, failOnMaxIter = true)
+    val contracted = edgesP.select(explode(array(col("doc_a"), col("doc_b")))
+        .as("id")).distinct()
+      .join(rep1.select(col("v").as("id"), col("rep").as("r1")),
+        Seq("id"), "left")
+      .join(rep2.select(col("v").as("r1"), col("rep").as("r2")),
+        Seq("r1"), "left")
+      .withColumn("rfin", coalesce(col("r2"), col("r1"), col("id")))
+      .join(cc.withColumnRenamed("id", "rfin"), Seq("rfin"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("rfin")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(contracted == direct,
+      s"contracted labels diverge: ${contracted.toSeq.sorted} vs " +
+        s"${direct.toSeq.sorted}")
+    // the chain really did contract: the closure ran on a smaller graph
+    assert(e2.count() < edgesP.count())
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("native minhash kernel matches the HOF formulation exactly") {
     val sh = docs.select(col("doc_id"),
         Dedup.shingleHashes(col("text"), 3).as("sh"))
