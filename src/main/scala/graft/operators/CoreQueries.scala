@@ -664,11 +664,14 @@ object CoreQueries {
     // distribution is generous headroom.
     QueryDef.sql(
       "q_kll_rollup",
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
-        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  round(quantile_cont(cents, 0.5), 0) / 100.0 AS p50_exact,
+        |  round(quantile_cont(cents, 0.9), 0) / 100.0 AS p90_exact,
         |  1 AS err_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
       val merged = li.groupBy("l_returnflag", "l_linestatus")
         .agg(kll_sketch_agg_double(col("l_extendedprice"), 800).as("sk"))
@@ -677,15 +680,20 @@ object CoreQueries {
         .select(col("l_returnflag"),
           kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("p50_est"),
           kll_sketch_get_quantile_double(col("sk"), lit(0.9)).as("p90_est"))
-      val exact = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ex"))
+      // exact side interpolates over integer CENTS — see
+      // q_approx_percentile's determinism note (half-cent p50 midpoints
+      // round differently across engines in the dollar domain)
+      val exact = li
+        .withColumn("cents",
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(cents, array(0.5D, 0.9D))").as("ex"))
         .select(col("l_returnflag"),
-          element_at(col("ex"), 1).as("p50_exact"),
-          element_at(col("ex"), 2).as("p90_exact"))
+          (round(element_at(col("ex"), 1), 0) / 100.0).as("p50_exact"),
+          (round(element_at(col("ex"), 2), 0) / 100.0).as("p90_exact"))
       merged.join(exact, "l_returnflag")
         .select(col("l_returnflag"),
-          round(col("p50_exact"), 2).as("p50_exact"),
-          round(col("p90_exact"), 2).as("p90_exact"),
+          col("p50_exact"), col("p90_exact"),
           (abs(col("p50_est") - col("p50_exact")) / col("p50_exact") <= 0.05 &&
             abs(col("p90_est") - col("p90_exact")) / col("p90_exact") <= 0.05)
             .cast("int").as("err_ok"))
@@ -695,31 +703,41 @@ object CoreQueries {
     // Approximate percentile (quantile sketch): the mergeable-summary
     // path for quantiles over data too large to sort. Same pinning
     // pattern as q_approx_distinct: emit the EXACT interpolated
-    // percentiles (both engines implement the standard p·(n-1) linear
-    // interpolation, so they hash-match at 2dp) plus a thresholded
-    // relative-error check of the sketch (accuracy=10000 ⇒ rank error
-    // ≤ 1e-4·n; 1% value tolerance is generous headroom on this data).
+    // percentiles plus a thresholded relative-error check of the sketch
+    // (accuracy=10000 ⇒ rank error ≤ 1e-4·n; 1% value tolerance is
+    // generous headroom on this data). DETERMINISM: interpolate over
+    // exact integer CENTS, not dollar doubles — a p50 midpoint of two
+    // 2dp prices lands on x.xx5, where Spark's shortest-repr HALF_UP
+    // round and DuckDB's binary-value round diverge; over integer cents
+    // the p50 tie is EXACTLY k+0.5 in both engines (integers ≤ 2^53 stay
+    // exact through a + f·(b−a)) and both round half up. The final
+    // cents/100.0 is one shared IEEE division.
     QueryDef.sql(
       "q_approx_percentile",
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
-        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
-        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_exact,
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  round(quantile_cont(cents, 0.5), 0) / 100.0 AS p50_exact,
+        |  round(quantile_cont(cents, 0.9), 0) / 100.0 AS p90_exact,
+        |  round(quantile_cont(cents, 0.99), 0) / 100.0 AS p99_exact,
         |  1 AS err_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val errOk = (1 to 3).map { i =>
-        abs(element_at(col("apx"), i) - element_at(col("ex"), i)) /
+        abs(element_at(col("apx"), i) * 100.0 - element_at(col("ex"), i)) /
           element_at(col("ex"), i) <= 0.01
       }.reduce(_ && _)
       Tables.lineitem(s, d)
+        .withColumn("cents",
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
         .groupBy("l_returnflag")
         .agg(approx_percentile(col("l_extendedprice"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("apx"),
-          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ex"))
+          expr("percentile(cents, array(0.5D, 0.9D, 0.99D))").as("ex"))
         .select(col("l_returnflag"),
-          round(element_at(col("ex"), 1), 2).as("p50_exact"),
-          round(element_at(col("ex"), 2), 2).as("p90_exact"),
-          round(element_at(col("ex"), 3), 2).as("p99_exact"),
+          (round(element_at(col("ex"), 1), 0) / 100.0).as("p50_exact"),
+          (round(element_at(col("ex"), 2), 0) / 100.0).as("p90_exact"),
+          (round(element_at(col("ex"), 3), 0) / 100.0).as("p99_exact"),
           errOk.cast("int").as("err_ok"))
         .orderBy("l_returnflag")
     },
