@@ -139,7 +139,11 @@ case class CosineSimilarityFloat(left: Expression, right: Expression)
   * end. Bit-identical to the higher-order-function formulation in
   * [[graft.operators.Similarity.sq8TopK]] (parity-tested): the same
   * `(double)dot / (sqrt(na)·sqrt(nb))` association, null elements read
-  * as 0 like [[CosineSimilarityFloat]]. At 100 TB the corpus side is
+  * as 0 like [[CosineSimilarityFloat]]. Ragged inputs fail loudly
+  * (equal lengths required) — the HOF parity reference norms over full
+  * arrays and NULLs the dot on mismatch, so min-length semantics here
+  * would diverge precisely where the parity test is blind. At 100 TB
+  * the corpus side is
   * pre-quantized once and stored at 1 byte/dim; this kernel is the
   * score loop that path runs.
   */
@@ -169,8 +173,17 @@ case class Sq8CosineFloat(left: Expression, right: Expression)
       }
       m
     }
+    // Equal lengths enforced loudly (the ANSI convention elsewhere in
+    // this engine): the HOF parity formulation computes norms over FULL
+    // arrays and NULLs the zip_with dot on mismatch, so a silent
+    // min-length kernel would diverge from its parity reference exactly
+    // on the inputs the parity test can't see.
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_sq8_cosine requires equal-length arrays " +
+          s"(${x.numElements()} vs ${y.numElements()})")
     val ma = maxAbs(x); val mb = maxAbs(y)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {
@@ -199,6 +212,10 @@ case class Sq8CosineFloat(left: Expression, right: Expression)
       val qa = ctx.freshName("qa")
       val qb = ctx.freshName("qb")
       s"""
+         |if ($a.numElements() != $b.numElements())
+         |  throw new IllegalArgumentException(
+         |    "graft_sq8_cosine requires equal-length arrays (" +
+         |      $a.numElements() + " vs " + $b.numElements() + ")");
          |double $ma = 0.0; double $mb = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  double $xv = $a.isNullAt($i) ? 0.0 :
@@ -210,7 +227,7 @@ case class Sq8CosineFloat(left: Expression, right: Expression)
          |    java.lang.Math.abs((double) $b.getFloat($i));
          |  if ($yv > $mb) $mb = $yv;
          |}
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |long $dot = 0L; long $na = 0L; long $nb = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);

@@ -43,8 +43,12 @@ object PlannerStats {
         |  CAST(shi + slo // 1000000000 AS BIGINT) AS join_rows_hi,
         |  CAST(slo % 1000000000 AS BIGINT) AS join_rows_lo,
         |  t.k AS top_key, t.c AS top_key_rows,
-        |  ${TextAnalysis.halfUp4Sql("t.c * t.c * n_keys",
-             "shi * 1000000000 + slo")} AS skew_ratio
+        |  CASE WHEN shi > 0 THEN
+        |    ${TextAnalysis.halfUp4Sql("((t.c * t.c) // 1000000000) * n_keys",
+             "shi")}
+        |  ELSE
+        |    ${TextAnalysis.halfUp4Sql("t.c * t.c * n_keys", "slo")}
+        |  END AS skew_ratio
         |FROM agg, top t""".stripMargin) { (s, d) =>
       val c = Tables.lineitem(s, d).groupBy(col("l_partkey").as("k"))
         .agg(count(lit(1)).as("c"))
@@ -56,17 +60,28 @@ object PlannerStats {
         sum(col("c")).cast("bigint").as("n_rows"),
         sum(expr("(c * c) div 1000000000")).cast("bigint").as("shi"),
         sum(expr("(c * c) % 1000000000")).cast("bigint").as("slo"))
-      // The skew ratio works in the BIGINT domain via halfUp4 over the
-      // recombined Σc² (fails loudly and identically in both engines
-      // if a pathological key ever pushes 2·c²·n_keys·10⁴ past BIGINT).
+      // The skew ratio stays in the two-lane BIGINT domain: when the hi
+      // lane is populated (Σc² > 10⁹) the ratio is computed hi-lane-only
+      // — dropping lo loses ≤ 1e-9 relative, invisible at 4dp and
+      // identical in both engines — so the denominator can never
+      // recombine past BIGINT (the pre-r11 `shi·10⁹ + slo` form wrapped
+      // exactly in the corpus-scale regime the split was built for).
+      // Remaining loud-failure bound is the NUMERATOR: 2·c²·n_keys·10⁴
+      // (lo branch) / 2·(c² div 10⁹)·n_keys·10⁴ (hi branch) past BIGINT
+      // raises identically in both engines instead of silently wrapping.
       agg.crossJoin(broadcast(top))
         .select(col("n_keys"), col("n_rows"),
           expr("CAST(shi + slo div 1000000000 AS BIGINT)")
             .as("join_rows_hi"),
           expr("CAST(slo % 1000000000 AS BIGINT)").as("join_rows_lo"),
           col("top_key"), col("top_key_rows"),
-          TextAnalysis.halfUp4("top_key_rows * top_key_rows * n_keys",
-            "shi * 1000000000 + slo").as("skew_ratio"))
+          when(col("shi") > 0,
+            TextAnalysis.halfUp4(
+              "((top_key_rows * top_key_rows) div 1000000000) * n_keys",
+              "shi"))
+            .otherwise(TextAnalysis.halfUp4(
+              "top_key_rows * top_key_rows * n_keys", "slo"))
+            .as("skew_ratio"))
     },
 
     // ------------------------------------------------------------------

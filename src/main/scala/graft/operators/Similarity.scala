@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Spread a kernel scan across the cluster ONLY when the source is
+    * under-split (the sf0.1 corpus is one parquet split; 32 cores would
+    * otherwise scan it on one thread). At 100 TB the scan already has
+    * thousands of splits, and an unconditional repartition would be a
+    * gratuitous full-corpus exchange before a narrow broadcast-join pass
+    * — so this is a no-op there. `rdd.getNumPartitions` plans but never
+    * launches a job. */
+  private def ensureParallel(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Deterministic random hyperplanes (seeded) for LSH signatures —
     * shared generator with the native kernels (same stream ⇒ identical
     * planes ⇒ identical signatures either path). */
@@ -72,8 +84,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    ensureParallel(corpus)
       .select(col("vec_id"), col("embedding"))
       .join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -99,8 +110,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    ensureParallel(corpus)
       .select(col("vec_id"), col("embedding"))
       .join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -150,7 +160,7 @@ object Similarity {
   private def lshKeyed(df: DataFrame, idFrom: String, idAs: String,
       embAs: String, numTables: Int, bitsPerTable: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ensureParallel(df)
       .select(col(idFrom).as(idAs), col("embedding").as(embAs),
         posexplode(graft.functions.GraftFunctions.lshKeys(
           col("embedding"), numTables, bitsPerTable, dim = 64, seed = 42L)))
@@ -210,8 +220,7 @@ object Similarity {
         graft.functions.GraftFunctions.planeDots(v, numCells, dim, seed = 7L),
         (d, i) => struct(d.as("d"), i.cast("int").as("i")))
     // struct ordering is lexicographic → array_max picks the best-dot cell
-    val corpusCells = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val corpusCells = ensureParallel(corpus)
       .select(col("vec_id"), col("embedding"),
         array_max(cellScores(col("embedding"))).getField("i").as("cell"))
     val queryProbes = queries
@@ -245,8 +254,7 @@ object Similarity {
     * replay the whole algorithm.
     */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val par = emb.sparkSession.sparkContext.defaultParallelism
-    val corpus = emb.repartition(par).select(col("vec_id"),
+    val corpus = ensureParallel(emb).select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
     val init = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"),
@@ -304,10 +312,9 @@ object Similarity {
     * decimal centroid means and ADC sums — the DuckDB oracle replays the
     * whole train/encode/search pipeline. */
   def pqAdcTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
-    val par = emb.sparkSession.sparkContext.defaultParallelism
     // (vec_id, s, sv): the 8-dim sub-vector of every vector × subspace
     val sub = graft.CacheRegistry.register(
-      emb.repartition(par)
+      ensureParallel(emb)
         .select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("v"))
         .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
