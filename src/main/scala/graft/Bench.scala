@@ -75,6 +75,23 @@ object Bench {
     "sim_sq8_topk", "q_k_anonymity", "q_shard_manifest",
     "graph_modularity", "text_kneser_ney", "text_perplexity_buckets",
     "spatial_dbscan", "q_freshness_audit", "text_bpe_merges",
+    "text_bpe_apply",
+    // Round-11 additions: every remaining real operator gets a timing
+    // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
+    // spatial, fingerprinting, and the asof/quantize/profile family.
+    "sim_hybrid_rrf", "sim_margin_mining", "sim_label_centroid_norm",
+    "dedup_keep_representatives", "dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_edit_distance", "dedup_normalized", "graph_resource_alloc",
+    "q_overlap_depth", "q_gaps_islands", "q_asof_join",
+    "q_asof_join_salted", "q_quantize_embeddings", "q_tfidf_top_terms",
+    "q_stratified_sample", "q_hash_split", "q_upsert_merge",
+    "q_data_profile", "q_approx_distinct",
+    "text_lexical_diversity", "text_contamination", "text_fingerprint",
+    "text_rolling_fingerprint", "text_chunk_windows", "text_langid_quality",
+    "text_pii_redact",
+    "spatial_cell_density", "spatial_grid_nn", "spatial_haversine_nn",
+    "spatial_radius_count",
+    "mm_decode_features", "mm_frame_sample",
     // The connector path IS the product (reference src/datasource/
     // reader.rs:25-49): signed-URL scan, pushdown, CDF snapshot fold,
     // and catalog SQL each get a perf-regression signal. Server staging
@@ -84,6 +101,45 @@ object Bench {
     "connector_scan", "connector_filter_pushdown",
     "connector_cdf_snapshot", "connector_catalog_sql",
     "connector_oauth_scan")
+
+  /** Gated queries deliberately NOT in [[headline]] — every exemption is
+    * named so ContractSpec can enforce headline ∪ benchExempt == the full
+    * gate (an unbenched operator must be an explicit decision, never a
+    * silent gap). Three exemption classes:
+    *  - `stream_*`: memory-sink micro-batch timing measures the harness
+    *    (trigger scheduling, sink materialization), not the engine;
+    *    Verify + StreamingStateSpec exercise them.
+    *  - connector variants: the five benched connector queries already
+    *    time the full client → signed-URL → parquet path; the variants
+    *    differ only in fixture slicing on tiny staged tables, so their
+    *    timing is staging noise.
+    *  - one-expression relational demos (set ops, outer-join variants,
+    *    scalar-function showcases, subquery forms): each is a single
+    *    Spark built-in on a small projection — the operators they compose
+    *    are timed through the heavier headline queries.
+    */
+  val benchExempt: Set[String] = Set(
+    // streaming
+    "stream_ab_monitor", "stream_agg_event_type", "stream_dedup_distinct",
+    "stream_dedup_watermark", "stream_late_data", "stream_rolling_anomaly",
+    "stream_stateful_sessions", "stream_static_join", "stream_stream_join",
+    "stream_windowed_counts",
+    // connector variants of the benched path
+    "connector_catalog_time_travel", "connector_cdf_materialize",
+    "connector_cdf_stream", "connector_cdf_stream_agg", "connector_changes",
+    "connector_changes_by_time", "connector_events_window",
+    "connector_join_agg", "connector_nested_types",
+    "connector_partition_values", "connector_snapshot_diff",
+    "connector_stats_skipping", "connector_time_travel",
+    "connector_timestamp_travel",
+    // one-expression relational demos
+    "q_agg_filter", "q_array_hof", "q_complex_types",
+    "q_correlated_subquery", "q_cube", "q_except", "q_exists_subquery",
+    "q_grouping_sets", "q_intersect", "q_join_anti", "q_join_full_outer",
+    "q_join_left_outer", "q_join_nullsafe", "q_regexp_extract",
+    "q_scalar_date", "q_scalar_math", "q_scalar_subquery", "q_setops_all",
+    "q_sliding_window", "q_string_agg", "q_time_window", "q_union",
+    "q_window_distribution", "q_window_range")
 
   /** Bench-only RAW operator variants. The gate versions of these
     * queries certify QUALITY by computing the exact ground truth in-plan
@@ -227,6 +283,28 @@ object Bench {
     // floor. A failed run is excluded from the timing (its near-zero
     // elapsed would otherwise masquerade as a speedup) and recorded once
     // in `errors`.
+    // Load evidence (round-10 verdict ask #4): the official artifact was
+    // twice poisoned by host contention indistinguishable from a code
+    // regression (r9: 16 phantom regressions; r10: a uniform 1.20×
+    // inflation on byte-identical bits). Capture 1-min loadavg and the
+    // running-process count when the timed section starts and ends, and
+    // emit them in the JSON — cross-round comparisons can then quote the
+    // host state the numbers were taken under. loadavg INCLUDES this JVM
+    // (32 busy executor threads ⇒ ~32 is self-load); the signal for
+    // contamination is load well above the core count or a large
+    // start→end swing on an otherwise idle box.
+    def loadAvg(): Double =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def nProcs(): Int =
+      try new java.io.File("/proc").listFiles()
+        .count(f => f.getName.forall(_.isDigit))
+      catch { case _: Throwable => -1 }
+    val loadStart = loadAvg()
+    val procsStart = nProcs()
+
     val runsPerQuery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val benched = headline.flatMap(n =>
@@ -261,6 +339,7 @@ object Bench {
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
+    val loadJson = f""""load_1m_start":$loadStart%.2f,"load_1m_end":${loadAvg()}%.2f,"procs_start":$procsStart,"procs_end":${nProcs()}"""
 
     // FULL artifact → file: the driver's stdout capture keeps only the
     // LAST 2000 characters, which a ~90-query flat JSON line outgrew in
@@ -272,7 +351,7 @@ object Bench {
     val qMinJson = results.map { case (k, (_, mn)) => f""""$k":$mn%.3f""" }
       .mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"queries":$qJson,"queries_min":$qMinJson,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,$loadJson,"queries":$qJson,"queries_min":$qMinJson,"errors":$errJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), fullJson + "\n")
     catch { case _: Throwable => () } // stdout line below still carries medians
@@ -295,7 +374,7 @@ object Bench {
             .mkString("{", ",", "}")}"""
         }.mkString("{", ",", "}")
       val sfShort = sfDir.split('/').last
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"qunit":"$unit","queries_$unit":$fams,"errors":$errJson,"sf":"$sfShort"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,$loadJson,"qunit":"$unit","queries_$unit":$fams,"errors":$errJson,"sf":"$sfShort"}"""
     }
     // Final-fallback stdout line: per-query millisecond integers as an
     // ORDERED ARRAY (values follow Bench.headline order — the name list
@@ -314,7 +393,7 @@ object Bench {
         .map { case (_, (med, _)) => math.round(med * 1000) }
         .mkString("[", ",", "]")
       val sfShort = sfDir.split('/').last
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,"qunit":"ms","queries_ms_in_headline_order":$ordered,"families_ms":$fams,"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfShort"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,$loadJson,"qunit":"ms","queries_ms_in_headline_order":$ordered,"families_ms":$fams,"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfShort"}"""
     }
     // Budget 1900 of the 2000-char tail window: r8's 1900-char ms line
     // PLUS sbt's ~80-char "[success] Total time" trailer overflowed the

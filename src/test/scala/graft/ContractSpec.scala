@@ -9,9 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
+  // resolve relative to the working directory (sbt runs tests from the
+  // project root) so the suite survives checkouts at other locations
   private lazy val survey: String = new String(
     java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+      java.nio.file.Paths.get("SURVEY.md").toAbsolutePath), "UTF-8")
 
   private lazy val surveyNames: Set[String] =
     "`([a-z][a-z0-9_]*)`".r.findAllMatchIn(survey).map(_.group(1)).toSet
@@ -35,10 +37,36 @@ class ContractSpec extends AnyFunSuite {
       s"SURVEY names with no gate query: ${dead.toSeq.sorted.mkString(", ")}")
   }
 
-  test("every gated query name appears in a headline, smoke, or plan set") {
-    // sanity: headline/bench names resolve (a typo here silently drops a
-    // query from the bench without failing anything)
+  test("README's gate-size claim matches the live query count") {
+    // README drifted twice (r9: 100→…, r10: 253 vs 257) — pin the one
+    // load-bearing number (query count) to the code. The "N queries,
+    // ALL N verified" line must quote SparkEntry.queries.size exactly.
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("README.md")), "UTF-8")
+    val n = SparkEntry.queries.size
+    assert(readme.contains(s"$n queries, ALL $n verified"),
+      s"README gate-size line out of date: expected '$n queries, ALL $n " +
+        "verified' — update README.md to match SparkEntry.queries")
+  }
+
+  test("every gated query is benched or carries a named bench exemption") {
+    // headline/exempt names must resolve (a typo silently drops a query
+    // from the bench without failing anything)
     val unknown = Bench.headline.filterNot(SparkEntry.queries.contains)
     assert(unknown.isEmpty, s"Bench.headline names that are not queries: $unknown")
+    val stale = Bench.benchExempt -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"bench exemptions for queries that no longer exist: ${stale.toSeq.sorted}")
+    val overlap = Bench.headline.toSet intersect Bench.benchExempt
+    assert(overlap.isEmpty,
+      s"queries both benched and exempt: ${overlap.toSeq.sorted}")
+    // the round-10 gap class: an operator with a green gate row but zero
+    // timing signal, invisible to every other check
+    val unbenched =
+      SparkEntry.queries.keySet -- Bench.headline.toSet -- Bench.benchExempt
+    assert(unbenched.isEmpty,
+      s"gated queries with neither a bench row nor a named exemption: " +
+        s"${unbenched.toSeq.sorted.mkString(", ")}")
   }
 }
