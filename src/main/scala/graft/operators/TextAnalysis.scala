@@ -1006,6 +1006,80 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // BPE tokenizer APPLICATION — the other half of the tokenization
+    // story (text_bpe_merges trains; this tokenizes): induce the top
+    // merge of three successive rounds, apply each corpus-wide in rank
+    // order as a 1-char marker substitution, and report per-bucket token
+    // statistics of the TOKENIZED corpus (words, original chars, symbols
+    // after merging, chars-per-token compression). Single-pass-per-rule
+    // application — replace() is leftmost-nonoverlapping in both engines,
+    // so the oracle replays the exact substitution semantics. No custom
+    // kernel needed: the three replace()s fuse into ONE whole-stage-
+    // codegen'd corpus projection (StringReplace is codegen'd), which is
+    // the preferred composition over a bespoke Expression. SCALE: merge
+    // induction is three symbol-alphabet-bounded aggregates (≤ |Σ|²
+    // rows); each learned merge rides a 1-row broadcast; corpus-sized
+    // work is three fused projections; output is doc-bucket-bounded.
+    QueryDef.sql(
+      "text_bpe_apply", {
+        def c(src: String, n: Int) =
+          s"""c$n AS (
+             |  SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+             |    SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+             |      i -> substring(w, i, 2))) AS p FROM $src WHERE length(w) >= 2)
+             |  GROUP BY p),
+             |t$n AS (SELECT p AS mp FROM c$n ORDER BY cnt DESC, p LIMIT 1)"""
+        s"""WITH w0 AS (
+          |  SELECT doc_id, w, length(w) AS lc FROM (
+          |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          |    FROM documents)),
+          |${c("w0", 1)},
+          |w1 AS (SELECT doc_id, replace(w0.w, t1.mp, chr(1)) AS w, lc
+          |       FROM w0, t1),
+          |${c("w1", 2)},
+          |w2 AS (SELECT doc_id, replace(w1.w, t2.mp, chr(2)) AS w, lc
+          |       FROM w1, t2),
+          |${c("w2", 3)},
+          |w3 AS (SELECT doc_id, replace(w2.w, t3.mp, chr(3)) AS w, lc
+          |       FROM w2, t3)
+          |SELECT CAST(doc_id // 200 AS BIGINT) AS bucket,
+          |  CAST(COUNT(*) AS BIGINT) AS n_words,
+          |  CAST(SUM(lc) AS BIGINT) AS n_chars,
+          |  CAST(SUM(length(w)) AS BIGINT) AS n_tokens,
+          |  ${halfUp4Sql("SUM(lc)", "SUM(length(w))")} AS chars_per_token
+          |FROM w3 GROUP BY 1 ORDER BY bucket""".stripMargin
+      }) { (s, d) =>
+      val w0 = graft.CacheRegistry.ensurePersisted(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+          .withColumn("lc", length(col("w"))))
+      def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("p"))
+        .groupBy("p").agg(count(lit(1)).cast("bigint").as("cnt"))
+      def topMerge(df: org.apache.spark.sql.DataFrame) =
+        pairCounts(df).orderBy(desc("cnt"), col("p")).limit(1)
+          .select(col("p").as("mp"))
+      def applyMerge(df: org.apache.spark.sql.DataFrame, marker: Int) = {
+        val next = df.crossJoin(broadcast(topMerge(df)))
+          .select(col("doc_id"),
+            expr(s"replace(w, mp, chr($marker))").as("w"), col("lc"))
+        graft.CacheRegistry.ensurePersisted(next)
+      }
+      val w3 = applyMerge(applyMerge(applyMerge(w0, 1), 2), 3)
+      w3.groupBy(expr("doc_id div 200").as("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n_words"),
+          sum("lc").cast("bigint").as("n_chars"),
+          sum(length(col("w"))).cast("bigint").as("n_tokens"))
+        .select(col("bucket"), col("n_words"), col("n_chars"),
+          col("n_tokens"),
+          halfUp4("n_chars", "n_tokens").as("chars_per_token"))
+        .orderBy("bucket")
+    },
+
+    // ------------------------------------------------------------------
     // Cross-corpus duplicate SPAN removal (exact-substring dedup à la
     // Lee et al. 2022, span-granular): cut every doc into non-overlapping
     // 10-word spans, keep only each span's globally FIRST occurrence

@@ -112,7 +112,10 @@ object ScaleSmoke {
       "sim_sq8_topk", "text_perplexity_buckets", "text_kneser_ney",
       "q_equidepth_histogram",
       // the 9-cell pair join + iterative closure at 10x point density
-      "spatial_dbscan")
+      "spatial_dbscan",
+      // r11 wave: the three fused corpus-wide replace projections of
+      // BPE tokenizer application
+      "text_bpe_apply")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

@@ -654,6 +654,36 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("bpe apply: tokenized corpus matches a driver-side 3-merge replay") {
+    val rows = graft.SparkEntry.queries("text_bpe_apply")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // driver replay: split (keeping empties, Spark split semantics),
+    // then three rounds of (count pairs over len>=2 words → top by
+    // count desc, pair asc → replace-all leftmost-nonoverlapping)
+    var words: Array[(Long, String, Int)] = docs
+      .select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ", -1)
+        .map(w => (r.getLong(0), w, w.length)))
+    for (marker <- 1 to 3) {
+      val counts = words.iterator.map(_._2).filter(_.length >= 2)
+        .flatMap(_.sliding(2)).toSeq
+        .groupBy(identity).map { case (p, o) => p -> o.size }
+      val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+      words = words.map { case (id, w, lc) =>
+        (id, w.replace(top, marker.toChar.toString), lc) }
+    }
+    val replay = words.groupBy(_._1 / 200).map { case (b, ws) =>
+      b -> (ws.length.toLong, ws.map(_._3.toLong).sum,
+        ws.map(_._2.length.toLong).sum) }
+    assert(rows == replay,
+      s"bpe apply diverges: ${rows.toSeq.sorted.take(3)} vs " +
+        s"${replay.toSeq.sorted.take(3)}")
+    // merging strictly compressed the corpus
+    assert(rows.values.map(_._3).sum < rows.values.map(_._2).sum)
+  }
+
   test("perplexity buckets: every doc lands once; bucket bounds ordered") {
     val rows = graft.SparkEntry.queries("text_perplexity_buckets")(
       spark, sf0001).collect()
