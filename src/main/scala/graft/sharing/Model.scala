@@ -50,6 +50,12 @@ object DeltaSharingException {
   def request(msg: String, cause: Throwable = null) =
     new DeltaSharingException("REQUEST_ERROR", msg, cause)
   def other(msg: String) = new DeltaSharingException("OTHER_ERROR", msg)
+  /** The shared table's schema changed under a running stream — the
+    * checkpointed plan is no longer valid; restart the query to pick up
+    * the new schema (restart re-infers it; old files read missing
+    * columns as NULL via ordinary parquet evolution). */
+  def schemaChanged(msg: String) =
+    new DeltaSharingException("SCHEMA_CHANGED_ERROR", msg)
 }
 
 /** OAuth M2M credentials from a `shareCredentialsVersion: 2` profile

@@ -199,6 +199,22 @@ final class GraftCdfMicroBatchStream(client: DeltaSharingClient,
     val to = end.asInstanceOf[VersionOffset].version
     if (from > to) { plannedFactory = Some(EmptyBatchFactory); return Array.empty }
     val (_, meta, changes) = client.getTableChanges(ref, from, Some(to))
+    // Schema drift guard: a running stream plans every batch against the
+    // schema captured at query start — if the server now declares a
+    // different schema (or partitioning) for this range, planning with
+    // the stale one would silently misread columns. Fail loudly with the
+    // typed error; a RESTART re-infers the new schema and resumes from
+    // the checkpointed version cursor (old files read newly-added
+    // columns as NULL through ordinary parquet evolution — certified by
+    // StreamingCdfSpec's restart-under-schema-change test).
+    val declared = DeltaSchema.fromSchemaString(meta.schemaString)
+    val expected = DeltaSchema.fromSchemaString(metadata.schemaString)
+    if (declared != expected || meta.partitionColumns != metadata.partitionColumns)
+      throw DeltaSharingException.schemaChanged(
+        s"$ref schema changed under a running CDF stream (versions " +
+          s"[$from,$to]): expected ${expected.simpleString}, server now " +
+          s"declares ${declared.simpleString}. Restart the query to adopt " +
+          "the new schema; the checkpoint cursor is preserved.")
     if (changes.isEmpty) { plannedFactory = Some(EmptyBatchFactory); return Array.empty }
 
     SignedHttpFileSystem.register(spark.sparkContext.hadoopConfiguration)

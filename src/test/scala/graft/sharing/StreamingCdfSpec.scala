@@ -220,6 +220,92 @@ class StreamingCdfSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(got.agg(max("o_orderkey")).collect()(0).getLong(0) == 49L)
   }
 
+  test("restart under schema change: typed mid-stream error, evolved resume") {
+    import org.apache.spark.sql.Row
+    val src = graft.Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") < 200).cache()
+    val evoDir =
+      java.nio.file.Files.createTempDirectory("graft-cdf-evo").toString
+    src.filter(col("o_orderkey") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$evoDir/v1")
+    src.filter(col("o_orderkey") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$evoDir/v2")
+    // the added column must be declared NULLABLE — the only valid
+    // add-column evolution (pre-evolution files have no values for it);
+    // when() keeps the literal while flipping the field nullable
+    val evolved = src.withColumn("o_flag",
+      when(col("o_orderkey") >= 0, lit("evo")))
+    evolved.filter(col("o_orderkey") < 50)
+      .coalesce(1).write.mode("overwrite").parquet(s"$evoDir/v3")
+    def pq(sub: String) = server.listParquet(s"$evoDir/$sub").head
+    val baseChanges = Seq(
+      server.ChangeEntry(1L, "add",
+        server.ServedFile(pq("v1"), Map.empty), 1700000001000L),
+      server.ChangeEntry(2L, "add",
+        server.ServedFile(pq("v2"), Map.empty), 1700000002000L))
+    server.addTable("sh", "sc", server.TableDef(
+      "orders_evo", DeltaSchema.toSchemaString(src.schema),
+      partitionColumns = Seq.empty,
+      files = Seq(server.ServedFile(pq("v2"), Map.empty)),
+      version = 2L, changes = baseChanges))
+    val ref = TableRef("sh", "sc", "orders_evo")
+
+    // load() captures the ORIGINAL schema…
+    val stream = GraftSharing.readChangesStream(spark, profilePath, ref, 1L)
+    // …then the table evolves (adds o_flag) before the first batch plans
+    server.addTable("sh", "sc", server.TableDef(
+      "orders_evo", DeltaSchema.toSchemaString(evolved.schema),
+      partitionColumns = Seq.empty,
+      files = Seq(server.ServedFile(pq("v3"), Map.empty)),
+      version = 3L,
+      changes = baseChanges :+ server.ChangeEntry(3L, "add",
+        server.ServedFile(pq("v3"), Map.empty), 1700000003000L)))
+
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft-cdf-evo-ckpt").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def drain(df: DataFrame): Unit = buf.synchronized { buf ++= df.collect() }
+    // planning against the stale schema must FAIL with the typed error,
+    // never silently misread columns
+    val q1 = stream.writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        drain(df.toDF()))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q1.awaitTermination())
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        s"${x.getClass.getName}: ${x.getMessage}" +: chain(x.getCause))
+    assert(chain(err).exists(s =>
+      s.contains("SCHEMA_CHANGED") || s.contains("schema changed")),
+      s"wanted the typed schema-change error, got: ${chain(err).take(3)}")
+    assert(buf.isEmpty)
+
+    // RESTART from the same checkpoint: a fresh load() adopts the
+    // evolved schema and the version cursor resumes — old-schema files
+    // surface the added column as NULL (parquet evolution), the new
+    // file carries its values, nothing is dropped or duplicated
+    val q2 = GraftSharing.readChangesStream(spark, profilePath, ref, 1L)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        drain(df.toDF()))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val out = buf.synchronized { buf.toVector }
+    assert(out.nonEmpty)
+    val cols = out.head.schema.fieldNames.toSeq
+    assert(cols.contains("o_flag"))
+    val byVersion = out.groupBy(_.getAs[Long]("_commit_version"))
+    assert(byVersion.keySet == Set(1L, 2L, 3L))
+    assert(byVersion(1L).size + byVersion(2L).size == src.count())
+    assert(byVersion(3L).size == evolved.filter(col("o_orderkey") < 50).count())
+    assert(byVersion(1L).forall(_.getAs[String]("o_flag") == null))
+    assert(byVersion(2L).forall(_.getAs[String]("o_flag") == null))
+    assert(byVersion(3L).forall(_.getAs[String]("o_flag") == "evo"))
+  }
+
   test("offset serde roundtrips and rejects malformed json") {
     val stream = new GraftCdfMicroBatchStream(client, table,
       client.getTableMetadata(table)._2,
