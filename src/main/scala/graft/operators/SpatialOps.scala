@@ -44,6 +44,12 @@ object SpatialOps {
   private val lonSql =
     "((c_custkey * (c_custkey + 54321)) % 3600001 * 104729 + 97) % 3600001 - 1800000"
 
+  /** dev-probe access (graft.tools.DbscanProbe) */
+  private[graft] def pointsPublic(s: SparkSession, d: String): DataFrame =
+    points(s, d)
+  private[graft] def cellSqlPublic(lat: String, lon: String,
+      dy: String = "0", dx: String = "0"): String = cellSql(lat, lon, dy, dx)
+
   private def points(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(
       col("c_custkey").as("id"),
@@ -201,16 +207,17 @@ object SpatialOps {
     // clustering as pure dataflow. The eps-neighbor pairs come from the
     // SAME 9-cell equi-join as spatial_grid_nn (never |points|²); core
     // points (≥ minPts in their eps-ball, self included) link into
-    // clusters via [[Dedup.connectedComponents]] — min-id labels, the
-    // deterministic join-shaped closure already certified by
-    // dedup_clusters — and border points attach to their smallest core
+    // clusters via [[Dedup.connectedComponentsAuto]] — exact star
+    // contraction to a metadata-scale rep graph, then a bounded driver
+    // union-find (log-star fallback past the cap), min-id labels
+    // throughout — and border points attach to their smallest core
     // cluster. Output: per-cluster core/total counts plus one cluster=-1
     // noise row. The oracle replays core/border classification and a
     // recursive-CTE closure. SCALE: candidates bounded by 9-cell
-    // occupancy; every later stage runs on the pair/core frames; label
-    // propagation rounds are bounded by cluster diameter (switch to
-    // large-star/small-star for continental-scale components — the
-    // documented escape hatch in connectedComponents).
+    // occupancy; every later stage runs on the pair/core frames; the
+    // closure is diameter-independent (contraction + union-find /
+    // O(log n) log-star — a diameter-112 snake cluster in the sf0.1
+    // data is what forced this design).
     QueryDef.sql(
       "spatial_dbscan", {
         val d2 = "(a.lat_e4 - b.lat_e4) * (a.lat_e4 - b.lat_e4) + " +
@@ -272,35 +279,21 @@ object SpatialOps {
       val cedges = graft.CacheRegistry.ensurePersisted(pairs
         .join(core, Seq("id"), "left_semi")
         .join(core.withColumnRenamed("id", "nid"), Seq("nid"), "left_semi"))
-      // Two exact star-contraction rounds before the closure
-      // (Dedup.starContract): each maps every core point to the min id of
-      // its closed eps-neighborhood — a star, provably one cluster — and
-      // quarters the label-propagation rounds the closure needs (the
-      // round-10 fixed-overhead hot spot: ~8 rounds × 2 jobs +
-      // localCheckpoint each). NOTE a same-CELL collapse would NOT be
-      // exact here: cell width = eps, so two same-cell points can be
-      // √2·eps apart with no direct edge. Contraction preserves min-id
-      // labels (the component min is its own rep), so the oracle's
-      // recursive closure still matches bit-for-bit. The closure itself
-      // fails loudly on non-convergence — a silent split would read as
-      // an engine divergence against the exact oracle.
-      val (rep1, e1raw) = Dedup.starContract(cedges, "id", "nid")
-      val e1 = graft.CacheRegistry.ensurePersisted(e1raw)
-      val (rep2, e2) = Dedup.starContract(e1, "id", "nid")
-      val cc = Dedup.connectedComponents(e2, "id", "nid",
-        maxIter = 40, failOnMaxIter = true)
-      // map back: cluster(p) = cc(rep2(rep1(p))); each level falls back
-      // to the previous when the component fully contracted (no edge
-      // survived into the next graph — its rep IS the component min)
-      val coreLab = core
-        .join(rep1.select(col("v").as("id"), col("rep").as("r1")),
-          Seq("id"), "left")
-        .join(rep2.select(col("v").as("r1"), col("rep").as("r2")),
-          Seq("r1"), "left")
-        .withColumn("rfin", coalesce(col("r2"), col("r1"), col("id")))
-        .join(cc.withColumnRenamed("id", "rfin"), Seq("rfin"), "left")
+      // Diameter-shaped closure (Dedup.connectedComponentsAuto): the
+      // sf0.1 spatial graph hides a diameter-~112 snake cluster, which
+      // min-label propagation cannot afford (and silently SPLIT at the
+      // old maxIter=20 — caught this round). Auto = two exact star
+      // contractions (≈ diameter/4, preserves min-id labels — NOTE a
+      // same-CELL collapse would NOT be exact here: cell width = eps, so
+      // two same-cell points can be √2·eps apart with no direct edge),
+      // then a bounded driver union-find on the metadata-scale
+      // contracted graph (log-star fallback past the cap). Every stage
+      // is exact, so the oracle's recursive closure matches
+      // bit-for-bit; non-convergence on the fallback path fails loudly.
+      val cc = Dedup.connectedComponentsAuto(cedges, "id", "nid")
+      val coreLab = core.join(cc, Seq("id"), "left")
         .select(col("id"),
-          coalesce(col("cluster_id"), col("rfin")).as("cluster"))
+          coalesce(col("cluster_id"), col("id")).as("cluster"))
       val border = pairs
         .join(core, Seq("id"), "left_anti")
         .join(coreLab.select(col("id").as("nid"), col("cluster")), "nid")

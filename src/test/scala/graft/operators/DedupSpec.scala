@@ -205,6 +205,59 @@ class DedupSpec extends SparkTestBase {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("log-star components match propagation labels; chain converges in O(log n)") {
+    import spark.implicits._
+    // a 64-chain would need 63 propagation rounds; log-star must land
+    // the same labels within 10 (O(log² n)) — failOnMaxIter certifies it
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    // plus a clique, a star, two isolated edges, in one edge list
+    val edges = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++
+      (111L to 114L).map(i => (110L, i)) ++ Seq((200L, 201L), (300L, 301L)))
+      .toDF("doc_a", "doc_b")
+    val edgesP = graft.CacheRegistry.ensurePersisted(edges)
+    val logStar = Dedup.connectedComponentsLogStar(edgesP, "doc_a", "doc_b",
+        maxIter = 10, failOnMaxIter = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(edgesP, "doc_a", "doc_b",
+        maxIter = 70, failOnMaxIter = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(logStar == prop,
+      s"log-star diverges from propagation: " +
+        s"${(logStar.toSet -- prop.toSet).take(5)} vs " +
+        s"${(prop.toSet -- logStar.toSet).take(5)}")
+    assert(logStar.values.toSet == Set(0L, 100L, 110L, 200L, 300L))
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("auto closure (union-find and log-star paths) matches propagation") {
+    import spark.implicits._
+    val edges = ((0L until 63L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++
+      (111L to 114L).map(i => (110L, i)) ++ Seq((200L, 201L), (300L, 301L)))
+      .toDF("doc_a", "doc_b")
+    val edgesP = graft.CacheRegistry.ensurePersisted(edges)
+    val prop = Dedup.connectedComponents(edgesP, "doc_a", "doc_b",
+        maxIter = 70, failOnMaxIter = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // default threshold → the driver union-find path
+    val uf = Dedup.connectedComponentsAuto(edgesP, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == prop, s"union-find path diverges")
+    // threshold 0 → the distributed log-star fallback path
+    val ls = Dedup.connectedComponentsAuto(edgesP, "doc_a", "doc_b",
+        collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ls == prop, s"log-star fallback path diverges")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("log-star on an empty edge list is empty (no NPE)") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsLogStar(none, "doc_a", "doc_b")
+      .count() == 0)
+  }
+
   test("native minhash kernel matches the HOF formulation exactly") {
     val sh = docs.select(col("doc_id"),
         Dedup.shingleHashes(col("text"), 3).as("sh"))
