@@ -475,9 +475,11 @@ object Dedup {
     val spark = pairs.sparkSession
     val p0 = graft.CacheRegistry.ensurePersisted(pairs)
     val (rep1, e1raw) = starContract(p0, aCol, bCol)
-    val e1 = graft.CacheRegistry.ensurePersisted(e1raw.distinct())
+    // localCheckpoint per level (same plan-truncation rationale as in
+    // starContract); the frames are materialized by count/collect anyway
+    val e1 = e1raw.distinct().localCheckpoint()
     val (rep2, e2raw) = starContract(e1, aCol, bCol)
-    val e2 = graft.CacheRegistry.ensurePersisted(e2raw.distinct())
+    val e2 = e2raw.distinct().localCheckpoint()
     val closure: DataFrame = if (e2.count() <= collectThreshold) {
       val edges = e2.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = new java.util.HashMap[Long, Long]()
@@ -540,9 +542,14 @@ object Dedup {
         struct(col(aCol).as("v"), col(bCol).as("w")),
         struct(col(bCol).as("v"), col(aCol).as("w")))).as("e"))
       .select(col("e.v").as("v"), col("e.w").as("w"))
-    val rep = graft.CacheRegistry.ensurePersisted(
-      sym.groupBy("v").agg(min("w").as("mn"))
-        .select(col("v"), least(col("v"), col("mn")).as("rep")))
+    // localCheckpoint, not persist: rep feeds both contracted-edge joins
+    // AND the caller's map-back join, and `contracted` nests the edge
+    // plan 3× per level — two stacked contractions otherwise embed the
+    // upstream pair pipeline ~13× in every downstream plan (a 46k-line
+    // dbscan plan string). The eager cut makes each level a leaf.
+    val rep = sym.groupBy("v").agg(min("w").as("mn"))
+      .select(col("v"), least(col("v"), col("mn")).as("rep"))
+      .localCheckpoint()
     val contracted = edges
       .join(rep.select(col("v").as(aCol), col("rep").as("rep_a")), aCol)
       .join(rep.select(col("v").as(bCol), col("rep").as("rep_b")), bCol)
