@@ -80,7 +80,8 @@ object Bench {
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.
     "sim_hybrid_rrf", "sim_margin_mining", "sim_label_centroid_norm",
-    "dedup_keep_representatives", "dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_keep_representatives", "dedup_clusters", "dedup_clusters_logstar",
+    "dedup_ngram_jaccard",
     "dedup_edit_distance", "dedup_normalized", "graph_resource_alloc",
     "q_overlap_depth", "q_gaps_islands", "q_asof_join",
     "q_asof_join_salted", "q_quantize_embeddings", "q_tfidf_top_terms",

@@ -737,7 +737,12 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val pairs = corpusPairs(s, d)
-      val dropIds = connectedComponents(pairs, "doc_a", "doc_b")
+      // failOnMaxIter: these labels feed the kept-corpus view; a silent
+      // split would KEEP duplicate documents (the dbscan lesson applied
+      // to the dedup path — near-dup graphs are near-cliques today, but
+      // chained-similarity corpora can stretch the diameter)
+      val dropIds = connectedComponents(pairs, "doc_a", "doc_b",
+          failOnMaxIter = true)
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
       docs.join(dropIds, Seq("doc_id"), "left_anti")
@@ -755,7 +760,26 @@ object Dedup {
       s"""$clusterCte
         |SELECT id, cluster_id, CAST(id = cluster_id AS INTEGER) AS is_keeper
         |FROM cc ORDER BY id""".stripMargin) { (s, d) =>
-      connectedComponents(corpusPairs(s, d), "doc_a", "doc_b")
+      connectedComponents(corpusPairs(s, d), "doc_a", "doc_b",
+          failOnMaxIter = true)
+        .withColumn("is_keeper", (col("id") === col("cluster_id")).cast("int"))
+    },
+
+    // The same clusters through the SCALE closure: star contraction +
+    // large-star/small-star (collectThreshold=0 forces the distributed
+    // log-star path — no driver union-find, no propagation), against the
+    // identical recursive-CTE oracle. This puts the O(log n) closure
+    // itself under the hash gate, not just under spec parity: at 100 TB
+    // this is the path a continental-diameter component graph actually
+    // takes, so it deserves the same bit-level certification as the
+    // propagation loop it replaces.
+    QueryDef.sql(
+      "dedup_clusters_logstar",
+      s"""$clusterCte
+        |SELECT id, cluster_id, CAST(id = cluster_id AS INTEGER) AS is_keeper
+        |FROM cc ORDER BY id""".stripMargin) { (s, d) =>
+      connectedComponentsAuto(corpusPairs(s, d), "doc_a", "doc_b",
+          collectThreshold = 0L)
         .withColumn("is_keeper", (col("id") === col("cluster_id")).cast("int"))
     },
 

@@ -251,6 +251,41 @@ class DedupSpec extends SparkTestBase {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("closure triple-parity on seeded random graphs (prop, log-star, auto)") {
+    import spark.implicits._
+    // deterministic driver-side reference: union-find with min labels
+    def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = graft.CacheRegistry.ensurePersisted(edges.toDF("doc_a", "doc_b"))
+      val want = reference(edges)
+      def got(res: org.apache.spark.sql.DataFrame) =
+        res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(Dedup.connectedComponents(df, "doc_a", "doc_b",
+        maxIter = 70, failOnMaxIter = true)) == want, s"prop trial $trial")
+      assert(got(Dedup.connectedComponentsLogStar(df, "doc_a", "doc_b",
+        maxIter = 15, failOnMaxIter = true)) == want, s"logstar trial $trial")
+      assert(got(Dedup.connectedComponentsAuto(df, "doc_a", "doc_b",
+        collectThreshold = 0L)) == want, s"auto trial $trial")
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   test("log-star on an empty edge list is empty (no NPE)") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
