@@ -367,10 +367,13 @@ object Dedup {
     * rooted at the component minimum — the same labels the propagation
     * loop yields, certified by DedupSpec parity. Fixpoint detection is
     * one aggregate per round over (count, Σ xxhash64(u,v) as
-    * decimal(38)) — a 2⁻⁶⁴ fingerprint, not exact equality; acceptable
-    * because any collision would only DELAY convergence detection by a
-    * round, never change labels (the alternation is idempotent at the
-    * fixed point).
+    * decimal(38)) as a cheap pre-filter; a fingerprint MATCH is then
+    * confirmed exactly (equal counts plus an empty `exceptAll`
+    * difference of two distinct frames ⇒ equal edge sets), because an
+    * unconfirmed 2⁻⁶⁴ collision between DIFFERENT edge sets would
+    * declare convergence EARLY and return unmerged labels — the exact
+    * silent-split failure mode this algorithm exists to eliminate. The
+    * confirmation job runs only on the single converging round.
     */
   def connectedComponentsLogStar(pairs: DataFrame, aCol: String,
       bCol: String, maxIter: Int = 30, failOnMaxIter: Boolean = false)
@@ -417,10 +420,14 @@ object Dedup {
       // localCheckpoint per round for the same reason as the propagation
       // loop: edges feed two star passes each consuming it twice, so the
       // un-truncated plan would double per round
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val prev = edges
+      val next = smallStar(largeStar(prev)).localCheckpoint()
       val nf = fingerprint(next)
+      // fingerprint match = candidate fixpoint; confirm set equality
+      // exactly so a hash collision can never end the loop early with
+      // unmerged labels (see the Scaladoc)
+      converged = nf == last && next.exceptAll(prev).isEmpty
       edges = next
-      converged = nf == last
       last = nf
       i += 1
     }
@@ -431,8 +438,17 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     // at the fixed point every non-root points straight at its component
-    // minimum; roots (and isolated vertices) label themselves
-    val nonRoots = edges.select(col("u").as("id"), col("v").as("label"))
+    // minimum (exactly one edge per non-root); roots (and isolated
+    // vertices) label themselves. If the loop exited at maxIter the edge
+    // set is NOT yet a union of stars — a vertex can still carry several
+    // edges, and returning duplicate ids would fan out every downstream
+    // join — so the warn path collapses to the best-known (min) label,
+    // matching connectedComponents' maxIter degradation: exactly one
+    // (possibly unmerged) label per id.
+    val pointed = edges.select(col("u").as("id"), col("v").as("label"))
+    val nonRoots =
+      if (converged) pointed
+      else pointed.groupBy("id").agg(min("label").as("label"))
     val roots = verts.join(nonRoots.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     val labels = nonRoots.unionByName(roots)

@@ -43,12 +43,9 @@ object PlannerStats {
         |  CAST(shi + slo // 1000000000 AS BIGINT) AS join_rows_hi,
         |  CAST(slo % 1000000000 AS BIGINT) AS join_rows_lo,
         |  t.k AS top_key, t.c AS top_key_rows,
-        |  CASE WHEN shi > 0 THEN
-        |    ${TextAnalysis.halfUp4Sql("((t.c * t.c) // 1000000000) * n_keys",
-             "shi")}
-        |  ELSE
-        |    ${TextAnalysis.halfUp4Sql("t.c * t.c * n_keys", "slo")}
-        |  END AS skew_ratio
+        |  CAST(CAST(floor(CAST(t.c * t.c AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / (CAST(shi AS DOUBLE) * 1e9 + CAST(slo AS DOUBLE))
+        |    * 10000 + 0.5) AS BIGINT) AS DOUBLE) / 10000 AS skew_ratio
         |FROM agg, top t""".stripMargin) { (s, d) =>
       val c = Tables.lineitem(s, d).groupBy(col("l_partkey").as("k"))
         .agg(count(lit(1)).as("c"))
@@ -60,27 +57,30 @@ object PlannerStats {
         sum(col("c")).cast("bigint").as("n_rows"),
         sum(expr("(c * c) div 1000000000")).cast("bigint").as("shi"),
         sum(expr("(c * c) % 1000000000")).cast("bigint").as("slo"))
-      // The skew ratio stays in the two-lane BIGINT domain: when the hi
-      // lane is populated (Σc² > 10⁹) the ratio is computed hi-lane-only
-      // — dropping lo loses ≤ 1e-9 relative, invisible at 4dp and
-      // identical in both engines — so the denominator can never
-      // recombine past BIGINT (the pre-r11 `shi·10⁹ + slo` form wrapped
-      // exactly in the corpus-scale regime the split was built for).
-      // Remaining loud-failure bound is the NUMERATOR: 2·c²·n_keys·10⁴
-      // (lo branch) / 2·(c² div 10⁹)·n_keys·10⁴ (hi branch) past BIGINT
-      // raises identically in both engines instead of silently wrapping.
+      // The skew RATIO leaves the lane domain through DOUBLE: the
+      // earlier hi-lane-only form was mathematically wrong in mixed
+      // distributions (every key with c² < 10⁹ contributed 0 to the
+      // denominator `shi` while its full mass sat in slo, overstating
+      // the ratio by orders of magnitude — r11 ADVICE). Here both lanes
+      // recombine as shi·10⁹ + slo in double space: int64→double casts
+      // are exactly-rounded IEEE conversions in both engines, ·/+// are
+      // IEEE-deterministic, so the quotient is bit-identical across
+      // engines with ~1e-16 relative error (vs. the old form's up-to-
+      // orders-of-magnitude). Rounding is floor(x·10⁴ + 0.5) — half-up
+      // at 4dp without either engine's round(double, n) (which differ by
+      // an ulp on ties). Loud-failure bound: t.c·t.c is a BIGINT multiply
+      // in both engines, raising (not wrapping) past c > 3.03·10⁹.
       agg.crossJoin(broadcast(top))
         .select(col("n_keys"), col("n_rows"),
           expr("CAST(shi + slo div 1000000000 AS BIGINT)")
             .as("join_rows_hi"),
           expr("CAST(slo % 1000000000 AS BIGINT)").as("join_rows_lo"),
           col("top_key"), col("top_key_rows"),
-          when(col("shi") > 0,
-            TextAnalysis.halfUp4(
-              "((top_key_rows * top_key_rows) div 1000000000) * n_keys",
-              "shi"))
-            .otherwise(TextAnalysis.halfUp4(
-              "top_key_rows * top_key_rows * n_keys", "slo"))
+          expr("CAST(CAST(floor(" +
+              "CAST(top_key_rows * top_key_rows AS DOUBLE) * " +
+              "CAST(n_keys AS DOUBLE) / " +
+              "(CAST(shi AS DOUBLE) * 1e9 + CAST(slo AS DOUBLE)) * " +
+              "10000 + 0.5) AS BIGINT) AS DOUBLE) / 10000")
             .as("skew_ratio"))
     },
 

@@ -57,4 +57,41 @@ object DeltaSchema {
     * server to describe tables it serves). Spark's JSON serialization is
     * already the Delta wire format. */
   def toSchemaString(schema: StructType): String = schema.json
+
+  /** Read-compatibility projection for the CDF stream's drift guard: can
+    * a plan compiled against `running` keep decoding files the server now
+    * declares as `declared`? Field METADATA (comments, source tags) never
+    * affects decoding, and a nullable→non-nullable TIGHTENING only
+    * narrows what the server may send — a server that re-serializes a
+    * semantically identical schema with different comments or stricter
+    * nullability must not kill a healthy stream. What DOES kill it:
+    * any name/type/field-set/order change, and a nullability WIDENING
+    * (running non-null → declared nullable): the running plan's codegen
+    * was compiled assuming the column can't be null, so evolved files
+    * could feed it nulls it never checks for. */
+  def readCompatible(running: StructType, declared: StructType): Boolean =
+    typeCompatible(running, declared)
+
+  private def typeCompatible(run: DataType, dec: DataType): Boolean =
+    (run, dec) match {
+      case (r: StructType, d: StructType) =>
+        r.fields.length == d.fields.length &&
+          r.fields.zip(d.fields).forall { case (rf, df) =>
+            rf.name == df.name &&
+              nullOk(rf.nullable, df.nullable) &&
+              typeCompatible(rf.dataType, df.dataType)
+          }
+      case (r: ArrayType, d: ArrayType) =>
+        nullOk(r.containsNull, d.containsNull) &&
+          typeCompatible(r.elementType, d.elementType)
+      case (r: MapType, d: MapType) =>
+        nullOk(r.valueContainsNull, d.valueContainsNull) &&
+          typeCompatible(r.keyType, d.keyType) &&
+          typeCompatible(r.valueType, d.valueType)
+      case (r, d) => r == d
+    }
+
+  /** declared may be nullable only where running already tolerates null. */
+  private def nullOk(running: Boolean, declared: Boolean): Boolean =
+    running || !declared
 }

@@ -209,7 +209,11 @@ final class GraftCdfMicroBatchStream(client: DeltaSharingClient,
     // StreamingCdfSpec's restart-under-schema-change test).
     val declared = DeltaSchema.fromSchemaString(meta.schemaString)
     val expected = DeltaSchema.fromSchemaString(metadata.schemaString)
-    if (declared != expected || meta.partitionColumns != metadata.partitionColumns)
+    // Read-compatible re-serializations (metadata/comment churn, nullable
+    // tightening) must NOT kill a healthy stream — only structural drift
+    // or nullability widening does (DeltaSchema.readCompatible).
+    if (!DeltaSchema.readCompatible(expected, declared) ||
+        meta.partitionColumns != metadata.partitionColumns)
       throw DeltaSharingException.schemaChanged(
         s"$ref schema changed under a running CDF stream (versions " +
           s"[$from,$to]): expected ${expected.simpleString}, server now " +

@@ -286,6 +286,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("log-star non-converged warn path still yields one label per id") {
+    import spark.implicits._
+    // a 12-vertex path needs ~4 alternation rounds; maxIter=1 with
+    // failOnMaxIter=false exits early — labels may be unmerged, but the
+    // frame must still be one row per id (duplicates would fan out every
+    // downstream join; r11 ADVICE)
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponentsLogStar(path, "doc_a", "doc_b",
+      maxIter = 1, failOnMaxIter = false)
+    val rows = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.map(_._1).distinct.length == rows.length,
+      s"duplicate ids in non-converged labels: ${rows.toSeq.sorted}")
+    assert(rows.map(_._1).toSet == (0L to 11L).toSet)
+    // every label must be a valid vertex ≤ its id (min-directed)
+    assert(rows.forall { case (id, lab) => lab <= id })
+  }
+
   test("log-star on an empty edge list is empty (no NPE)") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

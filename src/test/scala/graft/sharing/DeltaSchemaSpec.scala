@@ -45,4 +45,44 @@ class DeltaSchemaSpec extends AnyFunSuite {
     intercept[DeltaSharingException](DeltaSchema.fromSchemaString("\"long\""))
     intercept[DeltaSharingException](DeltaSchema.fromSchemaString("not json"))
   }
+
+  test("readCompatible: metadata churn and nullable tightening tolerated") {
+    val running = StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("b", ArrayType(StringType, containsNull = true))))
+    // same structure, a comment added + nullable→non-null tightening
+    val declared = StructType(Seq(
+      StructField("a", LongType, nullable = false,
+        new MetadataBuilder().putString("comment", "server note").build()),
+      StructField("b", ArrayType(StringType, containsNull = false))))
+    assert(DeltaSchema.readCompatible(running, declared))
+  }
+
+  test("readCompatible: structural drift and nullability widening kill") {
+    val running = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("m", MapType(StringType, LongType,
+        valueContainsNull = false))))
+    // widening a non-null running field to nullable: codegen compiled
+    // without null checks could be fed nulls — incompatible
+    assert(!DeltaSchema.readCompatible(running,
+      running.copy(fields = running.fields.updated(0,
+        running.fields(0).copy(nullable = true)))))
+    // type change
+    assert(!DeltaSchema.readCompatible(running,
+      running.copy(fields = running.fields.updated(0,
+        running.fields(0).copy(dataType = IntegerType)))))
+    // rename
+    assert(!DeltaSchema.readCompatible(running,
+      running.copy(fields = running.fields.updated(0,
+        running.fields(0).copy(name = "a2")))))
+    // added column
+    assert(!DeltaSchema.readCompatible(running,
+      StructType(running.fields :+ StructField("c", StringType))))
+    // map value-nullability widening, nested
+    assert(!DeltaSchema.readCompatible(running,
+      running.copy(fields = running.fields.updated(1,
+        StructField("m", MapType(StringType, LongType,
+          valueContainsNull = true))))))
+  }
 }
