@@ -40,6 +40,72 @@ object Retrieval {
       |       CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])), 4)
       |END) * 10000) AS BIGINT)""".stripMargin
 
+  /** Shared oracle CTE chain ending in `fused` (doc_id, rrf, rank_dense,
+    * rank_sparse) — the RRF fusion both sim_hybrid_rrf and q_ndcg rank;
+    * `dsc` (the exact dense scores) is also in scope for truth rankings. */
+  private[operators] val rrfFusedCteSql: String =
+    s"""${TextAnalysis.bm25ScoredCteSql},
+      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |dsc AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    CASE WHEN list_sum(list_transform(e.embedding,
+      |             x -> CAST(x AS DOUBLE) * x)) = 0
+      |           OR list_sum(list_transform(q.q_emb,
+      |             x -> CAST(x AS DOUBLE) * x)) = 0
+      |         THEN 0.0
+      |         ELSE round(list_cosine_similarity(
+      |           CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 4)
+      |    END AS sim
+      |  FROM embeddings e, q WHERE e.vec_id <> 0),
+      |dr AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rd
+      |  FROM dsc QUALIFY rd <= 100),
+      |sr AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs
+      |  FROM bmscored QUALIFY rs <= 100),
+      |fused AS (
+      |  SELECT COALESCE(dr.doc_id, sr.doc_id) AS doc_id,
+      |    round(COALESCE(1.0 / (60 + dr.rd), 0) +
+      |          COALESCE(1.0 / (60 + sr.rs), 0), 6) AS rrf,
+      |    CAST(COALESCE(dr.rd, 0) AS INTEGER) AS rank_dense,
+      |    CAST(COALESCE(sr.rs, 0) AS INTEGER) AS rank_sparse
+      |  FROM dr FULL JOIN sr ON dr.doc_id = sr.doc_id)""".stripMargin
+
+  /** Exact dense scores vs query vector 0 (doc_id, sim) — the `dsc` CTE. */
+  private def denseScored(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val q = broadcast(emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb")))
+    emb.filter(col("vec_id") =!= 0).crossJoin(q)
+      .select(col("vec_id").as("doc_id"),
+        round4(graft.functions.GraftFunctions.cosine(
+          col("embedding"), col("q_emb"))).as("sim"))
+  }
+
+  /** The fused RRF frame (doc_id, rrf, rank_dense, rank_sparse) —
+    * bounded: a full-outer join of two TakeOrdered top-100 pools. */
+  private def rrfFused(s: SparkSession, d: String): DataFrame = {
+    val dense = denseScored(s, d)
+      .orderBy(col("sim").desc, col("doc_id")).limit(100)
+      .withColumn("rd",
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+      .select("doc_id", "rd")
+    val sparse = TextAnalysis.bm25Scored(s, d)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+      .withColumn("rs",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id").as("s_doc_id"), col("rs"))
+    dense.join(sparse, col("doc_id") === col("s_doc_id"), "full")
+      .select(
+        coalesce(col("doc_id"), col("s_doc_id")).as("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)), 6).as("rrf"),
+        coalesce(col("rd"), lit(0)).cast("int").as("rank_dense"),
+        coalesce(col("rs"), lit(0)).cast("int").as("rank_sparse"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -54,66 +120,98 @@ object Retrieval {
     // small-int ranks), ranked with an id tiebreak.
     QueryDef.sql(
       "sim_hybrid_rrf",
-      s"""WITH ${TextAnalysis.bm25ScoredCteSql},
-        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-        |dsc AS (
-        |  SELECT e.vec_id AS doc_id,
-        |    CASE WHEN list_sum(list_transform(e.embedding,
-        |             x -> CAST(x AS DOUBLE) * x)) = 0
-        |           OR list_sum(list_transform(q.q_emb,
-        |             x -> CAST(x AS DOUBLE) * x)) = 0
-        |         THEN 0.0
-        |         ELSE round(list_cosine_similarity(
-        |           CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 4)
-        |    END AS sim
-        |  FROM embeddings e, q WHERE e.vec_id <> 0),
-        |dr AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rd
-        |  FROM dsc QUALIFY rd <= 100),
-        |sr AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs
-        |  FROM bmscored QUALIFY rs <= 100),
-        |fused AS (
-        |  SELECT COALESCE(dr.doc_id, sr.doc_id) AS doc_id,
-        |    round(COALESCE(1.0 / (60 + dr.rd), 0) +
-        |          COALESCE(1.0 / (60 + sr.rs), 0), 6) AS rrf,
-        |    CAST(COALESCE(dr.rd, 0) AS INTEGER) AS rank_dense,
-        |    CAST(COALESCE(sr.rs, 0) AS INTEGER) AS rank_sparse
-        |  FROM dr FULL JOIN sr ON dr.doc_id = sr.doc_id)
+      s"""WITH $rrfFusedCteSql
         |SELECT doc_id, rrf, rank_dense, rank_sparse, CAST(rk AS INTEGER) AS rk
         |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
         |      FROM fused)
         |WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      val emb = Tables.embeddings(s, d)
-      val q = broadcast(emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb")))
-      val dense = emb.filter(col("vec_id") =!= 0).crossJoin(q)
-        .select(col("vec_id").as("doc_id"),
-          round4(graft.functions.GraftFunctions.cosine(
-            col("embedding"), col("q_emb"))).as("sim"))
-        .orderBy(col("sim").desc, col("doc_id")).limit(100)
-        .withColumn("rd",
-          row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
-        .select("doc_id", "rd")
-      val sparse = TextAnalysis.bm25Scored(s, d)
-        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
-        .withColumn("rs",
-          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
-        .select(col("doc_id").as("s_doc_id"), col("rs"))
-      val fused = dense.join(sparse, col("doc_id") === col("s_doc_id"), "full")
-        .select(
-          coalesce(col("doc_id"), col("s_doc_id")).as("doc_id"),
-          round(
-            coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)), 6).as("rrf"),
-          coalesce(col("rd"), lit(0)).cast("int").as("rank_dense"),
-          coalesce(col("rs"), lit(0)).cast("int").as("rank_sparse"))
-      fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      rrfFused(s, d).orderBy(col("rrf").desc, col("doc_id")).limit(10)
         .withColumn("rk",
           row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
             .cast("int"))
         .orderBy("rk")
+    },
+
+    // ------------------------------------------------------------------
+    // nDCG@k of the hybrid retriever against the exact-cosine truth
+    // ranking — the graded-relevance eval metric for the sim_* retrieval
+    // stack (ModelEval's ROC/PR/lift are binary-label; ranking quality
+    // needs position-discounted gain). Truth = exact dense top-10
+    // (graded rel 10..1 by truth rank); retrieved = the RRF fused
+    // top-10; one row per cutoff k ∈ {1,3,5,10}. SCALE: both rankings
+    // are TakeOrdered pools (≤100 rows at any corpus size), the metric
+    // is arithmetic over ≤10×4 rows. Determinism: every libm log2 is
+    // 6dp-rounded BEFORE the division, each DCG term is 6dp-rounded and
+    // decimal-summed, and the final ratio is the exact-integer half-up-4
+    // law over e6-scaled sums — no float sum order anywhere.
+    QueryDef.sql(
+      "q_ndcg",
+      s"""WITH $rrfFusedCteSql,
+        |ret AS (
+        |  SELECT doc_id, CAST(rk AS INTEGER) AS i FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+        |    FROM fused) WHERE rk <= 10),
+        |truth AS (
+        |  SELECT doc_id, 11 - tr AS rel FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS tr
+        |    FROM dsc) WHERE tr <= 10),
+        |ks AS (SELECT unnest([1, 3, 5, 10]) AS k),
+        |terms AS (
+        |  SELECT r.i, round(COALESCE(t.rel, 0) /
+        |    round(log2(r.i + 1), 6), 6) AS term
+        |  FROM ret r LEFT JOIN truth t USING (doc_id)),
+        |ideal AS (
+        |  SELECT j, round((11 - j) / round(log2(j + 1), 6), 6) AS term
+        |  FROM generate_series(1, 10) t(j)),
+        |dsum AS (
+        |  SELECT ks.k,
+        |    SUM(CAST(terms.term AS DECIMAL(18,6))) AS dcg_d
+        |  FROM ks JOIN terms ON terms.i <= ks.k GROUP BY ks.k),
+        |isum AS (
+        |  SELECT ks.k,
+        |    SUM(CAST(ideal.term AS DECIMAL(18,6))) AS idcg_d
+        |  FROM ks JOIN ideal ON ideal.j <= ks.k GROUP BY ks.k)
+        |SELECT CAST(d.k AS INTEGER) AS k,
+        |  CAST(d.dcg_d AS DOUBLE) AS dcg,
+        |  CAST(i.idcg_d AS DOUBLE) AS idcg,
+        |  ${TextAnalysis.halfUp4Sql(
+             "CAST(d.dcg_d * 1000000 AS BIGINT)",
+             "CAST(i.idcg_d * 1000000 AS BIGINT)")} AS ndcg
+        |FROM dsum d JOIN isum i ON d.k = i.k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ret = rrfFused(s, d)
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .withColumn("i",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
+            .cast("int"))
+        .select("doc_id", "i")
+      val truth = denseScored(s, d)
+        .orderBy(col("sim").desc, col("doc_id")).limit(10)
+        .withColumn("tr",
+          row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+        .select(col("doc_id"), (lit(11) - col("tr")).as("rel"))
+      val terms = ret.join(broadcast(truth), Seq("doc_id"), "left")
+        .select(col("i"),
+          round(coalesce(col("rel"), lit(0)).cast("double") /
+            round(log2(col("i") + 1), 6), 6).as("term"))
+      val ideal = Seq.range(1, 11).toDF("j")
+        .select(col("j"),
+          round((lit(11) - col("j")).cast("double") /
+            round(log2(col("j") + 1), 6), 6).as("term"))
+      val ks = Seq(1, 3, 5, 10).toDF("k")
+      val dsum = ks.join(terms, col("i") <= col("k"))
+        .groupBy("k").agg(sum(col("term").cast("decimal(18,6)")).as("dcg_d"))
+      val isum = ks.join(ideal, col("j") <= col("k"))
+        .groupBy("k").agg(sum(col("term").cast("decimal(18,6)")).as("idcg_d"))
+      dsum.join(isum.withColumnRenamed("k", "k2"), col("k") === col("k2"))
+        .select(col("k").cast("int").as("k"),
+          col("dcg_d").cast("double").as("dcg"),
+          col("idcg_d").cast("double").as("idcg"),
+          TextAnalysis.halfUp4(
+            "CAST(dcg_d * 1000000 AS BIGINT)",
+            "CAST(idcg_d * 1000000 AS BIGINT)").as("ndcg"))
+        .orderBy("k")
     },
 
     // ------------------------------------------------------------------

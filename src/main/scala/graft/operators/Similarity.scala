@@ -253,45 +253,61 @@ object Similarity {
     * bit-identical centroid inputs every iteration, so the oracle can
     * replay the whole algorithm.
     */
-  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val corpus = ensureParallel(emb).select(col("vec_id"),
+  private def kmeansCorpus(emb: DataFrame): DataFrame =
+    ensureParallel(emb).select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-    val init = emb.filter(col("vec_id") < k)
+
+  /** Squared L2 over two double arrays (sequential fused fold — the
+    * fold order is part of the cross-engine contract). */
+  def kmeansDist2(v: Column, cen: Column): Column =
+    aggregate(zip_with(v, cen, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  // nearest centroid per vector: min over a struct orders by rounded
+  // distance first, centroid id second (the ulp-proof tiebreak)
+  private def kmeansAssignTo(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(kmeansDist2(col("v"), col("cen")), 4).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"),
+        col("best.cid").as("cluster"), col("best.d").as("dist2"))
+
+  // exact decimal per-dimension means (order-free), rounded to 6dp so
+  // the next iteration's distances are computed from identical doubles
+  // in both engines
+  private def kmeansRecompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cluster", "i")
+      .agg(round(sum(col("x").cast("decimal(18,9)")).cast("double")
+        / count(lit(1)), 6).as("m"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
+      .select(col("cluster").as("cid"),
+        transform(col("ms"), s => s.getField("m")).as("cen"))
+
+  /** The centroid frame the FINAL k-means assignment ranks against
+    * (`c_{iters-1}` in the oracle CTE chain): k lowest vec_ids as init,
+    * then iters−1 Lloyd refinements. Exposed so IVF-style consumers
+    * (sim_ivf_pq) probe the SAME centroids the stored assignment used —
+    * a k-row frame that broadcasts at any corpus size. */
+  def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val corpus = kmeansCorpus(emb)
+    var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"),
         transform(col("embedding"), _.cast("double")).as("cen"))
-    def dist2(v: Column, cen: Column): Column =
-      aggregate(zip_with(v, cen, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // nearest centroid per vector: min over a struct orders by rounded
-    // distance first, centroid id second (the ulp-proof tiebreak)
-    def assign(cents: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cid"),
-          round(dist2(col("v"), col("cen")), 4).as("d"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d"), col("cid"))).as("best"),
-          first(col("v")).as("v"))
-        .select(col("vec_id"), col("v"),
-          col("best.cid").as("cluster"), col("best.d").as("dist2"))
-    var assigned = assign(init)
-    for (_ <- 1 until iters) {
-      // exact decimal per-dimension means (order-free), rounded to 6dp so
-      // the next iteration's distances are computed from identical
-      // doubles in both engines
-      val next = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("cluster", "i")
-        .agg(round(sum(col("x").cast("decimal(18,9)")).cast("double")
-          / count(lit(1)), 6).as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
-        .select(col("cluster").as("cid"),
-          transform(col("ms"), s => s.getField("m")).as("cen"))
-      assigned = assign(next)
-    }
-    assigned.select(col("vec_id"), col("cluster"), col("dist2"))
-      .orderBy("vec_id")
+    for (_ <- 1 until iters)
+      cents = kmeansRecompute(kmeansAssignTo(corpus, cents))
+    cents
   }
+
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssignTo(kmeansCorpus(emb), kmeansCentroids(emb, k, iters))
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+      .orderBy("vec_id")
 
   /** Product quantization with asymmetric distance (PQ/ADC, Jégou et al.
     * TPAMI 2011 — public method): 64 dims split into 8 subspaces × 8
@@ -311,9 +327,10 @@ object Similarity {
     * kmeansAssign: rounded distances with centroid-id tiebreaks, exact
     * decimal centroid means and ADC sums — the DuckDB oracle replays the
     * whole train/encode/search pipeline. */
-  def pqAdcTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
-    // (vec_id, s, sv): the 8-dim sub-vector of every vector × subspace
-    val sub = graft.CacheRegistry.register(
+  /** (vec_id, s, sv): the 8-dim sub-vector of every vector × subspace,
+    * persisted — it feeds codebook training, encoding, and the LUT. */
+  private def pqSub(emb: DataFrame): DataFrame =
+    graft.CacheRegistry.register(
       ensureParallel(emb)
         .select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("v"))
@@ -322,27 +339,29 @@ object Similarity {
         .select(col("vec_id"), col("s"),
           slice(col("v"), col("s") * 8 + 1, lit(8)).as("sv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // nearest codebook entry per (vector, subspace) — rounded distance,
-    // centroid-id tiebreak (the same ulp-proof min-struct as k-means)
-    def encode(cb: DataFrame): DataFrame =
-      sub.join(broadcast(cb), "s")
-        .select(col("vec_id"), col("s"), col("sv"), col("j"),
-          round(d2(col("sv"), col("cen")), 4).as("d"))
-        .groupBy("vec_id", "s")
-        .agg(min(struct(col("d"), col("j"))).as("best"),
-          first(col("sv")).as("sv"))
-        .select(col("vec_id"), col("s"), col("best.j").as("code"),
-          col("sv"))
+
+  // nearest codebook entry per (vector, subspace) — rounded distance,
+  // centroid-id tiebreak (the same ulp-proof min-struct as k-means)
+  private def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), "s")
+      .select(col("vec_id"), col("s"), col("sv"), col("j"),
+        round(kmeansDist2(col("sv"), col("cen")), 4).as("d"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("j"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("s"), col("best.j").as("code"),
+        col("sv"))
+
+  /** Refined PQ codebook (cb1 in the oracle): 16 seed sub-vectors per
+    * subspace, one Lloyd step of exact decimal per-dimension means
+    * rounded to 6dp — identical doubles both engines. 128 tiny rows,
+    * always broadcast. */
+  private def pqCodebook(sub: DataFrame): DataFrame = {
     val cb0 = sub.filter(col("vec_id") < 16)
       .select(col("s"), col("vec_id").cast("int").as("j"),
         col("sv").as("cen"))
-    // one Lloyd refinement: exact decimal per-dimension means per
-    // (subspace, code), rounded to 6dp — identical doubles both engines
-    val cb1 = graft.CacheRegistry.register(
-      encode(cb0)
+    graft.CacheRegistry.register(
+      pqEncode(sub, cb0)
         .select(col("s"), col("code").as("j"),
           posexplode(col("sv")).as(Seq("i", "x")))
         .groupBy("s", "j", "i")
@@ -353,19 +372,92 @@ object Similarity {
         .select(col("s"), col("j"),
           transform(col("ms"), t => t.getField("m")).as("cen"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val codes = encode(cb1).select("vec_id", "s", "code")
-    // ADC lookup table: exact sub-distance query → every centroid
-    val lut = sub.filter(col("vec_id") < numQueries)
+  }
+
+  /** ADC lookup table: exact rounded sub-distance of every query
+    * sub-vector to every codebook centroid — |queries|×128 rows,
+    * always broadcast. */
+  private def pqLut(sub: DataFrame, cb1: DataFrame, numQueries: Int): DataFrame =
+    sub.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qv"))
       .join(broadcast(cb1), "s")
       .select(col("query_id"), col("s"), col("j"),
-        round(d2(col("qv"), col("cen")), 4).as("ld"))
+        round(kmeansDist2(col("qv"), col("cen")), 4).as("ld"))
+
+  def pqAdcTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
+    val sub = pqSub(emb)
+    val cb1 = pqCodebook(sub)
+    val codes = pqEncode(sub, cb1).select("vec_id", "s", "code")
+    val lut = pqLut(sub, cb1, numQueries)
     val scored = codes
       .join(broadcast(lut),
         codes("s") === lut("s") && codes("code") === lut("j"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       // decimal sum of the 8 rounded subspace distances — order-free
+      .agg(round(sum(col("ld").cast("decimal(18,6)")).cast("double"), 4)
+        .as("adc"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(
+        -col("adc"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.entries")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (-col("col.score")).as("adc"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** IVF-PQ: the production ANN index composition (Jégou et al. TPAMI
+    * 2011 §V — IVFADC): a coarse quantizer prunes the corpus to the
+    * query's `nprobe` nearest cells, then PQ/ADC scores ONLY the
+    * surviving inverted lists. Both halves already exist and are gated
+    * separately (sim_kmeans arithmetic = the coarse quantizer,
+    * sim_pq_adc = the rescorer); this is their composition — at 100 TB
+    * the probe prunes the ADC join to |corpus|·nprobe/numCells
+    * candidates, the inverted lists are a materialized cluster column,
+    * and everything the query touches (centroids, codebook, LUT,
+    * probes) is a broadcast-sized frame.
+    *
+    * Cross-engine determinism: the coarse half reuses the EXACT
+    * k-means recipe (rounded distances, cid tiebreaks, decimal means)
+    * and the fine half the EXACT PQ recipe, so the DuckDB oracle
+    * replays train/assign/probe/encode/score end-to-end and every
+    * neighbor row is hash-certified — stronger than a recall summary. */
+  def ivfPqTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val corpus = kmeansCorpus(emb)
+    val cents = kmeansCentroids(emb, k = 8, iters = 2)
+    // inverted lists: corpus vector → coarse cell (the materialized
+    // cluster column of a real index build)
+    val lists = kmeansAssignTo(corpus, cents)
+      .select(col("vec_id"), col("cluster"))
+    // each query probes its nprobe closest cells — same rounded-distance
+    // + cid-tiebreak ranking as the assignment itself
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d"), col("cid"))
+    val probes = corpus.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        round(kmeansDist2(col("v"), col("cen")), 4).as("d"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cid").as("cluster"))
+    // candidate set = union of the probed inverted lists; the probe
+    // frame is numQueries×nprobe rows — always broadcast
+    val cands = lists.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    // PQ/ADC rescoring restricted to the candidates (same codebook +
+    // LUT arithmetic as sim_pq_adc)
+    val sub = pqSub(emb)
+    val cb1 = pqCodebook(sub)
+    val codes = pqEncode(sub, cb1).select("vec_id", "s", "code")
+    val lut = pqLut(sub, cb1, numQueries)
+    val scored = cands
+      .join(codes, "vec_id")
+      .join(broadcast(lut),
+        cands("query_id") === lut("query_id") &&
+          codes("s") === lut("s") && codes("code") === lut("j"))
+      .groupBy(cands("query_id"), col("vec_id"))
       .agg(round(sum(col("ld").cast("decimal(18,6)")).cast("double"), 4)
         .as("adc"))
     scored.groupBy("query_id")
@@ -1156,6 +1248,116 @@ object Similarity {
         |  FROM adc) WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
       pqAdcTopK(Tables.embeddings(s, d), k = 5, numQueries = 10)
+        .orderBy("query_id", "rk")
+    },
+
+    // IVF-PQ composition (ivfPqTopK): coarse k-means probe prunes to
+    // nprobe=3 of 8 inverted lists, PQ/ADC rescoring only inside them —
+    // the production billion-vector index shape. The oracle replays the
+    // ENTIRE pipeline (k-means train/assign/probe + PQ train/encode/LUT/
+    // ADC), so every neighbor and distance is hash-certified; on top,
+    // `recall_ok` pins POOLED recall@5 vs the exact L2 brute ranking
+    // ≥ 8/50 as a checked column the oracle hardcodes to 1 — the
+    // quality floor, same pin as sim_topk_ann. L2 (not cosine) is the
+    // truth metric because L2 is what IVF-PQ/ADC approximates; the
+    // floor is pooled across queries (not per-query) because a 16-entry
+    // codebook's quantization distortion legitimately zeroes single
+    // queries (measured pooled hits 16/17/10 of 50 at sf0.001/0.01/0.1;
+    // a broken probe/codebook/LUT drops it to ~0.4 expected).
+    QueryDef.sql(
+      "sim_ivf_pq",
+      s"""WITH $kmeansOracleCte,
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cluster FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> (e.v[i] - c.cen[i]) * (e.v[i] - c.cen[i]))), 4),
+        |        c.cid) AS pr
+        |    FROM emb e, c1 c WHERE e.vec_id < 10)
+        |  WHERE pr <= 3),
+        |cands AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM a2 a JOIN probes p ON a.cluster = p.cluster
+        |  WHERE a.vec_id <> p.query_id),
+        |sub AS (
+        |  SELECT vec_id, s,
+        |    list_transform(generate_series(1, 8), i -> v[s * 8 + i]) AS sv
+        |  FROM emb, generate_series(0, 7) t(s)),
+        |cb0 AS (
+        |  SELECT s, CAST(vec_id AS INTEGER) AS j, sv AS cen
+        |  FROM sub WHERE vec_id < 16),
+        |d0 AS (
+        |  SELECT u.vec_id, u.s, u.sv, c.j,
+        |    round(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (u.sv[i] - c.cen[i]) * (u.sv[i] - c.cen[i]))), 4) AS d
+        |  FROM sub u JOIN cb0 c USING (s)),
+        |a0 AS (
+        |  SELECT vec_id, s, sv, j FROM (
+        |    SELECT vec_id, s, sv, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rk
+        |    FROM d0) WHERE rk = 1),
+        |cb1 AS (
+        |  SELECT s, j, list(m ORDER BY i) AS cen FROM (
+        |    SELECT s, j, i,
+        |      round(CAST(SUM(CAST(sv[i] AS DECIMAL(18,9))) AS DOUBLE)
+        |        / COUNT(*), 6) AS m
+        |    FROM a0, generate_series(1, 8) t(i) GROUP BY s, j, i)
+        |  GROUP BY s, j),
+        |d1 AS (
+        |  SELECT u.vec_id, u.s, c.j,
+        |    round(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (u.sv[i] - c.cen[i]) * (u.sv[i] - c.cen[i]))), 4) AS d
+        |  FROM sub u JOIN cb1 c USING (s)),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.j,
+        |    round(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (q.sv[i] - c.cen[i]) * (q.sv[i] - c.cen[i]))), 4) AS ld
+        |  FROM sub q JOIN cb1 c USING (s) WHERE q.vec_id < 10),
+        |adc AS (
+        |  SELECT ca.query_id, ca.vec_id,
+        |    round(CAST(SUM(CAST(l.ld AS DECIMAL(18,6))) AS DOUBLE), 4) AS adc
+        |  FROM cands ca
+        |  JOIN codes co ON co.vec_id = ca.vec_id
+        |  JOIN lut l ON l.query_id = ca.query_id
+        |    AND co.s = l.s AND co.code = l.j
+        |  GROUP BY ca.query_id, ca.vec_id)
+        |SELECT query_id, vec_id AS neighbor_id, adc,
+        |  CAST(rk AS INTEGER) AS rk, 1 AS recall_ok FROM (
+        |  SELECT query_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc, vec_id) AS rk
+        |  FROM adc) WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val full = graft.CacheRegistry.register(
+        ivfPqTopK(emb, k = 5, numQueries = 10, nprobe = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // exact-L2 brute top-5 truth: broadcast queries, one corpus scan,
+      // bounded TopK aggregator (−d ⇒ nearest; id tiebreak)
+      val corpus = ensureParallel(emb).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val qs = broadcast(corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val brute = corpus.join(qs, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(kmeansDist2(col("v"), col("qv")), 4).as("d"))
+        .groupBy("query_id")
+        .agg(graft.functions.TopKAggregator.topK(
+          -col("d"), col("vec_id"), 5).as("tk"))
+        .select(col("query_id"),
+          explode(col("tk.entries.id")).as("neighbor_id"))
+      val hits = full.select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      full.crossJoin(broadcast(hits))
+        .select(col("query_id"), col("neighbor_id"), col("adc"), col("rk"),
+          (col("n_hits") >= 8).cast("int").as("recall_ok"))
         .orderBy("query_id", "rk")
     },
 

@@ -1080,6 +1080,80 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // BPE tokenizer END-TO-END (text_bpe_merges trains 2 rounds for
+    // inspection, text_bpe_apply applies 3 corpus-wide; this completes
+    // the story): induce an 8-entry merge TABLE and encode the whole
+    // corpus with it. Training runs on the WORD-FREQUENCY DICTIONARY,
+    // not the corpus — pair counts are freq-weighted (mathematically
+    // identical to occurrence counts, this is how real BPE trainers
+    // work) — so all 8 induction rounds touch only |vocab| rows. Each
+    // merge is applied to the dictionary as a rank-ordered marker
+    // substitution; since later merges only create NEW symbols, the
+    // rank-ordered single chain IS the until-no-merge-applies fixpoint.
+    // The corpus is then encoded by ONE broadcast join occurrences →
+    // encoded dictionary. SCALE: the 100 TB corpus is read once for the
+    // dictionary aggregate and once for the encode join; everything
+    // between is vocabulary-sized (sublinear in corpus; a few MB
+    // broadcast even at web scale).
+    QueryDef.sql(
+      "text_bpe_encode", {
+        val rounds = (1 to 8).map { m =>
+          s"""c$m AS (
+             |  SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT unnest(list_transform(generate_series(1, length(wc) - 1),
+             |      i -> substring(wc, i, 2))) AS p, freq
+             |    FROM v${m - 1} WHERE length(wc) >= 2)
+             |  GROUP BY p),
+             |t$m AS (SELECT p AS mp FROM c$m ORDER BY cnt DESC, p LIMIT 1),
+             |v$m AS (SELECT w0, replace(v.wc, t.mp, chr($m)) AS wc, freq
+             |        FROM v${m - 1} v, t$m t)"""
+        }.mkString(",\n")
+        s"""WITH words AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          |  FROM documents),
+          |v0 AS (
+          |  SELECT w AS w0, w AS wc, CAST(COUNT(*) AS BIGINT) AS freq
+          |  FROM words GROUP BY w),
+          |$rounds
+          |SELECT CAST(w.doc_id // 200 AS BIGINT) AS bucket,
+          |  CAST(COUNT(*) AS BIGINT) AS n_words,
+          |  CAST(SUM(length(w.w)) AS BIGINT) AS n_chars,
+          |  CAST(SUM(length(v.wc)) AS BIGINT) AS n_tokens,
+          |  ${halfUp4Sql("SUM(length(w.w))", "SUM(length(v.wc))")}
+          |    AS chars_per_token
+          |FROM words w JOIN v8 v ON w.w = v.w0
+          |GROUP BY 1 ORDER BY bucket""".stripMargin
+      }) { (s, d) =>
+      val words = graft.CacheRegistry.ensurePersisted(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w")))
+      var vocab = graft.CacheRegistry.ensurePersisted(
+        words.groupBy("w").agg(count(lit(1)).cast("bigint").as("freq"))
+          .select(col("w").as("w0"), col("w").as("wc"), col("freq")))
+      for (m <- 1 to 8) {
+        val pc = vocab.filter(length(col("wc")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(wc) - 1), i -> substring(wc, i, 2))"))
+            .as("p"), col("freq"))
+          .groupBy("p").agg(sum("freq").cast("bigint").as("cnt"))
+        val top = pc.orderBy(desc("cnt"), col("p")).limit(1)
+          .select(col("p").as("mp"))
+        vocab = graft.CacheRegistry.ensurePersisted(
+          vocab.crossJoin(broadcast(top))
+            .select(col("w0"), expr(s"replace(wc, mp, chr($m))").as("wc"),
+              col("freq")))
+      }
+      words.join(broadcast(vocab.select(col("w0").as("w"), col("wc"))), "w")
+        .groupBy(expr("doc_id div 200").as("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n_words"),
+          sum(length(col("w"))).cast("bigint").as("n_chars"),
+          sum(length(col("wc"))).cast("bigint").as("n_tokens"))
+        .select(col("bucket"), col("n_words"), col("n_chars"), col("n_tokens"),
+          halfUp4("n_chars", "n_tokens").as("chars_per_token"))
+        .orderBy("bucket")
+    },
+
+    // ------------------------------------------------------------------
     // Cross-corpus duplicate SPAN removal (exact-substring dedup à la
     // Lee et al. 2022, span-granular): cut every doc into non-overlapping
     // 10-word spans, keep only each span's globally FIRST occurrence

@@ -75,4 +75,28 @@ class RetrievalSpec extends SparkTestBase {
     // monotone down the ranked list
     assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("ndcg: idcg matches the closed form; dcg <= idcg; ndcg in (0,1]") {
+    val rows = graft.SparkEntry.queries("q_ndcg")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 3, 5, 10))
+    // ideal DCG replay: graded rel 10..1, 6dp-rounded log2 then 6dp terms
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val terms = (1 to 10)
+      .map(j => r6((11 - j) / r6(math.log(j + 1.0) / math.log(2.0))))
+    rows.foreach { case (k, dcg, idcg, ndcg) =>
+      val expIdcg = terms.take(k).sum
+      assert(math.abs(idcg - expIdcg) < 1e-6, s"idcg@$k: $idcg vs $expIdcg")
+      assert(dcg >= 0.0 && dcg <= idcg + 1e-9, s"dcg@$k out of range: $dcg")
+      assert(ndcg > 0.0 && ndcg <= 1.0, s"ndcg@$k out of range: $ndcg")
+      // the half-up-4 ratio law, replayed on the e6-scaled sums
+      val (de6, ie6) = (math.rint(dcg * 1e6).toLong,
+        math.rint(idcg * 1e6).toLong)
+      val expect = ((2 * de6 * 10000 + ie6) / (2 * ie6)).toDouble / 10000
+      assert(math.abs(ndcg - expect) < 1e-9, s"ndcg@$k: $ndcg vs $expect")
+    }
+    // nDCG@10 of the hybrid retriever should beat chance comfortably on
+    // a corpus where the dense arm IS the truth metric's top-100
+    assert(rows.last._4 >= 0.2, s"ndcg@10 suspiciously low: ${rows.last._4}")
+  }
 }

@@ -411,6 +411,21 @@ class SimilaritySpec extends SparkTestBase {
         s"dim $dim: $loading vs ${v(dim - 1)}") }
   }
 
+  test("ivf_pq: probing every cell reproduces the pure PQ/ADC ranking") {
+    // nprobe = numCells(8) ⇒ the coarse quantizer prunes nothing, so the
+    // composition must degenerate to exactly pqAdcTopK — certifying the
+    // probe/candidate plumbing changes WHICH vectors are scored, never
+    // HOW they are scored
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val pq = rows(Similarity.pqAdcTopK(emb, k = 5, numQueries = 10))
+    val ivf = rows(Similarity.ivfPqTopK(emb, k = 5, numQueries = 10,
+      nprobe = 8))
+    assert(ivf == pq, s"ivf_pq(nprobe=all) != pq_adc: " +
+      s"${(ivf -- pq).take(3)} / ${(pq -- ivf).take(3)}")
+  }
+
   test("sq8: quantized ranking tracks exact cosine; recall@5 >= 0.8") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf0001)

@@ -684,6 +684,42 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(rows.values.map(_._3).sum < rows.values.map(_._2).sum)
   }
 
+  test("bpe encode: dictionary-trained 8-merge encoding matches a driver replay") {
+    val rows = graft.SparkEntry.queries("text_bpe_encode")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // driver replay at the DICTIONARY level: freq-weighted pair counts
+    // (≡ occurrence counts), 8 rank-ordered merges, then every
+    // occurrence encoded through the final dictionary
+    val occurrences: Array[(Long, String)] = docs
+      .select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ", -1)
+        .map(w => (r.getLong(0), w)))
+    val freq: Map[String, Long] = occurrences.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    var vocab: Map[String, String] = freq.keysIterator.map(w => w -> w).toMap
+    for (marker <- 1 to 8) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (w0, wc) =>
+        if (wc.length >= 2)
+          wc.sliding(2).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + freq(w0))
+      }
+      val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+      vocab = vocab.map { case (w0, wc) =>
+        w0 -> wc.replace(top, marker.toChar.toString) }
+    }
+    val replay = occurrences.groupBy(_._1 / 200).map { case (b, ws) =>
+      b -> (ws.length.toLong, ws.map(_._2.length.toLong).sum,
+        ws.map(o => vocab(o._2).length.toLong).sum) }
+    assert(rows == replay,
+      s"bpe encode diverges: ${rows.toSeq.sorted.take(3)} vs " +
+        s"${replay.toSeq.sorted.take(3)}")
+    // the full 8-merge table strictly compresses the corpus
+    assert(rows.values.map(_._3).sum < rows.values.map(_._2).sum)
+  }
+
   test("perplexity buckets: every doc lands once; bucket bounds ordered") {
     val rows = graft.SparkEntry.queries("text_perplexity_buckets")(
       spark, sf0001).collect()
