@@ -75,7 +75,7 @@ object Bench {
     "sim_sq8_topk", "q_k_anonymity", "q_shard_manifest",
     "graph_modularity", "text_kneser_ney", "text_perplexity_buckets",
     "spatial_dbscan", "q_freshness_audit", "text_bpe_merges",
-    "text_bpe_apply",
+    "text_bpe_apply", "text_bpe_encode", "sim_ivf_pq", "q_ndcg",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.
@@ -236,6 +236,38 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Load gate (round-11 verdict ask #2): the committed bench number was
+    // repeatedly inflated by runs started on a loaded host (r11: 211 s @
+    // load 3.8 vs 189 s @ 3.0 on the same code). Measure 1-min loadavg
+    // BEFORE any Spark work (the only moment it reflects EXTERNAL load —
+    // once warmup's 32 executor threads spin up, loadavg includes this
+    // JVM) and wait for a quiet window rather than timing into a storm.
+    // If the host never quiets down, run anyway but stamp the override
+    // into the artifact so the number is never mistaken for a clean one.
+    def loadAvg1(): Double =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val maxLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val loadTries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_TRIES", "10").toInt
+    val loadT0 = loadAvg1()
+    var waits = 0
+    while (loadAvg1() > maxLoad && waits < loadTries) {
+      System.err.println(
+        f"[bench] host load ${loadAvg1()}%.2f > $maxLoad%.2f — waiting 30 s " +
+          s"(${waits + 1}/$loadTries)")
+      Thread.sleep(30000)
+      waits += 1
+    }
+    val loadAfterGate = loadAvg1()
+    val loadGate =
+      if (loadAfterGate <= maxLoad && waits == 0) "ok"
+      else if (loadAfterGate <= maxLoad) s"ok_after_${waits * 30}s"
+      else s"override_still_loaded_after_${waits * 30}s"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -340,7 +372,7 @@ object Bench {
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
-    val loadJson = f""""load_1m_start":$loadStart%.2f,"load_1m_end":${loadAvg()}%.2f,"procs_start":$procsStart,"procs_end":${nProcs()}"""
+    val loadJson = f""""load_1m_t0":$loadT0%.2f,"load_gate":"$loadGate","load_1m_start":$loadStart%.2f,"load_1m_end":${loadAvg()}%.2f,"procs_start":$procsStart,"procs_end":${nProcs()}"""
 
     // FULL artifact → file: the driver's stdout capture keeps only the
     // LAST 2000 characters, which a ~90-query flat JSON line outgrew in

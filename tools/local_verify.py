@@ -7,16 +7,20 @@ tables). Columns are sorted by name, rows sorted by all columns, values
 stringified before compare — a stricter stand-in for the driver's hash.
 
 Usage: python3 tools/local_verify.py [sfDir] [outDir] [--skip-spark]
+           [--only=name1,name2,...]
 """
 import json, subprocess, sys, glob, os
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 skip_spark = "--skip-spark" in sys.argv
+only = next((a.split("=", 1)[1] for a in sys.argv
+             if a.startswith("--only=")), None)
 
 if not skip_spark:
+    names_arg = f" {only}" if only else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}{names_arg}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:])
