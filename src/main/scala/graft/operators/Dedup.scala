@@ -646,16 +646,27 @@ object Dedup {
       |  FROM (SELECT doc_id, lower(text) AS t FROM documents)
       |  WHERE length(t) >= 5)""".stripMargin
 
-  /** All-pairs exact-Jaccard pair select over `sh` (threshold 0.8) —
-    * the dedup_minhash_lsh oracle statement, also the edge set of the
-    * cluster oracles. */
+  /** Exact-Jaccard pair select over `sh` (threshold 0.8) — the
+    * dedup_minhash_lsh oracle statement, also the edge set of the
+    * cluster oracles. Computed via the INVERTED-INDEX join (explode
+    * shingles, equi-join on the shingle, COUNT = |A∩B| because the
+    * shingle lists are distinct) rather than an all-pairs
+    * `list_intersect`: mathematically identical for every emitted row —
+    * a pair sharing ZERO shingles has Jaccard 0 and can never reach the
+    * 0.8 threshold — but O(Σ freq²) ≈ 2.8M joined rows at sf0.1 instead
+    * of O(n²·s²) ≈ 12.5M pairs × quadratic list intersections, which is
+    * what makes the sf0.1 scale gate (CORRECTNESS_SF01.md) feasible:
+    * the all-pairs form ground DuckDB for hours at 5 000 docs. Still a
+    * full-recall certificate: EVERY candidate pair is scored exactly. */
   private val jaccardPairsSelect: String =
     """SELECT doc_a, doc_b, jaccard FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-      |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
-      |      AS jaccard
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b,
+      |    round(CAST(COUNT(*) AS DOUBLE)
+      |      / (any_value(e1.n) + any_value(e2.n) - COUNT(*)), 4) AS jaccard
+      |  FROM (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh) e1
+      |  JOIN (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh) e2
+      |    ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+      |  GROUP BY e1.doc_id, e2.doc_id)
       |WHERE jaccard >= 0.8""".stripMargin
 
   /** Shared oracle prefix: word-3-shingle Jaccard pairs (the

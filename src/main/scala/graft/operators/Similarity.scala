@@ -425,7 +425,11 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10,
       nprobe: Int = 3): DataFrame = {
     val corpus = kmeansCorpus(emb)
-    val cents = kmeansCentroids(emb, k = 8, iters = 2)
+    // the trained coarse quantizer is 8 rows but its PLAN is the whole
+    // Lloyd pipeline (crossJoin + posexplode chains); it feeds BOTH the
+    // inverted-list build and the query probes, so checkpoint it once —
+    // train-once/probe-many, exactly like a real index build
+    val cents = kmeansCentroids(emb, k = 8, iters = 2).localCheckpoint()
     // inverted lists: corpus vector → coarse cell (the materialized
     // cluster column of a real index build)
     val lists = kmeansAssignTo(corpus, cents)

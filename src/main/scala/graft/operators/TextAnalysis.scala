@@ -1127,9 +1127,17 @@ object TextAnalysis {
       val words = graft.CacheRegistry.ensurePersisted(
         Tables.documents(s, d)
           .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w")))
-      var vocab = graft.CacheRegistry.ensurePersisted(
-        words.groupBy("w").agg(count(lit(1)).cast("bigint").as("freq"))
-          .select(col("w").as("w0"), col("w").as("wc"), col("freq")))
+      // localCheckpoint (NOT persist) per round: each round's plan embeds
+      // the previous round TWICE (main input + the broadcast top merge),
+      // so without truncation the logical plan doubles per round — 2^8×
+      // Catalyst re-analysis dominated the runtime (43 s at sf0.1 for a
+      // job that executes in ~2 s). The checkpoint cuts every round to a
+      // vocabulary-sized LogicalRDD leaf (the [[Dedup]] iterative-loop
+      // recipe).
+      var vocab = words
+        .groupBy("w").agg(count(lit(1)).cast("bigint").as("freq"))
+        .select(col("w").as("w0"), col("w").as("wc"), col("freq"))
+        .localCheckpoint()
       for (m <- 1 to 8) {
         val pc = vocab.filter(length(col("wc")) >= 2)
           .select(explode(expr(
@@ -1138,10 +1146,10 @@ object TextAnalysis {
           .groupBy("p").agg(sum("freq").cast("bigint").as("cnt"))
         val top = pc.orderBy(desc("cnt"), col("p")).limit(1)
           .select(col("p").as("mp"))
-        vocab = graft.CacheRegistry.ensurePersisted(
-          vocab.crossJoin(broadcast(top))
-            .select(col("w0"), expr(s"replace(wc, mp, chr($m))").as("wc"),
-              col("freq")))
+        vocab = vocab.crossJoin(broadcast(top))
+          .select(col("w0"), expr(s"replace(wc, mp, chr($m))").as("wc"),
+            col("freq"))
+          .localCheckpoint()
       }
       words.join(broadcast(vocab.select(col("w0").as("w"), col("wc"))), "w")
         .groupBy(expr("doc_id div 200").as("bucket"))

@@ -115,7 +115,11 @@ object ScaleSmoke {
       "spatial_dbscan",
       // r11 wave: the three fused corpus-wide replace projections of
       // BPE tokenizer application
-      "text_bpe_apply")
+      "text_bpe_apply",
+      // r12 wave: the probe-pruned inverted-list candidate join + ADC
+      // rescore, and the 8-round dictionary-level BPE induction with
+      // the corpus-wide broadcast encode join
+      "sim_ivf_pq", "text_bpe_encode")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies
