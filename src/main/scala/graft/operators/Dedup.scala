@@ -630,7 +630,7 @@ object Dedup {
     * definition so the pair/cluster/representative oracles can never
     * drift apart on shingle size or tokenization. */
   private val wordShingleCte: String =
-    """sh AS (
+    """sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(words) - 1),
       |      i -> array_to_string(words[i:i+2], ' '))) AS shs
@@ -639,7 +639,7 @@ object Dedup {
 
   /** Char-5-gram variant of the shingle CTE (dedup_ngram_jaccard). */
   private val charShingleCte: String =
-    """sh AS (
+    """sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, length(t) - 3),
       |      i -> t[i:i+4])) AS shs
@@ -675,8 +675,8 @@ object Dedup {
     * UNION dedupes rows, so the closure terminates; near-dup components
     * are tiny cliques, so it stays small at oracle scale. */
   private val clusterCte: String =
-    s"WITH RECURSIVE $wordShingleCte, pairs AS (\n$jaccardPairsSelect\n)" +
-    """, edges AS (
+    s"WITH RECURSIVE $wordShingleCte, pairs AS MATERIALIZED (\n$jaccardPairsSelect\n)" +
+    """, edges AS MATERIALIZED (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs
       |), reach AS (
@@ -820,7 +820,7 @@ object Dedup {
     // DedupSpec's hamming/recall assertions.
     QueryDef.sql(
       "dedup_simhash",
-      s"""WITH $wordShingleCte, pairs AS (
+      s"""WITH $wordShingleCte, pairs AS MATERIALIZED (
         |$jaccardPairsSelect
         |)
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
@@ -849,7 +849,7 @@ object Dedup {
     // also Jaccard-close (both engines implement standard Levenshtein).
     QueryDef.sql(
       "dedup_edit_distance",
-      s"""WITH $wordShingleCte, pairs AS (
+      s"""WITH $wordShingleCte, pairs AS MATERIALIZED (
         |$jaccardPairsSelect
         |)
         |SELECT doc_a, doc_b,

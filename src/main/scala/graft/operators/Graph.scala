@@ -95,25 +95,25 @@ object Graph {
     * here). SUM(BIGINT) returns HUGEINT, so every sum is cast back. */
   private def oracleSqlFor(iters: Int): String = {
     val base =
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
         |        FROM edges GROUP BY src),
-        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin
+        |r0 AS MATERIALIZED (SELECT node, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin
     val iterations = (1 to iters).map { i =>
-      s"""s$i AS (
+      s"""s$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    CAST(SUM(r.r // d.deg) AS BIGINT) AS in_mass
          |  FROM edges e
          |  JOIN r${i - 1} r ON e.src = r.node
          |  JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |    (15 * 1000000000000) // (100 * nn.n)
          |      + (85 * COALESCE(s$i.in_mass, 0)) // 100 AS r
@@ -237,27 +237,27 @@ object Graph {
 
   private def pprOracleSql(seedExpr: String, iters: Int): String = {
     val base =
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
         |        FROM edges GROUP BY src),
-        |r0 AS (SELECT node,
+        |r0 AS MATERIALIZED (SELECT node,
         |         CASE WHEN node = $seedExpr
         |           THEN 1000000000000 ELSE 0 END AS r
         |       FROM nodes)""".stripMargin
     val iterations = (1 to iters).map { i =>
-      s"""s$i AS (
+      s"""s$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    CAST(SUM(r.r // d.deg) AS BIGINT) AS in_mass
          |  FROM edges e
          |  JOIN r${i - 1} r ON e.src = r.node
          |  JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |    CASE WHEN nodes.node = $seedExpr
          |      THEN ${15L * Scale / 100} ELSE 0 END
@@ -288,14 +288,14 @@ object Graph {
     // at 100 TB edge counts.
     QueryDef.sql(
       "q_graph_assortativity",
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
-        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
         |        FROM edges GROUP BY src),
-        |ed AS (
+        |ed AS MATERIALIZED (
         |  SELECT d1.deg AS dx, d2.deg AS dy
         |  FROM edges e
         |  JOIN deg d1 ON e.src = d1.src
@@ -349,12 +349,12 @@ object Graph {
     // expansion; min-hop per node then makes both sides order-free.
     QueryDef.sql(
       "graph_reachability",
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
-        |seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+        |seeds AS MATERIALIZED (SELECT s_suppkey * 2 + 1 AS node FROM supplier
         |          WHERE s_suppkey % 20 = 3),
         |reach(node, hop) AS (
         |  SELECT node, 0 FROM seeds
@@ -378,15 +378,15 @@ object Graph {
     // integer Jaccard inputs.
     QueryDef.sql(
       "graph_common_neighbors",
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
-        |sdeg AS (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
-        |small AS (
+        |cdeg AS MATERIALIZED (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+        |sdeg AS MATERIALIZED (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
+        |small AS MATERIALIZED (
         |  SELECT p.cust, p.supp FROM pairs p
         |  JOIN cdeg USING (cust) WHERE cdeg <= 64),
-        |common AS (
+        |common AS MATERIALIZED (
         |  SELECT a.supp AS sa, b.supp AS sb,
         |    CAST(COUNT(*) AS BIGINT) AS common
         |  FROM small a JOIN small b
@@ -415,11 +415,11 @@ object Graph {
     // the already-joined cdeg.
     QueryDef.sql(
       "graph_resource_alloc",
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
-        |small AS (
+        |cdeg AS MATERIALIZED (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+        |small AS MATERIALIZED (
         |  SELECT p.cust, p.supp,
         |    CAST((2 * 1000000 + cdeg) // (2 * cdeg) AS BIGINT) AS w
         |  FROM pairs p JOIN cdeg USING (cust) WHERE cdeg <= 64),
@@ -453,20 +453,20 @@ object Graph {
     // raw bipartite fan-out.
     QueryDef.sql(
       "graph_triangles",
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
-        |sdeg AS (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
-        |small AS (
+        |cdeg AS MATERIALIZED (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+        |sdeg AS MATERIALIZED (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
+        |small AS MATERIALIZED (
         |  SELECT p.cust, p.supp FROM pairs p
         |  JOIN cdeg USING (cust) WHERE cdeg <= 64),
-        |common AS (
+        |common AS MATERIALIZED (
         |  SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
         |  FROM small a JOIN small b
         |    ON a.cust = b.cust AND a.supp < b.supp
         |  GROUP BY a.supp, b.supp),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT sa, sb FROM common
         |  JOIN sdeg da ON common.sa = da.supp
         |  JOIN sdeg db ON common.sb = db.supp
@@ -499,37 +499,37 @@ object Graph {
     // engine regardless of join or merge order.
     QueryDef.sql(
       "graph_label_propagation",
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
-        |sdeg AS (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
-        |small AS (
+        |cdeg AS MATERIALIZED (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+        |sdeg AS MATERIALIZED (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
+        |small AS MATERIALIZED (
         |  SELECT p.cust, p.supp FROM pairs p
         |  JOIN cdeg USING (cust) WHERE cdeg <= 64),
-        |common AS (
+        |common AS MATERIALIZED (
         |  SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
         |  FROM small a JOIN small b
         |    ON a.cust = b.cust AND a.supp < b.supp
         |  GROUP BY a.supp, b.supp),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT sa, sb FROM common
         |  JOIN sdeg da ON common.sa = da.supp
         |  JOIN sdeg db ON common.sb = db.supp
         |  WHERE round(CAST(common AS DOUBLE)
         |    / (da.sdeg + db.sdeg - common), 4) >= 0.22),
-        |sym AS (SELECT sa AS src, sb AS dst FROM e
+        |sym AS MATERIALIZED (SELECT sa AS src, sb AS dst FROM e
         |        UNION ALL SELECT sb, sa FROM e),
-        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
-        |l1 AS (
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+        |l1 AS MATERIALIZED (
         |  SELECT p.node, least(p.lbl, MIN(q.lbl)) AS lbl
         |  FROM l0 p JOIN sym s ON s.src = p.node
         |  JOIN l0 q ON s.dst = q.node GROUP BY p.node, p.lbl),
-        |l2 AS (
+        |l2 AS MATERIALIZED (
         |  SELECT p.node, least(p.lbl, MIN(q.lbl)) AS lbl
         |  FROM l1 p JOIN sym s ON s.src = p.node
         |  JOIN l1 q ON s.dst = q.node GROUP BY p.node, p.lbl),
-        |l3 AS (
+        |l3 AS MATERIALIZED (
         |  SELECT p.node, least(p.lbl, MIN(q.lbl)) AS lbl
         |  FROM l2 p JOIN sym s ON s.src = p.node
         |  JOIN l2 q ON s.dst = q.node GROUP BY p.node, p.lbl)
@@ -552,26 +552,26 @@ object Graph {
     // top-10 of each side.
     QueryDef.sql(
       "graph_hits",
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s2
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |a0 AS (SELECT DISTINCT s2 AS node, 1000000 AS a FROM pairs),
-        |h1r AS (SELECT p.c AS node, CAST(SUM(a0.a) AS BIGINT) AS h
+        |a0 AS MATERIALIZED (SELECT DISTINCT s2 AS node, 1000000 AS a FROM pairs),
+        |h1r AS MATERIALIZED (SELECT p.c AS node, CAST(SUM(a0.a) AS BIGINT) AS h
         |        FROM pairs p JOIN a0 ON p.s2 = a0.node GROUP BY p.c),
-        |h1t AS (SELECT CAST(SUM(h) AS BIGINT) AS t FROM h1r),
-        |h1 AS (SELECT node, (h * 1000000) // t AS h FROM h1r, h1t),
-        |a1r AS (SELECT p.s2 AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+        |h1t AS MATERIALIZED (SELECT CAST(SUM(h) AS BIGINT) AS t FROM h1r),
+        |h1 AS MATERIALIZED (SELECT node, (h * 1000000) // t AS h FROM h1r, h1t),
+        |a1r AS MATERIALIZED (SELECT p.s2 AS node, CAST(SUM(h1.h) AS BIGINT) AS a
         |        FROM pairs p JOIN h1 ON p.c = h1.node GROUP BY p.s2),
-        |a1t AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM a1r),
-        |a1 AS (SELECT node, (a * 1000000) // t AS a FROM a1r, a1t),
-        |h2r AS (SELECT p.c AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+        |a1t AS MATERIALIZED (SELECT CAST(SUM(a) AS BIGINT) AS t FROM a1r),
+        |a1 AS MATERIALIZED (SELECT node, (a * 1000000) // t AS a FROM a1r, a1t),
+        |h2r AS MATERIALIZED (SELECT p.c AS node, CAST(SUM(a1.a) AS BIGINT) AS h
         |        FROM pairs p JOIN a1 ON p.s2 = a1.node GROUP BY p.c),
-        |h2t AS (SELECT CAST(SUM(h) AS BIGINT) AS t FROM h2r),
-        |h2 AS (SELECT node, (h * 1000000) // t AS h FROM h2r, h2t),
-        |a2r AS (SELECT p.s2 AS node, CAST(SUM(h2.h) AS BIGINT) AS a
+        |h2t AS MATERIALIZED (SELECT CAST(SUM(h) AS BIGINT) AS t FROM h2r),
+        |h2 AS MATERIALIZED (SELECT node, (h * 1000000) // t AS h FROM h2r, h2t),
+        |a2r AS MATERIALIZED (SELECT p.s2 AS node, CAST(SUM(h2.h) AS BIGINT) AS a
         |        FROM pairs p JOIN h2 ON p.c = h2.node GROUP BY p.s2),
-        |a2t AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM a2r),
-        |a2 AS (SELECT node, (a * 1000000) // t AS a FROM a2r, a2t)
+        |a2t AS MATERIALIZED (SELECT CAST(SUM(a) AS BIGINT) AS t FROM a2r),
+        |a2 AS MATERIALIZED (SELECT node, (a * 1000000) // t AS a FROM a2r, a2t)
         |SELECT kind, node, score FROM (
         |  SELECT 'auth' AS kind, node, a AS score,
         |    row_number() OVER (ORDER BY a DESC, node) AS rk FROM a2
@@ -596,28 +596,28 @@ object Graph {
     QueryDef.sql(
       "graph_kcore",
       s"""WITH $simEdgeSql,
-        |sym AS (SELECT sa AS src, sb AS dst FROM e
+        |sym AS MATERIALIZED (SELECT sa AS src, sb AS dst FROM e
         |        UNION ALL SELECT sb, sa FROM e),
-        |n0 AS (SELECT DISTINCT src AS node FROM sym),
-        |deg1 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+        |deg1 AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
         |         FROM sym GROUP BY src),
-        |r1 AS (SELECT n0.node FROM n0 LEFT JOIN deg1 USING (node)
+        |r1 AS MATERIALIZED (SELECT n0.node FROM n0 LEFT JOIN deg1 USING (node)
         |       WHERE coalesce(deg, 0) < 3),
-        |s1 AS (SELECT n0.node FROM n0 LEFT JOIN deg1 USING (node)
+        |s1 AS MATERIALIZED (SELECT n0.node FROM n0 LEFT JOIN deg1 USING (node)
         |       WHERE coalesce(deg, 0) >= 3),
-        |deg2 AS (SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |deg2 AS MATERIALIZED (SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
         |         FROM sym s JOIN s1 a ON s.src = a.node
         |         JOIN s1 b ON s.dst = b.node GROUP BY s.src),
-        |r2 AS (SELECT s1.node FROM s1 LEFT JOIN deg2 USING (node)
+        |r2 AS MATERIALIZED (SELECT s1.node FROM s1 LEFT JOIN deg2 USING (node)
         |       WHERE coalesce(deg, 0) < 3),
-        |s2 AS (SELECT s1.node FROM s1 LEFT JOIN deg2 USING (node)
+        |s2 AS MATERIALIZED (SELECT s1.node FROM s1 LEFT JOIN deg2 USING (node)
         |       WHERE coalesce(deg, 0) >= 3),
-        |deg3 AS (SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |deg3 AS MATERIALIZED (SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
         |         FROM sym s JOIN s2 a ON s.src = a.node
         |         JOIN s2 b ON s.dst = b.node GROUP BY s.src),
-        |r3 AS (SELECT s2.node FROM s2 LEFT JOIN deg3 USING (node)
+        |r3 AS MATERIALIZED (SELECT s2.node FROM s2 LEFT JOIN deg3 USING (node)
         |       WHERE coalesce(deg, 0) < 3),
-        |s3 AS (SELECT s2.node FROM s2 LEFT JOIN deg3 USING (node)
+        |s3 AS MATERIALIZED (SELECT s2.node FROM s2 LEFT JOIN deg3 USING (node)
         |       WHERE coalesce(deg, 0) >= 3)
         |SELECT node, removed_round FROM (
         |  SELECT node, 1 AS removed_round FROM r1
@@ -645,12 +645,12 @@ object Graph {
     // intercept as one double expression rounded 4; alpha = −slope.
     QueryDef.sql(
       "graph_degree_powerlaw",
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
-        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
         |        FROM edges GROUP BY src),
         |hist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS cnt
         |         FROM deg GROUP BY deg),
@@ -695,10 +695,10 @@ object Graph {
     // convention for scaled-integer determinism.
     QueryDef.sql(
       "graph_modularity",
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM edges),
         |bycomm AS (
@@ -731,20 +731,20 @@ object Graph {
   /** The thresholded supplier-similarity edge CTE shared by the oracle
     * texts (triangles / label propagation build the same `e` inline). */
   private val simEdgeSql =
-    """pairs AS (
+    """pairs AS MATERIALIZED (
       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-      |cdeg AS (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
-      |sdeg AS (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
-      |small AS (
+      |cdeg AS MATERIALIZED (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+      |sdeg AS MATERIALIZED (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
+      |small AS MATERIALIZED (
       |  SELECT p.cust, p.supp FROM pairs p
       |  JOIN cdeg USING (cust) WHERE cdeg <= 64),
-      |common AS (
+      |common AS MATERIALIZED (
       |  SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
       |  FROM small a JOIN small b
       |    ON a.cust = b.cust AND a.supp < b.supp
       |  GROUP BY a.supp, b.supp),
-      |e AS (
+      |e AS MATERIALIZED (
       |  SELECT sa, sb FROM common
       |  JOIN sdeg da ON common.sa = da.supp
       |  JOIN sdeg db ON common.sb = db.supp

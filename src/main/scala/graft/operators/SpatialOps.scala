@@ -57,7 +57,7 @@ object SpatialOps {
       expr(lonSql).cast("long").as("lon_e4"))
 
   private val ptsCte =
-    s"""pts AS (SELECT c_custkey AS id,
+    s"""pts AS MATERIALIZED (SELECT c_custkey AS id,
        |  CAST($latSql AS BIGINT) AS lat_e4,
        |  CAST($lonSql AS BIGINT) AS lon_e4 FROM customer)""".stripMargin
 
@@ -223,13 +223,13 @@ object SpatialOps {
         val d2 = "(a.lat_e4 - b.lat_e4) * (a.lat_e4 - b.lat_e4) + " +
           "(a.lon_e4 - b.lon_e4) * (a.lon_e4 - b.lon_e4)"
         s"""WITH RECURSIVE $ptsCte,
-          |nbrs AS (
+          |nbrs AS MATERIALIZED (
           |  SELECT a.id, b.id AS nid FROM pts a JOIN pts b
           |  ON a.id <> b.id AND $d2 <= CAST(1600000000 AS BIGINT)),
-          |core AS (
+          |core AS MATERIALIZED (
           |  SELECT id FROM (SELECT id, COUNT(*) AS n FROM nbrs GROUP BY id)
           |  WHERE n + 1 >= 3),
-          |cedges AS (
+          |cedges AS MATERIALIZED (
           |  SELECT n.id AS src, n.nid AS dst FROM nbrs n
           |  WHERE n.id IN (SELECT id FROM core)
           |    AND n.nid IN (SELECT id FROM core)),
@@ -237,16 +237,16 @@ object SpatialOps {
           |  SELECT src AS id, dst AS r FROM cedges
           |  UNION
           |  SELECT e.src, reach.r FROM cedges e JOIN reach ON e.dst = reach.id),
-          |cc AS (
+          |cc AS MATERIALIZED (
           |  SELECT c.id, least(c.id, coalesce(mr.r, c.id)) AS cluster
           |  FROM core c LEFT JOIN
           |    (SELECT id, MIN(r) AS r FROM reach GROUP BY id) mr
           |    ON c.id = mr.id),
-          |border AS (
+          |border AS MATERIALIZED (
           |  SELECT n.id, MIN(cc.cluster) AS cluster
           |  FROM nbrs n JOIN cc ON n.nid = cc.id
           |  WHERE n.id NOT IN (SELECT id FROM core) GROUP BY n.id),
-          |labeled AS (
+          |labeled AS MATERIALIZED (
           |  SELECT id, cluster, 1 AS is_core FROM cc
           |  UNION ALL SELECT id, cluster, 0 FROM border)
           |SELECT CAST(cluster AS BIGINT) AS cluster,
