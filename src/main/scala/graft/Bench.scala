@@ -76,6 +76,8 @@ object Bench {
     "graph_modularity", "text_kneser_ney", "text_perplexity_buckets",
     "spatial_dbscan", "q_freshness_audit", "text_bpe_merges",
     "text_bpe_apply", "text_bpe_encode", "sim_ivf_pq", "q_ndcg",
+    // Round-13 additions: retrieval-eval completion + tokenizer audit
+    "q_mrr_recall", "text_token_fertility",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.
@@ -265,7 +267,12 @@ object Bench {
     }
     val loadAfterGate = loadAvg1()
     val loadGate =
-      if (loadAfterGate <= maxLoad && waits == 0) "ok"
+      // unreadable /proc/loadavg reads as -1.0, which would otherwise
+      // satisfy <= maxLoad and stamp "ok" for a host whose load was
+      // actually UNKNOWN — the exact mistaken-for-clean case the gate
+      // exists to prevent (r12 ADVICE). Stamp it distinctly.
+      if (loadAfterGate < 0) "unknown"
+      else if (loadAfterGate <= maxLoad && waits == 0) "ok"
       else if (loadAfterGate <= maxLoad) s"ok_after_${waits * 30}s"
       else s"override_still_loaded_after_${waits * 30}s"
     val spark = SparkSession.builder()

@@ -43,7 +43,8 @@ object PlannerStats {
         |  CAST(shi + slo // 1000000000 AS BIGINT) AS join_rows_hi,
         |  CAST(slo % 1000000000 AS BIGINT) AS join_rows_lo,
         |  t.k AS top_key, t.c AS top_key_rows,
-        |  CAST(CAST(floor(CAST(t.c * t.c AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |  CAST(CAST(floor(CAST(t.c AS DOUBLE) * CAST(t.c AS DOUBLE)
+        |    * CAST(n_keys AS DOUBLE)
         |    / (CAST(shi AS DOUBLE) * 1e9 + CAST(slo AS DOUBLE))
         |    * 10000 + 0.5) AS BIGINT) AS DOUBLE) / 10000 AS skew_ratio
         |FROM agg, top t""".stripMargin) { (s, d) =>
@@ -68,8 +69,14 @@ object PlannerStats {
       // engines with ~1e-16 relative error (vs. the old form's up-to-
       // orders-of-magnitude). Rounding is floor(x·10⁴ + 0.5) — half-up
       // at 4dp without either engine's round(double, n) (which differ by
-      // an ulp on ties). Loud-failure bound: t.c·t.c is a BIGINT multiply
-      // in both engines, raising (not wrapping) past c > 3.03·10⁹.
+      // an ulp on ties). Loud-failure bound: the lane c² multiply raises
+      // (not wraps) past c > 3.03·10⁹ in BOTH engines — DuckDB natively,
+      // Spark because Spark 4 runs ANSI mode by DEFAULT
+      // (spark.sql.ansi.enabled=true; verified: 4e9L*4e9L throws
+      // ARITHMETIC_OVERFLOW on this build) and no session in this repo
+      // disables it. The skew numerator itself multiplies in DOUBLE
+      // (exact int64→double conversion, IEEE product) in both engines,
+      // so it is overflow-free independent of any ANSI setting.
       agg.crossJoin(broadcast(top))
         .select(col("n_keys"), col("n_rows"),
           expr("CAST(shi + slo div 1000000000 AS BIGINT)")
@@ -77,7 +84,8 @@ object PlannerStats {
           expr("CAST(slo % 1000000000 AS BIGINT)").as("join_rows_lo"),
           col("top_key"), col("top_key_rows"),
           expr("CAST(CAST(floor(" +
-              "CAST(top_key_rows * top_key_rows AS DOUBLE) * " +
+              "CAST(top_key_rows AS DOUBLE) * " +
+              "CAST(top_key_rows AS DOUBLE) * " +
               "CAST(n_keys AS DOUBLE) / " +
               "(CAST(shi AS DOUBLE) * 1e9 + CAST(slo AS DOUBLE)) * " +
               "10000 + 0.5) AS BIGINT) AS DOUBLE) / 10000")

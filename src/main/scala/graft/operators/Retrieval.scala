@@ -215,6 +215,70 @@ object Retrieval {
     },
 
     // ------------------------------------------------------------------
+    // MRR + recall@{1,5,10} of the hybrid RRF retriever against the
+    // exact-cosine truth pool — with q_ndcg this completes the standard
+    // retrieval-eval suite (nDCG grades positions; MRR grades the first
+    // hit; recall@k grades pool coverage — the three numbers a RAG
+    // corpus build reports before committing a retriever). Truth = the
+    // exact dense top-10 (the relevant set); retrieved = the fused RRF
+    // top-10. SCALE: both rankings are bounded TakeOrdered pools (≤100
+    // rows at any corpus size; the fused frame is the outer join of two
+    // top-100s), so the eval is arithmetic over ≤10×3 rows. Determinism:
+    // recall and MRR are the exact-integer half-up-4 law over integer
+    // hit counts and ranks — no float anywhere, so no ulp can flip a
+    // value. Single-query MRR = the reciprocal rank of the first
+    // relevant item (0.0 if the top-10 holds none).
+    QueryDef.sql(
+      "q_mrr_recall",
+      s"""WITH $rrfFusedCteSql,
+        |ret AS (
+        |  SELECT doc_id, CAST(rk AS INTEGER) AS i FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+        |    FROM fused) WHERE rk <= 10),
+        |truth AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS tr
+        |    FROM dsc) WHERE tr <= 10),
+        |rel AS (SELECT r.i FROM ret r JOIN truth t USING (doc_id)),
+        |fr AS (SELECT MIN(i) AS fr FROM rel),
+        |ks AS (SELECT unnest([1, 5, 10]) AS k)
+        |SELECT CAST(ks.k AS INTEGER) AS k,
+        |  CAST(COUNT(rel.i) AS BIGINT) AS hits,
+        |  ${TextAnalysis.halfUp4Sql("COUNT(rel.i)", "10")} AS recall,
+        |  CAST(COALESCE(fr.fr, 0) AS INTEGER) AS first_rel_rank,
+        |  CASE WHEN fr.fr IS NULL THEN 0.0
+        |       ELSE ${TextAnalysis.halfUp4Sql("1", "fr.fr")} END AS mrr
+        |FROM ks LEFT JOIN rel ON rel.i <= ks.k, fr
+        |GROUP BY ks.k, fr.fr
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ret = rrfFused(s, d)
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .withColumn("i",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
+            .cast("int"))
+        .select("doc_id", "i")
+      val truth = denseScored(s, d)
+        .orderBy(col("sim").desc, col("doc_id")).limit(10)
+        .select("doc_id")
+      // relevant positions in the retrieved list: ≤10 rows, broadcast
+      val rel = graft.CacheRegistry.ensurePersisted(
+        ret.join(broadcast(truth), Seq("doc_id")).select("i"))
+      val fr = rel.agg(min("i").as("fr"))
+      val ks = Seq(1, 5, 10).toDF("k")
+      ks.join(broadcast(rel), col("i") <= col("k"), "left")
+        .groupBy("k").agg(count(col("i")).as("hits"))
+        .crossJoin(broadcast(fr))
+        .select(col("k").cast("int").as("k"),
+          col("hits").cast("bigint").as("hits"),
+          TextAnalysis.halfUp4("hits", "10").as("recall"),
+          coalesce(col("fr"), lit(0)).cast("int").as("first_rel_rank"),
+          when(col("fr").isNull, lit(0.0))
+            .otherwise(TextAnalysis.halfUp4("1", "fr")).as("mrr"))
+        .orderBy("k")
+    },
+
+    // ------------------------------------------------------------------
     // Margin-based pair mining between the label-0 (source) and label-1
     // (target) cohorts: ratio margin = cos(x,y) / ((mean top-4 cos(x,·Y)
     // + mean top-4 cos(y,·X)) / 2). Everything after the 4dp cosine is

@@ -115,6 +115,66 @@ object TextAnalysis {
     * (text_bm25_topk, sim_hybrid_rrf). */
   val bm25QueryTerms: Seq[String] = Seq("hash", "join", "spark")
 
+  /** Oracle CTE chain for the 8-round BPE merge-table induction over
+    * the word-frequency dictionary: `words(doc_id, lang, w)` →
+    * `v0(w0, wc, freq)` → … → `v8` (word → its encoded symbol string).
+    * Single source for text_bpe_encode (buckets by doc_id) and
+    * text_token_fertility (groups by lang) — both consumers MUST rank
+    * tokens with the exact same merge table or the tokenizer eval
+    * contradicts the tokenizer. */
+  private def bpeVocabCteSql: String = {
+    val rounds = (1 to 8).map { m =>
+      s"""c$m AS (
+         |  SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, length(wc) - 1),
+         |      i -> substring(wc, i, 2))) AS p, freq
+         |    FROM v${m - 1} WHERE length(wc) >= 2)
+         |  GROUP BY p),
+         |t$m AS (SELECT p AS mp FROM c$m ORDER BY cnt DESC, p LIMIT 1),
+         |v$m AS (SELECT w0, replace(v.wc, t.mp, chr($m)) AS wc, freq
+         |        FROM v${m - 1} v, t$m t)"""
+    }.mkString(",\n")
+    s"""words AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |v0 AS (
+      |  SELECT w AS w0, w AS wc, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM words GROUP BY w),
+      |$rounds""".stripMargin
+  }
+
+  /** Spark rendering of [[bpeVocabCteSql]]'s induction: 8 merge rounds
+    * over the word-frequency dictionary of `words` (any frame with a
+    * `w` column), returning (w0, wc, freq). localCheckpoint (NOT
+    * persist) per round: each round's plan embeds the previous round
+    * TWICE (main input + the broadcast top merge), so without
+    * truncation the logical plan doubles per round — 2^8× Catalyst
+    * re-analysis dominated the runtime (43 s at sf0.1 for a job that
+    * executes in ~2 s). The checkpoint cuts every round to a
+    * vocabulary-sized LogicalRDD leaf (the [[Dedup]] iterative-loop
+    * recipe). */
+  private def bpeEncodedVocab(
+      words: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    var vocab = words
+      .groupBy("w").agg(count(lit(1)).cast("bigint").as("freq"))
+      .select(col("w").as("w0"), col("w").as("wc"), col("freq"))
+      .localCheckpoint()
+    for (m <- 1 to 8) {
+      val pc = vocab.filter(length(col("wc")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(wc) - 1), i -> substring(wc, i, 2))"))
+          .as("p"), col("freq"))
+        .groupBy("p").agg(sum("freq").cast("bigint").as("cnt"))
+      val top = pc.orderBy(desc("cnt"), col("p")).limit(1)
+        .select(col("p").as("mp"))
+      vocab = vocab.crossJoin(broadcast(top))
+        .select(col("w0"), expr(s"replace(wc, mp, chr($m))").as("wc"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    vocab
+  }
+
   /** Oracle CTE chain ending at `bmscored(doc_id, bm25)` — every doc
     * containing a query term with its 4dp BM25 score. Single source for
     * text_bm25_topk and the RRF hybrid fusion oracle. */
@@ -1097,24 +1157,7 @@ object TextAnalysis {
     // broadcast even at web scale).
     QueryDef.sql(
       "text_bpe_encode", {
-        val rounds = (1 to 8).map { m =>
-          s"""c$m AS (
-             |  SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-             |    SELECT unnest(list_transform(generate_series(1, length(wc) - 1),
-             |      i -> substring(wc, i, 2))) AS p, freq
-             |    FROM v${m - 1} WHERE length(wc) >= 2)
-             |  GROUP BY p),
-             |t$m AS (SELECT p AS mp FROM c$m ORDER BY cnt DESC, p LIMIT 1),
-             |v$m AS (SELECT w0, replace(v.wc, t.mp, chr($m)) AS wc, freq
-             |        FROM v${m - 1} v, t$m t)"""
-        }.mkString(",\n")
-        s"""WITH words AS (
-          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-          |  FROM documents),
-          |v0 AS (
-          |  SELECT w AS w0, w AS wc, CAST(COUNT(*) AS BIGINT) AS freq
-          |  FROM words GROUP BY w),
-          |$rounds
+        s"""WITH $bpeVocabCteSql
           |SELECT CAST(w.doc_id // 200 AS BIGINT) AS bucket,
           |  CAST(COUNT(*) AS BIGINT) AS n_words,
           |  CAST(SUM(length(w.w)) AS BIGINT) AS n_chars,
@@ -1127,30 +1170,7 @@ object TextAnalysis {
       val words = graft.CacheRegistry.ensurePersisted(
         Tables.documents(s, d)
           .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w")))
-      // localCheckpoint (NOT persist) per round: each round's plan embeds
-      // the previous round TWICE (main input + the broadcast top merge),
-      // so without truncation the logical plan doubles per round — 2^8×
-      // Catalyst re-analysis dominated the runtime (43 s at sf0.1 for a
-      // job that executes in ~2 s). The checkpoint cuts every round to a
-      // vocabulary-sized LogicalRDD leaf (the [[Dedup]] iterative-loop
-      // recipe).
-      var vocab = words
-        .groupBy("w").agg(count(lit(1)).cast("bigint").as("freq"))
-        .select(col("w").as("w0"), col("w").as("wc"), col("freq"))
-        .localCheckpoint()
-      for (m <- 1 to 8) {
-        val pc = vocab.filter(length(col("wc")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, length(wc) - 1), i -> substring(wc, i, 2))"))
-            .as("p"), col("freq"))
-          .groupBy("p").agg(sum("freq").cast("bigint").as("cnt"))
-        val top = pc.orderBy(desc("cnt"), col("p")).limit(1)
-          .select(col("p").as("mp"))
-        vocab = vocab.crossJoin(broadcast(top))
-          .select(col("w0"), expr(s"replace(wc, mp, chr($m))").as("wc"),
-            col("freq"))
-          .localCheckpoint()
-      }
+      val vocab = bpeEncodedVocab(words)
       words.join(broadcast(vocab.select(col("w0").as("w"), col("wc"))), "w")
         .groupBy(expr("doc_id div 200").as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n_words"),
@@ -1159,6 +1179,46 @@ object TextAnalysis {
         .select(col("bucket"), col("n_words"), col("n_chars"), col("n_tokens"),
           halfUp4("n_chars", "n_tokens").as("chars_per_token"))
         .orderBy("bucket")
+    },
+
+    // ------------------------------------------------------------------
+    // Tokenizer-quality audit (r12 verdict ask #7): per-language
+    // FERTILITY (tokens/word) and compression (chars/token) of the
+    // text_bpe_encode merge table — the standard eval before committing
+    // a tokenizer to a training run (a tokenizer whose fertility
+    // explodes on one language starves it of effective context). Uses
+    // the IDENTICAL 8-round induction ([[bpeVocabCteSql]] /
+    // [[bpeEncodedVocab]]) as text_bpe_encode, so this audits the
+    // tokenizer that query ships, not a re-derivation. SCALE: the
+    // corpus is read once for the dictionary aggregate and once for the
+    // encode join; induction is vocabulary-sized; output is
+    // language-domain-bounded. Determinism: all counts are exact BIGINTs
+    // and both ratios are the half-up-4 integer law.
+    QueryDef.sql(
+      "text_token_fertility",
+      s"""WITH $bpeVocabCteSql
+        |SELECT w.lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(length(w.w)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(length(v.wc)) AS BIGINT) AS n_tokens,
+        |  ${halfUp4Sql("SUM(length(v.wc))", "COUNT(*)")} AS tokens_per_word,
+        |  ${halfUp4Sql("SUM(length(w.w))", "SUM(length(v.wc))")}
+        |    AS chars_per_token
+        |FROM words w JOIN v8 v ON w.w = v.w0
+        |GROUP BY w.lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val words = graft.CacheRegistry.ensurePersisted(
+        Tables.documents(s, d)
+          .select(col("lang"), explode(tokens(lower(col("text")))).as("w")))
+      val vocab = bpeEncodedVocab(words)
+      words.join(broadcast(vocab.select(col("w0").as("w"), col("wc"))), "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("bigint").as("n_words"),
+          sum(length(col("w"))).cast("bigint").as("n_chars"),
+          sum(length(col("wc"))).cast("bigint").as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+          halfUp4("n_tokens", "n_words").as("tokens_per_word"),
+          halfUp4("n_chars", "n_tokens").as("chars_per_token"))
+        .orderBy("lang")
     },
 
     // ------------------------------------------------------------------

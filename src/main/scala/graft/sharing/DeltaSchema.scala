@@ -68,9 +68,25 @@ object DeltaSchema {
     * any name/type/field-set/order change, and a nullability WIDENING
     * (running non-null → declared nullable): the running plan's codegen
     * was compiled assuming the column can't be null, so evolved files
-    * could feed it nulls it never checks for. */
+    * could feed it nulls it never checks for. One metadata key IS
+    * semantic, not cosmetic: Spark encodes CHAR(n)/VARCHAR(n) as a
+    * StringType plus `__CHAR_VARCHAR_TYPE_STRING` field metadata, so a
+    * server changing a declared VARCHAR length (or CHAR↔VARCHAR-ness)
+    * is a length-contract change the running plan's padding/truncation
+    * behavior depends on — it must kill the stream, not pass as
+    * comment churn (r12 ADVICE). */
   def readCompatible(running: StructType, declared: StructType): Boolean =
     typeCompatible(running, declared)
+
+  /** Spark's reserved metadata key carrying the original CHAR/VARCHAR
+    * type string for a StringType field
+    * (org.apache.spark.sql.catalyst.util.CharVarcharUtils.CHAR_VARCHAR_TYPE_STRING_METADATA_KEY). */
+  private val CharVarcharKey = "__CHAR_VARCHAR_TYPE_STRING"
+
+  private def charVarcharOf(f: StructField): Option[String] =
+    if (f.metadata.contains(CharVarcharKey))
+      Some(f.metadata.getString(CharVarcharKey))
+    else None
 
   private def typeCompatible(run: DataType, dec: DataType): Boolean =
     (run, dec) match {
@@ -79,6 +95,7 @@ object DeltaSchema {
           r.fields.zip(d.fields).forall { case (rf, df) =>
             rf.name == df.name &&
               nullOk(rf.nullable, df.nullable) &&
+              charVarcharOf(rf) == charVarcharOf(df) &&
               typeCompatible(rf.dataType, df.dataType)
           }
       case (r: ArrayType, d: ArrayType) =>

@@ -57,13 +57,17 @@ class ContractSpec extends AnyFunSuite {
     // test TOTAL may stay a floor ("320+"), but the suite count is
     // static and discoverable — pin it to the files on disk
     val root = java.nio.file.Paths.get("src/test/scala")
-    val suites = java.nio.file.Files.walk(root).iterator().asInstanceOf[
-        java.util.Iterator[java.nio.file.Path]]
-    var n = 0
-    while (suites.hasNext) {
-      val p = suites.next()
-      if (p.getFileName.toString.endsWith("Spec.scala")) n += 1
-    }
+    val walk = java.nio.file.Files.walk(root)
+    val n =
+      try {
+        val suites = walk.iterator()
+        var c = 0
+        while (suites.hasNext) {
+          val p = suites.next()
+          if (p.getFileName.toString.endsWith("Spec.scala")) c += 1
+        }
+        c
+      } finally walk.close()
     val readme = new String(
       java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("README.md")), "UTF-8")
@@ -85,11 +89,20 @@ class ContractSpec extends AnyFunSuite {
       .asScala.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .toSet
     val keys = SparkEntry.queries.keySet
+    // r12 verdict ask #1: the FULL cap/floor/threshold class — every
+    // dedup_* (all carry LSH band/bucket caps, prefix cuts, or
+    // representative pairing), every recall-floor ANN row, the
+    // boilerplate-capped patch dedup, and the span/packing boundaries.
     val required = keys.filter(k => k.startsWith("graph_") ||
-        k.startsWith("spatial_") || k.startsWith("dedup_clusters")) ++
-      Set("dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "q_equidepth_histogram", "q_graph_assortativity", "sim_ivf_pq",
-        "sim_kmeans", "text_bpe_encode", "text_pack_offsets")
+        k.startsWith("spatial_") ||
+        // every dedup_* EXCEPT the two pure hash-groupBys, which have
+        // no cap/threshold/iteration to cross at any scale
+        (k.startsWith("dedup_") &&
+          k != "dedup_exact" && k != "dedup_normalized")) ++
+      Set("mm_patch_dedup", "q_equidepth_histogram",
+        "q_graph_assortativity", "sim_ivf_pq", "sim_kmeans", "sim_pq_adc",
+        "sim_sq8_topk", "sim_topk_ann", "sim_topk_ivf", "text_bpe_encode",
+        "text_dedup_spans", "text_pack_offsets")
     val missing = required -- listed
     assert(missing.isEmpty, "scale-shape-sensitive queries absent from " +
       s"tools/sf01_subset.txt: ${missing.toSeq.sorted.mkString(", ")}")

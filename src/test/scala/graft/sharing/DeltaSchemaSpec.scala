@@ -85,4 +85,32 @@ class DeltaSchemaSpec extends AnyFunSuite {
         StructField("m", MapType(StringType, LongType,
           valueContainsNull = true))))))
   }
+
+  test("readCompatible: CHAR/VARCHAR metadata is semantic, not churn") {
+    // Spark encodes CHAR(n)/VARCHAR(n) as StringType +
+    // __CHAR_VARCHAR_TYPE_STRING metadata; a declared length change is
+    // a length-contract change, not comment churn (r12 ADVICE).
+    def cv(t: String): Metadata = new MetadataBuilder()
+      .putString("__CHAR_VARCHAR_TYPE_STRING", t).build()
+    val runningV10 = StructType(Seq(
+      StructField("s", StringType, nullable = true, cv("varchar(10)"))))
+    // identical declared length: compatible even with extra comment keys
+    val sameLenPlusComment = StructType(Seq(
+      StructField("s", StringType, nullable = true,
+        new MetadataBuilder().putString("__CHAR_VARCHAR_TYPE_STRING",
+          "varchar(10)").putString("comment", "note").build())))
+    assert(DeltaSchema.readCompatible(runningV10, sameLenPlusComment))
+    // length change kills
+    assert(!DeltaSchema.readCompatible(runningV10, StructType(Seq(
+      StructField("s", StringType, nullable = true, cv("varchar(20)"))))))
+    // CHAR↔VARCHAR-ness change kills
+    assert(!DeltaSchema.readCompatible(runningV10, StructType(Seq(
+      StructField("s", StringType, nullable = true, cv("char(10)"))))))
+    // dropping the char/varchar declaration (plain string) kills too:
+    // the running plan pads/truncates where the new contract would not
+    assert(!DeltaSchema.readCompatible(runningV10, StructType(Seq(
+      StructField("s", StringType, nullable = true)))))
+    assert(!DeltaSchema.readCompatible(
+      StructType(Seq(StructField("s", StringType))), runningV10))
+  }
 }
