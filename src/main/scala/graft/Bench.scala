@@ -130,6 +130,7 @@ object Bench {
     // connector variants of the benched path
     "connector_catalog_time_travel", "connector_cdf_materialize",
     "connector_cdf_stream", "connector_cdf_stream_agg", "connector_changes",
+    "connector_layout_skipping",
     "connector_changes_by_time", "connector_events_window",
     "connector_join_agg", "connector_nested_types",
     "connector_partition_values", "connector_snapshot_diff",
