@@ -76,8 +76,9 @@ object Bench {
     "graph_modularity", "text_kneser_ney", "text_perplexity_buckets",
     "spatial_dbscan", "q_freshness_audit", "text_bpe_merges",
     "text_bpe_apply", "text_bpe_encode", "sim_ivf_pq", "q_ndcg",
-    // Round-13 additions: retrieval-eval completion + tokenizer audit
-    "q_mrr_recall", "text_token_fertility",
+    // Round-13 additions: retrieval-eval completion, tokenizer audit,
+    // perceptual near-dup
+    "q_mrr_recall", "text_token_fertility", "mm_phash_dedup",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.

@@ -20,6 +20,20 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** e3-scaled integer DCT-II coefficient table for the 16→8 transform:
+    * K(u,r) = round(1000·cos(π(2r+1)u/32)), u∈[0,8), r∈[0,16). Rendered
+    * from this ONE definition into both engines (the q_ewma_forecast
+    * pre-rounded-weight recipe), so the 2D DCT below is exact integer
+    * arithmetic everywhere — no libm call at query time in either
+    * engine. */
+  private val dctK: Seq[(Int, Int, Long)] =
+    for { u <- 0 until 8; r <- 0 until 16 }
+      yield (u, r,
+        math.round(1000.0 * math.cos(math.Pi * (2 * r + 1) * u / 32.0)))
+
+  private val dctKValuesSql: String =
+    dctK.map { case (u, r, kv) => s"($u, $r, $kv)" }.mkString(", ")
+
   /** Documents-as-binary view: the corpus text re-encoded as UTF-8 blobs
     * stands in for image/audio payloads (same column shape: id + binary +
     * metadata). */
@@ -306,6 +320,220 @@ object Multimodal {
             / (col("npa") + col("npb") - col("shared")), 4)
             .as("patch_jaccard"))
         .orderBy("ma", "mb")
+    },
+
+    // ------------------------------------------------------------------
+    // PERCEPTUAL media near-dup (r12 verdict ask #3): mm_patch_dedup
+    // keys on exact 64-byte digests, so a re-encoded/requantized
+    // duplicate — which shares ZERO exact patches — escapes it. This is
+    // the standard fix: a DCT perceptual hash (pHash). Luma proxy = the
+    // first 256 payload bytes as a 16×16 grid (0-padded); integer 8×8
+    // 2D DCT via the pre-rounded e3 coefficient table [[dctK]]
+    // (separable: row pass then column pass, two broadcast joins + two
+    // map-side-combined aggregates); hash bit(u,v) = D(u,v) > 0 (sign
+    // bits — balanced on real content, unlike mean-threshold bits which
+    // collapse under the DC term), packed into two 32-bit halves so no
+    // engine ever shifts into the sign bit. Each media also gets a
+    // REQUANTIZED variant (byte → (b div 4)·4, the JPEG-requant
+    // stand-in; media_id·2+kind keys the union). Candidate pairs come
+    // from the dedup_simhash pigeonhole recipe widened to the measured
+    // band: 6 disjoint chunks (11/11/10/11/11/10 bits) guarantee every
+    // Hamming-≤5 pair shares a chunk (measured requant distance ≤5 at
+    // every SF, cross-media p1 = 21 — a 4× gap), with a deterministic
+    // 64-per-bucket boilerplate cap (observed max 15 — replayed by the
+    // oracle, same class contract as mm_patch_dedup's stop-patch rule).
+    // Output per media: both fingerprints (hash-certifying the integer
+    // DCT end-to-end), the requant Hamming distance, whether the BANDED
+    // join caught the requant pair, and the shared-exact-patch count
+    // (0 ⇒ patch dedup provably blind to this duplicate). SCALE: pixel
+    // fan-out is a fixed 512 rows/media; everything joins against the
+    // 128-row broadcast table; the pair join is band-bucket-bounded.
+    QueryDef.sql(
+      "mm_phash_dedup",
+      s"""WITH kt AS (SELECT * FROM (VALUES $dctKValuesSql) t(u, r, kv)),
+        |px AS (
+        |  SELECT doc_id, kind, i, i // 16 AS r, i % 16 AS c,
+        |    CASE WHEN kind = 1 THEN (p0 // 4) * 4 ELSE p0 END AS p
+        |  FROM (
+        |    SELECT doc_id, k.kind, t.i,
+        |      CASE WHEN length(w) >= t.i + 1
+        |           THEN CAST(unicode(substring(w, CAST(t.i + 1 AS INTEGER), 1))
+        |                AS BIGINT)
+        |           ELSE 0 END AS p0
+        |    FROM (SELECT doc_id, substring(text, 1, 256) AS w FROM documents),
+        |      generate_series(0, 255) t(i),
+        |      (SELECT unnest([0, 1]) AS kind) k)),
+        |rstage AS (
+        |  SELECT doc_id, kind, kt.u, px.c,
+        |    CAST(SUM(px.p * kt.kv) AS BIGINT) AS rv
+        |  FROM px JOIN kt ON kt.r = px.r
+        |  GROUP BY 1, 2, 3, 4),
+        |dstage AS (
+        |  SELECT doc_id, kind, rs.u, kt.u AS v,
+        |    CAST(SUM(rs.rv * kt.kv) AS BIGINT) AS dv
+        |  FROM rstage rs JOIN kt ON kt.r = rs.c
+        |  GROUP BY 1, 2, 3, 4),
+        |fp AS (
+        |  SELECT doc_id, kind,
+        |    CAST(COALESCE(SUM(CASE WHEN dv > 0 AND u*8 + v < 32
+        |      THEN CAST(1 AS BIGINT) << (u*8 + v) ELSE 0 END), 0)
+        |      AS BIGINT) AS fp_lo,
+        |    CAST(COALESCE(SUM(CASE WHEN dv > 0 AND u*8 + v >= 32
+        |      THEN CAST(1 AS BIGINT) << (u*8 + v - 32) ELSE 0 END), 0)
+        |      AS BIGINT) AS fp_hi
+        |  FROM dstage GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT doc_id*2 + kind AS mid, fp_lo, fp_hi, t.ci,
+        |    CASE t.ci WHEN 0 THEN fp_lo & 2047
+        |              WHEN 1 THEN (fp_lo >> 11) & 2047
+        |              WHEN 2 THEN (fp_lo >> 22) & 1023
+        |              WHEN 3 THEN fp_hi & 2047
+        |              WHEN 4 THEN (fp_hi >> 11) & 2047
+        |              ELSE (fp_hi >> 22) & 1023 END AS cv
+        |  FROM fp, generate_series(0, 5) t(ci)),
+        |bucketok AS (
+        |  SELECT ci, cv FROM ch GROUP BY ci, cv HAVING COUNT(*) <= 64),
+        |hp AS (
+        |  SELECT ma, mb FROM (
+        |    SELECT DISTINCT a.mid AS ma, b.mid AS mb, a.fp_lo AS lo_a,
+        |      a.fp_hi AS hi_a, b.fp_lo AS lo_b, b.fp_hi AS hi_b
+        |    FROM ch a JOIN bucketok USING (ci, cv)
+        |    JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.mid < b.mid)
+        |  WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 5),
+        |base AS (
+        |  SELECT o.doc_id AS media_id,
+        |    o.fp_hi AS fp_hi_o, o.fp_lo AS fp_lo_o,
+        |    r.fp_hi AS fp_hi_r, r.fp_lo AS fp_lo_r,
+        |    CAST(bit_count(xor(o.fp_lo, r.fp_lo)) +
+        |         bit_count(xor(o.fp_hi, r.fp_hi)) AS INTEGER) AS hamming
+        |  FROM fp o JOIN fp r ON o.doc_id = r.doc_id
+        |    AND o.kind = 0 AND r.kind = 1),
+        |caught AS (
+        |  SELECT ma // 2 AS media_id FROM hp
+        |  WHERE mb = ma + 1 AND ma % 2 = 0),
+        |pat AS (
+        |  SELECT doc_id, kind, i // 64 AS pi,
+        |    md5(string_agg(CAST(p AS VARCHAR), '-' ORDER BY i)) AS ph
+        |  FROM px GROUP BY 1, 2, 3),
+        |shp AS (
+        |  SELECT a.doc_id, CAST(COUNT(DISTINCT a.ph) AS BIGINT)
+        |    AS shared_patches
+        |  FROM (SELECT DISTINCT doc_id, ph FROM pat WHERE kind = 0) a
+        |  JOIN (SELECT DISTINCT doc_id, ph FROM pat WHERE kind = 1) b
+        |    ON a.doc_id = b.doc_id AND a.ph = b.ph
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_total FROM hp)
+        |SELECT b.media_id, b.fp_hi_o, b.fp_lo_o, b.fp_hi_r, b.fp_lo_r,
+        |  b.hamming,
+        |  CAST(c.media_id IS NOT NULL AS INTEGER) AS caught,
+        |  COALESCE(s.shared_patches, 0) AS shared_patches,
+        |  t.n_pairs_total
+        |FROM base b
+        |LEFT JOIN caught c USING (media_id)
+        |LEFT JOIN shp s ON s.doc_id = b.media_id, tot t
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val kdf = broadcast(dctK.toDF("u", "r", "kv"))
+      val px = graft.CacheRegistry.register(
+        Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 256).as("w"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(255))).as("i"), col("w"))
+          .select(col("doc_id"), col("i"),
+            when(length(col("w")) >= col("i") + 1,
+              ascii(expr("substring(w, CAST(i + 1 AS INT), 1)")))
+              .otherwise(0).cast("long").as("p0"))
+          .select(col("doc_id"), col("i"),
+            explode(array(lit(0), lit(1))).as("kind"), col("p0"))
+          .select(col("doc_id"), col("kind"), col("i"),
+            expr("i div 16").as("r"), (col("i") % 16).as("c"),
+            when(col("kind") === 1, expr("(p0 div 4) * 4"))
+              .otherwise(col("p0")).as("p"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val rstage = px.join(kdf, "r")
+        .groupBy("doc_id", "kind", "u", "c")
+        .agg(sum(col("p") * col("kv")).cast("bigint").as("rv"))
+      val k2 = broadcast(dctK.toDF("v", "c", "kv2"))
+      val dstage = rstage.join(k2, "c")
+        .groupBy("doc_id", "kind", "u", "v")
+        .agg(sum(col("rv") * col("kv2")).cast("bigint").as("dv"))
+      val fp = graft.CacheRegistry.register(dstage
+        .groupBy("doc_id", "kind")
+        .agg(
+          coalesce(sum(expr("CASE WHEN dv > 0 AND u*8 + v < 32 " +
+            "THEN shiftleft(CAST(1 AS BIGINT), u*8 + v) " +
+            "ELSE CAST(0 AS BIGINT) END")), lit(0L))
+            .cast("bigint").as("fp_lo"),
+          coalesce(sum(expr("CASE WHEN dv > 0 AND u*8 + v >= 32 " +
+            "THEN shiftleft(CAST(1 AS BIGINT), u*8 + v - 32) " +
+            "ELSE CAST(0 AS BIGINT) END")), lit(0L))
+            .cast("bigint").as("fp_hi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val ch = fp
+        .select((col("doc_id") * 2 + col("kind")).as("mid"),
+          col("fp_lo"), col("fp_hi"),
+          explode(sequence(lit(0), lit(5))).as("ci"))
+        .withColumn("cv", expr(
+          """CASE ci WHEN 0 THEN fp_lo & 2047
+            |        WHEN 1 THEN shiftright(fp_lo, 11) & 2047
+            |        WHEN 2 THEN shiftright(fp_lo, 22) & 1023
+            |        WHEN 3 THEN fp_hi & 2047
+            |        WHEN 4 THEN shiftright(fp_hi, 11) & 2047
+            |        ELSE shiftright(fp_hi, 22) & 1023 END""".stripMargin))
+      val chP = graft.CacheRegistry.ensurePersisted(ch)
+      val bucketok = chP.groupBy("ci", "cv")
+        .agg(count(lit(1)).as("bs")).filter(col("bs") <= 64)
+        .select("ci", "cv")
+      val hp = graft.CacheRegistry.ensurePersisted(
+        chP.join(bucketok, Seq("ci", "cv"))
+          .select(col("ci"), col("cv"), col("mid").as("ma"),
+            col("fp_lo").as("lo_a"), col("fp_hi").as("hi_a"))
+          .join(chP.select(col("ci"), col("cv"), col("mid").as("mb"),
+            col("fp_lo").as("lo_b"), col("fp_hi").as("hi_b")),
+            Seq("ci", "cv"))
+          .filter(col("ma") < col("mb"))
+          .select("ma", "mb", "lo_a", "hi_a", "lo_b", "hi_b")
+          .distinct()
+          .filter(bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) <= 5)
+          .select("ma", "mb"))
+      val base = fp.filter(col("kind") === 0)
+        .select(col("doc_id").as("media_id"),
+          col("fp_hi").as("fp_hi_o"), col("fp_lo").as("fp_lo_o"))
+        .join(fp.filter(col("kind") === 1)
+          .select(col("doc_id").as("media_id"),
+            col("fp_hi").as("fp_hi_r"), col("fp_lo").as("fp_lo_r")),
+          "media_id")
+        .withColumn("hamming",
+          (bit_count(col("fp_lo_o").bitwiseXOR(col("fp_lo_r"))) +
+            bit_count(col("fp_hi_o").bitwiseXOR(col("fp_hi_r"))))
+            .cast("int"))
+      val caught = hp
+        .filter(col("mb") === col("ma") + 1 && col("ma") % 2 === 0)
+        .select(expr("ma div 2").as("media_id"), lit(1).as("cf"))
+      val pat = px
+        .groupBy(col("doc_id"), col("kind"), expr("i div 64").as("pi"))
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("p")))),
+          x => x("p").cast("string")), "-")).as("ph"))
+      val shp = pat.filter(col("kind") === 0)
+        .select("doc_id", "ph").distinct()
+        .join(pat.filter(col("kind") === 1)
+          .select("doc_id", "ph").distinct(), Seq("doc_id", "ph"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("shared_patches"))
+      val tot = hp.agg(count(lit(1)).cast("bigint").as("n_pairs_total"))
+      base
+        .join(broadcast(caught), Seq("media_id"), "left")
+        .join(broadcast(shp.withColumnRenamed("doc_id", "media_id")),
+          Seq("media_id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("media_id"), col("fp_hi_o"), col("fp_lo_o"),
+          col("fp_hi_r"), col("fp_lo_r"), col("hamming"),
+          coalesce(col("cf"), lit(0)).cast("int").as("caught"),
+          coalesce(col("shared_patches"), lit(0L)).as("shared_patches"),
+          col("n_pairs_total"))
+        .orderBy("media_id")
     }
   )
 

@@ -119,7 +119,11 @@ object ScaleSmoke {
       // r12 wave: the probe-pruned inverted-list candidate join + ADC
       // rescore, and the 8-round dictionary-level BPE induction with
       // the corpus-wide broadcast encode join
-      "sim_ivf_pq", "text_bpe_encode")
+      "sim_ivf_pq", "text_bpe_encode",
+      // r13 wave: the 512-rows/media DCT fan-out + 6-chunk Hamming-band
+      // pair join, and the second corpus pass of the fertility audit
+      // over the shared BPE merge table
+      "mm_phash_dedup", "text_token_fertility")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies
