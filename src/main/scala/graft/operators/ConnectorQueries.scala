@@ -189,6 +189,36 @@ object ConnectorQueries {
       stageLayout("orders_layout_nat", Seq(col("o_orderkey")))
       stageLayout("orders_layout_z", Seq(col("zkey"), col("o_orderkey")))
 
+      // CDF table over DOCUMENTS for the incremental-curation pipeline
+      // (r12 verdict ask #2): v1 = the already-ingested corpus
+      // (doc_id % 5 ≠ 0 — the same new/old split dedup_incremental
+      // certifies), v2 adds the doc_id % 10 = 0 arrivals, v3 adds the
+      // doc_id % 10 = 5 arrivals. Current snapshot (v3) = all three
+      // slices, so time travel, the change feed, and plain scans stay
+      // mutually consistent. Distinct commit timestamps enable
+      // timestamp-bounded reads.
+      val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+      def docSlice(name: String, cond: org.apache.spark.sql.Column)
+          : Seq[java.nio.file.Path] = {
+        val dir = s"$stage/$name"
+        docsRaw.filter(cond).coalesce(1).write.mode("overwrite").parquet(dir)
+        parquetFiles(dir)
+      }
+      val docBase = docSlice("docs_base", col("doc_id") % 5 =!= 0)
+      val docV2 = docSlice("docs_v2", col("doc_id") % 10 === 0)
+      val docV3 = docSlice("docs_v3", col("doc_id") % 10 === 5)
+      server.addTable("graft", "main", server.TableDef(
+        "documents_cdf", DeltaSchema.toSchemaString(docsRaw.schema),
+        Seq.empty,
+        files = (docBase ++ docV2 ++ docV3)
+          .map(f => server.ServedFile(f, Map.empty)),
+        version = 3,
+        changes =
+          docV2.map(f => server.ChangeEntry(2, "add",
+            server.ServedFile(f, Map.empty), 1700000200000L)) ++
+          docV3.map(f => server.ChangeEntry(3, "add",
+            server.ServedFile(f, Map.empty), 1700000300000L))))
+
       // Nested-type table: per-order array<struct> of line items plus a
       // map column, derived deterministically from lineitem — exercises
       // the schema envelope's struct/array/map recursion AND the
@@ -684,6 +714,141 @@ object ConnectorQueries {
       snapshot.get()
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
+    },
+
+    // CONTINUOUS CURATION OF SHARED DATA, end-to-end (r12 verdict ask
+    // #2) — the production 100 TB shape the north star describes,
+    // composing the four certified halves into one gated pipeline:
+    // CDF stream (GraftCdfStream) → foreachBatch → quality filter (the
+    // text_quality_classifier model via TextAnalysis.qualityScoreRaw) →
+    // Dedup.incrementalDedup against the corpus ingested SO FAR →
+    // shard assignment (the q_shard_pack serpentine recipe) with the
+    // q_shard_manifest content fingerprint. The handler processes each
+    // micro-batch PER COMMIT VERSION in order (versions are the
+    // transactional unit), which makes the result micro-batch-boundary
+    // INDEPENDENT: a v3 arrival is deduped against a corpus that
+    // already contains the v2-accepted docs whether the trigger
+    // delivered one batch or two — the property that also makes
+    // checkpoint recovery exact (CurationRecoverySpec). Oracle = the
+    // one-shot batch replay: per version, quality-pass then reject any
+    // new doc with a ≥0.8 exact-Jaccard old match (inverted-index
+    // form), then the serpentine shard pack of the final corpus; the
+    // shard fingerprints certify exact final MEMBERSHIP, not just
+    // counts. SCALE: the stream is version-cursor driver state only;
+    // dedup is the banded-LSH new×old join (never all-pairs); corpus
+    // maintenance is constant-depth via localCheckpoint; shard rank is
+    // the range-repartition GlobalRank, never a single-partition sort.
+    QueryDef.sql(
+      "connector_incremental_curation", {
+        val fpHexSql = (1 to 4).map { i =>
+          val mult = math.pow(16, 4 - i).toLong
+          s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1) * $mult"
+        }.mkString(" + ")
+        def dupCte(name: String, newSet: String, oldCond: String) =
+          s"""$name AS (
+             |  SELECT DISTINCT a.doc_id FROM ex a
+             |  JOIN $newSet nn ON a.doc_id = nn.doc_id
+             |  JOIN ex b ON a.g = b.g AND ($oldCond)
+             |  JOIN sz za ON za.doc_id = a.doc_id
+             |  JOIN sz zb ON zb.doc_id = b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id, za.sz, zb.sz
+             |  HAVING round(CAST(COUNT(*) AS DOUBLE)
+             |    / (za.sz + zb.sz - COUNT(*)), 4) >= 0.8)"""
+        s"""WITH ${Dedup.wordShingleCte},
+          |${TextAnalysis.qcWeightsCteSql},
+          |qs AS (
+          |  SELECT doc_id,
+          |    ${TextAnalysis.qualityScoreRawSql("text")} AS score_raw
+          |  FROM documents, qc_wl),
+          |ex AS MATERIALIZED (SELECT doc_id, unnest(shs) AS g FROM sh),
+          |sz AS (SELECT doc_id, len(shs) AS sz FROM sh),
+          |n2 AS (SELECT doc_id FROM qs
+          |       WHERE doc_id % 10 = 0 AND score_raw >= 0),
+          |${dupCte("dup2", "n2", "b.doc_id % 5 <> 0")},
+          |acc2 AS (SELECT doc_id FROM n2
+          |         WHERE doc_id NOT IN (SELECT doc_id FROM dup2)),
+          |c1 AS MATERIALIZED (
+          |  SELECT doc_id FROM documents WHERE doc_id % 5 <> 0
+          |  UNION ALL SELECT doc_id FROM acc2),
+          |n3 AS (SELECT doc_id FROM qs
+          |       WHERE doc_id % 10 = 5 AND score_raw >= 0),
+          |${dupCte("dup3", "n3",
+             "b.doc_id IN (SELECT doc_id FROM c1)")},
+          |acc3 AS (SELECT doc_id FROM n3
+          |         WHERE doc_id NOT IN (SELECT doc_id FROM dup3)),
+          |fin AS (SELECT doc_id FROM c1
+          |        UNION ALL SELECT doc_id FROM acc3),
+          |ranked AS (
+          |  SELECT d.doc_id, d.n_chars, d.text,
+          |    row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) - 1
+          |      AS rk
+          |  FROM documents d JOIN fin ON d.doc_id = fin.doc_id),
+          |assigned AS (
+          |  SELECT n_chars,
+          |    CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+          |         ELSE 7 - (rk % 8) END AS shard,
+          |    substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4)
+          |      AS h
+          |  FROM ranked)
+          |SELECT CAST(shard AS BIGINT) AS shard,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(SUM($fpHexSql) AS BIGINT) AS fingerprint
+          |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
+      }) { (s, d) =>
+      val client = shared(s, d)
+      val profilePath = profileFor(s, d)
+      val ref = TableRef("graft", "main", "documents_cdf")
+      // already-ingested corpus = the v1 snapshot, through the connector
+      val corpus = new java.util.concurrent.atomic.AtomicReference(
+        GraftSharing.readTable(s, client, ref, versionAsOf = Some(1L))
+          .select("doc_id", "text", "n_chars")
+          .localCheckpoint(eager = true))
+      val q = GraftSharing.readChangesStream(s, profilePath, ref,
+          startingVersion = 2L)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val adds = batch.filter(col("_change_type") === "add")
+            .select(col("doc_id"), col("text"), col("n_chars"),
+              col("_commit_version"))
+            .localCheckpoint(eager = true)
+          // versions are the transactional unit: metadata-scale list
+          val versions = adds.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          versions.foreach { v =>
+            val arrivals = adds.filter(col("_commit_version") === v)
+              .drop("_commit_version")
+            val accepted = Curation.curateArrivals(corpus.get(), arrivals)
+            corpus.set(corpus.get().unionByName(accepted)
+              .localCheckpoint(eager = true))
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // shard-pack the final corpus with a content fingerprint per shard
+      val ranked = GlobalRank.withRank(
+        corpus.get().select(col("doc_id"), col("n_chars"), col("text")),
+        Seq(desc("n_chars"), col("doc_id")))
+      val hexVal = (1 to 4).map { i =>
+        val mult = math.pow(16, 4 - i).toLong
+        (instr(lit("0123456789abcdef"), substring(col("h"), i, 1)) - 1)
+          .cast("bigint") * mult
+      }.reduce(_ + _)
+      ranked
+        .withColumn("shard",
+          when(expr("rk div 8") % 2 === 0, col("rk") % 8)
+            .otherwise(lit(7) - col("rk") % 8))
+        .withColumn("h", substring(
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
+          1, 4))
+        .groupBy("shard")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_chars").cast("bigint").as("total_chars"),
+          sum(hexVal).cast("bigint").as("fingerprint"))
+        .select(col("shard").cast("bigint").as("shard"), col("n_docs"),
+          col("total_chars"), col("fingerprint"))
+        .orderBy("shard")
     },
 
     // SQL time travel through the catalog plugin: Spark's native

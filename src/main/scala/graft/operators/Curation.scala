@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** One CDF-commit curation step (connector_incremental_curation and
+    * CurationRecoverySpec): quality-gate the `arrivals` with the
+    * text_quality_classifier model, dedup the survivors against
+    * `corpus` with the banded-LSH incremental dedup, and return the
+    * ACCEPTED arrival rows (same columns as `arrivals`). The cheap
+    * codegen'd quality filter runs BEFORE the dedup machinery so
+    * rejected docs never pay for shingling. Both frames must carry
+    * `doc_id` and `text`. */
+  def curateArrivals(corpus: org.apache.spark.sql.DataFrame,
+      arrivals: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val qualified = arrivals
+      .filter(TextAnalysis.qualityScoreRaw(col("text")) >= 0)
+    val union = corpus.withColumn("is_new", lit(false))
+      .unionByName(qualified.withColumn("is_new", lit(true)))
+    val keptIds = Dedup
+      .incrementalDedup(union, "doc_id", "text", col("is_new"))
+      .filter(col("kept") === 1).select("doc_id")
+    qualified.join(keptIds, "doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(

@@ -629,7 +629,7 @@ object Dedup {
   /** The word-3-shingle set CTE shared by every dedup oracle — ONE
     * definition so the pair/cluster/representative oracles can never
     * drift apart on shingle size or tokenization. */
-  private val wordShingleCte: String =
+  private[operators] val wordShingleCte: String =
     """sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(words) - 1),

@@ -1300,13 +1300,9 @@ object TextAnalysis {
         |  round(1 / (1 + exp(-(CAST(score_raw AS DOUBLE) / ntok))), 4) AS prob,
         |  CAST(score_raw >= 0 AS INTEGER) AS keep
         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val wlit = lit(qcWeights.toArray)
       val toks = tokens(lower(col("text")))
-      val raw = aggregate(toks, lit(0L), (acc, t) =>
-        acc + element_at(wlit,
-          pmod(rollingFingerprint(t), lit(64L)).cast("int") + 1).cast("bigint"))
       Tables.documents(s, d)
-        .select(col("doc_id"), raw.as("score_raw"),
+        .select(col("doc_id"), qualityScoreRaw(col("text")).as("score_raw"),
           size(toks).cast("double").as("ntok"))
         .select(col("doc_id"), col("score_raw"),
           round(lit(1.0) / (lit(1.0) +
@@ -2185,4 +2181,28 @@ object TextAnalysis {
       .digest(s"qw_$b".getBytes("UTF-8"))
     ((h(0) & 0xff) % 9) - 4
   }
+
+  /** Raw quality-classifier margin (exact BIGINT; keep ⟺ ≥ 0) — the
+    * text_quality_classifier model as a reusable Column, so pipeline
+    * compositions (connector_incremental_curation) filter with the
+    * IDENTICAL model the gated classifier query certifies. */
+  def qualityScoreRaw(text: Column): Column = {
+    val wlit = lit(qcWeights.toArray)
+    aggregate(tokens(lower(text)), lit(0L), (acc, t) =>
+      acc + element_at(wlit,
+        pmod(rollingFingerprint(t), lit(64L)).cast("int") + 1).cast("bigint"))
+  }
+
+  /** DuckDB replay of [[qualityScoreRaw]] over a `text` column. The
+    * calling FROM clause must cross-join [[qcWeightsCteSql]]'s `qc_wl`
+    * so `w` is a plain in-scope column (DuckDB rejects subqueries
+    * inside lambdas). */
+  def qualityScoreRawSql(textExpr: String): String =
+    s"""CAST(list_sum(list_transform(string_split(lower($textExpr), ' '),
+       |      s -> w[1 + CAST(${fpSql("s")} % 64 AS INTEGER)]))
+       |  AS BIGINT)""".stripMargin
+
+  /** The weight-list CTE [[qualityScoreRawSql]] reads (`qc_wl(w)`). */
+  def qcWeightsCteSql: String =
+    s"qc_wl AS (SELECT ${qcWeights.mkString("[", ", ", "]")} AS w)"
 }
