@@ -160,19 +160,41 @@ object TextAnalysis {
       .select(col("w").as("w0"), col("w").as("wc"), col("freq"))
       .localCheckpoint()
     for (m <- 1 to 8) {
-      val pc = vocab.filter(length(col("wc")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(wc) - 1), i -> substring(wc, i, 2))"))
-          .as("p"), col("freq"))
-        .groupBy("p").agg(sum("freq").cast("bigint").as("cnt"))
-      val top = pc.orderBy(desc("cnt"), col("p")).limit(1)
-        .select(col("p").as("mp"))
-      vocab = vocab.crossJoin(broadcast(top))
-        .select(col("w0"), expr(s"replace(wc, mp, chr($m))").as("wc"),
-          col("freq"))
-        .localCheckpoint()
+      vocab = bpeMergeRound(vocab, m)
     }
     vocab
+  }
+
+  /** Session+corpus-memoized [[bpeEncodedVocab]]: the merge table is a
+    * pure function of the corpus word multiset, and two gated queries
+    * consume it (text_bpe_encode buckets by doc, text_token_fertility
+    * groups by lang) — the [[Dedup.corpusPairs]] "derive the expensive
+    * artifact ONCE per corpus" convention. The `words` thunk is only
+    * evaluated on the first call per (session, dir). */
+  private def bpeEncodedVocabShared(s: org.apache.spark.sql.SparkSession,
+      d: String)(words: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.CacheRegistry.sharedFrame(
+      s"bpe:vocab8:${graft.CacheRegistry.sessionToken(s)}:$d") {
+      bpeEncodedVocab(words)
+    }
+
+  /** One induction round: count freq-weighted adjacent symbol pairs,
+    * pick the top merge (count desc, pair asc), apply it dictionary-wide
+    * as the round's 1-char marker. */
+  private def bpeMergeRound(vocab: org.apache.spark.sql.DataFrame,
+      m: Int): org.apache.spark.sql.DataFrame = {
+    val pc = vocab.filter(length(col("wc")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(wc) - 1), i -> substring(wc, i, 2))"))
+        .as("p"), col("freq"))
+      .groupBy("p").agg(sum("freq").cast("bigint").as("cnt"))
+    val top = pc.orderBy(desc("cnt"), col("p")).limit(1)
+      .select(col("p").as("mp"))
+    vocab.crossJoin(broadcast(top))
+      .select(col("w0"), expr(s"replace(wc, mp, chr($m))").as("wc"),
+        col("freq"))
+      .localCheckpoint()
   }
 
   /** Oracle CTE chain ending at `bmscored(doc_id, bm25)` — every doc
@@ -1170,7 +1192,7 @@ object TextAnalysis {
       val words = graft.CacheRegistry.ensurePersisted(
         Tables.documents(s, d)
           .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w")))
-      val vocab = bpeEncodedVocab(words)
+      val vocab = bpeEncodedVocabShared(s, d)(words)
       words.join(broadcast(vocab.select(col("w0").as("w"), col("wc"))), "w")
         .groupBy(expr("doc_id div 200").as("bucket"))
         .agg(count(lit(1)).cast("bigint").as("n_words"),
@@ -1209,7 +1231,7 @@ object TextAnalysis {
       val words = graft.CacheRegistry.ensurePersisted(
         Tables.documents(s, d)
           .select(col("lang"), explode(tokens(lower(col("text")))).as("w")))
-      val vocab = bpeEncodedVocab(words)
+      val vocab = bpeEncodedVocabShared(s, d)(words)
       words.join(broadcast(vocab.select(col("w0").as("w"), col("wc"))), "w")
         .groupBy("lang")
         .agg(count(lit(1)).cast("bigint").as("n_words"),
