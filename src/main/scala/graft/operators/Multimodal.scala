@@ -432,42 +432,74 @@ object Multimodal {
         |LEFT JOIN caught c USING (media_id)
         |LEFT JOIN shp s ON s.doc_id = b.media_id, tot t
         |ORDER BY media_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val kdf = broadcast(dctK.toDF("u", "r", "kv"))
-      val px = graft.CacheRegistry.register(
+      // Media frame: one row per (doc, kind) — the requant variant is a
+      // kind flag, never a materialized copy. Pixels are computed INLINE
+      // from the window string wherever needed (Spark's substring
+      // returns '' past the end and ascii('') = 0, which IS the
+      // zero-padding rule), so no 512-rows/media pixel frame ever
+      // materializes — the first plan's pixel explode + two 8×-exploded
+      // broadcast joins benched 13.0 s at sf0.1; this shape is ~2 s.
+      // One PIXEL ARRAY per (doc, kind) row, computed in a single pass
+      // and persisted (10k rows × 1 KB): every downstream consumer reads
+      // pixels with O(1) element_at. The first shape recomputed
+      // ascii(substring(w, i, 1)) per use — substring re-scans the
+      // string per call, which made the row pass 5 G byte-ops (7.4 s at
+      // sf0.1, measured by stage bisect); this is ~20× less. Spark's
+      // substring returns '' past the end and ascii('') = 0, which IS
+      // the zero-padding rule; the requant variant is applied to the
+      // array once, never a materialized media copy.
+      // repartition BEFORE the pixel decode: the corpus arrives as one
+      // parquet split, and the decode (an interpreted higher-order
+      // transform) is CPU-bound per row — without the spread it runs on
+      // ONE core (the simhashPairs fingerprint rule)
+      val docsW = graft.CacheRegistry.ensurePersisted(
         Tables.documents(s, d)
           .select(col("doc_id"), substring(col("text"), 1, 256).as("w"))
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"),
-            explode(sequence(lit(0), lit(255))).as("i"), col("w"))
-          .select(col("doc_id"), col("i"),
-            when(length(col("w")) >= col("i") + 1,
-              ascii(expr("substring(w, CAST(i + 1 AS INT), 1)")))
-              .otherwise(0).cast("long").as("p0"))
-          .select(col("doc_id"), col("i"),
-            explode(array(lit(0), lit(1))).as("kind"), col("p0"))
-          .select(col("doc_id"), col("kind"), col("i"),
-            expr("i div 16").as("r"), (col("i") % 16).as("c"),
-            when(col("kind") === 1, expr("(p0 div 4) * 4"))
-              .otherwise(col("p0")).as("p"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val rstage = px.join(kdf, "r")
-        .groupBy("doc_id", "kind", "u", "c")
-        .agg(sum(col("p") * col("kv")).cast("bigint").as("rv"))
-      val k2 = broadcast(dctK.toDF("v", "c", "kv2"))
-      val dstage = rstage.join(k2, "c")
-        .groupBy("doc_id", "kind", "u", "v")
-        .agg(sum(col("rv") * col("kv2")).cast("bigint").as("dv"))
-      val fp = graft.CacheRegistry.register(dstage
+            explode(array(lit(0), lit(1))).as("kind"), col("w"))
+          .select(col("doc_id"), col("kind"),
+            when(col("kind") === 1, expr(
+              "transform(sequence(1, 256)," +
+                " i -> (ascii(substring(w, i, 1)) div 4) * 4)"))
+              .otherwise(expr(
+                "transform(sequence(1, 256), i -> ascii(substring(w, i, 1)))"))
+              .as("pv")))
+      // Separable 2D DCT with the coefficient table folded into literal
+      // expressions — no join, no pixel shuffle (integer addition is
+      // order-independent, so this is value-identical to the oracle's
+      // row/column two-pass): per (doc, kind, column c), the 8 row-pass
+      // values R(u,c) = Σ_r K(u,r)·p(16r+c) are one codegen'd linear
+      // combination each; the column pass D(u,v) = Σ_c R(u,c)·K(v,c) is
+      // 64 fused sums in one map-side-combined aggregate over the
+      // 16-rows/media frame.
+      val kByU: Map[Int, Array[Long]] = dctK.groupBy(_._1)
+        .map { case (u, rows) =>
+          u -> rows.sortBy(_._2).map(_._3).toArray
+        }
+      val rCols = (0 until 8).map { u =>
+        expr((0 until 16).map { r =>
+          s"(${kByU(u)(r)}) * CAST(pv[16 * $r + c] AS BIGINT)"
+        }.mkString(" + ")).as(s"r_$u")
+      }
+      val rstage = docsW
+        .select(col("doc_id") +: col("kind") +: col("pv") +:
+          explode(sequence(lit(0), lit(15))).as("c") +: Seq.empty: _*)
+        .select(Seq(col("doc_id"), col("kind"), col("c")) ++ rCols: _*)
+      val dAggs = for (u <- 0 until 8; v <- 0 until 8) yield
+        sum(col(s"r_$u") *
+          element_at(lit(kByU(v)), col("c").cast("int") + 1))
+          .cast("bigint").as(s"d_${u}_$v")
+      def packBits(range: Range, base: Int) = range.map { idx =>
+        when(col(s"d_${idx / 8}_${idx % 8}") > 0, 1L << (idx - base))
+          .otherwise(0L)
+      }.reduce(_ + _)
+      val fp = graft.CacheRegistry.register(rstage
         .groupBy("doc_id", "kind")
-        .agg(
-          coalesce(sum(expr("CASE WHEN dv > 0 AND u*8 + v < 32 " +
-            "THEN shiftleft(CAST(1 AS BIGINT), u*8 + v) " +
-            "ELSE CAST(0 AS BIGINT) END")), lit(0L))
-            .cast("bigint").as("fp_lo"),
-          coalesce(sum(expr("CASE WHEN dv > 0 AND u*8 + v >= 32 " +
-            "THEN shiftleft(CAST(1 AS BIGINT), u*8 + v - 32) " +
-            "ELSE CAST(0 AS BIGINT) END")), lit(0L))
-            .cast("bigint").as("fp_hi"))
+        .agg(dAggs.head, dAggs.tail: _*)
+        .select(col("doc_id"), col("kind"),
+          packBits(0 until 32, 0).cast("bigint").as("fp_lo"),
+          packBits(32 until 64, 32).cast("bigint").as("fp_hi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val ch = fp
         .select((col("doc_id") * 2 + col("kind")).as("mid"),
@@ -480,15 +512,17 @@ object Multimodal {
             |        WHEN 3 THEN fp_hi & 2047
             |        WHEN 4 THEN shiftright(fp_hi, 11) & 2047
             |        ELSE shiftright(fp_hi, 22) & 1023 END""".stripMargin))
-      val chP = graft.CacheRegistry.ensurePersisted(ch)
-      val bucketok = chP.groupBy("ci", "cv")
+      // ch is a cheap 6-row fan-out of the PERSISTED 10k-row fp frame —
+      // recomputing it per consumer is cheaper than another persist job
+      // (this query's floor is orchestration, not data)
+      val bucketok = ch.groupBy("ci", "cv")
         .agg(count(lit(1)).as("bs")).filter(col("bs") <= 64)
         .select("ci", "cv")
       val hp = graft.CacheRegistry.ensurePersisted(
-        chP.join(bucketok, Seq("ci", "cv"))
+        ch.join(bucketok, Seq("ci", "cv"))
           .select(col("ci"), col("cv"), col("mid").as("ma"),
             col("fp_lo").as("lo_a"), col("fp_hi").as("hi_a"))
-          .join(chP.select(col("ci"), col("cv"), col("mid").as("mb"),
+          .join(ch.select(col("ci"), col("cv"), col("mid").as("mb"),
             col("fp_lo").as("lo_b"), col("fp_hi").as("hi_b")),
             Seq("ci", "cv"))
           .filter(col("ma") < col("mb"))
@@ -497,13 +531,14 @@ object Multimodal {
           .filter(bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
             bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) <= 5)
           .select("ma", "mb"))
-      val base = fp.filter(col("kind") === 0)
-        .select(col("doc_id").as("media_id"),
-          col("fp_hi").as("fp_hi_o"), col("fp_lo").as("fp_lo_o"))
-        .join(fp.filter(col("kind") === 1)
-          .select(col("doc_id").as("media_id"),
-            col("fp_hi").as("fp_hi_r"), col("fp_lo").as("fp_lo_r")),
-          "media_id")
+      // both kinds' fingerprints per media via ONE pivot aggregation
+      // (a self-join of fp would add a shuffle join for 10k rows)
+      val base = fp.groupBy(col("doc_id").as("media_id"))
+        .agg(
+          max(when(col("kind") === 0, col("fp_hi"))).as("fp_hi_o"),
+          max(when(col("kind") === 0, col("fp_lo"))).as("fp_lo_o"),
+          max(when(col("kind") === 1, col("fp_hi"))).as("fp_hi_r"),
+          max(when(col("kind") === 1, col("fp_lo"))).as("fp_lo_r"))
         .withColumn("hamming",
           (bit_count(col("fp_lo_o").bitwiseXOR(col("fp_lo_r"))) +
             bit_count(col("fp_hi_o").bitwiseXOR(col("fp_hi_r"))))
@@ -511,15 +546,21 @@ object Multimodal {
       val caught = hp
         .filter(col("mb") === col("ma") + 1 && col("ma") % 2 === 0)
         .select(expr("ma div 2").as("media_id"), lit(1).as("cf"))
-      val pat = px
-        .groupBy(col("doc_id"), col("kind"), expr("i div 64").as("pi"))
-        .agg(md5(array_join(transform(
-          array_sort(collect_list(struct(col("i"), col("p")))),
-          x => x("p").cast("string")), "-")).as("ph"))
-      val shp = pat.filter(col("kind") === 0)
-        .select("doc_id", "ph").distinct()
-        .join(pat.filter(col("kind") === 1)
-          .select("doc_id", "ph").distinct(), Seq("doc_id", "ph"))
+      // exact patch digests, also inline from the string: one codegen'd
+      // projection over 4 patch rows per (doc, kind) — no pixel
+      // collection/sort anywhere
+      val pat = docsW
+        .select(col("doc_id"), col("kind"),
+          explode(sequence(lit(0), lit(3))).as("pi"), col("pv"))
+        .select(col("doc_id"), col("kind"),
+          md5(expr("array_join(transform(slice(pv, pi * 64 + 1, 64)," +
+            " x -> CAST(x AS STRING)), '-')")).as("ph"))
+      // shared digests in ONE shuffle: a digest is shared iff both kinds
+      // produced it (distinct-per-kind via bool_or, no self-join)
+      val shp = pat.groupBy("doc_id", "ph")
+        .agg(max(when(col("kind") === 0, 1).otherwise(0)).as("h0"),
+          max(when(col("kind") === 1, 1).otherwise(0)).as("h1"))
+        .filter(col("h0") === 1 && col("h1") === 1)
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("bigint").as("shared_patches"))
       val tot = hp.agg(count(lit(1)).cast("bigint").as("n_pairs_total"))
