@@ -74,6 +74,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** [[documents]] spread to the session's parallelism — for queries
+    * whose pre-shuffle corpus projection is CPU-bound (token/shingle
+    * explodes, fingerprint hashing, n-gram fan-outs, replace chains).
+    * The test corpus is a single parquet split, so without the spread
+    * everything before the first aggregation shuffle runs on ONE core
+    * (the simhashPairs rule, generalized after the mm_phash_dedup
+    * bisect). At 100 TB scans have thousands of splits and the
+    * repartition is simply the standard decode-cost >> shuffle-cost
+    * trade; row content and results are unchanged either way. */
+  def documentsPar(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** Register all tables as temp views so `spark.sql` 3-part-free SQL works. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

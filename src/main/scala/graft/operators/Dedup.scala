@@ -914,11 +914,13 @@ object Dedup {
         |         - len(list_intersect(a.shs, b.shs))), 4) AS j
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
       val pairs = corpusPairs(s, d).select("doc_a", "doc_b")
-      val sets = docs
+      // spread + persist the shingle pass: it is CPU-bound per row, the
+      // corpus is one parquet split, and BOTH join branches consume it
+      val sets = graft.CacheRegistry.register(Tables.documentsPar(s, d)
         .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       pairs
         .join(sets.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("sh", "sh_a"), "doc_a")

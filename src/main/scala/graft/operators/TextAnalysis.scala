@@ -397,7 +397,7 @@ object TextAnalysis {
         |        string_split(text, ' ') AS rtoks
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      Tables.documentsPar(s, d)
         .select(col("doc_id"), langId(col("text")).as("lang_pred"),
           qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
@@ -500,7 +500,8 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val bench = Sampling.stratifiedSample(docs, "source", col("doc_id"), 5)
-      contamination(docs, "doc_id", "text", bench, "text",
+      contamination(Tables.documentsPar(s, d), "doc_id", "text", bench,
+          "text",
           shingleSize = 8, threshold = 0.5)
         .filter(col("n_hit") > 0)
         .orderBy("doc_id")
@@ -535,7 +536,7 @@ object TextAnalysis {
       // one explode pass: tf is the only consumer of raw terms; df and n
       // both derive from (persisted) tf. Ranking uses the ROUNDED score
       // so the rank-3 boundary can't flip on cross-engine ln() ulps.
-      val tf = graft.CacheRegistry.register(Tables.documents(s, d)
+      val tf = graft.CacheRegistry.register(Tables.documentsPar(s, d)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term")
@@ -623,7 +624,7 @@ object TextAnalysis {
         |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
       // three consumers (bstat, fstat, final join) — persist the
       // tokenized frame once instead of re-scanning + re-splitting
-      val docs = graft.CacheRegistry.register(Tables.documents(s, d)
+      val docs = graft.CacheRegistry.register(Tables.documentsPar(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // bigrams from zip_with over the shifted copy (null-padded tail
@@ -854,7 +855,7 @@ object TextAnalysis {
         |        SELECT unnest(string_split(text, ' ')) AS term
         |        FROM documents))
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
+      val tok = Tables.documentsPar(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
       val total = tf.agg(sum(col("cnt")).cast("bigint").as("n"))
@@ -919,7 +920,7 @@ object TextAnalysis {
         zip_with(toksL, slice(toksL, lit(2), greatest(size(toksL), lit(1))),
           (x, y) => concat(x, lit(" "), y)),
         b => b.isNotNull)
-      val bg = Tables.documents(s, d)
+      val bg = Tables.documentsPar(s, d)
         .select(explode(bgs).as("b"))
         .select(split(col("b"), " ").getItem(0).as("w1"),
           split(col("b"), " ").getItem(1).as("w2"))
@@ -989,7 +990,7 @@ object TextAnalysis {
         |  CAST(MIN(nll_e4) AS BIGINT) AS min_nll_e4,
         |  CAST(MAX(nll_e4) AS BIGINT) AS max_nll_e4
         |FROM scored GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
+      val tok = Tables.documentsPar(s, d)
         .select(col("doc_id"), col("lang"),
           explode(tokens(col("text"))).as("term"))
       val tf = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
@@ -1063,7 +1064,7 @@ object TextAnalysis {
         |  FROM (SELECT p, cnt FROM c2 ORDER BY cnt DESC, p LIMIT 5))
         |ORDER BY merge_round, rk""".stripMargin) { (s, d) =>
       val w = graft.CacheRegistry.ensurePersisted(
-        Tables.documents(s, d)
+        Tables.documentsPar(s, d)
           .select(explode(tokens(lower(col("text")))).as("w"))
           .filter(length(col("w")) >= 2))
       def pairCounts(df: org.apache.spark.sql.DataFrame) = df
@@ -1131,8 +1132,14 @@ object TextAnalysis {
           |  ${halfUp4Sql("SUM(lc)", "SUM(length(w))")} AS chars_per_token
           |FROM w3 GROUP BY 1 ORDER BY bucket""".stripMargin
       }) { (s, d) =>
+      // repartition before the word explode: the corpus is one parquet
+      // split, and w0's partitioning is inherited by all three narrow
+      // corpus-wide replace() projections below — without the spread the
+      // whole tokenizer application runs on ONE core (the simhashPairs
+      // CPU-bound-projection rule)
       val w0 = graft.CacheRegistry.ensurePersisted(
         Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
           .withColumn("lc", length(col("w"))))
       def pairCounts(df: org.apache.spark.sql.DataFrame) = df
@@ -1323,7 +1330,7 @@ object TextAnalysis {
         |  CAST(score_raw >= 0 AS INTEGER) AS keep
         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toks = tokens(lower(col("text")))
-      Tables.documents(s, d)
+      Tables.documentsPar(s, d)
         .select(col("doc_id"), qualityScoreRaw(col("text")).as("score_raw"),
           size(toks).cast("double").as("ntok"))
         .select(col("doc_id"), col("score_raw"),
@@ -1378,7 +1385,12 @@ object TextAnalysis {
       val P = 2147483629L
       def buckets(f: Column): Column = array(cmHashRows.map { case (a, b) =>
         pmod(f * a + b, lit(P)) % 256 }: _*)
+      // repartition BEFORE the 4-row hash fan-out: the corpus arrives as
+      // one parquet split and everything up to the first aggregation
+      // shuffle (explode → fingerprint → 4 bucket hashes) would run on
+      // ONE core (the simhashPairs CPU-bound-projection rule)
       val tokDf = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(tokens(lower(col("text")))).as("tok"))
       // cells feeds the probe join AND the total — persist the <=1024
       // post-aggregation rows so the corpus is sketched exactly once
@@ -1440,7 +1452,7 @@ object TextAnalysis {
         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
       // two consumers (unigram + bigram counts) — persist the token
       // arrays once, same pattern as text_repetition
-      val toks = graft.CacheRegistry.register(Tables.documents(s, d)
+      val toks = graft.CacheRegistry.register(Tables.documentsPar(s, d)
         .select(tokens(lower(col("text"))).as("ts"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // uc feeds three consumers (total + two broadcast joins) and bc
@@ -1662,7 +1674,7 @@ object TextAnalysis {
         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin) { (s, d) =>
       // two consumers (the min aggregate and the join) — persist so the
       // shingle pass runs once
-      val ex = graft.CacheRegistry.register(Tables.documents(s, d)
+      val ex = graft.CacheRegistry.register(Tables.documentsPar(s, d)
         .select(col("doc_id"),
           explode(Dedup.shingleHashes(col("text"), 3)).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1760,7 +1772,7 @@ object TextAnalysis {
         |FROM tok JOIN raw USING (term) LEFT JOIN tgt USING (term)
         |CROSS JOIN consts
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsPar(s, d)
       val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val raw = tok.groupBy("term").agg(count(lit(1)).as("cr"))
       val tgt = docs.filter(col("lang") === "en")
@@ -1816,7 +1828,7 @@ object TextAnalysis {
         |        - round(ln(CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE)), 6)),
         |      9) AS DECIMAL(18,9))) AS DOUBLE), 4) AS kl
         |FROM grid GROUP BY source, ns ORDER BY source""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
+      val tok = Tables.documentsPar(s, d)
         .select(col("source"), explode(tokens(col("text"))).as("term"))
       val vocab = tok.groupBy("term").agg(count(lit(1)).as("cc"))
       val srccnt = tok.groupBy("source", "term").agg(count(lit(1)).as("cs"))
@@ -1875,7 +1887,7 @@ object TextAnalysis {
         |      9) AS DECIMAL(18,9))) AS DOUBLE), 4) AS jsd
         |FROM grid GROUP BY source, ns ORDER BY source""".stripMargin) {
       (s, d) =>
-      val tok = Tables.documents(s, d)
+      val tok = Tables.documentsPar(s, d)
         .select(col("source"), explode(tokens(col("text"))).as("term"))
       val vocab = tok.groupBy("term").agg(count(lit(1)).as("cc"))
       val srccnt = tok.groupBy("source", "term").agg(count(lit(1)).as("cs"))
@@ -1930,7 +1942,7 @@ object TextAnalysis {
         |JOIN c1 ON c1.term = bg.w1
         |CROSS JOIN vv
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsPar(s, d)
       val toks = tokens(col("text"))
       val bgPairs = filter(
         zip_with(toks, slice(toks, lit(2), greatest(size(toks), lit(1))),
@@ -2101,7 +2113,7 @@ object TextAnalysis {
           expr("(rk * 10) div nd").cast("bigint").as("decile"))
       // BIGRAM vocabulary (unigram vocab saturates in one decile on any
       // small-alphabet corpus; bigrams give the curve room to grow)
-      val first = Tables.documents(s, d)
+      val first = Tables.documentsPar(s, d)
         .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
         .filter(size(col("ts")) >= 2)
         .select(col("doc_id"),
