@@ -583,9 +583,13 @@ object SeriesOps {
           |  MAX(CASE WHEN rk = ${bootstrapB - 1} THEN m END) AS ci_hi
           |FROM ranked, pt GROUP BY n_rows, point_mean""".stripMargin
       }) { (s, d) =>
+      // repartition before the B-wide fan-out: the broadcast crossJoin
+      // preserves the single input split, so the B×n md5 weight draws
+      // would all run on ONE core (the single-split decode rule)
       val ev = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("value").cast("decimal(18,2)").as("v"))
+        .repartition(s.sparkContext.defaultParallelism)
       val reps = s.range(1, bootstrapB + 1).toDF("r")
       val h4 = substring(md5(concat(col("event_id").cast("string"),
         lit(":"), col("r").cast("string"))), 1, 4)
