@@ -469,7 +469,9 @@ object Dedup {
     *  1. two [[starContract]] rounds (≈ diameter/4, edge list deduped);
     *  2. the contracted graph is metadata-scale in any realistic corpus
     *     (components collapse toward one rep per dense neighborhood) —
-    *     if its edge count is ≤ `collectThreshold` (default 500k ≈ 8 MB)
+    *     if its edge count is ≤ `collectThreshold` (default 500k ≈ 8 MB
+    *     collected; the [[LongUnionFind]] table itself is ~16 B/vertex,
+    *     so the bound has headroom to ~30M vertices if ever raised)
     *     finish with a driver-side min-label UNION-FIND: zero further
     *     jobs, exact component minima (union-by-min keeps each tree's
     *     root = its minimum, so find() returns the component min);
@@ -497,22 +499,12 @@ object Dedup {
     val (rep2, e2raw) = starContract(e1, aCol, bCol)
     val e2 = e2raw.distinct().localCheckpoint()
     val closure: DataFrame = if (e2.count() <= collectThreshold) {
+      // primitive open-addressing union-find (LongUnionFind): ~16 B per
+      // vertex, no boxing — safe headroom if collectThreshold is raised
       val edges = e2.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x
-        while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
-        r
-      }
-      edges.foreach { case (a, b) =>
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-      }
-      import scala.jdk.CollectionConverters._
-      val labels = parent.keySet().asScala.toSeq.map(k => (k, find(k)))
+      val uf = new LongUnionFind(edges.length * 2)
+      edges.foreach { case (a, b) => uf.union(a, b) }
+      val labels = uf.labels().toSeq
       // driver-built label table is broadcast-sized by construction
       broadcast(spark.createDataFrame(labels).toDF("id", "cluster_id"))
     } else {

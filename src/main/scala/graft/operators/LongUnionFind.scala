@@ -1,0 +1,111 @@
+package graft.operators
+
+/** Driver-side union-find over primitive `Long` vertex ids — the finisher
+  * behind [[Dedup.connectedComponentsAuto]]'s bounded-collect branch
+  * (round-12 verdict carry-over #8b: primitive arrays so the
+  * `collectThreshold` bound can be raised without boxed-map blowup).
+  *
+  * Storage is ONE open-addressing hash table (linear probing, power-of-two
+  * capacity, fmix64 key scramble) holding `keys`/`parents` as parallel
+  * `Array[Long]`: ≈16 bytes per vertex at 50% load vs ~100 bytes per boxed
+  * `java.util.HashMap[Long, Long]` entry, and zero autoboxing on the
+  * find/union hot path. At the current 500k-edge collect bound that is
+  * ≤~32 MB of arrays; the structure stays driver-safe to ~30M vertices if
+  * the bound is ever raised.
+  *
+  * Union-by-min (parent(max-root) := min-root) keeps every tree root equal
+  * to its component MINIMUM, so `find(v)` IS the component label — the
+  * same (vertex, component-min) contract the distributed propagation
+  * fixpoint produces, certified by DedupSpec parity.
+  *
+  * `Long.MinValue` is reserved as the empty-slot sentinel; dedup vertex
+  * ids are doc ids / contracted reps (non-negative), enforced by require.
+  */
+private[operators] final class LongUnionFind(expectedVertices: Int) {
+  private[this] final val Empty = Long.MinValue
+
+  private[this] var cap: Int = {
+    var c = 16
+    val target = math.min(1L << 30, math.max(16L, expectedVertices.toLong * 2))
+    while (c < target) c <<= 1
+    c
+  }
+  private[this] var keys: Array[Long] = {
+    val a = new Array[Long](cap); java.util.Arrays.fill(a, Empty); a
+  }
+  private[this] var parents: Array[Long] = new Array[Long](cap)
+  private[this] var n: Int = 0
+
+  /** MurmurHash3 fmix64 finalizer — full avalanche, so linear probing
+    * does not cluster on the sequential doc-id ranges dedup feeds in. */
+  private def slot(k: Long): Int = {
+    var h = k
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    (h & (cap - 1)).toInt
+  }
+
+  /** Slot holding `k`, or the first empty slot of its probe chain. */
+  private def indexOf(k: Long): Int = {
+    var i = slot(k)
+    while (keys(i) != Empty && keys(i) != k) i = (i + 1) & (cap - 1)
+    i
+  }
+
+  private def grow(): Unit = {
+    val oldKeys = keys; val oldParents = parents
+    cap <<= 1
+    keys = new Array[Long](cap); java.util.Arrays.fill(keys, Empty)
+    parents = new Array[Long](cap)
+    var i = 0
+    while (i < oldKeys.length) {
+      if (oldKeys(i) != Empty) {
+        val j = indexOf(oldKeys(i))
+        keys(j) = oldKeys(i); parents(j) = oldParents(i)
+      }
+      i += 1
+    }
+  }
+
+  /** Ensure `v` is present (as its own root if new); return its parent. */
+  private def parentOf(v: Long): Long = {
+    val i = indexOf(v)
+    if (keys(i) == Empty) {
+      keys(i) = v; parents(i) = v; n += 1
+      // grow at 50% load so probe chains stay O(1)
+      if (n.toLong * 2 > cap) grow()
+      v
+    } else parents(i)
+  }
+
+  /** Re-point an EXISTING key's parent (no insertion ⇒ no grow). */
+  private def setParent(v: Long, p: Long): Unit = parents(indexOf(v)) = p
+
+  def size: Int = n
+
+  /** Root (= component minimum) of `v`, with full path compression. */
+  def find(v: Long): Long = {
+    var r = v
+    var pr = parentOf(r)
+    while (pr != r) { r = pr; pr = parentOf(r) }
+    var c = v
+    while (c != r) { val next = parentOf(c); setParent(c, r); c = next }
+    r
+  }
+
+  def union(a: Long, b: Long): Unit = {
+    require(a != Empty && b != Empty,
+      "Long.MinValue is the LongUnionFind empty sentinel, not a vertex id")
+    val ra = find(a); val rb = find(b)
+    if (ra != rb) setParent(math.max(ra, rb), math.min(ra, rb))
+  }
+
+  /** (vertex, component-min) for every vertex ever touched. Iteration is
+    * by slot index; `find` during iteration only compresses paths (keys
+    * all exist ⇒ no insert ⇒ no grow), so the scan is stable. */
+  def labels(): Iterator[(Long, Long)] =
+    keys.iterator.zipWithIndex.collect {
+      case (k, _) if k != Empty => (k, find(k))
+    }
+}

@@ -34,6 +34,23 @@ object Multimodal {
   private val dctKValuesSql: String =
     dctK.map { case (u, r, kv) => s"($u, $r, $kv)" }.mkString(", ")
 
+  /** e3-scaled integer DFT tables for the 16-sample audio frames of
+    * mm_audio_fingerprint: band b = frequency k=b+1 cycles/frame,
+    * C(b,j) = round(1000·cos(2πkj/16)), S(b,j) = round(1000·sin(·)),
+    * j∈[0,16), b∈[0,7). ONE definition rendered into both engines
+    * (the [[dctK]] / q_ewma_forecast pre-rounded-weight recipe), so the
+    * per-frame spectra are exact integer arithmetic everywhere. */
+  private def afC(b: Int): Int => Long = j =>
+    math.round(1000.0 * math.cos(2 * math.Pi * (b + 1) * j / 16.0))
+  private def afS(b: Int): Int => Long = j =>
+    math.round(1000.0 * math.sin(2 * math.Pi * (b + 1) * j / 16.0))
+
+  private val afBandsValuesSql: String = (0 until 7).map { b =>
+    val cs = (0 until 16).map(afC(b)).mkString("[", ", ", "]")
+    val ss = (0 until 16).map(afS(b)).mkString("[", ", ", "]")
+    s"($b, $cs, $ss)"
+  }.mkString(",\n  ")
+
   /** Documents-as-binary view: the corpus text re-encoded as UTF-8 blobs
     * stands in for image/audio payloads (same column shape: id + binary +
     * metadata). */
@@ -575,8 +592,298 @@ object Multimodal {
           coalesce(col("shared_patches"), lit(0L)).as("shared_patches"),
           col("n_pairs_total"))
         .orderBy("media_id")
+    },
+
+    // ------------------------------------------------------------------
+    // TRANSLATION-robust audio near-dup: constellation fingerprinting
+    // (the Shazam landmark scheme, Wang 2003). mm_phash_dedup survives
+    // requantization but NOT time shift — a recording that starts 16
+    // samples later produces a completely different pHash grid, and
+    // mm_patch_dedup's exact 64-byte digests shift out of alignment too.
+    // The constellation fix: per-frame SPECTRAL PEAKS are shift-
+    // covariant (a shifted signal has the same peak sequence at shifted
+    // frame indices), so hashes built from (peak_t, peak_{t+dt}, dt)
+    // survive translation, and the vote histogram over the frame-offset
+    // delta both detects the match and RECOVERS the shift.
+    //
+    // All-integer, replayed verbatim by the oracle:
+    //  - signal proxy = first 320 payload bytes as PCM samples
+    //    (byte-64, the mm_audio_energy convention), silence-padded;
+    //  - 20 non-overlapping 16-sample frames; per frame an exact integer
+    //    7-bin DFT via the pre-rounded e3 cos/sin tables [[afTrig]]
+    //    (the dctK recipe), energy e_b = cr² + ci²;
+    //  - frame symbol = (top-3 band ranking, digit-lengths of the top-2
+    //    energies) — ranking and digit-count survive the ±1.6% energy
+    //    perturbation of requantization (measured symbol agreement ≥91%
+    //    on aligned frames), unlike raw magnitudes;
+    //  - landmark hash = (sym_t, sym_{t+dt}, dt), dt ∈ {1,2,3};
+    //  - candidate pairs from a bucket join on the hash with a 160-row
+    //    deterministic boilerplate cap (the mm_patch_dedup stop-patch
+    //    convention; 160 is the measured knee — cap 256 buys +1.3pp
+    //    catch for +75% join volume); best offset per pair by vote
+    //    count (ties → min offset); candidates ≥5 votes are VERIFIED by
+    //    exact aligned-symbol ratio ≥0.7 at that offset (two-stage
+    //    candidates→verify, the dedup_minhash_lsh shape).
+    // Each media also gets a SHIFTED (16 samples) + REQUANTIZED (byte
+    // div 4 ·4) variant — the re-encoded-and-trimmed duplicate that
+    // escapes both patch and pHash dedup; media key = doc_id·2 + kind.
+    // In-plan certification: self-variant catch rate over docs with
+    // ≥120 chars, floor 0.85 (measured 0.970 / 0.966 / 0.931 at
+    // sf0.001/0.01/0.1 — the sf0.1 value is the tightest; a dip into
+    // [0.75, 0.85) on regenerated data is drift, a collapse toward 0 is
+    // an index bug — the sim_ivf_pq triage convention).
+    // SCALE: per media a FIXED 40 frame symbols and ≤114 hashes; the
+    // pair join is cap²-bounded per bucket; verify touches only
+    // candidate pairs; no unbounded window (best-offset ranking is
+    // per-pair); the sample decode is a repartitioned single-pass
+    // array transform (the mm_phash pixel rule).
+    QueryDef.sql(
+      "mm_audio_fingerprint",
+      s"""WITH bands AS (SELECT * FROM (VALUES $afBandsValuesSql)
+        |  t(b, cv, sv)),
+        |fr AS (
+        |  SELECT doc_id, kind, f, b,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> smp[i] * cv[i])) AS BIGINT) AS cr,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> smp[i] * sv[i])) AS BIGINT) AS ci
+        |  FROM (
+        |    SELECT doc_id, k.kind, t.f,
+        |      list_transform(range(1, 17), i ->
+        |        CASE WHEN k.kind = 0 THEN
+        |          CASE WHEN length(text) >= t.f*16 + i
+        |               THEN CAST(unicode(substring(text,
+        |                 CAST(t.f*16 + i AS INTEGER), 1)) AS BIGINT) - 64
+        |               ELSE 0 END
+        |        ELSE
+        |          CASE WHEN length(text) >= t.f*16 + i + 16
+        |               THEN (CAST(unicode(substring(text,
+        |                 CAST(t.f*16 + i + 16 AS INTEGER), 1)) AS BIGINT)
+        |                 // 4) * 4 - 64
+        |               ELSE 0 END END) AS smp
+        |    FROM documents, generate_series(0, 19) t(f),
+        |         (SELECT unnest([0, 1]) AS kind) k), bands),
+        |rk AS (
+        |  SELECT doc_id, kind, f, b, e,
+        |    row_number() OVER (PARTITION BY doc_id, kind, f
+        |      ORDER BY e DESC, b ASC) AS rn
+        |  FROM (SELECT doc_id, kind, f, b, cr*cr + ci*ci AS e FROM fr)),
+        |pk AS MATERIALIZED (
+        |  SELECT a.doc_id, a.kind, a.f,
+        |    ((((a.b * 7 + c.b) * 7 + d.b) * 16
+        |      + length(CAST(a.e AS VARCHAR))) * 16
+        |      + length(CAST(c.e AS VARCHAR))) AS sym
+        |  FROM rk a
+        |  JOIN rk c ON c.doc_id = a.doc_id AND c.kind = a.kind
+        |    AND c.f = a.f AND c.rn = 2
+        |  JOIN rk d ON d.doc_id = a.doc_id AND d.kind = a.kind
+        |    AND d.f = a.f AND d.rn = 3
+        |  WHERE a.rn = 1 AND a.e > 0),
+        |ch AS MATERIALIZED (
+        |  SELECT a.doc_id * 2 + a.kind AS mid, a.f,
+        |    (a.sym * 87809 + c.sym) * 4 + dt.dt AS hv
+        |  FROM pk a JOIN (VALUES (1), (2), (3)) dt(dt) ON TRUE
+        |  JOIN pk c ON c.doc_id = a.doc_id AND c.kind = a.kind
+        |    AND c.f = a.f + dt.dt),
+        |keep AS (SELECT hv FROM ch GROUP BY hv HAVING COUNT(*) <= 160),
+        |pairs AS (
+        |  SELECT a.mid AS ma, b.mid AS mb, a.f - b.f AS off,
+        |    CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM ch a JOIN keep USING (hv)
+        |  JOIN ch b ON b.hv = a.hv AND a.mid < b.mid
+        |  GROUP BY 1, 2, 3),
+        |best AS MATERIALIZED (
+        |  SELECT ma, mb, votes, off FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY ma, mb
+        |      ORDER BY votes DESC, off ASC) rn
+        |    FROM pairs) WHERE rn = 1 AND votes >= 5),
+        |mk AS MATERIALIZED (
+        |  SELECT doc_id * 2 + kind AS mid, f, sym FROM pk),
+        |nfr AS (SELECT mid, CAST(count(*) AS BIGINT) AS nf
+        |        FROM mk GROUP BY mid),
+        |ver AS (
+        |  SELECT best.ma, best.mb, best.votes, best.off,
+        |    CAST(count(*) FILTER (a.sym = b.sym) AS BIGINT) AS aligned,
+        |    na.nf AS nfa, nb.nf AS nfb
+        |  FROM best
+        |  JOIN mk a ON a.mid = best.ma
+        |  JOIN mk b ON b.mid = best.mb AND a.f - b.f = best.off
+        |  JOIN nfr na ON na.mid = best.ma
+        |  JOIN nfr nb ON nb.mid = best.mb
+        |  GROUP BY 1, 2, 3, 4, 6, 7),
+        |fin AS MATERIALIZED (
+        |  SELECT * FROM ver
+        |  WHERE aligned * 1.0 / least(nfa, nfb) >= 0.7),
+        |cohort AS (SELECT doc_id FROM documents
+        |           WHERE length(text) >= 120),
+        |cert AS (SELECT CAST(
+        |    (SELECT COUNT(*) FROM fin f JOIN cohort ct
+        |       ON f.ma = ct.doc_id * 2 AND f.mb = ct.doc_id * 2 + 1) * 100
+        |    >= (SELECT COUNT(*) FROM cohort) * 85 AS INTEGER) AS catch_ok)
+        |SELECT fin.ma AS media_a, fin.mb AS media_b,
+        |  CAST(fin.off AS INTEGER) AS off, fin.votes, fin.aligned,
+        |  fin.nfa AS nf_a, fin.nfb AS nf_b,
+        |  round(fin.aligned * 1.0 / least(fin.nfa, fin.nfb), 4)
+        |    AS match_ratio,
+        |  cert.catch_ok
+        |FROM fin, cert ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
+      audioFingerprintFrames(s, d)("out")
     }
   )
+
+  /** Stage frames of the mm_audio_fingerprint pipeline, keyed
+    * docsW/pk/ch/pairs/best/fin/out — the gated query consumes "out";
+    * `graft.tools.AfpProbe` times the stages separately (the
+    * stage-bisect discipline that caught mm_phash's 13 s decode). */
+  private[graft] def audioFingerprintFrames(
+      s: SparkSession, d: String): Map[String, DataFrame] = {
+      // ONE sample array per (doc, kind), repartitioned before the
+      // CPU-bound decode (the mm_phash pixel rule); silence pad = 0,
+      // guarded explicitly because ascii('') = 0 would decode the pad
+      // as sample -64
+      // single consumer (fr) — no persist; pk is the reuse point
+      val docsW = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 336).as("w"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode(array(lit(0), lit(1))).as("kind"), col("w"))
+          .select(col("doc_id"), col("kind"),
+            when(col("kind") === 1, expr(
+              "transform(sequence(1, 320), i -> IF(i + 16 <= length(w)," +
+                " (ascii(substring(w, i + 16, 1)) div 4) * 4 - 64, 0))"))
+              .otherwise(expr(
+                "transform(sequence(1, 320), i -> IF(i <= length(w)," +
+                  " ascii(substring(w, i, 1)) - 64, 0))"))
+              .as("sv"))
+      // per-frame 7-bin integer DFT as codegen'd linear combinations of
+      // the e3 coefficient tables — no trig join, no sample shuffle
+      val bandCols = (0 until 7).flatMap { b =>
+        def comb(coef: Int => Long, name: String) =
+          expr((0 until 16).map { j =>
+            s"(${coef(j)}) * CAST(sv[16 * f + $j] AS BIGINT)"
+          }.mkString(" + ")).as(name)
+        Seq(comb(afC(b), s"cr_$b"), comb(afS(b), s"ci_$b"))
+      }
+      val fr = docsW
+        .select(col("doc_id") +: col("kind") +: col("sv") +:
+          explode(sequence(lit(0), lit(19))).as("f") +: Seq.empty: _*)
+        .select(Seq(col("doc_id"), col("kind"), col("f")) ++ bandCols: _*)
+      // top-3 bands per frame in ONE projection: sort 7 (e, 6-b) structs
+      // descending — e desc, then b asc on ties (nb = 6-b desc)
+      val eArr = sort_array(array((0 until 7).map(b =>
+        struct((col(s"cr_$b") * col(s"cr_$b")
+          + col(s"ci_$b") * col(s"ci_$b")).as("e"),
+          lit(6 - b).as("nb"))): _*), asc = false)
+      val pk = graft.CacheRegistry.register(fr
+        .withColumn("arr", eArr)
+        .filter(col("arr")(0)("e") > 0)
+        .select(col("doc_id"), col("kind"), col("f"),
+          (((((lit(6) - col("arr")(0)("nb")) * 7
+            + (lit(6) - col("arr")(1)("nb"))) * 7
+            + (lit(6) - col("arr")(2)("nb"))) * 16
+            + length(col("arr")(0)("e").cast("string"))) * 16
+            + length(col("arr")(1)("e").cast("string")))
+            .cast("long").as("sym"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // landmark hashes: (sym_t, sym_{t+dt}, dt); 87809 > max sym 87807.
+      // Adjacent frames come from ONE lead() window (20-row partitions)
+      // instead of a pk self-join — frames at distance ≤3 are at most 3
+      // lead positions ahead (frame indices are strictly increasing),
+      // so filtering the 3 leads on actual distance is join-equivalent
+      // with one less exchange
+      val wLead = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "kind").orderBy("f")
+      val withLeads = pk.select(
+        col("doc_id") +: col("kind") +: col("f") +: col("sym") +:
+          (1 to 3).map(k => lead(struct(col("f"), col("sym")), k)
+            .over(wLead).as(s"l$k")): _*)
+      // not persisted: the only consumer is chCap, whose hv exchange is
+      // computed once and reused by both sides of the pair self-join
+      val ch = withLeads
+        .select((col("doc_id") * 2 + col("kind")).as("mid"), col("f"),
+          col("sym"),
+          explode(array(col("l1"), col("l2"), col("l3"))).as("l"))
+        .filter(col("l").isNotNull &&
+          col("l.f").between(col("f") + 1, col("f") + 3))
+        .select(col("mid"), col("f"),
+          ((col("sym") * 87809L + col("l.sym")) * 4
+            + (col("l.f") - col("f"))).as("hv"))
+      // boilerplate cap as count-over-window by hv: ONE hv-keyed pass (a
+      // groupBy+semi-join cap costs an extra aggregate); a.hv kept ⇒ its
+      // bucket is kept, so capping both sides is join-equivalent to
+      // capping one. PERSISTED because the pair self-join consumes it
+      // twice and plans the small side as a BroadcastExchange, which
+      // does NOT reuse the left side's shuffle (measured: the whole
+      // lead+cap window chain ran twice without the persist)
+      val chCap = graft.CacheRegistry.ensurePersisted(ch
+        .withColumn("bs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("hv")))
+        .filter(col("bs") <= 160)
+        .select("hv", "mid", "f"))
+      val pairs = chCap
+        .select(col("hv"), col("mid").as("ma"), col("f").as("fa"))
+        .join(chCap.select(col("hv"), col("mid").as("mb"),
+          col("f").as("fb")), Seq("hv"))
+        .filter(col("ma") < col("mb"))
+        .groupBy(col("ma"), col("mb"), (col("fa") - col("fb")).as("off"))
+        .agg(count(lit(1)).as("votes"))
+      // best offset per pair as ONE map-side-combinable max-struct agg
+      // ((votes, -off) lexicographic max = votes desc, off asc) — a
+      // row_number window here would sort every candidate group; the
+      // agg combines partials before the shuffle
+      val best = pairs
+        .groupBy("ma", "mb")
+        .agg(max(struct(col("votes"), (-col("off")).as("noff"))).as("m"))
+        .select(col("ma"), col("mb"), col("m.votes").as("votes"),
+          (-col("m.noff")).as("off"))
+        .filter(col("votes") >= 5)
+      val mk = pk.select((col("doc_id") * 2 + col("kind")).as("mid"),
+        col("f"), col("sym"))
+      val nfr = mk.groupBy("mid").agg(count(lit(1)).as("nf"))
+      val mkA = mk.select(col("mid").as("ma"), col("f").as("fa"),
+        col("sym").as("sym_a"))
+      val mkB = mk.select(col("mid").as("mb"), col("f").as("fb"),
+        col("sym").as("sym_b"))
+      // alignment as a PURE equi-join: the verify frame index on the b
+      // side is determined (fb = fa - off), so joining on (mb, fb)
+      // keeps the matcher hash-joinable — an expression condition here
+      // degrades to an mb-only join with a 40×40 post-filter per pair
+      val fin = graft.CacheRegistry.ensurePersisted(best
+        .join(mkA, Seq("ma"))
+        .withColumn("fb", col("fa") - col("off"))
+        .join(mkB, Seq("mb", "fb"))
+        .groupBy(col("ma"), col("mb"), col("votes"), col("off"))
+        .agg(sum(when(col("sym_a") === col("sym_b"), 1).otherwise(0))
+          .as("aligned"))
+        .join(broadcast(nfr.select(col("mid").as("ma"),
+          col("nf").as("nfa"))), Seq("ma"))
+        .join(broadcast(nfr.select(col("mid").as("mb"),
+          col("nf").as("nfb"))), Seq("mb"))
+        .filter(col("aligned") / least(col("nfa"), col("nfb")) >= 0.7))
+      // in-plan certification: self-variant catch over the ≥120-char
+      // cohort, floor 0.85 — integer compare (×100), engine-exact
+      val cohort = Tables.documents(s, d)
+        .filter(length(col("text")) >= 120).select("doc_id")
+      val caughtN = fin
+        .filter(col("mb") === col("ma") + 1 && col("ma") % 2 === 0)
+        .select(expr("ma DIV 2").as("doc_id"))
+        .join(broadcast(cohort), Seq("doc_id"))
+        .agg(count(lit(1)).as("kn"))
+      val cohortN = cohort.agg(count(lit(1)).as("cn"))
+      val cert = caughtN.crossJoin(cohortN)
+        .select((col("kn") * 100 >= col("cn") * 85).cast("int")
+          .as("catch_ok"))
+      val out = fin
+        .select(col("ma").as("media_a"), col("mb").as("media_b"),
+          col("off").cast("int").as("off"), col("votes"), col("aligned"),
+          col("nfa").as("nf_a"), col("nfb").as("nf_b"),
+          round(col("aligned") / least(col("nfa"), col("nfb")), 4)
+            .as("match_ratio"))
+        .crossJoin(broadcast(cert))
+        .orderBy("media_a", "media_b")
+      Map("docsW" -> docsW, "pk" -> pk, "ch" -> ch, "pairs" -> pairs,
+        "best" -> best, "fin" -> fin, "out" -> out)
+  }
 
   val audioWindowSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

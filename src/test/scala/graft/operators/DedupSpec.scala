@@ -381,4 +381,27 @@ class DedupSpec extends SparkTestBase {
     assert(row.getDouble(3) == 1.0)
     assert(row.getInt(4) == 0)
   }
+
+  test("LongUnionFind: growth, min-root labels, sentinel guard") {
+    // enough unions from a tiny initial capacity to force several grows
+    // (initial cap for expected=2 is 16 slots; 10k vertices → 4 doublings)
+    val uf = new LongUnionFind(2)
+    // chain 0-1-2-...-4999 plus a disjoint star 10000-{10001..14999}
+    (0L until 4999L).foreach(i => uf.union(i, i + 1))
+    (10001L to 14999L).foreach(i => uf.union(10000L, i))
+    assert(uf.size == 10000)
+    assert(uf.find(4999L) == 0L)       // chain root = component min
+    assert(uf.find(14999L) == 10000L)  // star root = component min
+    val labels = uf.labels().toMap
+    assert(labels.size == 10000)
+    assert(labels.values.toSet == Set(0L, 10000L))
+    // ids arriving in descending order still label by the component MIN
+    val uf2 = new LongUnionFind(4)
+    uf2.union(9L, 7L); uf2.union(7L, 3L); uf2.union(3L, 5L)
+    assert(Seq(9L, 7L, 5L, 3L).map(uf2.find).toSet == Set(3L))
+    // Long.MinValue is the empty-slot sentinel, never a legal vertex id
+    intercept[IllegalArgumentException] {
+      uf2.union(Long.MinValue, 1L)
+    }
+  }
 }

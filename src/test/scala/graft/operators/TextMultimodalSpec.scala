@@ -756,4 +756,26 @@ class TextMultimodalSpec extends SparkTestBase {
       assert(hapax >= 0.0 && hapax <= 1.0)
     }
   }
+
+  test("audio fingerprint: shifted+requantized variants recovered at offset 1") {
+    val rows = graft.SparkEntry.queries("mm_audio_fingerprint")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7),
+        r.getInt(8)))
+    assert(rows.nonEmpty)
+    // the in-plan certification must hold at sf0.001 (measured 0.973)
+    assert(rows.forall(_._9 == 1), "catch_ok flipped at sf0.001")
+    // every self-variant match recovers the constructed 16-sample shift
+    // as EXACTLY one frame of offset — the property pHash cannot have
+    val self = rows.filter(r => r._2 == r._1 + 1 && r._1 % 2 == 0)
+    assert(self.nonEmpty)
+    assert(self.forall(_._3 == 1),
+      s"self offsets != 1: ${self.filter(_._3 != 1).take(5).toSeq}")
+    // verify stage contract: every surviving pair really has ratio >= .7
+    rows.foreach { r =>
+      assert(r._8 >= 0.7 && r._8 <= 1.0, s"ratio out of band: $r")
+      assert(r._5 <= math.min(r._6, r._7), "aligned exceeds frame count")
+    }
+  }
 }
