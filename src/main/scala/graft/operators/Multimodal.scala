@@ -594,6 +594,89 @@ object Multimodal {
         .orderBy("media_id")
     },
 
+    // Thumbnail RESIZE through the decode seam — the north-star
+    // multimodal verb (decode / feature-extract / RESIZE / frame-sample)
+    // not yet covered: an integer 2×2 average-pooling pyramid
+    // 16×16 → 8×8 → 4×4 over the luma-proxy grid (floor average — the
+    // exact arithmetic of a uint8 box-filter downsampler). Per media:
+    // both thumbnail digests + per-level pixel sums, with an IN-PLAN
+    // mass-conservation certification: floor pooling loses at most 3
+    // units per 2×2 block, so 0 ≤ sum16 − 4·sum8 ≤ 3·64 and
+    // 0 ≤ sum8 − 4·sum4 ≤ 3·16 — a wrong index map, a transposed
+    // block, or an overflow breaks the band loudly in both engines.
+    // SCALE: one row in, one row out, all per-row codegen'd array
+    // transforms — no shuffle, no join; a real decoder slots in at the
+    // pv seam exactly as in mm_phash_dedup.
+    QueryDef.sql(
+      "mm_image_resize",
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, 257), i ->
+        |      CASE WHEN length(text) >= i
+        |           THEN CAST(unicode(substring(text, CAST(i AS INTEGER),
+        |             1)) AS BIGINT)
+        |           ELSE 0 END) AS pv
+        |  FROM documents),
+        |r8 AS (
+        |  SELECT doc_id, pv,
+        |    list_transform(range(0, 64), k ->
+        |      (pv[32*(k//8) + 2*(k%8) + 1] + pv[32*(k//8) + 2*(k%8) + 2]
+        |       + pv[32*(k//8) + 2*(k%8) + 17]
+        |       + pv[32*(k//8) + 2*(k%8) + 18]) // 4) AS t8
+        |  FROM px),
+        |r4 AS (
+        |  SELECT doc_id, pv, t8,
+        |    list_transform(range(0, 16), k ->
+        |      (t8[16*(k//4) + 2*(k%4) + 1] + t8[16*(k//4) + 2*(k%4) + 2]
+        |       + t8[16*(k//4) + 2*(k%4) + 9]
+        |       + t8[16*(k//4) + 2*(k%4) + 10]) // 4) AS t4
+        |  FROM r8)
+        |SELECT doc_id AS media_id,
+        |  md5(array_to_string(list_transform(t8,
+        |    x -> CAST(x AS VARCHAR)), '-')) AS thumb8_md5,
+        |  md5(array_to_string(list_transform(t4,
+        |    x -> CAST(x AS VARCHAR)), '-')) AS thumb4_md5,
+        |  CAST(list_sum(pv) AS BIGINT) AS sum16,
+        |  CAST(list_sum(t8) AS BIGINT) AS sum8,
+        |  CAST(list_sum(t4) AS BIGINT) AS sum4,
+        |  CAST(list_sum(pv) - 4*list_sum(t8) BETWEEN 0 AND 192
+        |   AND list_sum(t8) - 4*list_sum(t4) BETWEEN 0 AND 48
+        |   AS INTEGER) AS pool_ok
+        |FROM r4 ORDER BY media_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 256).as("w"))
+        .repartition(s.sparkContext.defaultParallelism)
+        // ascii('') = 0 past the end IS the zero-pad rule (mm_phash)
+        .select(col("doc_id"), expr(
+          "transform(sequence(1, 256)," +
+            " i -> CAST(ascii(substring(w, i, 1)) AS BIGINT))").as("pv"))
+        .withColumn("t8", expr(
+          "transform(sequence(0, 63), k -> (pv[32*(k div 8) + 2*(k % 8)]" +
+            " + pv[32*(k div 8) + 2*(k % 8) + 1]" +
+            " + pv[32*(k div 8) + 2*(k % 8) + 16]" +
+            " + pv[32*(k div 8) + 2*(k % 8) + 17]) div 4)"))
+        .withColumn("t4", expr(
+          "transform(sequence(0, 15), k -> (t8[16*(k div 4) + 2*(k % 4)]" +
+            " + t8[16*(k div 4) + 2*(k % 4) + 1]" +
+            " + t8[16*(k div 4) + 2*(k % 4) + 8]" +
+            " + t8[16*(k div 4) + 2*(k % 4) + 9]) div 4)"))
+        .select(col("doc_id").as("media_id"),
+          md5(expr("array_join(transform(t8, x -> CAST(x AS STRING)), '-')"))
+            .as("thumb8_md5"),
+          md5(expr("array_join(transform(t4, x -> CAST(x AS STRING)), '-')"))
+            .as("thumb4_md5"),
+          expr("aggregate(pv, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("sum16"),
+          expr("aggregate(t8, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("sum8"),
+          expr("aggregate(t4, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("sum4"))
+        .withColumn("pool_ok",
+          ((col("sum16") - col("sum8") * 4).between(0, 192) &&
+            (col("sum8") - col("sum4") * 4).between(0, 48)).cast("int"))
+        .orderBy("media_id")
+    },
+
     // ------------------------------------------------------------------
     // TRANSLATION-robust audio near-dup: constellation fingerprinting
     // (the Shazam landmark scheme, Wang 2003). mm_phash_dedup survives

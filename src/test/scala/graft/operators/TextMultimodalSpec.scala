@@ -757,6 +757,32 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("image resize: pooling is exact on a constant image, band holds corpus-wide") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("mm_image_resize")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // floor-pooling mass-conservation band certified on every media
+    assert(rows.forall(_.getInt(6) == 1), "pool_ok flipped at sf0.001")
+    // a constant 256-char image pools exactly: every level is all-65
+    // ('A'), sums scale by 4 with zero floor loss
+    val const = Seq((1L, "A" * 256)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("resize").toString
+    const.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // stage the other tables mm queries don't read? not needed — the
+    // builder only reads documents
+    val r = graft.SparkEntry.queries("mm_image_resize")(spark, dir)
+      .collect()(0)
+    assert(r.getLong(3) == 256L * 65)           // sum16
+    assert(r.getLong(4) == 64L * 65)            // sum8: exact, no loss
+    assert(r.getLong(5) == 16L * 65)            // sum4
+    assert(r.getInt(6) == 1)
+    val expected8 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.fill(64)("65").mkString("-").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getString(1) == expected8, "8x8 digest mismatch on constant image")
+  }
+
   test("audio fingerprint: shifted+requantized variants recovered at offset 1") {
     val rows = graft.SparkEntry.queries("mm_audio_fingerprint")(
       spark, sf0001).collect()
