@@ -137,6 +137,8 @@ object Bench {
     // it composes — classifier scan, LSH dedup, shard rank — are all
     // timed by their own headline rows)
     "connector_incremental_curation",
+    // same class: per-commit foreachBatch dimension maintenance
+    "connector_cdf_scd2",
     "connector_changes_by_time", "connector_events_window",
     "connector_join_agg", "connector_nested_types",
     "connector_partition_values", "connector_snapshot_diff",

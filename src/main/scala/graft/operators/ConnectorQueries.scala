@@ -219,6 +219,54 @@ object ConnectorQueries {
           docV3.map(f => server.ChangeEntry(3, "add",
             server.ServedFile(f, Map.empty), 1700000300000L))))
 
+      // CDF table over SUPPLIER with UPDATE-shaped changes (remove old
+      // row + add new row in the same commit — how Delta CDF renders an
+      // UPDATE without preimage columns): v2 reprices s_suppkey % 5 = 0
+      // (s_acctbal + 100), v3 reprices s_suppkey % 7 = 0 on TOP of v2
+      // (% 35 keys carry two update generations). Current snapshot =
+      // the fully folded state, so plain scans, time travel and the
+      // feed stay mutually consistent. Backs connector_cdf_scd2.
+      // Files are partitioned by UPDATE-GENERATION PATTERN (untouched /
+      // %5-only / %7-only / %35) so every commit's file rewrites touch
+      // exactly the keys that change in it — the Delta invariant that
+      // the current file list equals v1 + adds − removes at FILE
+      // granularity holds, and the change feed carries no phantom
+      // rewrite rows for unchanged keys.
+      val supRaw = spark.read.parquet(s"$sfDir/supplier.parquet")
+      val is5 = col("s_suppkey") % 5 === 0
+      val is7 = col("s_suppkey") % 7 === 0
+      def supSlice(name: String, df: DataFrame): Seq[java.nio.file.Path] = {
+        val dir = s"$stage/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        parquetFiles(dir)
+      }
+      def bump(df: DataFrame): DataFrame =
+        df.withColumn("s_acctbal", col("s_acctbal") + 100.0)
+      val supA = supSlice("sup_a", supRaw.filter(!is5 && !is7))
+      val supB = supSlice("sup_b", supRaw.filter(is5 && !is7))
+      val supC = supSlice("sup_c", supRaw.filter(!is5 && is7))
+      val supD = supSlice("sup_d", supRaw.filter(is5 && is7))
+      val supB2 = supSlice("sup_b2", bump(supRaw.filter(is5 && !is7)))
+      val supD2 = supSlice("sup_d2", bump(supRaw.filter(is5 && is7)))
+      val supC3 = supSlice("sup_c3", bump(supRaw.filter(!is5 && is7)))
+      val supD3 = supSlice("sup_d3", bump(bump(supRaw.filter(is5 && is7))))
+      def served(fs: Seq[java.nio.file.Path]) =
+        fs.map(f => server.ServedFile(f, Map.empty))
+      def entries(v: Long, typ: String, fs: Seq[java.nio.file.Path],
+          ts: Long) =
+        fs.map(f => server.ChangeEntry(v, typ,
+          server.ServedFile(f, Map.empty), ts))
+      server.addTable("graft", "main", server.TableDef(
+        "supplier_cdf", DeltaSchema.toSchemaString(supRaw.schema),
+        Seq.empty,
+        files = served(supA ++ supB2 ++ supC3 ++ supD3),
+        version = 3,
+        changes =
+          entries(2, "remove", supB ++ supD, 1700000400000L) ++
+          entries(2, "add", supB2 ++ supD2, 1700000400000L) ++
+          entries(3, "remove", supC ++ supD2, 1700000500000L) ++
+          entries(3, "add", supC3 ++ supD3, 1700000500000L)))
+
       // Nested-type table: per-order array<struct> of line items plus a
       // map column, derived deterministically from lineitem — exercises
       // the schema envelope's struct/array/map recursion AND the
@@ -849,6 +897,88 @@ object ConnectorQueries {
         .select(col("shard").cast("bigint").as("shard"), col("n_docs"),
           col("total_chars"), col("fingerprint"))
         .orderBy("shard")
+    },
+
+    // STREAMING SCD2 DIMENSION MAINTENANCE from the change feed: the
+    // other canonical continuous-consumption shape next to the replica
+    // (connector_cdf_materialize, latest-state-only) — a type-2 history
+    // table that PRESERVES every generation of a changing dimension row
+    // as a [valid_from, valid_to) version interval (9999 = open, the
+    // SCD2 high-date convention). The CDF fixture renders updates the
+    // way Delta CDF does without preimage columns (remove old row + add
+    // new row in one commit), and the handler processes each micro-
+    // batch PER COMMIT VERSION in order (the connector_incremental_
+    // curation recipe, so the result is micro-batch-boundary
+    // independent): close the touched keys' open intervals at v, append
+    // the v arrivals as new open generations. The oracle derives the
+    // full interval set directly from the update formulas the fixture
+    // staged (% 5 repriced at v2, % 7 at v3, % 35 twice). SCALE: dim
+    // maintenance is one broadcast-touched-keys join + union per
+    // commit with localCheckpoint-truncated lineage (constant depth);
+    // per-commit change sets are the transactional unit — never a
+    // whole-history shuffle.
+    QueryDef.sql(
+      "connector_cdf_scd2",
+      """SELECT s_suppkey, s_name, round(bal, 2) AS s_acctbal,
+        |  CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to
+        |FROM (
+        |  SELECT s_suppkey, s_name, s_acctbal AS bal, 1 AS valid_from,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN 2
+        |         WHEN s_suppkey % 7 = 0 THEN 3 ELSE 9999 END AS valid_to
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_acctbal + 100, 2,
+        |    CASE WHEN s_suppkey % 7 = 0 THEN 3 ELSE 9999 END
+        |  FROM supplier WHERE s_suppkey % 5 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name,
+        |    s_acctbal + CASE WHEN s_suppkey % 5 = 0 THEN 200 ELSE 100 END,
+        |    3, 9999
+        |  FROM supplier WHERE s_suppkey % 7 = 0)
+        |ORDER BY s_suppkey, valid_from""".stripMargin) { (s, d) =>
+      val client = shared(s, d)
+      val profilePath = profileFor(s, d)
+      val ref = TableRef("graft", "main", "supplier_cdf")
+      val dim = new java.util.concurrent.atomic.AtomicReference(
+        GraftSharing.readTable(s, client, ref, versionAsOf = Some(1L))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            lit(1L).as("valid_from"), lit(9999L).as("valid_to"))
+          .localCheckpoint(eager = true))
+      val q = GraftSharing.readChangesStream(s, profilePath, ref,
+          startingVersion = 2L)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.select(col("s_suppkey"), col("s_name"),
+            col("s_acctbal"), col("_change_type"), col("_commit_version"))
+            .localCheckpoint(eager = true)
+          val versions = b.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          versions.foreach { v =>
+            val adds = b.filter(col("_commit_version") === v &&
+                col("_change_type") === "add")
+              .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+                lit(v).as("valid_from"), lit(9999L).as("valid_to"))
+            // per-commit touched-key set is metadata-scale → broadcast
+            val touched = b.filter(col("_commit_version") === v)
+              .select("s_suppkey").distinct().withColumn("t", lit(1))
+            val closed = dim.get()
+              .join(broadcast(touched), Seq("s_suppkey"), "left")
+              .withColumn("valid_to",
+                when(col("t") === 1 && col("valid_to") === 9999L, lit(v))
+                  .otherwise(col("valid_to")))
+              .drop("t")
+            dim.set(closed.unionByName(adds).localCheckpoint(eager = true))
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dim.get()
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal"), 2).as("s_acctbal"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("s_suppkey", "valid_from")
     },
 
     // SQL time travel through the catalog plugin: Spark's native

@@ -123,7 +123,10 @@ object ScaleSmoke {
       // r13 wave: the 512-rows/media DCT fan-out + 6-chunk Hamming-band
       // pair join, and the second corpus pass of the fertility audit
       // over the shared BPE merge table
-      "mm_phash_dedup", "text_token_fertility")
+      "mm_phash_dedup", "text_token_fertility",
+      // r13 second wave: the landmark-hash bucket self-join + offset
+      // vote aggregation of the constellation fingerprint
+      "mm_audio_fingerprint")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies
