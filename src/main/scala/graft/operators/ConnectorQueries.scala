@@ -943,7 +943,7 @@ object ConnectorQueries {
       val dim = new java.util.concurrent.atomic.AtomicReference(
         GraftSharing.readTable(s, client, ref, versionAsOf = Some(1L))
           .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
-            lit(1L).as("valid_from"), lit(9999L).as("valid_to"))
+            lit(1L).as("valid_from"), lit(Scd2.Open).as("valid_to"))
           .localCheckpoint(eager = true))
       val q = GraftSharing.readChangesStream(s, profilePath, ref,
           startingVersion = 2L)
@@ -955,20 +955,9 @@ object ConnectorQueries {
           val versions = b.select("_commit_version").distinct()
             .collect().map(_.getLong(0)).sorted
           versions.foreach { v =>
-            val adds = b.filter(col("_commit_version") === v &&
-                col("_change_type") === "add")
-              .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
-                lit(v).as("valid_from"), lit(9999L).as("valid_to"))
-            // per-commit touched-key set is metadata-scale → broadcast
-            val touched = b.filter(col("_commit_version") === v)
-              .select("s_suppkey").distinct().withColumn("t", lit(1))
-            val closed = dim.get()
-              .join(broadcast(touched), Seq("s_suppkey"), "left")
-              .withColumn("valid_to",
-                when(col("t") === 1 && col("valid_to") === 9999L, lit(v))
-                  .otherwise(col("valid_to")))
-              .drop("t")
-            dim.set(closed.unionByName(adds).localCheckpoint(eager = true))
+            val commit = b.filter(col("_commit_version") === v)
+            dim.set(Scd2.applyCommit(dim.get(), commit, v, "s_suppkey")
+              .localCheckpoint(eager = true))
           }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
