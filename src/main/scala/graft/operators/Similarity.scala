@@ -213,23 +213,42 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCells: Int = 32, nprobe: Int = 4, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // one fused matrix-vector kernel for all centroid dots, then struct
-    // assembly from the result array (position = cell id)
-    def cellScores(v: Column): Column =
-      transform(
-        graft.functions.GraftFunctions.planeDots(v, numCells, dim, seed = 7L),
-        (d, i) => struct(d.as("d"), i.cast("int").as("i")))
+    ivfServe(ivfAssignments(corpus, numCells, dim),
+      queries, k, numCells, nprobe, dim)
+  }
+
+  /** One fused matrix-vector kernel for all centroid dots, then struct
+    * assembly from the result array (position = cell id). */
+  private def ivfCellScores(v: Column, numCells: Int, dim: Int): Column =
+    transform(
+      graft.functions.GraftFunctions.planeDots(v, numCells, dim, seed = 7L),
+      (d, i) => struct(d.as("d"), i.cast("int").as("i")))
+
+  /** The IVF index frame: every corpus vector with its assigned cell —
+    * the artifact sim_ivf_prebuilt persists partitioned by cell. */
+  private[operators] def ivfAssignments(corpus: DataFrame,
+      numCells: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // struct ordering is lexicographic → array_max picks the best-dot cell
-    val corpusCells = ensureParallel(corpus)
+    ensureParallel(corpus)
       .select(col("vec_id"), col("embedding"),
-        array_max(cellScores(col("embedding"))).getField("i").as("cell"))
+        array_max(ivfCellScores(col("embedding"), numCells, dim))
+          .getField("i").as("cell"))
+  }
+
+  /** Probe-time serve over an (already built) index frame: each query
+    * fans out to its `nprobe` best cells, exact cosine inside them. */
+  private[operators] def ivfServe(index: DataFrame, queries: DataFrame,
+      k: Int, numCells: Int, nprobe: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(transform(
-          slice(reverse(array_sort(cellScores(col("embedding")))), 1, nprobe),
+          slice(reverse(array_sort(
+            ivfCellScores(col("embedding"), numCells, dim))), 1, nprobe),
           s => s.getField("i"))).as("cell"))
     broadcast(queryProbes)
-      .join(corpusCells, Seq("cell"))
+      .join(index, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb"))
@@ -1032,6 +1051,45 @@ object Similarity {
       searchQuality(bruteForceTopK(emb, qs, k = 5),
         ivfTopK(emb, qs, k = 5, numCells = 32, nprobe = 8),
         k = 5, floor = 0.2)
+    },
+
+    // IVF with a PERSISTED index — the production amortization shape
+    // the build-cost notes on sim_ivf_pq/sim_topk_ivf keep invoking,
+    // here actually certified: build once → write the (vec_id,
+    // embedding, cell) index PARTITIONED BY CELL → serve queries from
+    // the files. The serve join keys on the PARTITION column with the
+    // tiny probe side broadcast, so the scan prunes to the probed cell
+    // directories (the 100 TB serve plan reads ~|corpus|·nprobe/cells
+    // bytes, not the corpus). Output = sim_topk_ivf's per-query quality
+    // summary PLUS parity_ok: the served top-k must equal the in-memory
+    // build-and-search EXACTLY (float arrays round-trip parquet
+    // bit-exactly; both mismatch legs are k·|queries|-bounded frames),
+    // certifying the persisted artifact is self-contained — no hidden
+    // driver/session state survives the write/read boundary.
+    QueryDef.sql(
+      "sim_ivf_prebuilt",
+      s"""WITH $bruteScoredCte
+        |SELECT query_id, max(sim) AS best_sim, 1 AS recall_ok,
+        |  1 AS parity_ok
+        |FROM scored GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-idx").toString + "/index"
+      ivfAssignments(emb, numCells = 32, dim = 64)
+        .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
+      val served = graft.CacheRegistry.ensurePersisted(
+        ivfServe(s.read.parquet(idxDir), qs,
+          k = 5, numCells = 32, nprobe = 8, dim = 64))
+      val mem = ivfTopK(emb, qs, k = 5, numCells = 32, nprobe = 8)
+      val mismatch = served.exceptAll(mem).unionAll(mem.exceptAll(served))
+        .agg(count(lit(1)).as("nm"))
+      searchQuality(bruteForceTopK(emb, qs, k = 5), served,
+          k = 5, floor = 0.2)
+        .crossJoin(broadcast(mismatch))
+        .select(col("query_id"), col("best_sim"), col("recall_ok"),
+          (col("nm") === 0L).cast("int").as("parity_ok"))
+        .orderBy("query_id")
     },
 
     // Int8 scalar-quantized top-5 (the 4×-smaller corpus-scan path).

@@ -101,7 +101,8 @@ class ContractSpec extends AnyFunSuite {
           k != "dedup_exact" && k != "dedup_normalized")) ++
       Set("mm_patch_dedup", "mm_phash_dedup", "mm_audio_fingerprint",
         "q_equidepth_histogram",
-        "q_graph_assortativity", "sim_ivf_pq", "sim_kmeans", "sim_pq_adc",
+        "q_graph_assortativity", "sim_ivf_pq", "sim_ivf_prebuilt",
+        "sim_kmeans", "sim_pq_adc",
         "sim_sq8_topk", "sim_topk_ann", "sim_topk_ivf", "text_bpe_encode",
         "text_dedup_spans", "text_pack_offsets")
     val missing = required -- listed
