@@ -54,6 +54,12 @@ private[operators] final class LongUnionFind(expectedVertices: Int) {
   }
 
   private def grow(): Unit = {
+    // cap is a power of two; one more doubling past 1<<30 would wrap
+    // negative. Unreachable under the 500k-edge collect bound (≈1M
+    // vertices), but fail loudly rather than corrupt if it ever isn't.
+    require(cap < (1 << 30),
+      "LongUnionFind beyond ~536M entries — use the distributed " +
+        "log-star fallback instead of raising collectThreshold this far")
     val oldKeys = keys; val oldParents = parents
     cap <<= 1
     keys = new Array[Long](cap); java.util.Arrays.fill(keys, Empty)

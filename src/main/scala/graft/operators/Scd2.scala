@@ -23,6 +23,11 @@ object Scd2 {
     * touched keys' open intervals at `v`, append the commit's add-rows
     * as new open generations `[v, Open)`.
     *
+    * The same fold covers all three change shapes: UPDATE (remove+add
+    * → close and reopen), pure DELETE (remove only → close, no new
+    * generation), and INSERT of a new key (add only → nothing to
+    * close, a fresh `[v, Open)` generation).
+    *
     * `commit` must carry the dimension's business columns plus
     * `_change_type` / `_commit_version`; `dim` the business columns
     * plus `valid_from` / `valid_to`. */
