@@ -111,7 +111,5 @@ private[operators] final class LongUnionFind(expectedVertices: Int) {
     * by slot index; `find` during iteration only compresses paths (keys
     * all exist ⇒ no insert ⇒ no grow), so the scan is stable. */
   def labels(): Iterator[(Long, Long)] =
-    keys.iterator.zipWithIndex.collect {
-      case (k, _) if k != Empty => (k, find(k))
-    }
+    keys.iterator.filter(_ != Empty).map(k => (k, find(k)))
 }
