@@ -18,20 +18,26 @@ object PlanAudit {
     // the bench set IS the audit set (single-sourced so a query added to
     // one can't silently miss the other), plus the connector scans whose
     // pushdown evidence only shows through the sharing path
-    val audit = (Bench.headline ++
-      Seq("connector_filter_pushdown", "connector_partition_values"))
+    val audit = PlanContract.auditSet
       // optional arg: comma-separated name filter (local iteration)
       .filter(n => args.headOption.forall(_.split(',').contains(n)))
     val qs = SparkEntry.queries
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     audit.foreach { name =>
       println(s"\n## $name\n")
       println("```")
-      println(qs(name)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val planText = qs(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(planText)
       println("```")
+      // generation-time SinglePartition contract check (r13 verdict ask
+      // #2): fail loudly while the offending plan is on screen; the
+      // committed PLANS.md is additionally re-audited by PlanContractSpec
+      PlanContract.check(name, planText).foreach(violations += _)
     }
+    violations.foreach(v => System.err.println(s"[plan-contract] $v"))
     graft.operators.ConnectorQueries.stopAll()
     spark.stop()
-    sys.exit(0) // embedded-server threads must not pin the JVM
+    sys.exit(if (violations.isEmpty) 0 else 1)
   }
 }

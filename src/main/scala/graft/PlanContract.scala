@@ -1,0 +1,163 @@
+package graft
+
+/** The SinglePartition CONTRACT (round-13 verdict ask #2).
+  *
+  * A `SinglePartition` exchange is the one plan shape that silently
+  * kills a query at 100 TB: everything upstream funnels through one
+  * task. Every audited plan that carries one must do so over a frame
+  * whose size is BOUNDED BY CONSTRUCTION — a 1-row global aggregate, a
+  * domain-bounded window (calendar buckets, quantile grids, distinct
+  * rounded values, vocabulary types), a ≤k-row pool, a per-iteration
+  * convergence scalar, or GlobalRank's ≤#partitions offset frames.
+  *
+  * Until round 13 this was a manual judge pass over PLANS.md (157
+  * mentions re-read every round). This object makes it a contract, the
+  * `Bench.benchExempt` named-exemption pattern: every audited query
+  * with ≥1 SinglePartition exchange must carry an entry here pinning
+  * its EXPECTED mention count and the bounded-frame class, and
+  * PlanContractSpec fails the build when
+  *  - an audited plan gains an unannotated SinglePartition (new query,
+  *    or a plan-shape change adding one to an annotated query),
+  *  - an annotation goes stale (query dropped it, or no longer exists),
+  *  - PLANS.md is missing an audited query's section (stale artifact).
+  *
+  * `graft.PlanAudit` applies the same check at generation time, so the
+  * violation surfaces while the plan text is in front of you.
+  */
+object PlanContract {
+
+  /** Bounded-frame classes. The string is documentation — what a
+    * reviewer must confirm the exchange's input actually is before
+    * annotating a query. */
+  val OneRow =
+    "1-row global-aggregate frame(s) (totals / certification counters / " +
+      "sketch merges / threshold scalars) collapsed then broadcast"
+  val BoundedWindow =
+    "global window or rank over a domain-bounded frame (calendar " +
+      "buckets, quantile/decile grids, distinct 4dp-rounded values, " +
+      "vocabulary-bounded types, bounded sample pairs)"
+  val BoundedPool =
+    "bounded top-k pool (TakeOrderedAndProject / <=k-row candidate or " +
+      "retrieval-eval frame at any corpus size)"
+  val Convergence =
+    "per-iteration convergence scalar (1-row fixpoint delta / norm / " +
+      "dangling-mass aggregate per round, k-bounded rounds)"
+  val RankOffsets =
+    "GlobalRank offset frames (<= #partitions rows ordered by " +
+      "partition id) plus vocabulary-bounded type aggregates"
+
+  /** query name -> (expected SinglePartition mention count in its
+    * PLANS.md formatted plan, audited bounded-frame class). */
+  val boundedSinglePartition: Map[String, (Int, String)] = Map(
+    "dedup_embedding_cosine" -> ((2, OneRow)),
+    "dedup_simhash" -> ((2, OneRow)),
+    "graph_degree_powerlaw" -> ((1, OneRow)),
+    "graph_hits" -> ((2, Convergence)),
+    "graph_modularity" -> ((1, OneRow)),
+    "graph_pagerank" -> ((4, Convergence)),
+    "graph_triangles" -> ((2, OneRow)),
+    "mm_audio_fingerprint" -> ((2, OneRow)),
+    "mm_phash_dedup" -> ((1, OneRow)),
+    "q_acf_daily" -> ((1, OneRow)),
+    "q_anova_f" -> ((1, OneRow)),
+    "q_benford_digits" -> ((1, OneRow)),
+    "q_bootstrap_ci" -> ((2, OneRow)),
+    "q_cem_att" -> ((2, OneRow)),
+    "q_changepoint_cusum" -> ((2, OneRow)),
+    "q_chi_square_dow" -> ((2, OneRow)),
+    "q_concurrency_sweep" -> ((1, OneRow)),
+    "q_conformal_interval" -> ((3, OneRow)),
+    "q_count_distinct" -> ((1, OneRow)),
+    "q_cuped" -> ((2, OneRow)),
+    "q_curation_pipeline" -> ((3, OneRow)),
+    "q_data_profile" -> ((1, OneRow)),
+    "q_dataset_card" -> ((1, OneRow)),
+    "q_decay_ltv" -> ((1, OneRow)),
+    "q_decile_lift" -> ((2, BoundedWindow)),
+    "q_did_lift" -> ((2, OneRow)),
+    "q_ece" -> ((1, OneRow)),
+    "q_equidepth_histogram" -> ((2, BoundedWindow)),
+    "q_ewma_forecast" -> ((1, BoundedWindow)),
+    "q_fd_audit" -> ((4, OneRow)),
+    "q_fdr_bh" -> ((2, BoundedWindow)),
+    "q_freshness_audit" -> ((1, OneRow)),
+    "q_funnel" -> ((3, OneRow)),
+    "q_gap_fill" -> ((1, BoundedWindow)),
+    "q_gini_concentration" -> ((5, OneRow)),
+    "q_graph_assortativity" -> ((1, OneRow)),
+    "q_histogram" -> ((1, OneRow)),
+    "q_hll_rollup" -> ((2, OneRow)),
+    "q_itemset_pairs" -> ((1, OneRow)),
+    "q_join_size_estimate" -> ((1, OneRow)),
+    "q_k_anonymity" -> ((1, OneRow)),
+    "q_kendall_tau" -> ((2, OneRow)),
+    "q_ks_test" -> ((3, BoundedWindow)),
+    "q_lorenz_deciles" -> ((3, BoundedWindow)),
+    "q_mad_anomaly" -> ((3, OneRow)),
+    "q_mann_whitney" -> ((1, BoundedWindow)),
+    "q_mixture_epochs" -> ((1, OneRow)),
+    "q_mrr_recall" -> ((2, BoundedPool)),
+    "q_ndcg" -> ((1, BoundedPool)),
+    "q_overlap_depth" -> ((1, OneRow)),
+    "q_power_mde" -> ((1, OneRow)),
+    "q_pr_auc" -> ((1, BoundedWindow)),
+    "q_qini" -> ((4, BoundedWindow)),
+    "q_qte" -> ((4, BoundedWindow)),
+    "q_quantile_normalize" -> ((1, BoundedWindow)),
+    "q_referential_audit" -> ((6, OneRow)),
+    "q_rfm_segmentation" -> ((3, OneRow)),
+    "q_roc_auc" -> ((1, BoundedWindow)),
+    "q_rolling_anomaly" -> ((1, BoundedWindow)),
+    "q_sample_extrapolation" -> ((1, OneRow)),
+    "q_seasonal_dow" -> ((1, BoundedWindow)),
+    "q_shard_pack" -> ((1, BoundedWindow)),
+    "q_skew_profile" -> ((1, OneRow)),
+    "q_skyline" -> ((1, BoundedPool)),
+    "q_spearman_corr" -> ((4, BoundedWindow)),
+    "q_srm_check" -> ((2, OneRow)),
+    "q_survival_km" -> ((2, BoundedWindow)),
+    "q_tfidf_top_terms" -> ((1, BoundedPool)),
+    "q_theil_sen" -> ((1, BoundedWindow)),
+    "q_theta_setops" -> ((2, OneRow)),
+    "q_zonemap_prune" -> ((1, OneRow)),
+    "sim_hybrid_rrf" -> ((1, BoundedPool)),
+    "sim_ivf_pq" -> ((1, OneRow)),
+    "sim_ivf_prebuilt" -> ((1, OneRow)),
+    "sim_pq_adc" -> ((1, OneRow)),
+    "spatial_dbscan" -> ((1, Convergence)),
+    "text_bigram_logprob" -> ((1, OneRow)),
+    "text_bm25_topk" -> ((1, OneRow)),
+    "text_count_min" -> ((1, OneRow)),
+    "text_drift_psi" -> ((1, OneRow)),
+    "text_dsir_weights" -> ((2, OneRow)),
+    "text_heaps_law" -> ((10, RankOffsets)),
+    "text_jsd" -> ((1, OneRow)),
+    "text_kl_divergence" -> ((1, OneRow)),
+    "text_kneser_ney" -> ((1, OneRow)),
+    "text_perplexity_buckets" -> ((1, BoundedWindow)),
+    "text_pmi_bigrams" -> ((2, OneRow)),
+    "text_unigram_logprob" -> ((1, OneRow)))
+
+  /** The audit set: the bench set plus the two connector pushdown
+    * plans (single-sourced with PlanAudit). */
+  def auditSet: Seq[String] =
+    Bench.headline ++ Seq("connector_filter_pushdown",
+      "connector_partition_values")
+
+  /** Check one query's formatted plan text against the contract.
+    * Returns a violation message, or None when in contract. */
+  def check(name: String, planText: String): Option[String] = {
+    val mentions = "SinglePartition".r.findAllIn(planText).length
+    boundedSinglePartition.get(name) match {
+      case None if mentions > 0 =>
+        Some(s"$name: $mentions UNANNOTATED SinglePartition exchange(s) — " +
+          "confirm each input frame is bounded by construction, then " +
+          "annotate it in PlanContract.boundedSinglePartition")
+      case Some((expected, _)) if mentions != expected =>
+        Some(s"$name: SinglePartition mentions changed " +
+          s"($expected annotated, $mentions in plan) — re-audit the plan " +
+          "and update PlanContract.boundedSinglePartition")
+      case _ => None
+    }
+  }
+}

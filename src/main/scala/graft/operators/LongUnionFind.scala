@@ -22,6 +22,13 @@ package graft.operators
   * ids are doc ids / contracted reps (non-negative), enforced by require.
   */
 private[operators] final class LongUnionFind(expectedVertices: Int) {
+  // fail at CONSTRUCTION for callers sized past the structure's ceiling
+  // (cap is a power-of-two ≤ 2^30 at 50% max load ⇒ ~536M live entries);
+  // without this the same failure surfaces mid-computation from grow()
+  // after the work has already been done (r13 ADVICE)
+  require(expectedVertices.toLong * 2 < (1L << 30),
+    s"LongUnionFind supports < 2^29 expected vertices " +
+      s"(got $expectedVertices); use the distributed log-star fallback")
   private[this] final val Empty = Long.MinValue
 
   private[this] var cap: Int = {

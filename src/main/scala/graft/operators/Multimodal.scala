@@ -735,14 +735,15 @@ object Multimodal {
         |      list_transform(range(1, 17), i ->
         |        CASE WHEN k.kind = 0 THEN
         |          CASE WHEN length(text) >= t.f*16 + i
-        |               THEN CAST(unicode(substring(text,
-        |                 CAST(t.f*16 + i AS INTEGER), 1)) AS BIGINT) - 64
+        |               THEN least(CAST(unicode(substring(text,
+        |                 CAST(t.f*16 + i AS INTEGER), 1)) AS BIGINT), 255)
+        |                 - 64
         |               ELSE 0 END
         |        ELSE
         |          CASE WHEN length(text) >= t.f*16 + i + 16
-        |               THEN (CAST(unicode(substring(text,
-        |                 CAST(t.f*16 + i + 16 AS INTEGER), 1)) AS BIGINT)
-        |                 // 4) * 4 - 64
+        |               THEN (least(CAST(unicode(substring(text,
+        |                 CAST(t.f*16 + i + 16 AS INTEGER), 1)) AS BIGINT),
+        |                 255) // 4) * 4 - 64
         |               ELSE 0 END END) AS smp
         |    FROM documents, generate_series(0, 19) t(f),
         |         (SELECT unnest([0, 1]) AS kind) k), bands),
@@ -823,7 +824,13 @@ object Multimodal {
       // ONE sample array per (doc, kind), repartitioned before the
       // CPU-bound decode (the mm_phash pixel rule); silence pad = 0,
       // guarded explicitly because ascii('') = 0 would decode the pad
-      // as sample -64
+      // as sample -64. Codepoints are CLAMPED to 255 at the seam (both
+      // engines, identically): a non-ASCII char (up to 0x10FFFF) would
+      // otherwise overflow e = cr²+ci² in BIGINT — an error in DuckDB
+      // but a silent wrap in Spark — and break the digit-length packing
+      // behind the 87809 hash-injectivity bound (r13 ADVICE). The
+      // clamp ENFORCES the byte-64 sample convention instead of
+      // assuming an ASCII corpus.
       // single consumer (fr) — no persist; pk is the reuse point
       val docsW = Tables.documents(s, d)
           .select(col("doc_id"), substring(col("text"), 1, 336).as("w"))
@@ -833,10 +840,11 @@ object Multimodal {
           .select(col("doc_id"), col("kind"),
             when(col("kind") === 1, expr(
               "transform(sequence(1, 320), i -> IF(i + 16 <= length(w)," +
-                " (ascii(substring(w, i + 16, 1)) div 4) * 4 - 64, 0))"))
+                " (least(ascii(substring(w, i + 16, 1)), 255) div 4) * 4" +
+                " - 64, 0))"))
               .otherwise(expr(
                 "transform(sequence(1, 320), i -> IF(i <= length(w)," +
-                  " ascii(substring(w, i, 1)) - 64, 0))"))
+                  " least(ascii(substring(w, i, 1)), 255) - 64, 0))"))
               .as("sv"))
       // per-frame 7-bin integer DFT as codegen'd linear combinations of
       // the e3 coefficient tables — no trig join, no sample shuffle

@@ -19,6 +19,14 @@ object Scd2 {
   /** The open-interval sentinel (SCD2 high-date convention). */
   val Open: Long = 9999L
 
+  /** Touched-key count above which [[applyCommit]] falls back from a
+    * broadcast join to a shuffle join. A normal dimension commit touches
+    * metadata-scale keys; a bulk rewrite (backfill, repartition-rewrite)
+    * can touch the whole dimension, and forcing that through a driver
+    * broadcast would OOM at 100 TB dimension scale. ~4M long keys ≈
+    * tens of MB broadcast — comfortably under executor/driver budgets. */
+  val BroadcastKeyLimit: Long = 4000000L
+
   /** Fold ONE commit's change rows into the dimension: close the
     * touched keys' open intervals at `v`, append the commit's add-rows
     * as new open generations `[v, Open)`.
@@ -38,7 +46,14 @@ object Scd2 {
       .withColumn("valid_from", lit(v))
       .withColumn("valid_to", lit(Open))
     val touched = commit.select(keyCol).distinct().withColumn("t", lit(1))
-    dim.join(broadcast(touched), Seq(keyCol), "left")
+    // size guard: probe at most BroadcastKeyLimit+1 rows (the limit
+    // bounds the probe, not the join input) — broadcast only when the
+    // commit's touched-key set is provably broadcast-sized; a bulk
+    // rewrite falls back to an ordinary shuffle join on the key
+    val fits = touched.limit((BroadcastKeyLimit + 1).toInt)
+      .count() <= BroadcastKeyLimit
+    val touchedSide = if (fits) broadcast(touched) else touched
+    dim.join(touchedSide, Seq(keyCol), "left")
       .withColumn("valid_to",
         when(col("t") === 1 && col("valid_to") === Open, lit(v))
           .otherwise(col("valid_to")))

@@ -4,6 +4,8 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Vector similarity search over the `embeddings` table
   * (embedding: array<float>, 64-dim). No reference counterpart; designed
   * Spark-first:
@@ -26,11 +28,18 @@ object Similarity {
     * otherwise scan it on one thread). At 100 TB the scan already has
     * thousands of splits, and an unconditional repartition would be a
     * gratuitous full-corpus exchange before a narrow broadcast-join pass
-    * — so this is a no-op there. `rdd.getNumPartitions` plans but never
-    * launches a job. */
+    * — so this is a no-op there. The decision reads `df.inputFiles`
+    * (logical-plan file listing — no physical planning, no RDD
+    * conversion; the r13 `.rdd.getNumPartitions` probe forced a full
+    * physical plan per call): fewer source files than cores is exactly
+    * the under-split case, and at production scale the file count
+    * exceeds any core count so the branch is never taken. Non-file
+    * sources report no files and are left untouched (they already sit
+    * behind their own exchanges). */
   private def ensureParallel(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < par) df.repartition(par) else df
   }
 
   /** Deterministic random hyperplanes (seeded) for LSH signatures —
@@ -224,10 +233,44 @@ object Similarity {
       graft.functions.GraftFunctions.planeDots(v, numCells, dim, seed = 7L),
       (d, i) => struct(d.as("d"), i.cast("int").as("i")))
 
-  /** One persisted IVF index per (JVM, sfDir) for sim_ivf_prebuilt —
-    * the build is deterministic, so reuse is value-identical. */
+  /** One persisted IVF index per (JVM, corpus content) for
+    * sim_ivf_prebuilt — the build is deterministic, so reuse is
+    * value-identical. Keyed on a cheap content fingerprint (file paths
+    * + mtime + size) rather than the sfDir string so regenerated data
+    * under the same path rebuilds instead of serving a stale index,
+    * and every staged dir is registered for deletion on JVM exit
+    * (r13 ADVICE: no orphaned corpus copies under /tmp). */
   private val prebuiltIvfDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Fingerprint of the on-disk corpus behind `dir/table.parquet`. */
+  private[operators] def corpusFingerprint(dir: String, table: String): String = {
+    val root = java.nio.file.Paths.get(dir, s"$table.parquet")
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .map(p => s"$p:${java.nio.file.Files.getLastModifiedTime(p).toMillis}" +
+        s":${java.nio.file.Files.size(p)}")
+      .toSeq.sorted.mkString("|")
+    finally walk.close()
+  }
+
+  /** Create a temp dir whose whole tree is removed on JVM exit. */
+  private[operators] def tempDirCleanedOnExit(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().asScala.foreach(rm) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+        ()
+      }
+      try rm(dir) catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
 
   /** The IVF index frame: every corpus vector with its assigned cell —
     * the artifact sim_ivf_prebuilt persists partitioned by cell. */
@@ -1079,15 +1122,19 @@ object Similarity {
         |FROM scored GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val qs = emb.filter(col("vec_id") < 10)
-      // index build is ONCE PER (JVM, sfDir) — the ConnectorQueries
-      // server-cache precedent: repeated executions (bench repeats,
-      // sweeps) reuse the identical deterministic artifact instead of
-      // leaking one full corpus copy to /tmp per run; the in-memory
-      // parity leg below still rebuilds every run, so parity_ok keeps
-      // certifying build-vs-serve equality, not cache-vs-cache
-      val idxDir = prebuiltIvfDirs.getOrElseUpdate(d, {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-ivf-idx").toString + "/index"
+      // index build is ONCE PER (JVM, corpus content) — the
+      // ConnectorQueries server-cache precedent: repeated executions
+      // (bench repeats, sweeps) reuse the identical deterministic
+      // artifact instead of leaking one full corpus copy to /tmp per
+      // run. The key is a content FINGERPRINT (paths+mtime+size), so
+      // regenerated data under the same sfDir rebuilds instead of
+      // serving a stale index, and the staged dir is deleted on JVM
+      // exit (r13 ADVICE). The in-memory parity leg below still
+      // rebuilds every run, so parity_ok keeps certifying
+      // build-vs-serve equality, not cache-vs-cache.
+      val idxDir = prebuiltIvfDirs.getOrElseUpdate(
+        corpusFingerprint(d, "embeddings"), {
+        val dir = tempDirCleanedOnExit("graft-ivf-idx") + "/index"
         ivfAssignments(emb, numCells = 32, dim = 64)
           .write.partitionBy("cell").mode("overwrite").parquet(dir)
         dir

@@ -50,11 +50,23 @@ object Actions {
   private def optLong(n: JsonNode, f: String): Option[Long] =
     Option(n.get(f)).filterNot(_.isNull).map(_.asLong())
 
-  def parseProtocol(n: JsonNode): Protocol =
-    Protocol(Option(n.get("minReaderVersion")).map(_.asInt()).getOrElse(
-      throw DeltaSharingException.parseResponse("protocol missing minReaderVersion")))
+  def parseProtocol(n: JsonNode): Protocol = {
+    val v = Option(n.get("minReaderVersion")).map(_.asInt()).getOrElse(
+      throw DeltaSharingException.parseResponse("protocol missing minReaderVersion"))
+    // reader-capability gate: minReaderVersion > 1 means the table
+    // requires features (deletion vectors, column mapping, delta-format
+    // responses) this parquet-format reader does not implement —
+    // continuing would silently misread, so reject with a typed error
+    // (r13 verdict ask #4; reference action.rs:8-29 gates the same way)
+    if (v > 1)
+      throw DeltaSharingException.unsupported(
+        s"table requires minReaderVersion $v; this client reads " +
+          "minReaderVersion 1 (parquet responseFormat, no deletion " +
+          "vectors / column mapping)")
+    Protocol(v)
+  }
 
-  def parseMetadata(n: JsonNode): Metadata = Metadata(
+  def parseMetadata(n: JsonNode): Metadata = checkMetadataSupported(Metadata(
     id = optText(n, "id").getOrElse(
       throw DeltaSharingException.parseResponse("metaData missing id")),
     name = optText(n, "name"),
@@ -70,9 +82,44 @@ object Actions {
       .getOrElse(Map.empty),
     version = optText(n, "version"),
     size = optLong(n, "size"),
-    numFiles = optLong(n, "numFiles"))
+    numFiles = optLong(n, "numFiles")))
 
-  def parseFile(n: JsonNode): FileAction = FileAction(
+  /** Format gate (reference action.rs:32-59 accepts only
+    * `provider:"parquet"`): a delta-format response or a table whose
+    * configuration enables deletion vectors / column mapping would be
+    * SILENTLY MISREAD by a parquet-path scan (tombstoned rows served,
+    * physical column names mismatched) — typed rejection instead. */
+  private def checkMetadataSupported(m: Metadata): Metadata = {
+    if (m.format.provider != "parquet")
+      throw DeltaSharingException.unsupported(
+        s"unsupported response format provider '${m.format.provider}' — " +
+          "this client requests and reads responseformat=parquet only")
+    if (m.configuration.get("delta.enableDeletionVectors").contains("true"))
+      throw DeltaSharingException.unsupported(
+        "table has deletion vectors enabled " +
+          "(delta.enableDeletionVectors=true); a parquet-format read " +
+          "would serve deleted rows")
+    val cm = m.configuration.get("delta.columnMapping.mode")
+    if (cm.exists(_ != "none"))
+      throw DeltaSharingException.unsupported(
+        s"table uses column mapping mode '${cm.get}'; physical parquet " +
+          "column names would not match the logical schema")
+    m
+  }
+
+  def parseFile(n: JsonNode): FileAction = {
+    // a delta-format file action (deltaSingleAction envelope) or a
+    // deletion-vector descriptor must never reach the scan: the bytes
+    // behind the URL are not a self-contained parquet row set
+    if (n.has("deltaSingleAction"))
+      throw DeltaSharingException.unsupported(
+        "server returned a delta-format file action " +
+          "(deltaSingleAction); this client reads responseformat=parquet only")
+    if (Option(n.get("deletionVector")).exists(!_.isNull))
+      throw DeltaSharingException.unsupported(
+        "file carries a deletionVector; a parquet-format read would " +
+          "serve deleted rows")
+    FileAction(
     url = optText(n, "url").getOrElse(
       throw DeltaSharingException.parseResponse("file missing url")),
     id = optText(n, "id").getOrElse(
@@ -87,6 +134,7 @@ object Actions {
     version = optLong(n, "version"),
     timestamp = optLong(n, "timestamp"),
     expirationTimestamp = optLong(n, "expirationTimestamp"))
+  }
 
   /** Parse a metadata NDJSON body: protocol line + metaData line
     * (reference get_table_metadata, client/mod.rs:283-319). */

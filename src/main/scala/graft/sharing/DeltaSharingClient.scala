@@ -140,7 +140,9 @@ final class DeltaSharingClient(val profile: Profile,
     val base = tableUrl(table, "version")
     val url = startingTimestamp.fold(base)(ts => s"$base?startingTimestamp=${enc(ts)}")
     val resp = send(() => HttpRequest.newBuilder(URI.create(url))
-      .header("Authorization", authHeader()).GET().build())
+      .header("Authorization", authHeader())
+      .header("delta-sharing-capabilities", "responseformat=parquet")
+      .GET().build())
     checkStatus(resp)
     resp.headers().firstValue("Delta-Table-Version").map[Long](_.toLong)
       .orElseThrow(() => DeltaSharingException.parseResponse(
@@ -156,7 +158,9 @@ final class DeltaSharingClient(val profile: Profile,
     val base = tableUrl(table, "metadata")
     val url = version.fold(base)(v => s"$base?version=$v")
     val resp = send(() => HttpRequest.newBuilder(URI.create(url))
-      .header("Authorization", authHeader()).GET().build())
+      .header("Authorization", authHeader())
+      .header("delta-sharing-capabilities", "responseformat=parquet")
+      .GET().build())
     checkStatus(resp)
     Actions.parseMetadataResponse(resp.body())
   }
@@ -174,6 +178,7 @@ final class DeltaSharingClient(val profile: Profile,
       version.map(v => "\"version\":" + v)).mkString("{", ",", "}")
     val resp = send(() => HttpRequest.newBuilder(URI.create(tableUrl(table, "query")))
       .header("Authorization", authHeader())
+      .header("delta-sharing-capabilities", "responseformat=parquet")
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body)).build())
     checkStatus(resp)
@@ -204,7 +209,9 @@ final class DeltaSharingClient(val profile: Profile,
       endingVersion.map(v => s"endingVersion=$v")).mkString("&")
     val resp = send(() => HttpRequest.newBuilder(
         URI.create(s"${tableUrl(table, "changes")}?$params"))
-      .header("Authorization", authHeader()).GET().build())
+      .header("Authorization", authHeader())
+      .header("delta-sharing-capabilities", "responseformat=parquet")
+      .GET().build())
     checkStatus(resp)
     Actions.parseChangesResponse(resp.body())
   }
@@ -313,7 +320,9 @@ final class DeltaSharingClient(val profile: Profile,
 
   private def getJson(url: String): com.fasterxml.jackson.databind.JsonNode = {
     val resp = send(() => HttpRequest.newBuilder(URI.create(url))
-      .header("Authorization", authHeader()).GET().build())
+      .header("Authorization", authHeader())
+      .header("delta-sharing-capabilities", "responseformat=parquet")
+      .GET().build())
     checkStatus(resp)
     mapper.readTree(resp.body())
   }

@@ -56,6 +56,14 @@ object DeltaSharingException {
     * columns as NULL via ordinary parquet evolution). */
   def schemaChanged(msg: String) =
     new DeltaSharingException("SCHEMA_CHANGED_ERROR", msg)
+  /** The server responded with a table feature this parquet-format
+    * client cannot honor (delta-format actions, deletion vectors,
+    * column mapping, minReaderVersion > 1). Reading on would silently
+    * return WRONG rows (undeleted tombstones, misnamed columns) — the
+    * reference's format gate rejects the same way by accepting only
+    * `provider:"parquet"` (src/client/action.rs:32-59). */
+  def unsupported(msg: String) =
+    new DeltaSharingException("UNSUPPORTED_TABLE_FEATURE", msg)
 }
 
 /** OAuth M2M credentials from a `shareCredentialsVersion: 2` profile

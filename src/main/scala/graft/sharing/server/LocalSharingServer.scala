@@ -52,7 +52,15 @@ final class LocalSharingServer(
       partitionColumns: Seq[String],
       files: Seq[ServedFile],
       version: Long = 1L,
-      changes: Seq[ChangeEntry] = Seq.empty)
+      changes: Seq[ChangeEntry] = Seq.empty,
+      /** Unsupported-feature fixtures (client format-gate tests): a
+        * non-parquet provider, a reader version above 1, table
+        * configuration (e.g. delta.enableDeletionVectors), or extra
+        * per-file JSON fields (e.g. a deletionVector descriptor). */
+      formatProvider: String = "parquet",
+      minReaderVersion: Int = 1,
+      configuration: Map[String, String] = Map.empty,
+      fileExtraJson: Option[String] = None)
 
   // share -> schema -> table name -> def; volatile: registered under
   // synchronized by the caller thread, read by pooled worker threads
@@ -286,10 +294,10 @@ final class LocalSharingServer(
                   s"""{"errorCode":"INVALID_PARAMETER_VALUE","message":${
                     jstr(s"requested version $v is newer than table version ${td.version}")}}""")
               case Some(v) =>
-                respondNdjson(x, Seq(protocolLine, metadataLine(td, v)))
+                respondNdjson(x, Seq(protocolLine(td), metadataLine(td, v)))
             }
             case None =>
-              respondNdjson(x, Seq(protocolLine, metadataLine(td)))
+              respondNdjson(x, Seq(protocolLine(td), metadataLine(td)))
           }
         }
       case List("shares", s, "schemas", sc, "tables", t, "changes") =>
@@ -346,7 +354,7 @@ final class LocalSharingServer(
               val lines = td.changes.zipWithIndex
                 .filter { case (c, _) => c.version >= from && c.version <= to }
                 .map { case (c, i) => changeLine(s, sc, td, c, i) }
-              respondNdjson(x, Seq(protocolLine, metadataLine(td)) ++ lines)
+              respondNdjson(x, Seq(protocolLine(td), metadataLine(td)) ++ lines)
           }
         }
       case List("shares", s, "schemas", sc, "tables", t, "query") =>
@@ -391,7 +399,7 @@ final class LocalSharingServer(
                   graft.sharing.StatsPruning.mayMatch(op, f.stats))
               }
               respondNdjson(x,
-                Seq(protocolLine, metadataLine(td, effectiveVersion)) ++
+                Seq(protocolLine(td), metadataLine(td, effectiveVersion)) ++
                   served.map { case (f, i) =>
                     fileLine(s, sc, td, f, i, effectiveVersion)
                   })
@@ -538,15 +546,18 @@ final class LocalSharingServer(
 
   // ---- response builders ------------------------------------------------
 
-  private def protocolLine: String = """{"protocol":{"minReaderVersion":1}}"""
+  private def protocolLine(td: TableDef): String =
+    s"""{"protocol":{"minReaderVersion":${td.minReaderVersion}}}"""
 
   private def metadataLine(td: TableDef): String = metadataLine(td, td.version)
 
   private def metadataLine(td: TableDef, asOf: Long): String = {
     val parts = td.partitionColumns.map(jstr).mkString("[", ",", "]")
-    s"""{"metaData":{"id":"${td.name}-id","format":{"provider":"parquet"},""" +
+    val conf = td.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    s"""{"metaData":{"id":"${td.name}-id","format":{"provider":"${td.formatProvider}"},""" +
       s""""schemaString":${jstr(td.schemaString)},"partitionColumns":$parts,""" +
-      s""""configuration":{},"version":$asOf}}"""
+      s""""configuration":$conf,"version":$asOf}}"""
   }
 
   private def fileLine(share: String, schema: String, td: TableDef,
@@ -555,8 +566,9 @@ final class LocalSharingServer(
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val expires = System.currentTimeMillis() + urlTtl.toMillis
     val statsField = f.stats.map(s => s""""stats":${jstr(s)},""").getOrElse("")
+    val extra = td.fileExtraJson.map(e => s"$e,").getOrElse("")
     s"""{"file":{"url":${jstr(signedUrl(share, schema, td, f, idx))},"id":"${td.name}-$idx",""" +
-      s""""partitionValues":$pv,"size":${Files.size(f.path)},$statsField""" +
+      s""""partitionValues":$pv,"size":${Files.size(f.path)},$statsField$extra""" +
       s""""version":$asOf,"expirationTimestamp":$expires}}"""
   }
 

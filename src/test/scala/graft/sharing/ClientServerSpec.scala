@@ -162,4 +162,53 @@ class ClientServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[DeltaSharingException](bad.listShares())
     assert(e.kind == "CLIENT_ERROR")
   }
+
+  test("unsupported table features are rejected with a typed error " +
+      "(r13 verdict ask #4; reference action.rs:32-59 parquet-only gate)") {
+    // a DV-bearing / delta-format / column-mapped share would previously
+    // be SILENTLY MISREAD (tombstoned rows served, physical column names
+    // mismatched) — the most likely real-world failure for a recipient
+    val files = server
+      .listParquet("/root/testdata/sf0.001/lineitem.parquet")
+      .map(f => server.ServedFile(f, Map.empty))
+    def reg(td: server.TableDef): TableRef = {
+      server.addTable("share1", "schema1", td)
+      TableRef("share1", "schema1", td.name)
+    }
+    // (a) delta responseFormat: provider != parquet in metaData
+    val tDelta = reg(server.TableDef("t_delta", lineitemSchema, Seq.empty,
+      files, formatProvider = "delta"))
+    val eDelta = intercept[DeltaSharingException](client.getTableMetadata(tDelta))
+    assert(eDelta.kind == "UNSUPPORTED_TABLE_FEATURE" &&
+      eDelta.getMessage.contains("delta"))
+    // (b) delta-format file action (deltaSingleAction envelope)
+    val tDsa = reg(server.TableDef("t_dsa", lineitemSchema, Seq.empty,
+      files, fileExtraJson = Some(""""deltaSingleAction":{"add":{}}""")))
+    val eDsa = intercept[DeltaSharingException](client.getTableData(tDsa))
+    assert(eDsa.kind == "UNSUPPORTED_TABLE_FEATURE")
+    // (c) deletion vector descriptor on a file action
+    val tDv = reg(server.TableDef("t_dv", lineitemSchema, Seq.empty,
+      files, fileExtraJson = Some(
+        """"deletionVector":{"storageType":"u","pathOrInlineDv":"x","sizeInBytes":8,"cardinality":2}""")))
+    val eDv = intercept[DeltaSharingException](client.getTableData(tDv))
+    assert(eDv.kind == "UNSUPPORTED_TABLE_FEATURE" &&
+      eDv.getMessage.contains("deletionVector"))
+    // (d) table configuration enabling DVs / column mapping
+    val tConf = reg(server.TableDef("t_conf", lineitemSchema, Seq.empty,
+      files, configuration = Map("delta.enableDeletionVectors" -> "true")))
+    assert(intercept[DeltaSharingException](
+      client.getTableMetadata(tConf)).kind == "UNSUPPORTED_TABLE_FEATURE")
+    val tCm = reg(server.TableDef("t_cm", lineitemSchema, Seq.empty,
+      files, configuration = Map("delta.columnMapping.mode" -> "name")))
+    assert(intercept[DeltaSharingException](
+      client.getTableMetadata(tCm)).kind == "UNSUPPORTED_TABLE_FEATURE")
+    // (e) reader capability: minReaderVersion > 1
+    val tV3 = reg(server.TableDef("t_v3", lineitemSchema, Seq.empty,
+      files, minReaderVersion = 3))
+    assert(intercept[DeltaSharingException](
+      client.getTableMetadata(tV3)).kind == "UNSUPPORTED_TABLE_FEATURE")
+    // the plain parquet table still reads fine through the same client
+    assert(client.getTableData(
+      TableRef("share1", "schema1", "lineitem"))._3.nonEmpty)
+  }
 }
