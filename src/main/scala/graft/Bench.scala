@@ -80,6 +80,9 @@ object Bench {
     // perceptual near-dup
     "q_mrr_recall", "text_token_fertility", "mm_phash_dedup",
     "mm_audio_fingerprint", "mm_image_resize", "sim_ivf_prebuilt",
+    // Round-14 additions: amortized fingerprint serving, CDF-maintained
+    // ANN index
+    "mm_afp_prebuilt",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.

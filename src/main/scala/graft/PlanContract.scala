@@ -31,7 +31,8 @@ object PlanContract {
     * annotating a query. */
   val OneRow =
     "1-row global-aggregate frame(s) (totals / certification counters / " +
-      "sketch merges / threshold scalars) collapsed then broadcast"
+      "sketch merges / threshold scalars / injected runtime bloom-filter " +
+      "builds) collapsed then broadcast"
   val BoundedWindow =
     "global window or rank over a domain-bounded frame (calendar " +
       "buckets, quantile/decile grids, distinct 4dp-rounded values, " +
@@ -56,6 +57,7 @@ object PlanContract {
     "graph_modularity" -> ((1, OneRow)),
     "graph_pagerank" -> ((4, Convergence)),
     "graph_triangles" -> ((2, OneRow)),
+    "mm_afp_prebuilt" -> ((7, OneRow)),
     "mm_audio_fingerprint" -> ((2, OneRow)),
     "mm_phash_dedup" -> ((1, OneRow)),
     "q_acf_daily" -> ((1, OneRow)),

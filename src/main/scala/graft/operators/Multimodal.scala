@@ -51,6 +51,62 @@ object Multimodal {
     s"($b, $cs, $ss)"
   }.mkString(",\n  ")
 
+  /** Shared oracle CTE prefix of mm_audio_fingerprint and
+    * mm_afp_prebuilt: byte-clamped sample decode (kind 0 = original,
+    * kind 1 = 16-sample-shifted + requantized variant) → per-frame
+    * 7-bin integer DFT → frame symbols (top-3 band ranking +
+    * digit-lengths) → landmark hashes (sym_t, sym_{t+dt}, dt). ONE
+    * definition so the two gates can never drift on the fingerprint
+    * itself. */
+  private def afpCommonCtesSql: String =
+    s"""bands AS (SELECT * FROM (VALUES $afBandsValuesSql)
+      |  t(b, cv, sv)),
+      |fr AS (
+      |  SELECT doc_id, kind, f, b,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> smp[i] * cv[i])) AS BIGINT) AS cr,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> smp[i] * sv[i])) AS BIGINT) AS ci
+      |  FROM (
+      |    SELECT doc_id, k.kind, t.f,
+      |      list_transform(range(1, 17), i ->
+      |        CASE WHEN k.kind = 0 THEN
+      |          CASE WHEN length(text) >= t.f*16 + i
+      |               THEN least(CAST(unicode(substring(text,
+      |                 CAST(t.f*16 + i AS INTEGER), 1)) AS BIGINT), 255)
+      |                 - 64
+      |               ELSE 0 END
+      |        ELSE
+      |          CASE WHEN length(text) >= t.f*16 + i + 16
+      |               THEN (least(CAST(unicode(substring(text,
+      |                 CAST(t.f*16 + i + 16 AS INTEGER), 1)) AS BIGINT),
+      |                 255) // 4) * 4 - 64
+      |               ELSE 0 END END) AS smp
+      |    FROM documents, generate_series(0, 19) t(f),
+      |         (SELECT unnest([0, 1]) AS kind) k), bands),
+      |rk AS (
+      |  SELECT doc_id, kind, f, b, e,
+      |    row_number() OVER (PARTITION BY doc_id, kind, f
+      |      ORDER BY e DESC, b ASC) AS rn
+      |  FROM (SELECT doc_id, kind, f, b, cr*cr + ci*ci AS e FROM fr)),
+      |pk AS MATERIALIZED (
+      |  SELECT a.doc_id, a.kind, a.f,
+      |    ((((a.b * 7 + c.b) * 7 + d.b) * 16
+      |      + length(CAST(a.e AS VARCHAR))) * 16
+      |      + length(CAST(c.e AS VARCHAR))) AS sym
+      |  FROM rk a
+      |  JOIN rk c ON c.doc_id = a.doc_id AND c.kind = a.kind
+      |    AND c.f = a.f AND c.rn = 2
+      |  JOIN rk d ON d.doc_id = a.doc_id AND d.kind = a.kind
+      |    AND d.f = a.f AND d.rn = 3
+      |  WHERE a.rn = 1 AND a.e > 0),
+      |ch AS MATERIALIZED (
+      |  SELECT a.doc_id * 2 + a.kind AS mid, a.f,
+      |    (a.sym * 87809 + c.sym) * 4 + dt.dt AS hv
+      |  FROM pk a JOIN (VALUES (1), (2), (3)) dt(dt) ON TRUE
+      |  JOIN pk c ON c.doc_id = a.doc_id AND c.kind = a.kind
+      |    AND c.f = a.f + dt.dt)""".stripMargin
+
   /** Documents-as-binary view: the corpus text re-encoded as UTF-8 blobs
     * stands in for image/audio payloads (same column shape: id + binary +
     * metadata). */
@@ -722,53 +778,7 @@ object Multimodal {
     // array transform (the mm_phash pixel rule).
     QueryDef.sql(
       "mm_audio_fingerprint",
-      s"""WITH bands AS (SELECT * FROM (VALUES $afBandsValuesSql)
-        |  t(b, cv, sv)),
-        |fr AS (
-        |  SELECT doc_id, kind, f, b,
-        |    CAST(list_sum(list_transform(range(1, 17),
-        |      i -> smp[i] * cv[i])) AS BIGINT) AS cr,
-        |    CAST(list_sum(list_transform(range(1, 17),
-        |      i -> smp[i] * sv[i])) AS BIGINT) AS ci
-        |  FROM (
-        |    SELECT doc_id, k.kind, t.f,
-        |      list_transform(range(1, 17), i ->
-        |        CASE WHEN k.kind = 0 THEN
-        |          CASE WHEN length(text) >= t.f*16 + i
-        |               THEN least(CAST(unicode(substring(text,
-        |                 CAST(t.f*16 + i AS INTEGER), 1)) AS BIGINT), 255)
-        |                 - 64
-        |               ELSE 0 END
-        |        ELSE
-        |          CASE WHEN length(text) >= t.f*16 + i + 16
-        |               THEN (least(CAST(unicode(substring(text,
-        |                 CAST(t.f*16 + i + 16 AS INTEGER), 1)) AS BIGINT),
-        |                 255) // 4) * 4 - 64
-        |               ELSE 0 END END) AS smp
-        |    FROM documents, generate_series(0, 19) t(f),
-        |         (SELECT unnest([0, 1]) AS kind) k), bands),
-        |rk AS (
-        |  SELECT doc_id, kind, f, b, e,
-        |    row_number() OVER (PARTITION BY doc_id, kind, f
-        |      ORDER BY e DESC, b ASC) AS rn
-        |  FROM (SELECT doc_id, kind, f, b, cr*cr + ci*ci AS e FROM fr)),
-        |pk AS MATERIALIZED (
-        |  SELECT a.doc_id, a.kind, a.f,
-        |    ((((a.b * 7 + c.b) * 7 + d.b) * 16
-        |      + length(CAST(a.e AS VARCHAR))) * 16
-        |      + length(CAST(c.e AS VARCHAR))) AS sym
-        |  FROM rk a
-        |  JOIN rk c ON c.doc_id = a.doc_id AND c.kind = a.kind
-        |    AND c.f = a.f AND c.rn = 2
-        |  JOIN rk d ON d.doc_id = a.doc_id AND d.kind = a.kind
-        |    AND d.f = a.f AND d.rn = 3
-        |  WHERE a.rn = 1 AND a.e > 0),
-        |ch AS MATERIALIZED (
-        |  SELECT a.doc_id * 2 + a.kind AS mid, a.f,
-        |    (a.sym * 87809 + c.sym) * 4 + dt.dt AS hv
-        |  FROM pk a JOIN (VALUES (1), (2), (3)) dt(dt) ON TRUE
-        |  JOIN pk c ON c.doc_id = a.doc_id AND c.kind = a.kind
-        |    AND c.f = a.f + dt.dt),
+      s"""WITH $afpCommonCtesSql,
         |keep AS (SELECT hv FROM ch GROUP BY hv HAVING COUNT(*) <= 160),
         |pairs AS (
         |  SELECT a.mid AS ma, b.mid AS mb, a.f - b.f AS off,
@@ -812,8 +822,196 @@ object Multimodal {
         |  cert.catch_ok
         |FROM fin, cert ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
       audioFingerprintFrames(s, d)("out")
+    },
+
+    // AMORTIZED audio-fingerprint serving (r13 verdict ask #3 — the
+    // sim_ivf_prebuilt recipe applied to the heaviest bench row): the
+    // landmark index over the CORPUS media (kind 0) is built once,
+    // bucket-capped at build time (160, corpus-bucket sizes — boilerplate
+    // hashes never enter the files), and WRITTEN partitioned by
+    // hb = hv % 64 alongside a symbol table partitioned by mg = mid % 32.
+    // Probe media (the shifted+requantized kind-1 variants) are then
+    // served FROM THE FILES: the tiny probe-hash frame broadcasts into a
+    // (hb, hv) equi-join so the scan prunes to probed hash buckets, the
+    // offset vote is the same max-struct aggregate, and verification
+    // reads ONLY candidate media's symbol partitions (broadcast
+    // candidate frame keyed on the partition column). At 100 TB the
+    // serve plan reads ~|probe hashes| · cap index rows + candidate
+    // symbol partitions — not the corpus; index maintenance is an
+    // append of new media's hashes into their hb partitions.
+    // parity_ok pins served results == the in-memory build-and-serve
+    // EXACTLY (write/read round-trip is lossless, no hidden session
+    // state); catch_ok keeps the ≥0.85 self-variant catch floor over
+    // the ≥120-char cohort. Index cached per (JVM, corpus fingerprint),
+    // deleted on exit (the sim_ivf_prebuilt cache convention).
+    QueryDef.sql(
+      "mm_afp_prebuilt",
+      s"""WITH $afpCommonCtesSql,
+        |ci AS MATERIALIZED (SELECT hv, mid, f FROM ch WHERE mid % 2 = 0),
+        |cp AS MATERIALIZED (SELECT hv, mid, f FROM ch WHERE mid % 2 = 1),
+        |keep AS (SELECT hv FROM ci GROUP BY hv HAVING COUNT(*) <= 160),
+        |pairs AS (
+        |  SELECT a.mid AS ma, b.mid AS mb, a.f - b.f AS off,
+        |    CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM ci a JOIN keep USING (hv)
+        |  JOIN cp b ON b.hv = a.hv
+        |  GROUP BY 1, 2, 3),
+        |best AS MATERIALIZED (
+        |  SELECT ma, mb, votes, off FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY ma, mb
+        |      ORDER BY votes DESC, off ASC) rn
+        |    FROM pairs) WHERE rn = 1 AND votes >= 5),
+        |mka AS MATERIALIZED (
+        |  SELECT doc_id * 2 AS mid, f, sym FROM pk WHERE kind = 0),
+        |mkb AS MATERIALIZED (
+        |  SELECT doc_id * 2 + 1 AS mid, f, sym FROM pk WHERE kind = 1),
+        |nfra AS (SELECT mid, CAST(count(*) AS BIGINT) AS nf
+        |         FROM mka GROUP BY mid),
+        |nfrb AS (SELECT mid, CAST(count(*) AS BIGINT) AS nf
+        |         FROM mkb GROUP BY mid),
+        |ver AS (
+        |  SELECT best.ma, best.mb, best.votes, best.off,
+        |    CAST(count(*) FILTER (a.sym = b.sym) AS BIGINT) AS aligned,
+        |    na.nf AS nfa, nb.nf AS nfb
+        |  FROM best
+        |  JOIN mka a ON a.mid = best.ma
+        |  JOIN mkb b ON b.mid = best.mb AND a.f - b.f = best.off
+        |  JOIN nfra na ON na.mid = best.ma
+        |  JOIN nfrb nb ON nb.mid = best.mb
+        |  GROUP BY 1, 2, 3, 4, 6, 7),
+        |fin AS MATERIALIZED (
+        |  SELECT * FROM ver
+        |  WHERE aligned * 1.0 / least(nfa, nfb) >= 0.7),
+        |cohort AS (SELECT doc_id FROM documents
+        |           WHERE length(text) >= 120),
+        |cert AS (SELECT CAST(
+        |    (SELECT COUNT(*) FROM fin f JOIN cohort ct
+        |       ON f.ma = ct.doc_id * 2 AND f.mb = ct.doc_id * 2 + 1) * 100
+        |    >= (SELECT COUNT(*) FROM cohort) * 85 AS INTEGER) AS catch_ok)
+        |SELECT fin.ma AS media_a, fin.mb AS media_b,
+        |  CAST(fin.off AS INTEGER) AS off, fin.votes, fin.aligned,
+        |  fin.nfa AS nf_a, fin.nfb AS nf_b,
+        |  round(fin.aligned * 1.0 / least(fin.nfa, fin.nfb), 4)
+        |    AS match_ratio,
+        |  cert.catch_ok, 1 AS parity_ok
+        |FROM fin, cert ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
+      val frames = audioFingerprintFrames(s, d)
+      val pk = frames("pk")
+      val ch = frames("ch")
+      // probe side: the kind-1 variant media's hashes + symbols, in
+      // memory (they are the per-run queries); persisted because both
+      // the files serve and the in-memory parity serve consume them
+      val probeHashes = graft.CacheRegistry.ensurePersisted(
+        ch.filter(col("mid") % 2 === 1)
+          .withColumn("hb", pmod(col("hv"), lit(64L))))
+      val mkB = graft.CacheRegistry.ensurePersisted(
+        pk.filter(col("kind") === 1)
+          .select((col("doc_id") * 2 + 1).as("mb"), col("f").as("fb"),
+            col("sym").as("sym_b")))
+      // corpus index frames (in-memory twins of what the files hold):
+      // bucket cap applied at BUILD time over corpus-only bucket sizes
+      val corpusCapped = graft.CacheRegistry.ensurePersisted(
+        ch.filter(col("mid") % 2 === 0)
+          .withColumn("bs", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("hv")))
+          .filter(col("bs") <= 160)
+          .select(col("hv"), col("mid"), col("f"))
+          .withColumn("hb", pmod(col("hv"), lit(64L))))
+      val corpusSyms = pk.filter(col("kind") === 0)
+        .select((col("doc_id") * 2).as("mid"), col("f"), col("sym"))
+        .withColumn("mg", pmod(col("mid"), lit(32L)))
+      // build once per (JVM, corpus content); removed on JVM exit
+      val idxDir = prebuiltAfpDirs.getOrElseUpdate(
+        Similarity.corpusFingerprint(d, "documents"), {
+          val dir = Similarity.tempDirCleanedOnExit("graft-afp-idx")
+          corpusCapped.write.partitionBy("hb").mode("overwrite")
+            .parquet(dir + "/hashes")
+          corpusSyms.write.partitionBy("mg").mode("overwrite")
+            .parquet(dir + "/syms")
+          dir
+        })
+      // one serve plan for both the files path and the in-memory parity
+      // twin — only the index frames differ
+      def serve(idxHashes: DataFrame, idxSyms: DataFrame): DataFrame = {
+        val pairs = idxHashes
+          .join(broadcast(probeHashes.select(col("hb"), col("hv"),
+            col("mid").as("mb"), col("f").as("fb"))), Seq("hb", "hv"))
+          .groupBy(col("mid").as("ma"), col("mb"),
+            (col("f") - col("fb")).as("off"))
+          .agg(count(lit(1)).as("votes"))
+        val best = pairs.groupBy("ma", "mb")
+          .agg(max(struct(col("votes"), (-col("off")).as("noff"))).as("m"))
+          .select(col("ma"), col("mb"), col("m.votes").as("votes"),
+            (-col("m.noff")).as("off"))
+          .filter(col("votes") >= 5)
+        // candidate verification frame: every probe frame of every
+        // candidate pair, keyed by the symbol table's PARTITION column
+        // (mg) so the files read prunes to candidate media groups
+        val cand = graft.CacheRegistry.ensurePersisted(best
+          .join(mkB, Seq("mb"))
+          .withColumn("f", col("fb") + col("off"))
+          .withColumn("mg", pmod(col("ma"), lit(32L))))
+        val aligned = idxSyms
+          .join(broadcast(cand.select(col("mg"), col("ma").as("mid"),
+            col("f"), col("mb"), col("votes"), col("off"),
+            col("sym_b"))), Seq("mg", "mid", "f"))
+          .groupBy(col("mid").as("ma"), col("mb"), col("votes"),
+            col("off"))
+          .agg(sum(when(col("sym") === col("sym_b"), 1).otherwise(0))
+            .as("aligned"))
+        val nfa = idxSyms
+          .join(broadcast(cand.select(col("mg"), col("ma").as("mid"))
+            .distinct()), Seq("mg", "mid"))
+          .groupBy(col("mid").as("ma"))
+          .agg(count(lit(1)).as("nfa"))
+        val nfb = mkB.groupBy("mb").agg(count(lit(1)).as("nfb"))
+        aligned
+          .join(broadcast(nfa), Seq("ma"))
+          .join(broadcast(nfb), Seq("mb"))
+          .filter(col("aligned") / least(col("nfa"), col("nfb")) >= 0.7)
+          .select(col("ma"), col("mb"), col("off"), col("votes"),
+            col("aligned"), col("nfa"), col("nfb"))
+      }
+      val served = graft.CacheRegistry.ensurePersisted(
+        serve(s.read.parquet(s"$idxDir/hashes")
+            .select(col("hv"), col("mid"), col("f"),
+              col("hb").cast("long").as("hb")),
+          s.read.parquet(s"$idxDir/syms")
+            .select(col("mid"), col("f"), col("sym"),
+              col("mg").cast("long").as("mg"))))
+      val mem = serve(corpusCapped, corpusSyms)
+      val mismatch = served.exceptAll(mem).unionAll(mem.exceptAll(served))
+        .agg(count(lit(1)).as("nm"))
+      val cohort = Tables.documents(s, d)
+        .filter(length(col("text")) >= 120).select("doc_id")
+      val caughtN = served
+        .filter(col("mb") === col("ma") + 1)
+        .select(expr("ma DIV 2").as("doc_id"))
+        .join(broadcast(cohort), Seq("doc_id"))
+        .agg(count(lit(1)).as("kn"))
+      val cohortN = cohort.agg(count(lit(1)).as("cn"))
+      val cert = caughtN.crossJoin(cohortN)
+        .select((col("kn") * 100 >= col("cn") * 85).cast("int")
+          .as("catch_ok"))
+      served
+        .select(col("ma").as("media_a"), col("mb").as("media_b"),
+          col("off").cast("int").as("off"), col("votes"), col("aligned"),
+          col("nfa").as("nf_a"), col("nfb").as("nf_b"),
+          round(col("aligned") / least(col("nfa"), col("nfb")), 4)
+            .as("match_ratio"))
+        .crossJoin(broadcast(cert))
+        .crossJoin(broadcast(mismatch))
+        .select(col("media_a"), col("media_b"), col("off"), col("votes"),
+          col("aligned"), col("nf_a"), col("nf_b"), col("match_ratio"),
+          col("catch_ok"), (col("nm") === 0L).cast("int").as("parity_ok"))
+        .orderBy("media_a", "media_b")
     }
   )
+
+  /** One persisted landmark index per (JVM, corpus content) for
+    * mm_afp_prebuilt — the sim_ivf_prebuilt cache convention. */
+  private val prebuiltAfpDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Stage frames of the mm_audio_fingerprint pipeline, keyed
     * docsW/pk/ch/pairs/best/fin/out — the gated query consumes "out";

@@ -126,7 +126,10 @@ object ScaleSmoke {
       "mm_phash_dedup", "text_token_fertility",
       // r13 second wave: the landmark-hash bucket self-join + offset
       // vote aggregation of the constellation fingerprint
-      "mm_audio_fingerprint")
+      "mm_audio_fingerprint",
+      // r14 wave: the files-served landmark index (build + hb-pruned
+      // probe join + candidate-partition verify)
+      "mm_afp_prebuilt")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies
