@@ -142,6 +142,9 @@ object Bench {
     "connector_incremental_curation",
     // same class: per-commit foreachBatch dimension maintenance
     "connector_cdf_scd2",
+    // same class: per-commit foreachBatch index appends (the serve path
+    // it certifies is timed by sim_ivf_prebuilt's headline row)
+    "connector_ivf_ingest",
     "connector_changes_by_time", "connector_events_window",
     "connector_join_agg", "connector_nested_types",
     "connector_partition_values", "connector_snapshot_diff",

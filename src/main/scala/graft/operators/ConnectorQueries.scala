@@ -219,6 +219,35 @@ object ConnectorQueries {
           docV3.map(f => server.ChangeEntry(3, "add",
             server.ServedFile(f, Map.empty), 1700000300000L))))
 
+      // CDF table over EMBEDDINGS for the incremental ANN-index pipeline
+      // (r13 verdict ask #5): the documents_cdf new/old split convention
+      // — v1 = the already-indexed corpus (vec_id % 5 ≠ 0), v2 adds the
+      // vec_id % 10 = 0 arrivals, v3 adds vec_id % 10 = 5. Current
+      // snapshot (v3) = all three slices = the FULL embeddings table, so
+      // the feed, time travel, and plain scans stay mutually consistent
+      // and the oracle can score against the raw parquet.
+      val embRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def embSlice(name: String, cond: org.apache.spark.sql.Column)
+          : Seq[java.nio.file.Path] = {
+        val dir = s"$stage/$name"
+        embRaw.filter(cond).coalesce(1).write.mode("overwrite").parquet(dir)
+        parquetFiles(dir)
+      }
+      val embBase = embSlice("emb_base", col("vec_id") % 5 =!= 0)
+      val embV2 = embSlice("emb_v2", col("vec_id") % 10 === 0)
+      val embV3 = embSlice("emb_v3", col("vec_id") % 10 === 5)
+      server.addTable("graft", "main", server.TableDef(
+        "embeddings_cdf", DeltaSchema.toSchemaString(embRaw.schema),
+        Seq.empty,
+        files = (embBase ++ embV2 ++ embV3)
+          .map(f => server.ServedFile(f, Map.empty)),
+        version = 3,
+        changes =
+          embV2.map(f => server.ChangeEntry(2, "add",
+            server.ServedFile(f, Map.empty), 1700000600000L)) ++
+          embV3.map(f => server.ChangeEntry(3, "add",
+            server.ServedFile(f, Map.empty), 1700000700000L))))
+
       // CDF table over SUPPLIER with UPDATE-shaped changes (remove old
       // row + add new row in the same commit — how Delta CDF renders an
       // UPDATE without preimage columns): v2 reprices s_suppkey % 5 = 0
@@ -968,6 +997,90 @@ object ConnectorQueries {
           round(col("s_acctbal"), 2).as("s_acctbal"),
           col("valid_from"), col("valid_to"))
         .orderBy("s_suppkey", "valid_from")
+    },
+
+    // INCREMENTAL ANN-INDEX MAINTENANCE from the change feed (r13
+    // verdict ask #5) — the last uncomposed seam between the connector
+    // and the vector stack: the production "embedding index that keeps
+    // up with ingestion" shape. The v1 snapshot builds the initial IVF
+    // index, written partitioned by cell (the sim_ivf_prebuilt
+    // artifact); the CDF stream then folds each commit's new vectors in
+    // by APPENDING their cell assignments to the persisted index (cell
+    // assignment is per-vector and corpus-independent, so append ≡
+    // rebuild — certified below, not assumed). Queries are served FROM
+    // THE FILES with the probe join pruning to probed cell directories.
+    // parity_ok pins served top-k == a from-scratch index rebuild over
+    // the current snapshot EXACTLY; recall_ok keeps the brute-truth
+    // floor. SCALE: per-commit work is |new vectors| assignment kernels
+    // + a partitioned append — never an index rebuild, never a corpus
+    // shuffle; the serve plan reads ~|corpus|·nprobe/cells bytes.
+    // IvfIngestRecoverySpec pins checkpoint recovery + replay parity.
+    QueryDef.sql(
+      "connector_ivf_ingest",
+      s"""WITH ${Similarity.bruteScoredCte}
+        |SELECT query_id, max(sim) AS best_sim, 1 AS recall_ok,
+        |  1 AS parity_ok
+        |FROM scored GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, d) =>
+      val client = shared(s, d)
+      val profilePath = profileFor(s, d)
+      val ref = TableRef("graft", "main", "embeddings_cdf")
+      // fresh per-run index dir (removed on JVM exit): the stream
+      // APPENDS — reusing a dir across runs would double-ingest
+      val idxDir = Similarity.tempDirCleanedOnExit("graft-ivf-ingest") +
+        "/index"
+      // explicit spread: the staged v1 slice is one parquet split, and
+      // a DSv2 connector scan reports no inputFiles for the under-split
+      // heuristic (the documentsPar convention; free at real scale)
+      def spread(df: DataFrame): DataFrame =
+        df.repartition(s.sparkContext.defaultParallelism)
+      Similarity.ivfAssignments(
+          spread(GraftSharing.readTable(s, client, ref,
+            versionAsOf = Some(1L)).select("vec_id", "embedding")),
+          numCells = 32, dim = 64)
+        .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
+      val q = GraftSharing.readChangesStream(s, profilePath, ref,
+          startingVersion = 2L)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val adds = batch.filter(col("_change_type") === "add")
+            .select(col("vec_id"), col("embedding"),
+              col("_commit_version"))
+            .localCheckpoint(eager = true)
+          // versions are the transactional unit: metadata-scale list
+          val versions = adds.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          versions.foreach { v =>
+            Similarity.ivfAssignments(
+                adds.filter(col("_commit_version") === v)
+                  .select("vec_id", "embedding"),
+                numCells = 32, dim = 64)
+              .write.partitionBy("cell").mode("append").parquet(idxDir)
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // serve from the maintained index; certify vs brute truth AND a
+      // from-scratch rebuild over the current snapshot
+      val full = graft.CacheRegistry.ensurePersisted(
+        spread(GraftSharing.readTable(s, client, ref)
+          .select("vec_id", "embedding")))
+      val queries = full.filter(col("vec_id") < 10)
+      val served = graft.CacheRegistry.ensurePersisted(
+        Similarity.ivfServe(s.read.parquet(idxDir), queries,
+          k = 5, numCells = 32, nprobe = 8, dim = 64))
+      val scratch = Similarity.ivfTopK(full, queries, k = 5,
+        numCells = 32, nprobe = 8)
+      val mismatch = served.exceptAll(scratch)
+        .unionAll(scratch.exceptAll(served))
+        .agg(count(lit(1)).as("nm"))
+      Similarity.searchQuality(
+          Similarity.bruteForceTopK(full, queries, k = 5), served,
+          k = 5, floor = 0.2)
+        .crossJoin(broadcast(mismatch))
+        .select(col("query_id"), col("best_sim"), col("recall_ok"),
+          (col("nm") === 0L).cast("int").as("parity_ok"))
+        .orderBy("query_id")
     },
 
     // SQL time travel through the catalog plugin: Spark's native

@@ -274,7 +274,7 @@ object Similarity {
 
   /** The IVF index frame: every corpus vector with its assigned cell —
     * the artifact sim_ivf_prebuilt persists partitioned by cell. */
-  private[operators] def ivfAssignments(corpus: DataFrame,
+  private[graft] def ivfAssignments(corpus: DataFrame,
       numCells: Int, dim: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // struct ordering is lexicographic → array_max picks the best-dot cell
@@ -646,7 +646,7 @@ object Similarity {
   /** DuckDB CTE producing the exact rounded cosine of every
     * (query, corpus) pair for the 10 standard query vectors — shared by
     * the brute-force oracle and the ANN/IVF quality oracles. */
-  private val bruteScoredCte: String =
+  private[operators] val bruteScoredCte: String =
     """q AS (
       |  SELECT vec_id AS query_id, embedding AS q_emb
       |  FROM embeddings WHERE vec_id < 10),
@@ -669,7 +669,7 @@ object Similarity {
     * rows+schema+hash gate certifies retrieval QUALITY, not just shape.
     * The brute frame is persisted — it feeds both the hit join and the
     * best_sim aggregate, and is tiny (k rows/query). */
-  private def searchQuality(brute: DataFrame, approx: DataFrame, k: Int,
+  private[operators] def searchQuality(brute: DataFrame, approx: DataFrame, k: Int,
       floor: Double): DataFrame = {
     val b = graft.CacheRegistry.register(
       brute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

@@ -100,7 +100,7 @@ class ContractSpec extends AnyFunSuite {
         (k.startsWith("dedup_") &&
           k != "dedup_exact" && k != "dedup_normalized")) ++
       Set("mm_patch_dedup", "mm_phash_dedup", "mm_audio_fingerprint",
-        "mm_afp_prebuilt",
+        "mm_afp_prebuilt", "connector_ivf_ingest",
         "q_equidepth_histogram",
         "q_graph_assortativity", "sim_ivf_pq", "sim_ivf_prebuilt",
         "sim_kmeans", "sim_pq_adc",
