@@ -81,8 +81,10 @@ object Bench {
     "q_mrr_recall", "text_token_fertility", "mm_phash_dedup",
     "mm_audio_fingerprint", "mm_image_resize", "sim_ivf_prebuilt",
     // Round-14 additions: amortized fingerprint serving, CDF-maintained
-    // ANN index
-    "mm_afp_prebuilt",
+    // ANN index, stratified-IPW causal estimate, classical seasonal
+    // decomposition, boilerplate strip, content-defined-chunking dedup
+    "mm_afp_prebuilt", "q_ipw_ate", "q_stl_decompose",
+    "text_boilerplate_strip", "mm_cdc_dedup", "sim_matryoshka_recall",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.
@@ -145,6 +147,9 @@ object Bench {
     // same class: per-commit foreachBatch index appends (the serve path
     // it certifies is timed by sim_ivf_prebuilt's headline row)
     "connector_ivf_ingest",
+    // same class: per-commit 5-row PSI fold (the quality classifier it
+    // scores with is timed by text_quality_classifier's headline row)
+    "connector_cdf_drift_monitor",
     "connector_changes_by_time", "connector_events_window",
     "connector_join_agg", "connector_nested_types",
     "connector_partition_values", "connector_snapshot_diff",
@@ -394,6 +399,33 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       // release operator-internal caches OUTSIDE the timed window —
       // they'd otherwise accumulate across the whole run
+      CacheRegistry.releaseAll()
+      if (ok) times(name) = times(name) :+ elapsed
+    }
+
+    // Slow-row deflake (r13 verdict ask #7): the >=3 s rows carry a
+    // documented ~2x same-code ambient spread (graph_pagerank 3.4-6.7 s
+    // across identical bits) that dominated family deltas for two
+    // rounds. Their single runs are longer than the ~20 s contention
+    // windows the outer-loop protocol defends against, so back-to-back
+    // extra samples are safe for THIS class (unlike the sub-second
+    // rows, where a window would poison all repeats). Top the slow rows
+    // up to 5 samples and take the median-of-5 — two poisoned samples
+    // out of five can no longer move the reported number.
+    val slowExtra =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_SAMPLES", "5").toInt
+    val slowRows = benched.filter { case (name, _) =>
+      val ts = times(name).sorted
+      ts.nonEmpty && ts(ts.length / 2) >= 3.0
+    }
+    for ((name, fn) <- slowRows; _ <- times(name).length until slowExtra) {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case _: Throwable => false } // first failure already logged
+      val elapsed = (System.nanoTime() - t0) / 1e9
       CacheRegistry.releaseAll()
       if (ok) times(name) = times(name) :+ elapsed
     }

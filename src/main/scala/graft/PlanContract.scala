@@ -59,6 +59,8 @@ object PlanContract {
     "graph_triangles" -> ((2, OneRow)),
     "mm_afp_prebuilt" -> ((7, OneRow)),
     "mm_audio_fingerprint" -> ((2, OneRow)),
+    // catch-floor counter, cohort count, grid-blindness counter
+    "mm_cdc_dedup" -> ((3, OneRow)),
     "mm_phash_dedup" -> ((1, OneRow)),
     "q_acf_daily" -> ((1, OneRow)),
     "q_anova_f" -> ((1, OneRow)),
@@ -88,6 +90,9 @@ object PlanContract {
     "q_gini_concentration" -> ((5, OneRow)),
     "q_graph_assortativity" -> ((1, OneRow)),
     "q_histogram" -> ((1, OneRow)),
+    // the q_cem_att shape: persisted stratum terms collapse to the
+    // 1-row Hájek estimate then broadcast back onto the bins
+    "q_ipw_ate" -> ((2, OneRow)),
     "q_hll_rollup" -> ((2, OneRow)),
     "q_itemset_pairs" -> ((1, OneRow)),
     "q_join_size_estimate" -> ((1, OneRow)),
@@ -117,6 +122,9 @@ object PlanContract {
     "q_skyline" -> ((1, BoundedPool)),
     "q_spearman_corr" -> ((4, BoundedWindow)),
     "q_srm_check" -> ((2, OneRow)),
+    // calendar-day centered-MA window (persisted, runs once) + the
+    // 7-row seasonal frame collapsing to the centering scalar
+    "q_stl_decompose" -> ((2, BoundedWindow)),
     "q_survival_km" -> ((2, BoundedWindow)),
     "q_tfidf_top_terms" -> ((1, BoundedPool)),
     "q_theil_sen" -> ((1, BoundedWindow)),
@@ -124,6 +132,9 @@ object PlanContract {
     "q_zonemap_prune" -> ((1, OneRow)),
     "sim_hybrid_rrf" -> ((1, BoundedPool)),
     "sim_ivf_pq" -> ((1, OneRow)),
+    // the k·|queries|-bounded per-query frame collapsing to the 1-row
+    // mean-recall pair then broadcast back
+    "sim_matryoshka_recall" -> ((1, OneRow)),
     "sim_ivf_prebuilt" -> ((1, OneRow)),
     "sim_pq_adc" -> ((1, OneRow)),
     "spatial_dbscan" -> ((1, Convergence)),

@@ -1083,6 +1083,145 @@ object ConnectorQueries {
         .orderBy("query_id")
     },
 
+    // INGESTION DRIFT MONITOR over the change feed — the data-quality
+    // watchdog every production curation pipeline runs next to the
+    // dedup/filter stages: per CDF commit, the Population Stability
+    // Index of the arrivals' quality-margin distribution against the
+    // already-ingested (v1) corpus, alerting at the standard PSI ≥ 0.1
+    // "moderate shift" boundary. Margin bins are EXACT-integer
+    // comparisons (margin ≥ k ⟺ score_raw ≥ k·ntok — never a float
+    // division), the smoothed bin probabilities follow the
+    // text_drift_psi rounding law (8dp probabilities, 6dp terms summed
+    // as exact decimals, 4dp PSI), and all five bins are always
+    // materialized (a bin the arrivals never hit still contributes its
+    // Laplace term). The handler folds each micro-batch PER COMMIT
+    // VERSION (the connector_incremental_curation recipe), so the
+    // readout is micro-batch-boundary independent. SCALE: per-commit
+    // state is one 5-row cells frame joined against the 5-row base —
+    // the monitor's cost is ONE map-side-combined aggregate over the
+    // commit's arrivals regardless of corpus size; driver state is the
+    // version cursor plus one result row per commit.
+    QueryDef.sql(
+      "connector_cdf_drift_monitor",
+      s"""WITH ${TextAnalysis.qcWeightsCteSql},
+        |qs AS (
+        |  SELECT doc_id,
+        |    ${TextAnalysis.qualityScoreRawSql("text")} AS sr,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok
+        |  FROM documents, qc_wl),
+        |lbl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN sr < -ntok THEN 0 WHEN sr < 0 THEN 1
+        |         WHEN sr < ntok THEN 2 WHEN sr < 2 * ntok THEN 3
+        |         ELSE 4 END AS bin
+        |  FROM qs),
+        |bins AS (SELECT unnest(range(0, 5)) AS bin),
+        |base AS (
+        |  SELECT b.bin, CAST(coalesce(x.cnt, 0) AS BIGINT) AS bc
+        |  FROM bins b LEFT JOIN (
+        |    SELECT bin, COUNT(*) AS cnt FROM lbl
+        |    WHERE doc_id % 5 <> 0 GROUP BY bin) x ON b.bin = x.bin),
+        |nb AS (SELECT CAST(SUM(bc) AS BIGINT) AS n FROM base),
+        |vb AS (SELECT v.version, b.bin
+        |       FROM (SELECT unnest([2, 3]) AS version) v, bins b),
+        |arr AS (
+        |  SELECT vb.version, vb.bin,
+        |    CAST(coalesce(x.cnt, 0) AS BIGINT) AS ac
+        |  FROM vb LEFT JOIN (
+        |    SELECT CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 3 END AS version,
+        |      bin, COUNT(*) AS cnt
+        |    FROM lbl WHERE doc_id % 5 = 0 GROUP BY 1, 2) x
+        |    ON x.version = vb.version AND x.bin = vb.bin),
+        |na AS (SELECT version, CAST(SUM(ac) AS BIGINT) AS n
+        |       FROM arr GROUP BY version),
+        |terms AS (
+        |  SELECT a.version,
+        |    CAST(round((round(CAST(a.ac + 1 AS DOUBLE) / (na.n + 5), 8)
+        |        - round(CAST(b.bc + 1 AS DOUBLE) / (nb.n + 5), 8))
+        |      * ln(round(CAST(a.ac + 1 AS DOUBLE) / (na.n + 5), 8)
+        |        / round(CAST(b.bc + 1 AS DOUBLE) / (nb.n + 5), 8)), 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM arr a JOIN na ON na.version = a.version
+        |  JOIN base b ON b.bin = a.bin, nb)
+        |SELECT t.version AS commit_version, na.n AS n_new,
+        |  round(CAST(SUM(t.term) AS DOUBLE), 4) AS psi,
+        |  CAST(round(CAST(SUM(t.term) AS DOUBLE), 4) >= 0.1 AS INTEGER)
+        |    AS alert
+        |FROM terms t JOIN na ON na.version = t.version
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      val client = shared(s, d)
+      val profilePath = profileFor(s, d)
+      val ref = TableRef("graft", "main", "documents_cdf")
+      val binCol = {
+        val sr = TextAnalysis.qualityScoreRaw(col("text"))
+        val ntok = size(split(lower(col("text")), " ")).cast("long")
+        when(sr < -ntok, 0L).when(sr < 0, 1L).when(sr < ntok, 2L)
+          .when(sr < ntok * 2, 3L).otherwise(4L)
+      }
+      val bins = s.range(0, 5).select(col("id").as("bin"))
+      // one map-side-combined aggregate over the input, joined onto the
+      // always-materialized 5-bin frame
+      def cells(df: DataFrame): DataFrame =
+        bins.join(
+            df.select(binCol.as("bin")).groupBy("bin")
+              .agg(count(lit(1)).as("cnt")),
+            Seq("bin"), "left")
+          .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .localCheckpoint(eager = true)
+      val base = cells(GraftSharing.readTable(s, client, ref,
+        versionAsOf = Some(1L)))
+      val nb = base.agg(sum("cnt").as("nb_n"))
+      val empty = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("commit_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_new",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("psi",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("alert",
+            org.apache.spark.sql.types.IntegerType))))
+      val acc = new java.util.concurrent.atomic.AtomicReference(empty)
+      val q = GraftSharing.readChangesStream(s, profilePath, ref,
+          startingVersion = 2L)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val adds = batch.filter(col("_change_type") === "add")
+            .select(col("text"), col("_commit_version"))
+            .localCheckpoint(eager = true)
+          // versions are the transactional unit: metadata-scale list
+          val versions = adds.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          versions.foreach { v =>
+            val a = cells(adds.filter(col("_commit_version") === v))
+            val na = a.agg(sum("cnt").as("na_n"))
+            def p(cnt: org.apache.spark.sql.Column,
+                n: org.apache.spark.sql.Column) =
+              round((cnt + 1).cast("double") / (n + 5), 8)
+            val pa = p(col("cnt"), col("na_n"))
+            val pb = p(col("bc"), col("nb_n"))
+            val row = a
+              .join(base.withColumnRenamed("cnt", "bc"), "bin")
+              .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+              .select(col("na_n"),
+                round((pa - pb) * log(pa / pb), 6).cast("decimal(18,6)")
+                  .as("term"))
+              .groupBy("na_n")
+              .agg(round(sum("term").cast("double"), 4).as("psi"))
+              .select(lit(v).as("commit_version"),
+                col("na_n").as("n_new"), col("psi"),
+                (col("psi") >= 0.1).cast("int").as("alert"))
+            acc.set(acc.get().unionByName(row)
+              .localCheckpoint(eager = true))
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      acc.get().orderBy("commit_version")
+    },
+
     // SQL time travel through the catalog plugin: Spark's native
     // `VERSION AS OF` syntax routes to GraftCatalog.loadTable(ident,
     // version) and pins every server query to that snapshot. v1 of

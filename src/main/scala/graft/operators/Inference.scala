@@ -759,6 +759,100 @@ object Inference {
     },
 
     // ------------------------------------------------------------------
+    // Inverse-propensity-weighted ATE (Horvitz-Thompson re-weighting,
+    // Hájek-normalized) with a STRATIFIED propensity model: the
+    // propensity e(x) is estimated per pre-period-spend stratum (the
+    // q_cem_att bins) as n_t/(n_t+n_c), each treated outcome is
+    // re-weighted by 1/e and each control by 1/(1-e), and only strata
+    // with BOTH arms enter (the overlap/positivity trim). With a
+    // stratified e the Hájek weight denominators collapse EXACTLY:
+    // Σ_treated 1/e = Σ_control 1/(1-e) = Σ_bins (n_t+n_c) = m, so the
+    // only inexact terms are the per-bin weighted outcome sums — each
+    // is one rational expression rounded to 6 and summed as exact
+    // DECIMAL(28,6) (the q_cem_att law). The Kish effective sample
+    // sizes ess = m²/Σw² quantify the variance cost of the weighting —
+    // the "how much data did the re-weighting burn" readout every
+    // observational analysis ships with. Entirely aggregative (bin →
+    // two-arm conditional aggregate → per-bin closed forms → one-row
+    // rollup broadcast back onto the bin rows): no per-unit weights
+    // ever materialize, so the shape is one shuffle at any corpus
+    // scale. Output: one row per overlap stratum with the overall
+    // estimate attached (the q_cem_att presentation).
+    QueryDef.sql(
+      "q_ipw_ate",
+      s"""WITH $prePostSql,
+        |binned AS (
+        |  SELECT CAST(floor(x / 100) AS BIGINT) AS bin, treat, y
+        |  FROM byuser),
+        |cells AS (
+        |  SELECT bin,
+        |    CAST(COUNT(*) FILTER (treat = 1) AS BIGINT) AS n_t,
+        |    CAST(COUNT(*) FILTER (treat = 0) AS BIGINT) AS n_c,
+        |    SUM(y) FILTER (treat = 1) AS sy_t,
+        |    SUM(y) FILTER (treat = 0) AS sy_c
+        |  FROM binned GROUP BY bin),
+        |overlap AS (SELECT * FROM cells WHERE n_t > 0 AND n_c > 0),
+        |terms AS (
+        |  SELECT bin, n_t, n_c,
+        |    CAST(round(CAST(sy_t AS DOUBLE) * (n_t + n_c) / n_t, 6)
+        |      AS DECIMAL(28,6)) AS wy_t,
+        |    CAST(round(CAST(sy_c AS DOUBLE) * (n_t + n_c) / n_c, 6)
+        |      AS DECIMAL(28,6)) AS wy_c,
+        |    CAST(round(CAST((n_t + n_c) AS DOUBLE) * (n_t + n_c) / n_t, 6)
+        |      AS DECIMAL(28,6)) AS w2_t,
+        |    CAST(round(CAST((n_t + n_c) AS DOUBLE) * (n_t + n_c) / n_c, 6)
+        |      AS DECIMAL(28,6)) AS w2_c
+        |  FROM overlap),
+        |ate AS (
+        |  SELECT CAST(SUM(n_t + n_c) AS BIGINT) AS m,
+        |    round((CAST(SUM(wy_t) AS DOUBLE) - CAST(SUM(wy_c) AS DOUBLE))
+        |      / SUM(n_t + n_c), 4) AS ate_ipw,
+        |    round(CAST(SUM(n_t + n_c) AS DOUBLE) * SUM(n_t + n_c)
+        |      / CAST(SUM(w2_t) AS DOUBLE), 4) AS ess_t,
+        |    round(CAST(SUM(n_t + n_c) AS DOUBLE) * SUM(n_t + n_c)
+        |      / CAST(SUM(w2_c) AS DOUBLE), 4) AS ess_c
+        |  FROM terms)
+        |SELECT t.bin, t.n_t, t.n_c,
+        |  round(CAST(t.n_t AS DOUBLE) / (t.n_t + t.n_c), 4) AS propensity,
+        |  a.m, a.ate_ipw, a.ess_t, a.ess_c
+        |FROM terms t CROSS JOIN ate a ORDER BY t.bin""".stripMargin) {
+      (s, d) =>
+      val binned = prePost(s, d)
+        .select(floor(col("x") / lit(100)).cast("bigint").as("bin"),
+          col("treat"), col("y"))
+      val cells = binned.groupBy("bin").agg(
+        count(when(col("treat") === 1, 1)).as("n_t"),
+        count(when(col("treat") === 0, 1)).as("n_c"),
+        sum(when(col("treat") === 1, col("y"))).as("sy_t"),
+        sum(when(col("treat") === 0, col("y"))).as("sy_c"))
+      val overlap = cells.filter(col("n_t") > 0 && col("n_c") > 0)
+      val nb = col("n_t") + col("n_c")
+      def term(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        round(num.cast("double") * nb / den, 6).cast("decimal(28,6)")
+      val terms = graft.CacheRegistry.ensurePersisted(
+        overlap.select(col("bin"), col("n_t"), col("n_c"),
+          term(col("sy_t"), col("n_t")).as("wy_t"),
+          term(col("sy_c"), col("n_c")).as("wy_c"),
+          term(nb, col("n_t")).as("w2_t"),
+          term(nb, col("n_c")).as("w2_c")))
+      val m = sum(col("n_t") + col("n_c"))
+      val ate = terms.agg(m.cast("bigint").as("m"),
+        round((sum("wy_t").cast("double") - sum("wy_c").cast("double")) / m,
+          4).as("ate_ipw"),
+        round(m.cast("double") * m / sum("w2_t").cast("double"), 4)
+          .as("ess_t"),
+        round(m.cast("double") * m / sum("w2_c").cast("double"), 4)
+          .as("ess_c"))
+      terms.crossJoin(broadcast(ate))
+        .select(col("bin"), col("n_t"), col("n_c"),
+          round(col("n_t").cast("double") / (col("n_t") + col("n_c")), 4)
+            .as("propensity"),
+          col("m"), col("ate_ipw"), col("ess_t"), col("ess_c"))
+        .orderBy("bin")
+    },
+
+    // ------------------------------------------------------------------
     // Power analysis for the treated-vs-control purchase comparison:
     // the minimum detectable effect at α=0.05 / power=0.8 given the
     // observed arm variances, and the per-arm n required to detect a 5%

@@ -34,6 +34,13 @@ object Multimodal {
   private val dctKValuesSql: String =
     dctK.map { case (u, r, kv) => s"($u, $r, $kv)" }.mkString(", ")
 
+  /** 31^j coefficients (j = 0..7) of the content-defined-chunking
+    * rolling hash h(i) = Σ_j byte(i−j)·31^j — ONE definition rendered
+    * into both engines (the [[dctK]] recipe). Exact in BIGINT: max term
+    * 255·31^7 ≈ 7.0e12, eight of them ≈ 5.6e13 ≪ 2^63. */
+  private val cdcPow: Seq[Long] =
+    Iterator.iterate(1L)(_ * 31L).take(8).toSeq
+
   /** e3-scaled integer DFT tables for the 16-sample audio frames of
     * mm_audio_fingerprint: band b = frequency k=b+1 cycles/frame,
     * C(b,j) = round(1000·cos(2πkj/16)), S(b,j) = round(1000·sin(·)),
@@ -393,6 +400,202 @@ object Multimodal {
             / (col("npa") + col("npb") - col("shared")), 4)
             .as("patch_jaccard"))
         .orderBy("ma", "mb")
+    },
+
+    // ------------------------------------------------------------------
+    // CONTENT-DEFINED CHUNKING near-dup (the rsync/LBFS primitive —
+    // the third independent media near-dup axis next to the exact
+    // 64-byte grid and the DCT pHash): mm_patch_dedup's fixed grid is
+    // PROVABLY BLIND to a duplicate trimmed by any non-multiple of 64
+    // (every patch boundary lands 37 bytes off, so ZERO exact patches
+    // survive — certified in-plan via grid_blind_ok), and pHash only
+    // covers the first 256 bytes. CDC fixes trim-blindness at the
+    // chunking layer: boundaries are placed where a 31-ary polynomial
+    // rolling hash over the trailing 8 bytes ≡ 0 (mod 32) — boundary
+    // positions are CONTENT-anchored, so a leading trim perturbs only
+    // the first partial chunk and every later chunk is byte-identical.
+    // Each media gets a 37-byte-trimmed variant (deliberately NOT
+    // 64-aligned); candidate pairs come from a chunk-hash bucket join
+    // with the 16-per-bucket stop-chunk cap (the mm_patch_dedup
+    // boilerplate convention), best match per variant by shared-chunk
+    // count (ties → min id), and `caught` compares TEXT fingerprints so
+    // exact-duplicate cliques count any clique member as a correct
+    // catch. In-plan certification: catch_ok pins self-variant catch
+    // ≥ 0.85 over the ≥120-char cohort (measured .962/.942 at
+    // sf0.01/0.1), grid_blind_ok pins the fixed grid's shared-patch
+    // count at exactly 0. SCALE: the chunk fan-out is ~len/32 rows per
+    // media (narrow, repartitioned before the CPU-bound hash — the
+    // documentsPar rule); the pair join is cap²-bounded per chunk
+    // bucket; no window wider than per-variant candidates. At the 10×
+    // replicated corpus, exact-dup cliques push common chunks over the
+    // stop-chunk cap by design — same class contract as the LSH
+    // oversized-bucket caps, re-oracled by the sf0.1 gate.
+    QueryDef.sql(
+      "mm_cdc_dedup", {
+        val hashSumDuck = (0 to 7).map(j =>
+          s"CAST(least(unicode(substring(t, CAST(i - $j AS INTEGER), 1)), " +
+            s"255) AS BIGINT) * ${cdcPow(j)}").mkString(" + ")
+        s"""WITH media AS (
+          |  SELECT * FROM (
+          |    SELECT doc_id, kind,
+          |      CASE WHEN kind = 0 THEN text
+          |           ELSE substring(text, 38) END AS t
+          |    FROM documents, (SELECT unnest([0, 1]) AS kind) k)
+          |  WHERE length(t) >= 8),
+          |bpos AS (
+          |  SELECT doc_id, kind, t,
+          |    [CAST(0 AS BIGINT)] ||
+          |    list_filter(list_transform(range(8, length(t) + 1),
+          |      i -> CASE WHEN ($hashSumDuck) % 32 = 0
+          |           THEN i ELSE NULL END), p -> p IS NOT NULL) ||
+          |    [CAST(length(t) AS BIGINT)] AS bp
+          |  FROM media),
+          |chunks AS MATERIALIZED (
+          |  SELECT DISTINCT doc_id, kind,
+          |    md5(substring(t, CAST(bp[k] + 1 AS INTEGER),
+          |      CAST(bp[k+1] - bp[k] AS INTEGER))) AS ch
+          |  FROM (SELECT doc_id, kind, t, bp, unnest(range(1, len(bp))) AS k
+          |        FROM bpos)
+          |  WHERE bp[k+1] > bp[k]),
+          |nch AS (SELECT doc_id, kind, CAST(COUNT(*) AS BIGINT) AS nc
+          |        FROM chunks GROUP BY 1, 2),
+          |keep AS (SELECT ch FROM chunks GROUP BY ch
+          |         HAVING COUNT(*) <= 16),
+          |cand AS (
+          |  SELECT v.doc_id AS vid, o.doc_id AS oid,
+          |    CAST(COUNT(*) AS BIGINT) AS shared
+          |  FROM chunks v JOIN keep USING (ch)
+          |  JOIN chunks o ON o.ch = v.ch AND o.kind = 0
+          |  WHERE v.kind = 1 GROUP BY 1, 2),
+          |best AS (
+          |  SELECT vid, oid, shared FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vid
+          |      ORDER BY shared DESC, oid ASC) AS rn FROM cand)
+          |  WHERE rn = 1),
+          |tm AS (SELECT doc_id, md5(text) AS tm5 FROM documents),
+          |scored AS MATERIALIZED (
+          |  SELECT b.vid AS media_id, b.oid AS best_match, b.shared,
+          |    nv.nc AS n_chunks,
+          |    round(CAST(b.shared AS DOUBLE)
+          |      / (nv.nc + no2.nc - b.shared), 4) AS chunk_jaccard,
+          |    CAST(ta.tm5 = tb.tm5 AS INTEGER) AS caught
+          |  FROM best b
+          |  JOIN nch nv ON nv.doc_id = b.vid AND nv.kind = 1
+          |  JOIN nch no2 ON no2.doc_id = b.oid AND no2.kind = 0
+          |  JOIN tm ta ON ta.doc_id = b.vid
+          |  JOIN tm tb ON tb.doc_id = b.oid),
+          |gp AS (
+          |  SELECT DISTINCT doc_id, kind,
+          |    md5(substring(t, CAST(1 + pi*64 AS INTEGER), 64)) AS ph
+          |  FROM (SELECT doc_id, kind, t,
+          |        unnest(range(0, greatest(CAST(ceil(length(t) / 64.0)
+          |          AS BIGINT), 1))) AS pi
+          |        FROM media)),
+          |g64 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n64
+          |        FROM gp a JOIN gp b ON b.doc_id = a.doc_id
+          |          AND b.kind = 0 AND b.ph = a.ph
+          |        WHERE a.kind = 1),
+          |cohort AS (SELECT doc_id FROM documents
+          |           WHERE length(text) >= 120),
+          |cert AS (
+          |  SELECT CAST(
+          |      (SELECT coalesce(SUM(caught), 0) FROM scored
+          |       JOIN cohort ON scored.media_id = cohort.doc_id) * 100
+          |      >= (SELECT COUNT(*) FROM cohort) * 85 AS INTEGER)
+          |      AS catch_ok,
+          |    CAST((SELECT n64 FROM g64) = 0 AS INTEGER) AS grid_blind_ok)
+          |SELECT s.media_id, s.best_match, s.shared, s.n_chunks,
+          |  s.chunk_jaccard, s.caught, c.catch_ok, c.grid_blind_ok
+          |FROM scored s, cert c ORDER BY s.media_id""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hashSum = (0 to 7).map(j =>
+        s"CAST(least(ascii(substring(t, CAST(i - $j AS INT), 1)), 255) " +
+          s"AS BIGINT) * ${cdcPow(j)}").mkString(" + ")
+      val media = graft.CacheRegistry.register(
+        Tables.documentsPar(s, d)
+          .select(col("doc_id"),
+            explode(array(lit(0), lit(1))).as("kind"), col("text"))
+          .select(col("doc_id"), col("kind"),
+            when(col("kind") === 0, col("text"))
+              .otherwise(expr("substring(text, 38)")).as("t"))
+          .filter(length(col("t")) >= 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val withB = media.withColumn("bp", expr(
+        s"""concat(array(CAST(0 AS BIGINT)),
+          |  filter(transform(sequence(CAST(8 AS BIGINT),
+          |      CAST(length(t) AS BIGINT)),
+          |    i -> IF(($hashSum) % 32 = 0, i, CAST(NULL AS BIGINT))),
+          |    p -> p IS NOT NULL),
+          |  array(CAST(length(t) AS BIGINT)))""".stripMargin))
+      val chunks = graft.CacheRegistry.register(withB
+        .select(col("doc_id"), col("kind"), col("t"), col("bp"),
+          explode(sequence(lit(1), size(col("bp")) - 1)).as("k"))
+        .filter(expr("element_at(bp, k + 1) > element_at(bp, k)"))
+        .select(col("doc_id"), col("kind"),
+          md5(expr("substring(t, CAST(element_at(bp, k) + 1 AS INT), " +
+            "CAST(element_at(bp, k + 1) - element_at(bp, k) AS INT))"))
+            .as("ch"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nch = chunks.groupBy("doc_id", "kind").agg(count(lit(1)).as("nc"))
+      val keep = chunks.groupBy("ch").agg(count(lit(1)).as("bs"))
+        .filter(col("bs") <= 16).select("ch")
+      val cand = chunks.filter(col("kind") === 1)
+        .select(col("ch"), col("doc_id").as("vid"))
+        .join(keep, "ch")
+        .join(chunks.filter(col("kind") === 0)
+          .select(col("ch"), col("doc_id").as("oid")), "ch")
+        .groupBy("vid", "oid").agg(count(lit(1)).as("shared"))
+      val best = cand.withColumn("rn", row_number().over(
+          Window.partitionBy("vid")
+            .orderBy(col("shared").desc, col("oid").asc)))
+        .filter(col("rn") === 1).drop("rn")
+      val tm = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("tm5"))
+      val scored = graft.CacheRegistry.ensurePersisted(best
+        .join(nch.filter(col("kind") === 1)
+          .select(col("doc_id").as("vid"), col("nc").as("nv")), "vid")
+        .join(nch.filter(col("kind") === 0)
+          .select(col("doc_id").as("oid"), col("nc").as("no2")), "oid")
+        .join(tm.select(col("doc_id").as("vid"), col("tm5").as("tma")),
+          "vid")
+        .join(tm.select(col("doc_id").as("oid"), col("tm5").as("tmo")),
+          "oid")
+        .select(col("vid").as("media_id"), col("oid").as("best_match"),
+          col("shared"), col("nv").as("n_chunks"),
+          round(col("shared").cast("double")
+            / (col("nv") + col("no2") - col("shared")), 4)
+            .as("chunk_jaccard"),
+          (col("tma") === col("tmo")).cast("int").as("caught")))
+      // fixed-64-grid blindness proof: variant vs its own source shares
+      // ZERO exact grid patches (37 is not a multiple of 64)
+      val gp = media
+        .select(col("doc_id"), col("kind"), col("t"),
+          explode(sequence(lit(0L),
+            greatest(ceil(length(col("t")).cast("double") / 64.0)
+              .cast("bigint"), lit(1L)) - 1)).as("pi"))
+        .select(col("doc_id"), col("kind"),
+          md5(expr("substring(t, CAST(1 + pi*64 AS INT), 64)")).as("ph"))
+        .distinct()
+      val g64 = gp.filter(col("kind") === 1).select("doc_id", "ph")
+        .join(gp.filter(col("kind") === 0).select("doc_id", "ph"),
+          Seq("doc_id", "ph"))
+        .agg(count(lit(1)).as("n64"))
+      val cohort = Tables.documents(s, d)
+        .filter(length(col("text")) >= 120).select("doc_id")
+      val nCohort = cohort.agg(count(lit(1)).as("ncoh"))
+      val nCaught = scored
+        .join(cohort.withColumnRenamed("doc_id", "media_id"), "media_id")
+        .agg(coalesce(sum("caught"), lit(0L)).as("ncaught"))
+      val cert = nCaught.crossJoin(broadcast(nCohort))
+        .crossJoin(broadcast(g64))
+        .select(
+          (col("ncaught") * 100 >= col("ncoh") * 85).cast("int")
+            .as("catch_ok"),
+          (col("n64") === 0L).cast("int").as("grid_blind_ok"))
+      scored.crossJoin(broadcast(cert))
+        .orderBy("media_id")
     },
 
     // ------------------------------------------------------------------

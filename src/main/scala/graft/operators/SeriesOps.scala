@@ -197,6 +197,77 @@ object SeriesOps {
     },
 
     // ------------------------------------------------------------------
+    // Classical additive seasonal decomposition (the STL shape without
+    // loess): x_t = trend + seasonal + residual, per day. trend = the
+    // 7-observation centered moving average (full windows only);
+    // detrended = x − trend, rounded ONCE to 6dp — every later term is
+    // EXACT decimal arithmetic off that one rounding (trend = x − det,
+    // residual = det − seasonal), so engines cannot drift; seasonal =
+    // the per-day-of-week mean of detrended, centered so the seven
+    // components sum to ~0 (the additive-decomposition identity).
+    // SCALE: one date-domain-bounded global window (the q_seasonal_dow
+    // class — calendar days, bounded at any corpus size), one 7-row
+    // seasonal frame broadcast back onto the days. The decomposition
+    // identity x = trend + seasonal + residual holds EXACTLY by
+    // construction on every output row — certified by the oracle hash,
+    // since both engines must produce the identical four columns.
+    QueryDef.sql(
+      "q_stl_decompose",
+      s"""WITH $dailySql,
+        |t AS (
+        |  SELECT day, x, SUM(x) OVER w AS s7,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS c7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT day, x, ((day - DATE '1970-01-01') % 7) AS dow,
+        |    CAST(round(CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7, 6)
+        |      AS DECIMAL(18,6)) AS det
+        |  FROM t WHERE c7 = 7),
+        |sraw AS (
+        |  SELECT dow, CAST(round(CAST(SUM(det) AS DOUBLE) / COUNT(*), 6)
+        |      AS DECIMAL(18,6)) AS s_raw
+        |  FROM det GROUP BY dow),
+        |ctr AS (
+        |  SELECT CAST(round(CAST(SUM(s_raw) AS DOUBLE) / 7, 6)
+        |      AS DECIMAL(18,6)) AS mean7
+        |  FROM sraw),
+        |seas AS (
+        |  SELECT dow, s_raw - mean7 AS seasonal FROM sraw CROSS JOIN ctr)
+        |SELECT d.day, round(CAST(d.x AS DOUBLE), 2) AS x,
+        |  round(CAST(d.x - d.det AS DOUBLE), 4) AS trend,
+        |  round(CAST(s.seasonal AS DOUBLE), 4) AS seasonal,
+        |  round(CAST(d.det - s.seasonal AS DOUBLE), 4) AS residual
+        |FROM det d JOIN seas s ON d.dow = s.dow
+        |ORDER BY d.day""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      // persisted: the detrended frame feeds the seasonal aggregate, the
+      // centering scalar, and the final join — without it the (bounded)
+      // calendar-day window would run three times
+      val det = graft.CacheRegistry.ensurePersisted(daily(s, d)
+        .select(col("day"), col("x"),
+          sum(col("x")).over(w).as("s7"), count(lit(1)).over(w).as("c7"))
+        .filter(col("c7") === 7)
+        .select(col("day"), col("x"), dowCol(col("day")).as("dow"),
+          round(col("x").cast("double") - col("s7").cast("double") / 7, 6)
+            .cast("decimal(18,6)").as("det")))
+      val sraw = det.groupBy("dow")
+        .agg(round(sum(col("det")).cast("double") / count(lit(1)), 6)
+          .cast("decimal(18,6)").as("s_raw"))
+      val ctr = sraw.agg(round(sum(col("s_raw")).cast("double") / 7, 6)
+        .cast("decimal(18,6)").as("mean7"))
+      val seas = sraw.crossJoin(broadcast(ctr))
+        .select(col("dow"), (col("s_raw") - col("mean7")).as("seasonal"))
+      det.join(broadcast(seas), "dow")
+        .select(col("day"), round(col("x").cast("double"), 2).as("x"),
+          round((col("x") - col("det")).cast("double"), 4).as("trend"),
+          round(col("seasonal").cast("double"), 4).as("seasonal"),
+          round((col("det") - col("seasonal")).cast("double"), 4)
+            .as("residual"))
+        .orderBy("day")
+    },
+
+    // ------------------------------------------------------------------
     // Truncated-EWMA one-step-ahead forecast: ewma_t = Σ_{j<14} w_j ·
     // x_{t−j} with w_j = the PRE-NORMALIZED 0.3·0.7^j / Σ (rounded to 12
     // decimals once, in ewmaWeights — rendered into both engines from

@@ -1068,6 +1068,109 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    // ------------------------------------------------------------------
+    // Matryoshka truncation eval: recall@5 of dimension-truncated
+    // embeddings (16- and 32-dim prefixes of the 64) against the
+    // full-dimension truth ranking — the ship/don't-ship readout for
+    // embedding compression (MRL-trained embeddings front-load
+    // information so prefixes serve cheaply; embeddings without that
+    // structure don't, and THIS eval is what tells you which you have).
+    // On these isotropic synthetic vectors the correct answer is "don't
+    // truncate" (measured mean recall .08–.28 across SFs — far above
+    // the k/N≈.001 chance floor, far below serving quality), and the
+    // gate certifies the METRIC exactly — the q_ndcg convention, not a
+    // quality floor. All three rankings share the topKSelect contract
+    // (4dp-rounded cosine, smaller-id tiebreak) so the oracle replays
+    // them verbatim. SCALE: three bounded TopKAggregator corpus scans
+    // (no corpus×queries frame ever materializes; the truncated scans
+    // read the same rows but do 4×/2× less kernel work — at serving
+    // scale the prefix columns would be stored separately and the scan
+    // itself shrinks); everything downstream is ≤ k·|queries| rows.
+    QueryDef.sql(
+      "sim_matryoshka_recall", {
+        def normZero(e: String, n: String) =
+          s"list_sum(list_transform($e$n, x -> CAST(x AS DOUBLE) * x)) = 0"
+        def simAt(n: String, alias: String) =
+          s"""CASE WHEN ${normZero("e.embedding", n)}
+             |           OR ${normZero("q.q_emb", n)} THEN 0.0
+             |      ELSE round(list_cosine_similarity(
+             |        CAST(e.embedding$n AS DOUBLE[]),
+             |        CAST(q.q_emb$n AS DOUBLE[])), 4) END AS $alias""".stripMargin
+        def rank(src: String, simCol: String) =
+          s"""SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY $simCol DESC, vec_id) AS rn
+             |    FROM $src) WHERE rn <= 5""".stripMargin
+        s"""WITH q AS (
+          |  SELECT vec_id AS query_id, embedding AS q_emb
+          |  FROM embeddings WHERE vec_id < 10),
+          |sc AS MATERIALIZED (
+          |  SELECT q.query_id, e.vec_id,
+          |    ${simAt("", "s64")},
+          |    ${simAt("[1:16]", "s16")},
+          |    ${simAt("[1:32]", "s32")}
+          |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+          |base AS (SELECT query_id, max(s64) AS best_sim
+          |         FROM sc GROUP BY query_id),
+          |t64 AS (${rank("sc", "s64")}),
+          |t16 AS (${rank("sc", "s16")}),
+          |t32 AS (${rank("sc", "s32")}),
+          |h16 AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS h
+          |        FROM t64 JOIN t16 USING (query_id, vec_id)
+          |        GROUP BY query_id),
+          |h32 AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS h
+          |        FROM t64 JOIN t32 USING (query_id, vec_id)
+          |        GROUP BY query_id),
+          |perq AS (
+          |  SELECT b.query_id, b.best_sim,
+          |    coalesce(h16.h, 0) AS h16, coalesce(h32.h, 0) AS h32
+          |  FROM base b
+          |  LEFT JOIN h16 ON h16.query_id = b.query_id
+          |  LEFT JOIN h32 ON h32.query_id = b.query_id),
+          |tot AS (
+          |  SELECT round(CAST(SUM(h16) AS DOUBLE) / (COUNT(*) * 5), 4)
+          |      AS mean_recall16,
+          |    round(CAST(SUM(h32) AS DOUBLE) / (COUNT(*) * 5), 4)
+          |      AS mean_recall32
+          |  FROM perq)
+          |SELECT query_id, best_sim,
+          |  round(CAST(h16 AS DOUBLE) / 5, 4) AS recall16,
+          |  round(CAST(h32 AS DOUBLE) / 5, 4) AS recall32,
+          |  mean_recall16, mean_recall32
+          |FROM perq, tot ORDER BY query_id""".stripMargin
+      }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      def trunc(df: DataFrame, n: Int): DataFrame =
+        df.select(col("vec_id"), slice(col("embedding"), 1, n).as("embedding"))
+      val t64 = graft.CacheRegistry.ensurePersisted(
+        bruteForceTopK(emb, qs, k = 5)
+          .select("query_id", "neighbor_id", "sim"))
+      def hitsAt(n: Int): DataFrame =
+        t64.select("query_id", "neighbor_id")
+          .join(bruteForceTopK(trunc(emb, n), trunc(qs, n), k = 5)
+            .select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as(s"h$n"))
+      val perq = graft.CacheRegistry.ensurePersisted(
+        t64.groupBy("query_id").agg(max("sim").as("best_sim"))
+          .join(hitsAt(16), Seq("query_id"), "left")
+          .join(hitsAt(32), Seq("query_id"), "left")
+          .select(col("query_id"), col("best_sim"),
+            coalesce(col("h16"), lit(0L)).as("h16"),
+            coalesce(col("h32"), lit(0L)).as("h32")))
+      val tot = perq.agg(
+        round(sum("h16").cast("double") / (count(lit(1)) * 5), 4)
+          .as("mean_recall16"),
+        round(sum("h32").cast("double") / (count(lit(1)) * 5), 4)
+          .as("mean_recall32"))
+      perq.crossJoin(broadcast(tot))
+        .select(col("query_id"), col("best_sim"),
+          round(col("h16").cast("double") / 5, 4).as("recall16"),
+          round(col("h32").cast("double") / 5, 4).as("recall32"),
+          col("mean_recall16"), col("mean_recall32"))
+        .orderBy("query_id")
+    },
+
     // LSH-bucketed ANN top-5 for the same queries (the 100 TB path).
     // Output is the per-query quality summary: the true top-1 similarity
     // (oracle recomputes it exactly) plus recall@5 ≥ floor as a checked

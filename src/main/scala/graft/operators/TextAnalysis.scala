@@ -1303,6 +1303,78 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Frequency-thresholded boilerplate strip — the OTHER production
+    // span-dedup rule next to text_dedup_spans' keep-first-occurrence:
+    // a span occurring in MORE THAN 2 DISTINCT documents is template
+    // content (headers, navigation, license banners) and is removed
+    // from EVERY document including the first (the CCNet/RefinedWeb
+    // line-dedup convention, over the same 10-word span tiling since
+    // this corpus has no newlines). The two rules differ exactly where
+    // it matters: keep-first preserves one copy of duplicated prose;
+    // the frequency rule deletes systematic boilerplate everywhere.
+    // clean_md5 certifies the exact reconstructed post-strip text per
+    // document, not just counts. SCALE: span-hash aggregate with
+    // map-side combine (distinct-doc count per span), one equi-join
+    // back (the boilerplate dictionary is corpus-frequency-bounded —
+    // AQE broadcasts it while small, shuffles when not), and a per-doc
+    // reassembly whose state is bounded by document length. The
+    // distinct-doc counting is exact here; at 100 TB the same shape
+    // runs with approx_count_distinct per span (mergeable sketch) and
+    // an identical downstream plan.
+    QueryDef.sql(
+      "text_boilerplate_strip",
+      """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler,
+        |  md5(coalesce(string_agg(CASE WHEN NOT boiler THEN span END,
+        |    ' ' ORDER BY si), '')) AS clean_md5
+        |FROM (
+        |  SELECT s.doc_id, s.si, s.span, f.span IS NOT NULL AS boiler
+        |  FROM (
+        |    SELECT doc_id, si,
+        |      array_to_string(w[1 + (si - 1) * 10 : si * 10], ' ') AS span
+        |    FROM (
+        |      SELECT doc_id, w,
+        |        unnest(range(1, CAST(ceil(len(w) / 10.0) AS BIGINT) + 1)) AS si
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents))) s
+        |  LEFT JOIN (
+        |    SELECT span FROM (
+        |      SELECT span, COUNT(DISTINCT doc_id) AS dc
+        |      FROM (
+        |        SELECT doc_id,
+        |          array_to_string(w[1 + (si - 1) * 10 : si * 10], ' ') AS span
+        |        FROM (
+        |          SELECT doc_id, w,
+        |            unnest(range(1, CAST(ceil(len(w) / 10.0) AS BIGINT) + 1)) AS si
+        |          FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |                FROM documents)))
+        |      GROUP BY span) WHERE dc > 2) f ON s.span = f.span)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val spans = Tables.documentsPar(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(1L),
+            ceil(size(col("w")).cast("double") / 10.0).cast("bigint"))))
+        .select(col("doc_id"), (col("pos") + 1).as("si"),
+          array_join(slice(col("w"),
+            (col("pos") * 10 + 1).cast("int"), lit(10)), " ").as("span"))
+      val boiler = spans.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("dc"))
+        .filter(col("dc") > 2)
+        .select(col("span"), lit(true).as("boiler_flag"))
+      spans.join(boiler, Seq("span"), "left")
+        .withColumn("boiler", col("boiler_flag").isNotNull)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(!col("boiler"),
+              struct(col("si"), col("span"))))),
+            x => x("span")), " ")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // Hashed linear quality classifier (fasttext-style): each token is
     // hashed into one of 64 buckets, a fixed md5-seeded integer weight
     // per bucket is summed exactly, and the mean margin goes through a

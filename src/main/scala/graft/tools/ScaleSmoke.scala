@@ -129,7 +129,18 @@ object ScaleSmoke {
       "mm_audio_fingerprint",
       // r14 wave: the files-served landmark index (build + hb-pruned
       // probe join + candidate-partition verify)
-      "mm_afp_prebuilt")
+      "mm_afp_prebuilt",
+      // r14: the content-defined-chunking boundary scan + stop-chunk-
+      // capped bucket join (exact-dup cliques cross the cap at 10x by
+      // design — the LSH oversized-bucket class)
+      "mm_cdc_dedup",
+      // r14 second wave (r13 verdict ask #1): the flagship streaming
+      // compositions at 10x corpus — the curation stream drives
+      // Dedup.incrementalDedup's oversized-bucket cap per CDF commit
+      // (AvailableNow trigger = batch-style foreachBatch loop), and the
+      // SCD2 fold's per-commit touched-keys join. Staging derives the
+      // CDF fixtures from THIS dir's tables, so the arrivals are 10x.
+      "connector_incremental_curation", "connector_cdf_scd2")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

@@ -100,7 +100,12 @@ class ContractSpec extends AnyFunSuite {
         (k.startsWith("dedup_") &&
           k != "dedup_exact" && k != "dedup_normalized")) ++
       Set("mm_patch_dedup", "mm_phash_dedup", "mm_audio_fingerprint",
-        "mm_afp_prebuilt", "connector_ivf_ingest",
+        "mm_afp_prebuilt", "mm_cdc_dedup", "connector_ivf_ingest",
+        // r13 verdict ask #1: the flagship streaming compositions — the
+        // curation stream composes Dedup.incrementalDedup's oversized-
+        // bucket cap (the exact silently-scale-divergent class), and the
+        // SCD2 fold's per-commit broadcast guard must hold at sf0.1 too
+        "connector_incremental_curation", "connector_cdf_scd2",
         "q_equidepth_histogram",
         "q_graph_assortativity", "sim_ivf_pq", "sim_ivf_prebuilt",
         "sim_kmeans", "sim_pq_adc",

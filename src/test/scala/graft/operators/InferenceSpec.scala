@@ -80,6 +80,28 @@ class InferenceSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("n_bins") == rows.length)
   }
 
+  test("q_ipw_ate: overlap strata only; Hájek weights collapse to m; " +
+      "ESS bounded by m") {
+    val rows = run("q_ipw_ate")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // positivity trim: both arms present ⇒ propensity strictly inside (0,1)
+      val e = r.getAs[Double]("propensity")
+      assert(e > 0.0 && e < 1.0)
+      assert(r.getAs[Long]("n_t") > 0 && r.getAs[Long]("n_c") > 0)
+    }
+    val m = rows.head.getAs[Long]("m")
+    // the stratified-propensity identity: Σ_bins (n_t + n_c) = m exactly
+    assert(rows.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).sum
+      == m)
+    // Kish ESS can never exceed the weight total (equality iff uniform
+    // weights), and must be positive
+    val essT = rows.head.getAs[Double]("ess_t")
+    val essC = rows.head.getAs[Double]("ess_c")
+    assert(essT > 0.0 && essT <= m + 1e-6)
+    assert(essC > 0.0 && essC <= m + 1e-6)
+  }
+
   test("q_power_mde: positive detectable effect and sample size") {
     val r = run("q_power_mde").head
     assert(r.getAs[Double]("mde_abs") > 0.0)

@@ -66,6 +66,31 @@ class SeriesOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_stl_decompose: additive identity holds; seasonal centered; " +
+      "full windows only") {
+    val rows = graft.SparkEntry.queries("q_stl_decompose")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // x = trend + seasonal + residual exactly before the output rounds;
+    // after rounding (x to 2dp, the parts to 4dp) the identity holds to
+    // the rounding budget
+    rows.foreach { r =>
+      val x = r.getAs[Double]("x")
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(x - recon) <= 0.006, s"identity broke: $x vs $recon")
+    }
+    // the centered-MA trim: exactly 6 fewer rows than the daily frame
+    assert(rows.length == daily.length - 6)
+    // the seven seasonal components were centered: per-dow values sum ~0
+    val perDow = rows.map(r =>
+      ((r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay % 7 + 7) % 7,
+        r.getAs[Double]("seasonal"))).groupBy(_._1)
+      .map { case (_, v) => v.head._2 }
+    assert(math.abs(perDow.sum) < 0.01,
+      s"seasonal components not centered: ${perDow.sum}")
+  }
+
   test("q_chi_square_dow matches a float chi-square recomputation") {
     val row = graft.SparkEntry.queries("q_chi_square_dow")(spark, sf0001)
       .collect().head

@@ -260,6 +260,55 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("boilerplate strip: same tiling as span dedup; untouched docs " +
+      "rebuild exactly") {
+    val strip = graft.SparkEntry.queries("text_boilerplate_strip")(
+      spark, sf0001).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val spans = graft.SparkEntry.queries("text_dedup_spans")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical 10-word tiling ⇒ identical per-doc span counts
+    assert(strip.keySet == spans.keySet)
+    strip.foreach { case (id, (nSpans, nBoiler, _)) =>
+      assert(nSpans == spans(id), s"doc $id tiling drifted")
+      assert(nBoiler <= nSpans)
+    }
+    // a doc with zero boilerplate spans reconstructs to its own digest
+    val cleanDocs = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = strip.filter { case (_, (_, b, _)) => b == 0 }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, (_, _, cleanMd5)) =>
+      assert(cleanMd5 == cleanDocs(id), s"doc $id digest changed with 0 " +
+        "boilerplate spans")
+    }
+  }
+
+  test("cdc dedup: content-anchored chunking catches the unaligned trim " +
+      "the fixed grid provably misses") {
+    val rows = graft.SparkEntry.queries("mm_cdc_dedup")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // in-plan certifications hold at spec scale too
+    assert(rows.forall(_.getAs[Int]("catch_ok") == 1))
+    assert(rows.forall(_.getAs[Int]("grid_blind_ok") == 1))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shared") >= 1L)
+      val j = r.getAs[Double]("chunk_jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("shared") <= r.getAs[Long]("n_chunks"))
+    }
+    // the boundary property itself: chunk SETS of a doc and its 37-byte
+    // trim differ only near the cut — the best self-match shares most
+    // chunks (median jaccard well above the pair-acceptance floor)
+    val caught = rows.filter(_.getAs[Int]("caught") == 1)
+      .map(_.getAs[Double]("chunk_jaccard")).sorted
+    assert(caught.nonEmpty)
+    assert(caught(caught.length / 2) >= 0.5,
+      s"median self-match jaccard ${caught(caught.length / 2)} — " +
+        "boundaries are not content-anchored")
+  }
+
   test("quality classifier: sigmoid/keep consistency and bucket sensitivity") {
     val rows = graft.SparkEntry.queries("text_quality_classifier")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
