@@ -1112,12 +1112,18 @@ object Multimodal {
           .select((col("doc_id") * 2 + 1).as("mb"), col("f").as("fb"),
             col("sym").as("sym_b")))
       // corpus index frames (in-memory twins of what the files hold):
-      // bucket cap applied at BUILD time over corpus-only bucket sizes
+      // bucket cap applied at BUILD time over corpus-only bucket sizes.
+      // The cap MUST be the groupBy→join shape, not a hv-partitioned
+      // window: a window funnels every row of a hot bucket into one
+      // task (the 10× smoke measured skew 36 on exactly that plan),
+      // while the groupBy's map-side combine reduces hot buckets to one
+      // partial per split and AQE splits any remaining skewed join
+      // partition. Same semantics — bucket size over corpus-only rows.
+      val ch0 = ch.filter(col("mid") % 2 === 0)
+      val keepHv = ch0.groupBy("hv").agg(count(lit(1)).as("bs"))
+        .filter(col("bs") <= 160).select("hv")
       val corpusCapped = graft.CacheRegistry.ensurePersisted(
-        ch.filter(col("mid") % 2 === 0)
-          .withColumn("bs", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("hv")))
-          .filter(col("bs") <= 160)
+        ch0.join(keepHv, "hv")
           .select(col("hv"), col("mid"), col("f"))
           .withColumn("hb", pmod(col("hv"), lit(64L))))
       val corpusSyms = pk.filter(col("kind") === 0)
@@ -1135,10 +1141,17 @@ object Multimodal {
         })
       // one serve plan for both the files path and the in-memory parity
       // twin — only the index frames differ
+      // No explicit broadcast() hints inside serve: the probe frames are
+      // small per-run queries in production (AQE broadcasts them), but
+      // the 10× smoke probes EVERY variant — cand reaches ~10M rows
+      // there (each variant matches its whole exact-dup clique) and a
+      // forced broadcast of that is the scale bug the smoke caught
+      // (skew 36 / 112 s). Leaving the strategy to AQE keeps the
+      // gated-scale plan identical and the clique-stress plan sane.
       def serve(idxHashes: DataFrame, idxSyms: DataFrame): DataFrame = {
         val pairs = idxHashes
-          .join(broadcast(probeHashes.select(col("hb"), col("hv"),
-            col("mid").as("mb"), col("f").as("fb"))), Seq("hb", "hv"))
+          .join(probeHashes.select(col("hb"), col("hv"),
+            col("mid").as("mb"), col("f").as("fb")), Seq("hb", "hv"))
           .groupBy(col("mid").as("ma"), col("mb"),
             (col("f") - col("fb")).as("off"))
           .agg(count(lit(1)).as("votes"))
@@ -1155,22 +1168,22 @@ object Multimodal {
           .withColumn("f", col("fb") + col("off"))
           .withColumn("mg", pmod(col("ma"), lit(32L))))
         val aligned = idxSyms
-          .join(broadcast(cand.select(col("mg"), col("ma").as("mid"),
+          .join(cand.select(col("mg"), col("ma").as("mid"),
             col("f"), col("mb"), col("votes"), col("off"),
-            col("sym_b"))), Seq("mg", "mid", "f"))
+            col("sym_b")), Seq("mg", "mid", "f"))
           .groupBy(col("mid").as("ma"), col("mb"), col("votes"),
             col("off"))
           .agg(sum(when(col("sym") === col("sym_b"), 1).otherwise(0))
             .as("aligned"))
         val nfa = idxSyms
-          .join(broadcast(cand.select(col("mg"), col("ma").as("mid"))
-            .distinct()), Seq("mg", "mid"))
+          .join(cand.select(col("mg"), col("ma").as("mid"))
+            .distinct(), Seq("mg", "mid"))
           .groupBy(col("mid").as("ma"))
           .agg(count(lit(1)).as("nfa"))
         val nfb = mkB.groupBy("mb").agg(count(lit(1)).as("nfb"))
         aligned
-          .join(broadcast(nfa), Seq("ma"))
-          .join(broadcast(nfb), Seq("mb"))
+          .join(nfa, Seq("ma"))
+          .join(nfb, Seq("mb"))
           .filter(col("aligned") / least(col("nfa"), col("nfb")) >= 0.7)
           .select(col("ma"), col("mb"), col("off"), col("votes"),
             col("aligned"), col("nfa"), col("nfb"))
