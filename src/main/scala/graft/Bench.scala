@@ -85,6 +85,7 @@ object Bench {
     // decomposition, boilerplate strip, content-defined-chunking dedup
     "mm_afp_prebuilt", "q_ipw_ate", "q_stl_decompose",
     "text_boilerplate_strip", "mm_cdc_dedup", "sim_matryoshka_recall",
+    "q_tukey_hsd", "q_msprt",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.
@@ -175,8 +176,14 @@ object Bench {
   private def rawBench(name: String)
       : Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions._
-    import graft.operators.{Dedup, Similarity}
+    import graft.operators.{Dedup, Multimodal, Similarity}
     name match {
+      case "mm_afp_prebuilt" => Some((s, d) =>
+        // raw amortized serve: bounded probe batch against the standing
+        // files index — the gate version additionally runs the
+        // in-memory parity twin + exceptAll + catch-floor legs, each a
+        // full second pipeline that would dominate the timing
+        Multimodal.afpServeBench(s, d))
       case "sim_topk_ann" => Some((s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5)

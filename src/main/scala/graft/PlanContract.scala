@@ -121,6 +121,9 @@ object PlanContract {
     "q_skew_profile" -> ((1, OneRow)),
     "q_skyline" -> ((1, BoundedPool)),
     "q_spearman_corr" -> ((4, BoundedWindow)),
+    // the calendar-day cumulative/running-min windows + the 1-row
+    // pooled-variance collapse
+    "q_msprt" -> ((2, BoundedWindow)),
     "q_srm_check" -> ((2, OneRow)),
     // calendar-day centered-MA window (persisted, runs once) + the
     // 7-row seasonal frame collapsing to the centering scalar
@@ -128,6 +131,9 @@ object PlanContract {
     "q_survival_km" -> ((2, BoundedWindow)),
     "q_tfidf_top_terms" -> ((1, BoundedPool)),
     "q_theil_sen" -> ((1, BoundedWindow)),
+    // the q_anova_f shape: the 1-row arms pivot collapse, broadcast
+    // onto the 10-row literal pair frame
+    "q_tukey_hsd" -> ((1, OneRow)),
     "q_theta_setops" -> ((2, OneRow)),
     "q_zonemap_prune" -> ((1, OneRow)),
     "sim_hybrid_rrf" -> ((1, BoundedPool)),

@@ -405,3 +405,91 @@ case class ByteEntropyStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ByteEntropyStats =
     copy(child = newChild)
 }
+
+/** Content-defined-chunking chunk digests (the mm_cdc_dedup kernel):
+  * boundary after codepoint i (1-based, i ≥ 8) wherever the 31-ary
+  * polynomial hash of the trailing 8 clamped codepoints
+  * h(i) = Σ_{j=0..7} min(cp_{i−j}, 255)·31^j ≡ 0 (mod 32); chunks are
+  * the substrings between consecutive boundaries (plus the string's
+  * ends), each digested as lowercase-hex md5 of its UTF-8 bytes —
+  * byte-for-byte the HOF formulation
+  * `md5(substring(t, bp[k]+1, bp[k+1]−bp[k]))` over
+  * `filter(transform(sequence(8, len), ...))`, which runs 8 substring
+  * probes per position (O(8·len) interpreted HOF calls per row); this
+  * is one loop per row. Parity with the HOF stack is pinned by the
+  * DuckDB gate (the oracle keeps the spelled-out formulation) and the
+  * TextMultimodalSpec HOF-parity test. Empty/short strings yield
+  * the whole-string chunk, matching `range(8, len+1)`'s empty result. */
+case class CdcChunkHashes(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    // codepoints, not UTF-16 units: the HOF reference (substring/ascii)
+    // is codepoint-indexed
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // boundary positions (1-based codepoint indices), ends included
+    val bp = scala.collection.mutable.ArrayBuffer(0)
+    var i = 8
+    while (i <= n) {
+      var h = 0L
+      var j = 0
+      var pow = 1L
+      while (j < 8) {
+        h += math.min(cps(i - 1 - j), 255).toLong * pow
+        pow *= 31L
+        j += 1
+      }
+      if (h % 32 == 0) bp += i
+      i += 1
+    }
+    bp += n
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](bp.length - 1)
+    var written = 0
+    var k = 0
+    while (k < bp.length - 1) {
+      val from = bp(k)
+      val to = bp(k + 1)
+      if (to > from) {
+        // slice codepoints [from, to) and digest their UTF-8 bytes —
+        // identical to md5(substring(t, from+1, to-from))
+        val sb = new java.lang.StringBuilder()
+        var c = from
+        while (c < to) { sb.appendCodePoint(cps(c)); c += 1 }
+        md.reset()
+        val dig = md.digest(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(b * 2) = "0123456789abcdef".charAt((dig(b) >> 4) & 0xf)
+          hex(b * 2 + 1) = "0123456789abcdef".charAt(dig(b) & 0xf)
+          b += 1
+        }
+        out(written) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            new String(hex))
+        written += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out.take(written))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
+    copy(child = newChild)
+}

@@ -299,6 +299,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_char_ngrams",
         exprs => CharNgramHashes(exprs(0),
           litNumArg("graft_char_ngrams", exprs, 1, "n").intValue), "built-in")
+      reg.createOrReplaceTempFunction("graft_cdc_chunks",
+        exprs => CdcChunkHashes(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("graft_lsh_bands",
         exprs => LshBandHashes(exprs(0),
           litNumArg("graft_lsh_bands", exprs, 1, "numBands").intValue,
@@ -340,6 +342,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
   def sq8Cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_sq8_cosine", a, b)
+  def cdcChunks(t: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cdc_chunks", t)
   def minhash(shingleHashes: Column, numHashes: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash",
       shingleHashes, org.apache.spark.sql.functions.lit(numHashes))

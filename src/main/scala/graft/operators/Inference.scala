@@ -180,6 +180,91 @@ object Inference {
     },
 
     // ------------------------------------------------------------------
+    // Tukey-Kramer HSD post-hoc: the pairwise readout after q_anova_f's
+    // omnibus F — WHICH of the five priority arms differ. For each of
+    // the 10 unordered arm pairs the studentized-range statistic
+    // q = |m_i − m_j| / sqrt(MSW/2 · (1/n_i + 1/n_j)) is compared
+    // against q_{0.05, k=5, df→∞} = 3.858 (literal critical value
+    // rendered into both engines; the gate SFs put df in the tens of
+    // thousands, where the ∞ row is exact to 3 decimals). Everything
+    // reduces in the SAME one-pass arms pivot as q_anova_f (exact
+    // decimal moments, bridged sums of squares); the 10 pairs are a
+    // fixed literal frame joined to the 1-row aggregate, so the plan is
+    // one corpus scan + a constant expression tree at any scale.
+    QueryDef.sql(
+      "q_tukey_hsd", {
+        val pairVals = (for { i <- 0 until 5; j <- i + 1 until 5 }
+          yield s"($i, $j)").mkString(", ")
+        def s1d(i: String) = s"CAST(CASE $i ${(0 until 5).map(k =>
+          s"WHEN $k THEN s1g$k").mkString(" ")} END AS DOUBLE)"
+        def nOf(i: String) = s"(CASE $i ${(0 until 5).map(k =>
+          s"WHEN $k THEN n$k").mkString(" ")} END)"
+        val ssw = (0 until 5).map(i =>
+          s"(${bridgeSql(s"s2g$i")} - CAST(s1g$i AS DOUBLE)" +
+            s" * CAST(s1g$i AS DOUBLE) / n$i)").mkString(" + ")
+        val nn = (0 until 5).map(i => s"n$i").mkString(" + ")
+        val prioCase = (sel: String) => s"CASE $sel ${prios.zipWithIndex
+          .map { case (p, k) => s"WHEN $k THEN '$p'" }.mkString(" ")} END"
+        s"""WITH g AS (
+          |  SELECT $anovaArmsSql
+          |  FROM orders),
+          |m AS (SELECT g.*,
+          |    round(($ssw) / (($nn) - 5), 6) AS msw FROM g),
+          |pr AS (SELECT * FROM (VALUES $pairVals) t(i, j)),
+          |scored AS (
+          |  SELECT ${prioCase("i")} AS arm_a, ${prioCase("j")} AS arm_b,
+          |    CAST(${nOf("i")} AS BIGINT) AS n_a,
+          |    CAST(${nOf("j")} AS BIGINT) AS n_b,
+          |    round(${s1d("i")} / ${nOf("i")}
+          |      - ${s1d("j")} / ${nOf("j")}, 6) AS diff,
+          |    msw
+          |  FROM pr, m)
+          |SELECT arm_a, arm_b, n_a, n_b, round(diff, 4) AS mean_diff,
+          |  round(abs(diff) / sqrt(msw / 2 * (1.0/n_a + 1.0/n_b)), 4)
+          |    AS q_stat,
+          |  CAST(round(abs(diff) / sqrt(msw / 2 * (1.0/n_a + 1.0/n_b)), 4)
+          |    > 3.858 AS INTEGER) AS significant
+          |FROM scored ORDER BY arm_a, arm_b""".stripMargin
+      }) { (s, d) =>
+      val vdec = col("o_totalprice").cast("decimal(18,2)")
+      val aggs = prios.zipWithIndex.flatMap { case (p, i) =>
+        val cond = col("o_orderpriority") === p
+        Seq(count(when(cond, 1)).as(s"n$i"),
+          sum(when(cond, vdec)).as(s"s1g$i"),
+          sum(when(cond, vdec * vdec)).as(s"s2g$i"))
+      }
+      def s1d(i: Int) = col(s"s1g$i").cast("double")
+      val ssw = (0 until 5).map(i =>
+        bridge(col(s"s2g$i")) - s1d(i) * s1d(i) / col(s"n$i")).reduce(_ + _)
+      val nn = (0 until 5).map(i => col(s"n$i")).reduce(_ + _)
+      val m = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+        .withColumn("msw", round(ssw / (nn - 5), 6))
+      import s.implicits._
+      val pairs = (for { i <- 0 until 5; j <- i + 1 until 5 }
+        yield (i, j)).toDF("i", "j")
+      def pick(sel: Column, f: Int => Column): Column =
+        (1 until 5).foldLeft(when(sel === 0, f(0))) { (acc, k) =>
+          acc.when(sel === k, f(k))
+        }
+      val scored = pairs.crossJoin(broadcast(m))
+        .withColumn("n_a", pick(col("i"), i => col(s"n$i")).cast("bigint"))
+        .withColumn("n_b", pick(col("j"), j => col(s"n$j")).cast("bigint"))
+        .withColumn("diff", round(
+          pick(col("i"), i => s1d(i) / col(s"n$i"))
+            - pick(col("j"), j => s1d(j) / col(s"n$j")), 6))
+        .withColumn("arm_a", pick(col("i"), i => lit(prios(i))))
+        .withColumn("arm_b", pick(col("j"), j => lit(prios(j))))
+      val se = sqrt(col("msw") / 2 * (lit(1.0) / col("n_a")
+        + lit(1.0) / col("n_b")))
+      scored.select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+          round(col("diff"), 4).as("mean_diff"),
+          round(abs(col("diff")) / se, 4).as("q_stat"),
+          (round(abs(col("diff")) / se, 4) > 3.858).cast("int")
+            .as("significant"))
+        .orderBy("arm_a", "arm_b")
+    },
+
+    // ------------------------------------------------------------------
     // Benjamini–Hochberg FDR control over 25 simultaneous hypotheses:
     // per-nation "does this nation's mean order value differ from the
     // global mean?" z-tests, then the BH step-up at α = 0.05. The raw
@@ -922,6 +1007,121 @@ object Inference {
         ceil(zsum * zsum * (va("t") + va("c"))
           / ((lit(0.05) * col("gm")) * (lit(0.05) * col("gm"))))
           .cast("bigint").as("n_req_per_arm"))
+    },
+
+    // ------------------------------------------------------------------
+    // Always-valid sequential monitoring (mixture SPRT): the per-day
+    // likelihood-ratio trajectory of the treated-vs-control purchase
+    // comparison, with the anytime-valid p-value p_t = min(1,
+    // min_{s≤t} 1/Λ_s) — the statistic that lets an experimenter PEEK
+    // EVERY DAY without inflating false positives, which the fixed-
+    // horizon q_ab_welch_ttest cannot offer. Mixture: normal prior on
+    // the effect with τ² = 1; log Λ_t = ½·ln(V_t/(V_t+τ²)) +
+    // θ̂_t²·τ²/(2·V_t·(V_t+τ²)) where V_t = s²·(1/n_t + 1/n_c) on the
+    // day-t cumulative counts (pooled s² fixed from the full data —
+    // the standard plug-in simplification; the mixture parameter only
+    // trades power, never validity). Determinism: daily arm moments are
+    // exact decimals; cumulative sums ride ONE date-domain-bounded
+    // window; diff/V/s² are rounded to 6dp BEFORE the ln/exp calls and
+    // log Λ to 6dp before the running min (the text_drift_psi libm
+    // discipline). SCALE: one map-side-combined daily aggregate over
+    // the event log; everything after runs on the calendar-day frame.
+    QueryDef.sql(
+      "q_msprt",
+      """WITH obs AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 2 = 0 AS INTEGER) AS treat,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |daily AS (
+        |  SELECT day,
+        |    CAST(COUNT(*) FILTER (treat = 1) AS BIGINT) AS nt,
+        |    CAST(COUNT(*) FILTER (treat = 0) AS BIGINT) AS nc,
+        |    SUM(v) FILTER (treat = 1) AS st, SUM(v) FILTER (treat = 0) AS sc,
+        |    CAST(CAST(round(SUM(v * v) FILTER (treat = 1), 0) AS BIGINT)
+        |      AS DOUBLE) AS qt,
+        |    CAST(CAST(round(SUM(v * v) FILTER (treat = 0), 0) AS BIGINT)
+        |      AS DOUBLE) AS qc
+        |  FROM obs GROUP BY day),
+        |pool AS (
+        |  SELECT round((SUM(qt) + SUM(qc)
+        |      - (CAST(SUM(st) AS DOUBLE) * CAST(SUM(st) AS DOUBLE) / SUM(nt)
+        |        + CAST(SUM(sc) AS DOUBLE) * CAST(SUM(sc) AS DOUBLE)
+        |          / SUM(nc)))
+        |    / (SUM(nt) + SUM(nc) - 2), 6) AS s2
+        |  FROM daily),
+        |cum AS (
+        |  SELECT day,
+        |    CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+        |    CAST(SUM(nc) OVER w AS BIGINT) AS nc,
+        |    SUM(st) OVER w AS st, SUM(sc) OVER w AS sc
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |lam AS (
+        |  SELECT c.day, c.nt, c.nc,
+        |    round(CAST(c.st AS DOUBLE) / c.nt
+        |      - CAST(c.sc AS DOUBLE) / c.nc, 6) AS diff,
+        |    round(p.s2 * (1.0 / c.nt + 1.0 / c.nc), 6) AS vn
+        |  FROM cum c, pool p WHERE c.nt > 0 AND c.nc > 0),
+        |ll AS (
+        |  SELECT day, nt, nc, diff,
+        |    round(0.5 * ln(vn / (vn + 1.0))
+        |      + diff * diff / (2 * vn * (vn + 1.0)), 6) AS log_lambda
+        |  FROM lam),
+        |pv AS (
+        |  SELECT day, nt, nc, diff, log_lambda,
+        |    round(least(1.0, MIN(round(exp(-log_lambda), 6))
+        |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 4)
+        |      AS p_always
+        |  FROM ll)
+        |SELECT day, nt AS n_t, nc AS n_c, round(diff, 4) AS mean_diff,
+        |  log_lambda, p_always,
+        |  CAST(p_always <= 0.05 AS INTEGER) AS reject
+        |FROM pv ORDER BY day""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val vdec = col("value").cast("decimal(18,2)")
+      val daily = graft.CacheRegistry.ensurePersisted(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(to_date(col("ts")).as("day"),
+            (col("user_id") % 2 === 0).cast("int").as("treat"), vdec.as("v"))
+          .groupBy("day")
+          .agg(count(when(col("treat") === 1, 1)).as("nt"),
+            count(when(col("treat") === 0, 1)).as("nc"),
+            sum(when(col("treat") === 1, col("v"))).as("st"),
+            sum(when(col("treat") === 0, col("v"))).as("sc"),
+            bridge(sum(when(col("treat") === 1, col("v") * col("v"))))
+              .as("qt"),
+            bridge(sum(when(col("treat") === 0, col("v") * col("v"))))
+              .as("qc")))
+      val pool = daily.agg(round((sum("qt") + sum("qc")
+          - (sum("st").cast("double") * sum("st").cast("double") / sum("nt")
+            + sum("sc").cast("double") * sum("sc").cast("double")
+              / sum("nc")))
+        / (sum("nt") + sum("nc") - 2), 6).as("s2"))
+      val cum = daily.select(col("day"),
+        sum("nt").over(w).as("nt"), sum("nc").over(w).as("nc"),
+        sum("st").over(w).as("st"), sum("sc").over(w).as("sc"))
+      val lam = cum.crossJoin(broadcast(pool))
+        .filter(col("nt") > 0 && col("nc") > 0)
+        .select(col("day"), col("nt"), col("nc"),
+          round(col("st").cast("double") / col("nt")
+            - col("sc").cast("double") / col("nc"), 6).as("diff"),
+          round(col("s2") * (lit(1.0) / col("nt") + lit(1.0) / col("nc")),
+            6).as("vn"))
+      val ll = lam.select(col("day"), col("nt"), col("nc"), col("diff"),
+        round(lit(0.5) * log(col("vn") / (col("vn") + 1.0))
+          + col("diff") * col("diff")
+            / (lit(2.0) * col("vn") * (col("vn") + 1.0)), 6)
+          .as("log_lambda"))
+      ll.withColumn("p_always",
+          round(least(lit(1.0),
+            min(round(exp(-col("log_lambda")), 6)).over(w)), 4))
+        .select(col("day"), col("nt").as("n_t"), col("nc").as("n_c"),
+          round(col("diff"), 4).as("mean_diff"), col("log_lambda"),
+          col("p_always"),
+          (col("p_always") <= 0.05).cast("int").as("reject"))
+        .orderBy("day")
     },
 
     // ------------------------------------------------------------------

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -509,9 +509,7 @@ object Multimodal {
           |FROM scored s, cert c ORDER BY s.media_id""".stripMargin
       }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val hashSum = (0 to 7).map(j =>
-        s"CAST(least(ascii(substring(t, CAST(i - $j AS INT), 1)), 255) " +
-          s"AS BIGINT) * ${cdcPow(j)}").mkString(" + ")
+      graft.functions.GraftFunctions.register(s)
       val media = graft.CacheRegistry.register(
         Tables.documentsPar(s, d)
           .select(col("doc_id"),
@@ -521,20 +519,13 @@ object Multimodal {
               .otherwise(expr("substring(text, 38)")).as("t"))
           .filter(length(col("t")) >= 8)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val withB = media.withColumn("bp", expr(
-        s"""concat(array(CAST(0 AS BIGINT)),
-          |  filter(transform(sequence(CAST(8 AS BIGINT),
-          |      CAST(length(t) AS BIGINT)),
-          |    i -> IF(($hashSum) % 32 = 0, i, CAST(NULL AS BIGINT))),
-          |    p -> p IS NOT NULL),
-          |  array(CAST(length(t) AS BIGINT)))""".stripMargin))
-      val chunks = graft.CacheRegistry.register(withB
-        .select(col("doc_id"), col("kind"), col("t"), col("bp"),
-          explode(sequence(lit(1), size(col("bp")) - 1)).as("k"))
-        .filter(expr("element_at(bp, k + 1) > element_at(bp, k)"))
+      // one-loop fused kernel (boundary scan + chunk digests); the HOF
+      // stack it replaces ran 8 substring probes per codepoint — the
+      // oracle keeps the spelled-out formulation, so the gate pins the
+      // kernel's parity byte for byte
+      val chunks = graft.CacheRegistry.register(media
         .select(col("doc_id"), col("kind"),
-          md5(expr("substring(t, CAST(element_at(bp, k) + 1 AS INT), " +
-            "CAST(element_at(bp, k + 1) - element_at(bp, k) AS INT))"))
+          explode(graft.functions.GraftFunctions.cdcChunks(col("t")))
             .as("ch"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1111,90 +1102,12 @@ object Multimodal {
         pk.filter(col("kind") === 1)
           .select((col("doc_id") * 2 + 1).as("mb"), col("f").as("fb"),
             col("sym").as("sym_b")))
-      // corpus index frames (in-memory twins of what the files hold):
-      // bucket cap applied at BUILD time over corpus-only bucket sizes.
-      // The cap MUST be the groupBy→join shape, not a hv-partitioned
-      // window: a window funnels every row of a hot bucket into one
-      // task (the 10× smoke measured skew 36 on exactly that plan),
-      // while the groupBy's map-side combine reduces hot buckets to one
-      // partial per split and AQE splits any remaining skewed join
-      // partition. Same semantics — bucket size over corpus-only rows.
-      val ch0 = ch.filter(col("mid") % 2 === 0)
-      val keepHv = ch0.groupBy("hv").agg(count(lit(1)).as("bs"))
-        .filter(col("bs") <= 160).select("hv")
-      val corpusCapped = graft.CacheRegistry.ensurePersisted(
-        ch0.join(keepHv, "hv")
-          .select(col("hv"), col("mid"), col("f"))
-          .withColumn("hb", pmod(col("hv"), lit(64L))))
-      val corpusSyms = pk.filter(col("kind") === 0)
-        .select((col("doc_id") * 2).as("mid"), col("f"), col("sym"))
-        .withColumn("mg", pmod(col("mid"), lit(32L)))
-      // build once per (JVM, corpus content); removed on JVM exit
-      val idxDir = prebuiltAfpDirs.getOrElseUpdate(
-        Similarity.corpusFingerprint(d, "documents"), {
-          val dir = Similarity.tempDirCleanedOnExit("graft-afp-idx")
-          corpusCapped.write.partitionBy("hb").mode("overwrite")
-            .parquet(dir + "/hashes")
-          corpusSyms.write.partitionBy("mg").mode("overwrite")
-            .parquet(dir + "/syms")
-          dir
-        })
-      // one serve plan for both the files path and the in-memory parity
-      // twin — only the index frames differ
-      // No explicit broadcast() hints inside serve: the probe frames are
-      // small per-run queries in production (AQE broadcasts them), but
-      // the 10× smoke probes EVERY variant — cand reaches ~10M rows
-      // there (each variant matches its whole exact-dup clique) and a
-      // forced broadcast of that is the scale bug the smoke caught
-      // (skew 36 / 112 s). Leaving the strategy to AQE keeps the
-      // gated-scale plan identical and the clique-stress plan sane.
-      def serve(idxHashes: DataFrame, idxSyms: DataFrame): DataFrame = {
-        val pairs = idxHashes
-          .join(probeHashes.select(col("hb"), col("hv"),
-            col("mid").as("mb"), col("f").as("fb")), Seq("hb", "hv"))
-          .groupBy(col("mid").as("ma"), col("mb"),
-            (col("f") - col("fb")).as("off"))
-          .agg(count(lit(1)).as("votes"))
-        val best = pairs.groupBy("ma", "mb")
-          .agg(max(struct(col("votes"), (-col("off")).as("noff"))).as("m"))
-          .select(col("ma"), col("mb"), col("m.votes").as("votes"),
-            (-col("m.noff")).as("off"))
-          .filter(col("votes") >= 5)
-        // candidate verification frame: every probe frame of every
-        // candidate pair, keyed by the symbol table's PARTITION column
-        // (mg) so the files read prunes to candidate media groups
-        val cand = graft.CacheRegistry.ensurePersisted(best
-          .join(mkB, Seq("mb"))
-          .withColumn("f", col("fb") + col("off"))
-          .withColumn("mg", pmod(col("ma"), lit(32L))))
-        val aligned = idxSyms
-          .join(cand.select(col("mg"), col("ma").as("mid"),
-            col("f"), col("mb"), col("votes"), col("off"),
-            col("sym_b")), Seq("mg", "mid", "f"))
-          .groupBy(col("mid").as("ma"), col("mb"), col("votes"),
-            col("off"))
-          .agg(sum(when(col("sym") === col("sym_b"), 1).otherwise(0))
-            .as("aligned"))
-        val nfa = idxSyms
-          .join(cand.select(col("mg"), col("ma").as("mid"))
-            .distinct(), Seq("mg", "mid"))
-          .groupBy(col("mid").as("ma"))
-          .agg(count(lit(1)).as("nfa"))
-        val nfb = mkB.groupBy("mb").agg(count(lit(1)).as("nfb"))
-        aligned
-          .join(nfa, Seq("ma"))
-          .join(nfb, Seq("mb"))
-          .filter(col("aligned") / least(col("nfa"), col("nfb")) >= 0.7)
-          .select(col("ma"), col("mb"), col("off"), col("votes"),
-            col("aligned"), col("nfa"), col("nfb"))
-      }
+      val (corpusCapped, corpusSyms) = afpCorpusIndexFrames(ch, pk)
+      val idxDir = afpEnsureIndexDir(d, corpusCapped, corpusSyms)
+      def serve(idxHashes: DataFrame, idxSyms: DataFrame): DataFrame =
+        afpServe(idxHashes, idxSyms, probeHashes, mkB)
       val served = graft.CacheRegistry.ensurePersisted(
-        serve(s.read.parquet(s"$idxDir/hashes")
-            .select(col("hv"), col("mid"), col("f"),
-              col("hb").cast("long").as("hb")),
-          s.read.parquet(s"$idxDir/syms")
-            .select(col("mid"), col("f"), col("sym"),
-              col("mg").cast("long").as("mg"))))
+        serve(afpReadHashes(s, idxDir), afpReadSyms(s, idxDir)))
       val mem = serve(corpusCapped, corpusSyms)
       val mismatch = served.exceptAll(mem).unionAll(mem.exceptAll(served))
         .agg(count(lit(1)).as("nm"))
@@ -1224,6 +1137,135 @@ object Multimodal {
     }
   )
 
+  /** Corpus-side landmark index frames (capped hashes + symbol table) —
+    * the in-memory twins of what the persisted index files hold. The
+    * bucket cap is the map-side-combinable groupBy→join shape, NOT a
+    * hv-partitioned window: a window funnels every row of a hot bucket
+    * into one task once exact-dup cliques replicate hashes (the 10×
+    * smoke measured skew 36 on exactly that plan), while the groupBy
+    * reduces hot buckets to one partial per split and AQE splits any
+    * remaining skewed join partition. */
+  private def afpCorpusIndexFrames(ch: DataFrame, pk: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val ch0 = ch.filter(col("mid") % 2 === 0)
+    val keepHv = ch0.groupBy("hv").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= 160).select("hv")
+    val corpusCapped = graft.CacheRegistry.ensurePersisted(
+      ch0.join(keepHv, "hv")
+        .select(col("hv"), col("mid"), col("f"))
+        .withColumn("hb", pmod(col("hv"), lit(64L))))
+    val corpusSyms = pk.filter(col("kind") === 0)
+      .select((col("doc_id") * 2).as("mid"), col("f"), col("sym"))
+      .withColumn("mg", pmod(col("mid"), lit(32L)))
+    (corpusCapped, corpusSyms)
+  }
+
+  /** Build (once per JVM and corpus content; removed on JVM exit) the
+    * persisted landmark index: hashes partitioned by hash bucket, the
+    * symbol table by media group. */
+  private def afpEnsureIndexDir(d: String, corpusCapped: DataFrame,
+      corpusSyms: DataFrame): String =
+    prebuiltAfpDirs.getOrElseUpdate(
+      Similarity.corpusFingerprint(d, "documents"), {
+        val dir = Similarity.tempDirCleanedOnExit("graft-afp-idx")
+        corpusCapped.write.partitionBy("hb").mode("overwrite")
+          .parquet(dir + "/hashes")
+        corpusSyms.write.partitionBy("mg").mode("overwrite")
+          .parquet(dir + "/syms")
+        dir
+      })
+
+  private def afpReadHashes(s: SparkSession, idxDir: String): DataFrame =
+    s.read.parquet(s"$idxDir/hashes")
+      .select(col("hv"), col("mid"), col("f"),
+        col("hb").cast("long").as("hb"))
+
+  private def afpReadSyms(s: SparkSession, idxDir: String): DataFrame =
+    s.read.parquet(s"$idxDir/syms")
+      .select(col("mid"), col("f"), col("sym"),
+        col("mg").cast("long").as("mg"))
+
+  /** Serve probe media against a landmark index: bucket equi-join →
+    * offset vote (max-struct) → candidate verify against the symbol
+    * table (reads prune to candidate media groups when idxSyms is the
+    * partitioned files). No explicit broadcast() hints: the probe
+    * frames are small per-run queries in production (AQE broadcasts
+    * them), but the 10× smoke probes EVERY variant — the candidate
+    * frame reaches ~10M rows there (each variant matches its whole
+    * exact-dup clique) and a forced broadcast of that was the scale bug
+    * the smoke caught (skew 36 / 112 s). */
+  private def afpServe(idxHashes: DataFrame, idxSyms: DataFrame,
+      probeHashes: DataFrame, mkB: DataFrame): DataFrame = {
+    val pairs = idxHashes
+      .join(probeHashes.select(col("hb"), col("hv"),
+        col("mid").as("mb"), col("f").as("fb")), Seq("hb", "hv"))
+      .groupBy(col("mid").as("ma"), col("mb"),
+        (col("f") - col("fb")).as("off"))
+      .agg(count(lit(1)).as("votes"))
+    val best = pairs.groupBy("ma", "mb")
+      .agg(max(struct(col("votes"), (-col("off")).as("noff"))).as("m"))
+      .select(col("ma"), col("mb"), col("m.votes").as("votes"),
+        (-col("m.noff")).as("off"))
+      .filter(col("votes") >= 5)
+    // candidate verification frame: every probe frame of every
+    // candidate pair, keyed by the symbol table's PARTITION column
+    // (mg) so the files read prunes to candidate media groups
+    val cand = graft.CacheRegistry.ensurePersisted(best
+      .join(mkB, Seq("mb"))
+      .withColumn("f", col("fb") + col("off"))
+      .withColumn("mg", pmod(col("ma"), lit(32L))))
+    val aligned = idxSyms
+      .join(cand.select(col("mg"), col("ma").as("mid"),
+        col("f"), col("mb"), col("votes"), col("off"),
+        col("sym_b")), Seq("mg", "mid", "f"))
+      .groupBy(col("mid").as("ma"), col("mb"), col("votes"),
+        col("off"))
+      .agg(sum(when(col("sym") === col("sym_b"), 1).otherwise(0))
+        .as("aligned"))
+    val nfa = idxSyms
+      .join(cand.select(col("mg"), col("ma").as("mid"))
+        .distinct(), Seq("mg", "mid"))
+      .groupBy(col("mid").as("ma"))
+      .agg(count(lit(1)).as("nfa"))
+    val nfb = mkB.groupBy("mb").agg(count(lit(1)).as("nfb"))
+    aligned
+      .join(nfa, Seq("ma"))
+      .join(nfb, Seq("mb"))
+      .filter(col("aligned") / least(col("nfa"), col("nfb")) >= 0.7)
+      .select(col("ma"), col("mb"), col("off"), col("votes"),
+        col("aligned"), col("nfa"), col("nfb"))
+  }
+
+  /** Bench-only RAW serve (the Bench.rawBench convention): a bounded
+    * probe batch (the doc_id % 10 = 0 variants — 10% of media, the
+    * production "queries arrive in batches against a standing index"
+    * shape) served FROM the prebuilt files, with none of the gate's
+    * certification legs (no in-memory parity twin, no exceptAll, no
+    * catch-floor leg — each of which re-runs the whole pipeline and
+    * would dominate the timing). The index builds from the FULL corpus
+    * on the first call of a JVM and amortizes across runs, exactly as
+    * in production. */
+  def afpServeBench(s: SparkSession, d: String): DataFrame = {
+    val idxDir = prebuiltAfpDirs.get(
+        Similarity.corpusFingerprint(d, "documents")) match {
+      case Some(dir) => dir
+      case None =>
+        val full = audioFingerprintFrames(s, d)
+        val (capped, syms) = afpCorpusIndexFrames(full("ch"), full("pk"))
+        afpEnsureIndexDir(d, capped, syms)
+    }
+    val probes = audioFingerprintFrames(s, d, col("doc_id") % 10 === 0)
+    val probeHashes = graft.CacheRegistry.ensurePersisted(
+      probes("ch").filter(col("mid") % 2 === 1)
+        .withColumn("hb", pmod(col("hv"), lit(64L))))
+    val mkB = graft.CacheRegistry.ensurePersisted(
+      probes("pk").filter(col("kind") === 1)
+        .select((col("doc_id") * 2 + 1).as("mb"), col("f").as("fb"),
+          col("sym").as("sym_b")))
+    afpServe(afpReadHashes(s, idxDir), afpReadSyms(s, idxDir),
+      probeHashes, mkB)
+  }
+
   /** One persisted landmark index per (JVM, corpus content) for
     * mm_afp_prebuilt — the sim_ivf_prebuilt cache convention. */
   private val prebuiltAfpDirs =
@@ -1234,7 +1276,8 @@ object Multimodal {
     * `graft.tools.AfpProbe` times the stages separately (the
     * stage-bisect discipline that caught mm_phash's 13 s decode). */
   private[graft] def audioFingerprintFrames(
-      s: SparkSession, d: String): Map[String, DataFrame] = {
+      s: SparkSession, d: String,
+      docsFilter: Column = lit(true)): Map[String, DataFrame] = {
       // ONE sample array per (doc, kind), repartitioned before the
       // CPU-bound decode (the mm_phash pixel rule); silence pad = 0,
       // guarded explicitly because ascii('') = 0 would decode the pad
@@ -1247,6 +1290,7 @@ object Multimodal {
       // assuming an ASCII corpus.
       // single consumer (fr) — no persist; pk is the reuse point
       val docsW = Tables.documents(s, d)
+          .filter(docsFilter)
           .select(col("doc_id"), substring(col("text"), 1, 336).as("w"))
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"),

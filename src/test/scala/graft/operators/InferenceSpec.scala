@@ -102,6 +102,40 @@ class InferenceSpec extends SparkTestBase {
     assert(essC > 0.0 && essC <= m + 1e-6)
   }
 
+  test("q_tukey_hsd: all 10 arm pairs, symmetric q, flag consistent") {
+    val rows = run("q_tukey_hsd")
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[String]("arm_a") < r.getAs[String]("arm_b"))
+      val q = r.getAs[Double]("q_stat")
+      assert(q >= 0.0)
+      assert(r.getAs[Int]("significant") == (if (q > 3.858) 1 else 0))
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+    // every arm appears in exactly 4 pairs
+    val arms = rows.flatMap(r => Seq(r.getAs[String]("arm_a"),
+      r.getAs[String]("arm_b")))
+    assert(arms.groupBy(identity).values.forall(_.length == 4))
+  }
+
+  test("q_msprt: anytime-valid p is non-increasing; reject consistent") {
+    val rows = run("q_msprt").sortBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(rows.nonEmpty)
+    val ps = rows.map(_.getAs[Double]("p_always"))
+    ps.foreach(p => assert(p > 0.0 && p <= 1.0))
+    // the running-min construction makes p_t monotone non-increasing —
+    // the property that MAKES it anytime-valid
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-9 })
+    rows.foreach { r =>
+      assert(r.getAs[Int]("reject") ==
+        (if (r.getAs[Double]("p_always") <= 0.05) 1 else 0))
+      assert(r.getAs[Long]("n_t") > 0 && r.getAs[Long]("n_c") > 0)
+    }
+    // cumulative counts are non-decreasing
+    val nt = rows.map(_.getAs[Long]("n_t"))
+    assert(nt.zip(nt.tail).forall { case (a, b) => b >= a })
+  }
+
   test("q_power_mde: positive detectable effect and sample size") {
     val r = run("q_power_mde").head
     assert(r.getAs[Double]("mde_abs") > 0.0)

@@ -284,6 +284,40 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("cdc chunk kernel equals the spelled-out HOF formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val pows = Iterator.iterate(1L)(_ * 31L).take(8).toSeq
+    val hashSum = (0 to 7).map(j =>
+      s"CAST(least(ascii(substring(t, CAST(i - $j AS INT), 1)), 255) " +
+        s"AS BIGINT) * ${pows(j)}").mkString(" + ")
+    val media = docs
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("kind"),
+        col("text"))
+      .select(col("doc_id"), col("kind"),
+        when(col("kind") === 0, col("text"))
+          .otherwise(expr("substring(text, 38)")).as("t"))
+      .filter(length(col("t")) >= 8)
+    val hof = media.withColumn("bp", expr(
+        s"""concat(array(CAST(0 AS BIGINT)),
+          |  filter(transform(sequence(CAST(8 AS BIGINT),
+          |      CAST(length(t) AS BIGINT)),
+          |    i -> IF(($hashSum) % 32 = 0, i, CAST(NULL AS BIGINT))),
+          |    p -> p IS NOT NULL),
+          |  array(CAST(length(t) AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("kind"), col("t"), col("bp"),
+        explode(sequence(lit(1), size(col("bp")) - 1)).as("k"))
+      .filter(expr("element_at(bp, k + 1) > element_at(bp, k)"))
+      .select(col("doc_id"), col("kind"),
+        md5(expr("substring(t, CAST(element_at(bp, k) + 1 AS INT), " +
+          "CAST(element_at(bp, k + 1) - element_at(bp, k) AS INT))"))
+          .as("ch"))
+    val kernel = media.select(col("doc_id"), col("kind"),
+      explode(graft.functions.GraftFunctions.cdcChunks(col("t"))).as("ch"))
+    assert(kernel.exceptAll(hof).count() == 0 &&
+      hof.exceptAll(kernel).count() == 0,
+      "fused CDC kernel diverged from the HOF reference")
+  }
+
   test("cdc dedup: content-anchored chunking catches the unaligned trim " +
       "the fixed grid provably misses") {
     val rows = graft.SparkEntry.queries("mm_cdc_dedup")(spark, sf0001)
