@@ -266,6 +266,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+    // Wall-clock deadline (r14 verdict ask #1): the driver's bench
+    // invocation runs under an external wall-clock cap, and the old
+    // harness emitted its artifact only at the very end — one loaded
+    // host and the round's ENTIRE perf signal was erased (BENCH_r14
+    // rc 124, parsed:null). The clock starts at JVM entry (it must
+    // cover load-gate waiting, warmup, and staging, not just the timed
+    // passes); when the next sample would cross the deadline, sampling
+    // stops and the artifact is emitted from what exists. Additionally,
+    // BENCH_FULL.json + a self-describing summary line are emitted
+    // after EVERY completed pass, so even kill -9 leaves the last
+    // completed pass parsable on disk.
+    val deadlineS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "840").toDouble
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    var deadlineHit = false
+    def overDeadline: Boolean = {
+      if (!deadlineHit && elapsedS > deadlineS) deadlineHit = true
+      deadlineHit
+    }
+
     // Load gate (round-11 verdict ask #2): the committed bench number was
     // repeatedly inflated by runs started on a loaded host (r11: 211 s @
     // load 3.8 vs 189 s @ 3.0 on the same code). Measure 1-min loadavg
@@ -285,7 +306,10 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_TRIES", "10").toInt
     val loadT0 = loadAvg1()
     var waits = 0
-    while (loadAvg1() > maxLoad && waits < loadTries) {
+    // gate waiting may consume at most a third of the deadline — a
+    // never-quiet host must still leave time for the passes themselves
+    while (loadAvg1() > maxLoad && waits < loadTries &&
+        elapsedS < deadlineS / 3) {
       System.err.println(
         f"[bench] host load ${loadAvg1()}%.2f > $maxLoad%.2f — waiting 30 s " +
           s"(${waits + 1}/$loadTries)")
@@ -321,7 +345,9 @@ object Bench {
     // has them amortized to zero).
     val warmDir = "/root/testdata/sf0.001"
     headline.foreach { name =>
-      rawBench(name).orElse(qs.get(name)).foreach { fn =>
+      // deadline-guarded: a cold JVM on a loaded host can spend minutes
+      // here; partially-warmed timings beat an erased artifact
+      if (!overDeadline) rawBench(name).orElse(qs.get(name)).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         CacheRegistry.releaseAll()
@@ -390,7 +416,14 @@ object Bench {
     val errored = scala.collection.mutable.Set.empty[String]
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to runsPerQuery; (name, fn) <- benched) {
+    def medianSoFar(name: String): Option[Double] = {
+      val ts = times(name).sorted
+      if (ts.isEmpty) None else Some(ts(ts.length / 2))
+    }
+    // one timed noop-sink execution; false (excluded from timing) on
+    // failure — its near-zero elapsed would masquerade as a speedup
+    def runOne(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Boolean = {
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -408,6 +441,113 @@ object Bench {
       // they'd otherwise accumulate across the whole run
       CacheRegistry.releaseAll()
       if (ok) times(name) = times(name) :+ elapsed
+      ok
+    }
+
+    // Assemble + persist the artifact from whatever samples exist, and
+    // return the stdout summary line. Called after every completed pass
+    // AND at the end, so the artifact on disk is always the freshest
+    // completed state ("runs" tags how many whole passes it covers).
+    def buildAndWrite(passes: Int): String = {
+      // results stay in HEADLINE order even when execution was
+      // shuffled — the ordered-array stdout fallback documents itself
+      // as headline-ordered and must remain so
+      val results = headline
+        .filter(n => rawBench(n).orElse(qs.get(n)).isDefined)
+        .map { name =>
+          val ts = times(name).sorted
+          if (ts.isEmpty) name -> (0.0, 0.0)
+          else name -> (ts(ts.length / 2), ts.head)
+        }
+      val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
+        .mkString("[", ",", "]")
+      val total = results.map(_._2._1).sum
+      val loadJson = f""""load_1m_t0":$loadT0%.2f,"load_gate":"$loadGate","waited_s":${waits * 30},"deadline_s":$deadlineS%.0f,"deadline_hit":$deadlineHit,"elapsed_s":$elapsedS%.0f,"load_1m_start":$loadStart%.2f,"load_1m_end":${loadAvg()}%.2f,"procs_start":$procsStart,"procs_end":${nProcs()}"""
+
+      // FULL artifact → file: the driver's stdout capture keeps only
+      // the LAST 2000 characters, which a ~90-query flat JSON line
+      // outgrew in r7 (BENCH_r07 "parsed": null). Everything (3-decimal
+      // medians, per-query minima, achieved sample counts) lands in
+      // BENCH_FULL.json in the repo root, committed with the round.
+      val qJson = results.map { case (k, (med, _)) => f""""$k":$med%.3f""" }
+        .mkString("{", ",", "}")
+      val qMinJson = results.map { case (k, (_, mn)) => f""""$k":$mn%.3f""" }
+        .mkString("{", ",", "}")
+      val qNJson = results.map { case (k, _) => s""""$k":${times(k).length}""" }
+        .mkString("{", ",", "}")
+      val fullJson =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$passes,$loadJson,"queries":$qJson,"queries_min":$qMinJson,"samples":$qNJson,"errors":$errJson,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), fullJson + "\n")
+      catch { case _: Throwable => () } // stdout line still carries medians
+
+      // stdout summary — must fit the 2000-char tail window WITH every
+      // query name recoverable. Query names share heavy family prefixes
+      // (q_/text_/connector_/…), so medians are grouped by the prefix
+      // before the first underscore: queries_ms = {"q":{"topk":210,...},
+      // "text":{...}} reconstructs as "<family>_<key>". Values are
+      // integer milliseconds; if the line still exceeds the window
+      // (future query growth) it degrades to centiseconds ("qunit":"cs")
+      // rather than truncating.
+      def summaryLine(divisor: Double, unit: String): String = {
+        val fams = results.map { case (k, (med, _)) =>
+          val i = k.indexOf('_')
+          (k.substring(0, i), k.substring(i + 1), math.round(med * divisor))
+        }.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (fam, es) =>
+            s""""$fam":${es.map(e => s""""${e._2}":${e._3}""")
+              .mkString("{", ",", "}")}"""
+          }.mkString("{", ",", "}")
+        val sfShort = sfDir.split('/').last
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$passes,$loadJson,"qunit":"$unit","queries_$unit":$fams,"errors":$errJson,"sf":"$sfShort"}"""
+      }
+      // Final-fallback stdout line: per-query millisecond integers as an
+      // ORDERED ARRAY (values follow Bench.headline order — the name
+      // list lives in this commit's Bench.scala, and the named map is in
+      // the committed BENCH_FULL.json) plus per-family totals. ~7 chars
+      // per query instead of ~20, so every number still reaches the
+      // driver's 2000-char tail window at any plausible future count.
+      def famTotalsLine: String = {
+        val fams = results
+          .groupBy { case (k, _) => k.substring(0, k.indexOf('_')) }
+          .toSeq.sortBy(_._1)
+          .map { case (fam, es) =>
+            s""""$fam":${math.round(es.map(_._2._1).sum * 1000)}"""
+          }.mkString("{", ",", "}")
+        val ordered = results
+          .map { case (_, (med, _)) => math.round(med * 1000) }
+          .mkString("[", ",", "]")
+        val sfShort = sfDir.split('/').last
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$passes,$loadJson,"qunit":"ms","queries_ms_in_headline_order":$ordered,"families_ms":$fams,"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfShort"}"""
+      }
+      // Budget 1900 of the 2000-char tail window: r8's 1900-char ms line
+      // PLUS sbt's ~80-char "[success] Total time" trailer overflowed
+      // the window and the driver parsed nothing. The trailer is now
+      // suppressed (build.sbt showSuccess := false); 100 chars of slack
+      // remain, and the family-totals fallback can never overflow.
+      val ms = summaryLine(1000.0, "ms")
+      lazy val cs = summaryLine(100.0, "cs")
+      if (ms.length <= 1900) ms
+      else if (cs.length <= 1900) cs
+      else famTotalsLine
+    }
+
+    var passesDone = 0
+    for (pass <- 1 to runsPerQuery if !overDeadline) {
+      for ((name, fn) <- benched if !overDeadline) {
+        // Sub-second budget policy (r14 verdict ask #5, BENCH_NOTES):
+        // rows whose median so far is < 1 s stop after two passes —
+        // their ambient noise is absolutely small and the suite's wall
+        // clock is the scarce resource; the ≥1 s rows keep all passes
+        // and the ≥3 s rows additionally get the median-of-5 top-up.
+        val skip = pass >= 3 && medianSoFar(name).exists(_ < 1.0)
+        if (!skip) runOne(name, fn)
+      }
+      if (!overDeadline) passesDone = pass
+      // emit after EVERY completed pass (r14 verdict ask #1a): a later
+      // kill leaves this pass's artifact on disk and its summary line
+      // in the stdout tail, both tagged with the passes completed
+      println(buildAndWrite(math.max(passesDone, 1)))
     }
 
     // Slow-row deflake (r13 verdict ask #7): the >=3 s rows carry a
@@ -422,103 +562,20 @@ object Bench {
     val slowExtra =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_SAMPLES", "5").toInt
     val slowRows = benched.filter { case (name, _) =>
-      val ts = times(name).sorted
-      ts.nonEmpty && ts(ts.length / 2) >= 3.0
+      medianSoFar(name).exists(_ >= 3.0)
     }
-    for ((name, fn) <- slowRows; _ <- times(name).length until slowExtra) {
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case _: Throwable => false } // first failure already logged
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      CacheRegistry.releaseAll()
-      if (ok) times(name) = times(name) :+ elapsed
-    }
-    // results stay in HEADLINE order even when execution was shuffled —
-    // the ordered-array stdout fallback documents itself as headline-
-    // ordered and must remain so
-    val results = headline
-      .filter(n => rawBench(n).orElse(qs.get(n)).isDefined)
-      .map { name =>
-        val ts = times(name).sorted
-        if (ts.isEmpty) name -> (0.0, 0.0)
-        else name -> (ts(ts.length / 2), ts.head)
+    for ((name, fn) <- slowRows) {
+      // a failed top-up sample is retried once (r14 ADVICE: silently
+      // swallowed failures turned "median-of-5" into an unmarked
+      // median-of-4/3); the achieved per-query sample count is recorded
+      // in BENCH_FULL.json ("samples") either way
+      var failures = 0
+      while (!overDeadline && times(name).length < slowExtra &&
+          failures < 2) {
+        if (!runOne(name, fn)) failures += 1
       }
-    val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
-      .mkString("[", ",", "]")
-    val total = results.map(_._2._1).sum
-    val loadJson = f""""load_1m_t0":$loadT0%.2f,"load_gate":"$loadGate","load_1m_start":$loadStart%.2f,"load_1m_end":${loadAvg()}%.2f,"procs_start":$procsStart,"procs_end":${nProcs()}"""
-
-    // FULL artifact → file: the driver's stdout capture keeps only the
-    // LAST 2000 characters, which a ~90-query flat JSON line outgrew in
-    // r7 (BENCH_r07 "parsed": null, first half of the medians lost).
-    // Everything (3-decimal medians AND per-query minima) lands in
-    // BENCH_FULL.json in the repo root, committed with the round.
-    val qJson = results.map { case (k, (med, _)) => f""""$k":$med%.3f""" }
-      .mkString("{", ",", "}")
-    val qMinJson = results.map { case (k, (_, mn)) => f""""$k":$mn%.3f""" }
-      .mkString("{", ",", "}")
-    val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,$loadJson,"queries":$qJson,"queries_min":$qMinJson,"errors":$errJson,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), fullJson + "\n")
-    catch { case _: Throwable => () } // stdout line below still carries medians
-
-    // stdout summary — must fit the 2000-char tail window WITH every
-    // query name recoverable. Query names share heavy family prefixes
-    // (q_/text_/connector_/…), so medians are grouped by the prefix
-    // before the first underscore: queries_ms = {"q":{"topk":210,...},
-    // "text":{...}} reconstructs as "<family>_<key>". Values are integer
-    // milliseconds; if the line still exceeds the window (future query
-    // growth) it degrades to centiseconds ("qunit":"cs") rather than
-    // truncating.
-    def summaryLine(divisor: Double, unit: String): String = {
-      val fams = results.map { case (k, (med, _)) =>
-        val i = k.indexOf('_')
-        (k.substring(0, i), k.substring(i + 1), math.round(med * divisor))
-      }.groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (fam, es) =>
-          s""""$fam":${es.map(e => s""""${e._2}":${e._3}""")
-            .mkString("{", ",", "}")}"""
-        }.mkString("{", ",", "}")
-      val sfShort = sfDir.split('/').last
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,$loadJson,"qunit":"$unit","queries_$unit":$fams,"errors":$errJson,"sf":"$sfShort"}"""
     }
-    // Final-fallback stdout line: per-query millisecond integers as an
-    // ORDERED ARRAY (values follow Bench.headline order — the name list
-    // lives in this commit's Bench.scala, and the named map is in the
-    // committed BENCH_FULL.json) plus per-family totals. ~7 chars per
-    // query instead of ~20, so every number still reaches the driver's
-    // 2000-char tail window at any plausible future query count.
-    def famTotalsLine: String = {
-      val fams = results
-        .groupBy { case (k, _) => k.substring(0, k.indexOf('_')) }
-        .toSeq.sortBy(_._1)
-        .map { case (fam, es) =>
-          s""""$fam":${math.round(es.map(_._2._1).sum * 1000)}"""
-        }.mkString("{", ",", "}")
-      val ordered = results
-        .map { case (_, (med, _)) => math.round(med * 1000) }
-        .mkString("[", ",", "]")
-      val sfShort = sfDir.split('/').last
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runsPerQuery,$loadJson,"qunit":"ms","queries_ms_in_headline_order":$ordered,"families_ms":$fams,"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfShort"}"""
-    }
-    // Budget 1900 of the 2000-char tail window: r8's 1900-char ms line
-    // PLUS sbt's ~80-char "[success] Total time" trailer overflowed the
-    // window and the driver parsed nothing. The trailer is now
-    // suppressed (build.sbt showSuccess := false) so this line is the
-    // last stdout output; 100 chars of slack remain for any stray
-    // shutdown logging, and the family-totals fallback can never
-    // overflow regardless of future query growth.
-    val line = {
-      val ms = summaryLine(1000.0, "ms")
-      lazy val cs = summaryLine(100.0, "cs")
-      if (ms.length <= 1900) ms
-      else if (cs.length <= 1900) cs
-      else famTotalsLine
-    }
+    val line = buildAndWrite(math.max(passesDone, 1))
     CacheRegistry.releaseShared()
     graft.operators.ConnectorQueries.stopAll()
     spark.stop()

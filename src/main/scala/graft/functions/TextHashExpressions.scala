@@ -416,12 +416,16 @@ case class ByteEntropyStats(child: Expression) extends UnaryExpression {
   * `md5(substring(t, bp[k]+1, bp[k+1]−bp[k]))` over
   * `filter(transform(sequence(8, len), ...))`, which runs 8 substring
   * probes per position (O(8·len) interpreted HOF calls per row); this
-  * is one loop per row. Parity with the HOF stack is pinned by the
-  * DuckDB gate (the oracle keeps the spelled-out formulation) and the
-  * TextMultimodalSpec HOF-parity test. Empty/short strings yield
-  * the whole-string chunk, matching `range(8, len+1)`'s empty result. */
-case class CdcChunkHashes(child: Expression) extends UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  * is one loop per row, emitted as a codegen'd static call (no per-row
+  * InternalRow boxing — the CodegenFallback wrapper it replaced boxed
+  * every input row; r14 verdict nit). Parity with the HOF stack is
+  * pinned by the DuckDB gate (the oracle keeps the spelled-out
+  * formulation) and the TextMultimodalSpec HOF-parity test. Non-empty
+  * strings shorter than 8 codepoints yield the single whole-string
+  * chunk; the EMPTY string yields an empty array (no chunk), matching
+  * the HOF stack where `range(8, len+1)` is empty and the final
+  * zero-length slice produces no substring. */
+case class CdcChunkHashes(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
@@ -433,9 +437,24 @@ case class CdcChunkHashes(child: Expression) extends UnaryExpression
       s"$prettyName requires string, got ${t.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val str = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString
+  override def nullSafeEval(input: Any): Any =
+    CdcChunkHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.CdcChunkHashes.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
+    copy(child = newChild)
+}
+
+object CdcChunkHashes {
+  /** One-loop boundary scan + per-chunk md5, shared by interpreted eval
+    * and the generated code (static forwarder). */
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = u.toString
     // codepoints, not UTF-16 units: the HOF reference (substring/ascii)
     // is codepoint-indexed
     val cps = str.codePoints().toArray
@@ -489,7 +508,4 @@ case class CdcChunkHashes(child: Expression) extends UnaryExpression
     }
     new GenericArrayData(out.take(written))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
-    copy(child = newChild)
 }

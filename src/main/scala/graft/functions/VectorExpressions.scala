@@ -301,6 +301,8 @@ object GraftFunctions {
           litNumArg("graft_char_ngrams", exprs, 1, "n").intValue), "built-in")
       reg.createOrReplaceTempFunction("graft_cdc_chunks",
         exprs => CdcChunkHashes(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("graft_afp_syms",
+        exprs => AfpFrameSymbols(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_lsh_bands",
         exprs => LshBandHashes(exprs(0),
           litNumArg("graft_lsh_bands", exprs, 1, "numBands").intValue,
@@ -344,6 +346,10 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_sq8_cosine", a, b)
   def cdcChunks(t: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cdc_chunks", t)
+  /** array<struct<f:int,sym:bigint>> — fused audio-fingerprint frame
+    * symbols of a 336-codepoint window (see [[AfpFrameSymbols]]). */
+  def afpSyms(w: Column, kind: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_afp_syms", w, kind)
   def minhash(shingleHashes: Column, numHashes: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash",
       shingleHashes, org.apache.spark.sql.functions.lit(numHashes))

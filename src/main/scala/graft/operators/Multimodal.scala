@@ -44,13 +44,15 @@ object Multimodal {
   /** e3-scaled integer DFT tables for the 16-sample audio frames of
     * mm_audio_fingerprint: band b = frequency k=b+1 cycles/frame,
     * C(b,j) = round(1000·cos(2πkj/16)), S(b,j) = round(1000·sin(·)),
-    * j∈[0,16), b∈[0,7). ONE definition rendered into both engines
-    * (the [[dctK]] / q_ewma_forecast pre-rounded-weight recipe), so the
-    * per-frame spectra are exact integer arithmetic everywhere. */
+    * j∈[0,16), b∈[0,7). The single definition lives in
+    * [[graft.functions.AfpFrameSymbols]] (the fused Spark kernel) and is
+    * rendered into the oracle SQL here (the [[dctK]] / q_ewma_forecast
+    * pre-rounded-weight recipe), so the per-frame spectra are exact
+    * integer arithmetic everywhere and the two engines cannot drift. */
   private def afC(b: Int): Int => Long = j =>
-    math.round(1000.0 * math.cos(2 * math.Pi * (b + 1) * j / 16.0))
+    graft.functions.AfpFrameSymbols.C(b * 16 + j)
   private def afS(b: Int): Int => Long = j =>
-    math.round(1000.0 * math.sin(2 * math.Pi * (b + 1) * j / 16.0))
+    graft.functions.AfpFrameSymbols.S(b * 16 + j)
 
   private val afBandsValuesSql: String = (0 until 7).map { b =>
     val cs = (0 until 16).map(afC(b)).mkString("[", ", ", "]")
@@ -423,7 +425,15 @@ object Multimodal {
     // catch. In-plan certification: catch_ok pins self-variant catch
     // ≥ 0.85 over the ≥120-char cohort (measured .962/.942 at
     // sf0.01/0.1), grid_blind_ok pins the fixed grid's shared-patch
-    // count at exactly 0. SCALE: the chunk fan-out is ~len/32 rows per
+    // count at exactly 0. CAVEAT (r14 ADVICE): grid_blind_ok is a
+    // single global cert and is DATA-DEPENDENT, not a proof — a
+    // degenerate periodic document (a repeated ≤64-char pattern) would
+    // make its 37-byte-trimmed variant share bit-identical 64-byte
+    // patches with its source and flip the cert to 0 (in both engines
+    // together, so the gate stays green). The synthetic corpus has no
+    // such periodic texts; on a real corpus the cert reads "the grid
+    // missed every one of THESE trims", not a structural guarantee.
+    // SCALE: the chunk fan-out is ~len/32 rows per
     // media (narrow, repartitioned before the CPU-bound hash — the
     // documentsPar rule); the pair join is cap²-bounded per chunk
     // bucket; no window wider than per-variant candidates. At the 10×
@@ -1278,61 +1288,39 @@ object Multimodal {
   private[graft] def audioFingerprintFrames(
       s: SparkSession, d: String,
       docsFilter: Column = lit(true)): Map[String, DataFrame] = {
-      // ONE sample array per (doc, kind), repartitioned before the
-      // CPU-bound decode (the mm_phash pixel rule); silence pad = 0,
-      // guarded explicitly because ascii('') = 0 would decode the pad
-      // as sample -64. Codepoints are CLAMPED to 255 at the seam (both
-      // engines, identically): a non-ASCII char (up to 0x10FFFF) would
-      // otherwise overflow e = cr²+ci² in BIGINT — an error in DuckDB
-      // but a silent wrap in Spark — and break the digit-length packing
-      // behind the 87809 hash-injectivity bound (r13 ADVICE). The
-      // clamp ENFORCES the byte-64 sample convention instead of
-      // assuming an ASCII corpus.
-      // single consumer (fr) — no persist; pk is the reuse point
+      // ONE 336-codepoint window per (doc, kind), repartitioned before
+      // the CPU-bound decode (the mm_phash pixel rule); silence pad = 0,
+      // guarded explicitly inside the kernel. Codepoints are CLAMPED to
+      // 255 at the seam (both engines, identically): a non-ASCII char
+      // (up to 0x10FFFF) would otherwise overflow e = cr²+ci² in
+      // BIGINT — an error in DuckDB but a silent wrap in Spark — and
+      // break the digit-length packing behind the 87809
+      // hash-injectivity bound (r13 ADVICE). The clamp ENFORCES the
+      // byte-64 sample convention instead of assuming an ASCII corpus.
+      graft.functions.GraftFunctions.register(s)
       val docsW = Tables.documents(s, d)
           .filter(docsFilter)
           .select(col("doc_id"), substring(col("text"), 1, 336).as("w"))
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"),
             explode(array(lit(0), lit(1))).as("kind"), col("w"))
-          .select(col("doc_id"), col("kind"),
-            when(col("kind") === 1, expr(
-              "transform(sequence(1, 320), i -> IF(i + 16 <= length(w)," +
-                " (least(ascii(substring(w, i + 16, 1)), 255) div 4) * 4" +
-                " - 64, 0))"))
-              .otherwise(expr(
-                "transform(sequence(1, 320), i -> IF(i <= length(w)," +
-                  " least(ascii(substring(w, i, 1)), 255) - 64, 0))"))
-              .as("sv"))
-      // per-frame 7-bin integer DFT as codegen'd linear combinations of
-      // the e3 coefficient tables — no trig join, no sample shuffle
-      val bandCols = (0 until 7).flatMap { b =>
-        def comb(coef: Int => Long, name: String) =
-          expr((0 until 16).map { j =>
-            s"(${coef(j)}) * CAST(sv[16 * f + $j] AS BIGINT)"
-          }.mkString(" + ")).as(name)
-        Seq(comb(afC(b), s"cr_$b"), comb(afS(b), s"ci_$b"))
-      }
-      val fr = docsW
-        .select(col("doc_id") +: col("kind") +: col("sv") +:
-          explode(sequence(lit(0), lit(19))).as("f") +: Seq.empty: _*)
-        .select(Seq(col("doc_id"), col("kind"), col("f")) ++ bandCols: _*)
-      // top-3 bands per frame in ONE projection: sort 7 (e, 6-b) structs
-      // descending — e desc, then b asc on ties (nb = 6-b desc)
-      val eArr = sort_array(array((0 until 7).map(b =>
-        struct((col(s"cr_$b") * col(s"cr_$b")
-          + col(s"ci_$b") * col(s"ci_$b")).as("e"),
-          lit(6 - b).as("nb"))): _*), asc = false)
-      val pk = graft.CacheRegistry.register(fr
-        .withColumn("arr", eArr)
-        .filter(col("arr")(0)("e") > 0)
-        .select(col("doc_id"), col("kind"), col("f"),
-          (((((lit(6) - col("arr")(0)("nb")) * 7
-            + (lit(6) - col("arr")(1)("nb"))) * 7
-            + (lit(6) - col("arr")(2)("nb"))) * 16
-            + length(col("arr")(0)("e").cast("string"))) * 16
-            + length(col("arr")(1)("e").cast("string")))
-            .cast("long").as("sym"))
+      // decode → per-frame 7-bin integer DFT → top-3-band ranking →
+      // digit-length symbol packing, all fused into ONE codegen'd kernel
+      // call per (doc, kind) — graft_afp_syms, AudioExpressions.scala.
+      // The previous spelled-out formulation (320-element HOF decode +
+      // 14 sixteen-term linear combinations + a sort_array filter that
+      // re-inlined all 14 a second time) blew janino's 64 KB method
+      // limit, silently disabling whole-stage codegen for the heaviest
+      // bench family's decode (r14 verdict #1). Parity: the DuckDB
+      // oracle keeps the spelled-out SQL (gate pins the kernel every
+      // run); AudioKernelSpec pins parity vs the in-Spark HOF stack.
+      val pk = graft.CacheRegistry.register(docsW
+        .select(col("doc_id"), col("kind"),
+          explode(graft.functions.GraftFunctions.afpSyms(
+            col("w"), col("kind"))).as("fs"))
+        .select(col("doc_id"), col("kind"),
+          col("fs").getField("f").as("f"),
+          col("fs").getField("sym").as("sym"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // landmark hashes: (sym_t, sym_{t+dt}, dt); 87809 > max sym 87807.
       // Adjacent frames come from ONE lead() window (20-row partitions)
