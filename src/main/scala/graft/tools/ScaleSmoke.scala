@@ -140,7 +140,11 @@ object ScaleSmoke {
       // (AvailableNow trigger = batch-style foreachBatch loop), and the
       // SCD2 fold's per-commit touched-keys join. Staging derives the
       // CDF fixtures from THIS dir's tables, so the arrivals are 10x.
-      "connector_incremental_curation", "connector_cdf_scd2")
+      "connector_incremental_curation", "connector_cdf_scd2",
+      // r15 wave (r14 verdict ask #4): the CDF-maintained IVF index —
+      // per-commit assignment kernels + cell-partitioned appends compose
+      // the IVF cell caps, the exact class the tiers exist for
+      "connector_ivf_ingest")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies
