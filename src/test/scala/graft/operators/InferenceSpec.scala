@@ -191,4 +191,25 @@ class InferenceSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
     }
   }
+
+  test("q_gst_obrien_fleming: textbook boundaries, cumulative looks, " +
+      "crossing flag consistent") {
+    val rows = run("q_gst_obrien_fleming").sortBy(_.getAs[Int]("look"))
+    assert(rows.nonEmpty && rows.length <= 5)
+    // the K=5 two-sided alpha=0.05 O'Brien-Fleming z-boundaries,
+    // 2.040·sqrt(5/k) rounded 4dp
+    val expected = Map(1 -> 4.5616, 2 -> 3.2255, 3 -> 2.6336,
+      4 -> 2.2808, 5 -> 2.04)
+    rows.foreach { r =>
+      val k = r.getAs[Int]("look")
+      assert(math.abs(r.getAs[Double]("boundary") - expected(k)) < 1e-9)
+      val crossed = r.getAs[Int]("crossed")
+      assert(crossed ==
+        (if (math.abs(r.getAs[Double]("z")) >= r.getAs[Double]("boundary"))
+          1 else 0))
+    }
+    // sample sizes are cumulative: strictly non-decreasing across looks
+    val ns = rows.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b >= a })
+  }
 }

@@ -454,4 +454,46 @@ class SimilaritySpec extends SparkTestBase {
         s"quantization error too large for ($q,$n): $s vs ${exact((q, n))}")
     }
   }
+
+  test("binary quantize: hamming candidates recover exact top-5; " +
+      "wider pool never hurts") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(pool: Int): Double = {
+      val bq = Similarity.binaryQuantTopK(emb, qs, k = 5, pool = pool)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      bq.count(brute.contains).toDouble / brute.size
+    }
+    val r20 = recallAt(20)
+    assert(r20 >= 0.3, s"binary-quant recall@5 (pool 20) = $r20")
+    // an exact rerank over a candidate SUPERSET cannot lose true hits
+    assert(recallAt(100) >= r20)
+    // rerank sims are the exact cosines (not hamming approximations):
+    // every emitted sim matches bruteForceTopK's value for that pair
+    graft.functions.GraftFunctions.register(spark)
+    val exact = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(qs.select(col("vec_id").as("b"), col("embedding").as("eb")),
+        col("a") =!= col("b"))
+      .select(col("b"), col("a"),
+        round(graft.functions.GraftFunctions.cosine(col("ea"), col("eb")),
+          4).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    Similarity.binaryQuantTopK(emb, qs, k = 5, pool = 20)
+      .collect().foreach { r =>
+        assert(r.getDouble(2) == exact((r.getLong(0), r.getLong(1))))
+      }
+  }
+
+  test("ivf recall sweep: 4 probe levels, monotone, certs hold") {
+    val rows = graft.SparkEntry.queries("sim_ivf_recall_sweep")(
+      spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    assert(rows.forall(_.getInt(2) == 1), "mono_ok violated")
+    assert(rows.forall(_.getInt(3) == 1), "floor_ok violated")
+    assert(rows.forall(_.getLong(1) == 10L))
+  }
 }
