@@ -89,6 +89,7 @@ object Bench {
     // Round-15 additions: 1-bit quantized retrieval, the IVF nprobe
     // tuning curve, and group-sequential OBF monitoring
     "sim_binary_quantize", "sim_ivf_recall_sweep", "q_gst_obrien_fleming",
+    "text_code_detect",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.
@@ -137,7 +138,7 @@ object Bench {
     "stream_ab_monitor", "stream_agg_event_type", "stream_dedup_distinct",
     "stream_dedup_watermark", "stream_late_data", "stream_rolling_anomaly",
     "stream_stateful_sessions", "stream_static_join", "stream_stream_join",
-    "stream_windowed_counts",
+    "stream_windowed_counts", "stream_psi_drift",
     // connector variants of the benched path
     "connector_catalog_time_travel", "connector_cdf_materialize",
     "connector_cdf_stream", "connector_cdf_stream_agg", "connector_changes",

@@ -370,6 +370,102 @@ object StreamingOps {
         .orderBy("win_start")
     },
 
+    // Streaming distribution-drift monitor (r15): the STREAM maintains
+    // per-(day, value-bin) purchase counts — 5 fixed bins, so state is
+    // |days|×5 rows at ANY event rate (the heavy-reduction-in-stream
+    // topology, same class as stream_rolling_anomaly); the per-day PSI
+    // against the whole-corpus base distribution then runs on the sink
+    // frame, Laplace-smoothed with the text_drift_psi rounding law (8dp
+    // probabilities, 6dp terms as exact decimals, 4dp PSI), alert at
+    // the standard ≥ 0.1 boundary. The streaming complement of
+    // connector_cdf_drift_monitor (which watches the CDF commit axis;
+    // this watches the event-time axis). Batch-parity oracle.
+    QueryDef.sql(
+      "stream_psi_drift", {
+        val binSql = """CASE WHEN value < 10 THEN 0 WHEN value < 25 THEN 1
+          |  WHEN value < 50 THEN 2 WHEN value < 100 THEN 3
+          |  ELSE 4 END""".stripMargin
+        s"""WITH obs AS (
+          |  SELECT CAST(ts AS DATE) AS day, $binSql AS bin
+          |  FROM events WHERE event_type = 'purchase'),
+          |bins AS (SELECT unnest(range(0, 5)) AS bin),
+          |days AS (SELECT DISTINCT day FROM obs),
+          |base AS (
+          |  SELECT b.bin, CAST(coalesce(x.cnt, 0) AS BIGINT) AS bc
+          |  FROM bins b LEFT JOIN (
+          |    SELECT bin, COUNT(*) AS cnt FROM obs GROUP BY 1) x
+          |    ON b.bin = x.bin),
+          |nb AS (SELECT CAST(SUM(bc) AS BIGINT) AS n FROM base),
+          |cells AS (
+          |  SELECT d.day, b.bin, CAST(coalesce(x.cnt, 0) AS BIGINT) AS ac
+          |  FROM days d CROSS JOIN bins b LEFT JOIN (
+          |    SELECT day, bin, COUNT(*) AS cnt FROM obs GROUP BY 1, 2) x
+          |    ON x.day = d.day AND x.bin = b.bin),
+          |na AS (SELECT day, CAST(SUM(ac) AS BIGINT) AS n
+          |       FROM cells GROUP BY 1),
+          |terms AS (
+          |  SELECT c.day,
+          |    CAST(round((round(CAST(c.ac + 1 AS DOUBLE) / (na.n + 5), 8)
+          |        - round(CAST(b.bc + 1 AS DOUBLE) / (nb.n + 5), 8))
+          |      * ln(round(CAST(c.ac + 1 AS DOUBLE) / (na.n + 5), 8)
+          |        / round(CAST(b.bc + 1 AS DOUBLE) / (nb.n + 5), 8)), 6)
+          |      AS DECIMAL(18,6)) AS term
+          |  FROM cells c JOIN na ON na.day = c.day
+          |  JOIN base b ON b.bin = c.bin, nb)
+          |SELECT strftime(t.day, '%Y-%m-%d') AS day, na.n AS n_day,
+          |  round(CAST(SUM(t.term) AS DOUBLE), 4) AS psi,
+          |  CAST(round(CAST(SUM(t.term) AS DOUBLE), 4) >= 0.1 AS INTEGER)
+          |    AS alert
+          |FROM terms t JOIN na ON na.day = t.day
+          |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+      }) { (s, d) =>
+      val binCol = when(col("value") < 10, 0).when(col("value") < 25, 1)
+        .when(col("value") < 50, 2).when(col("value") < 100, 3)
+        .otherwise(4).as("bin")
+      // STREAM: per-(day, bin) counts, complete mode — |days|×5 state
+      val sink = runToCompletion(s, d,
+        df => df.filter(col("event_type") === "purchase")
+          .select(to_date(col("ts")).as("day"), binCol)
+          .groupBy("day", "bin").agg(count(lit(1)).as("cnt")),
+        outputMode = "complete")
+      // localCheckpoint: the sink frame feeds THREE consumers (cells,
+      // base, days) including a self-join — the memory-sink View's
+      // attributes don't deduplicate across those branches (analysis
+      // "conflicting references"), and the checkpoint also freezes the
+      // complete-mode table against re-reads
+      val cellsRaw = sink.localCheckpoint(true)
+      val bins = s.range(0, 5).select(col("id").cast("int").as("bin"))
+      val days = cellsRaw.select("day").distinct()
+      // always-materialized 5-bin frames (a bin a day never hits still
+      // contributes its Laplace term), the drift-monitor convention
+      val cells = days.crossJoin(broadcast(bins))
+        .join(cellsRaw, Seq("day", "bin"), "left")
+        .select(col("day"), col("bin"),
+          coalesce(col("cnt"), lit(0L)).as("ac"))
+      val base = bins.join(
+          cellsRaw.groupBy("bin").agg(sum("cnt").as("cnt")),
+          Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("bc"))
+      val nb = base.agg(sum("bc").as("nb_n"))
+      val na = cells.groupBy("day").agg(sum("ac").as("na_n"))
+      def p(cnt: Column, n: Column) =
+        round((cnt + 1).cast("double") / (n + 5), 8)
+      val pa = p(col("ac"), col("na_n"))
+      val pb = p(col("bc"), col("nb_n"))
+      cells
+        .join(broadcast(base), "bin")
+        .join(na, "day").crossJoin(broadcast(nb))
+        .select(col("day"), col("na_n"),
+          round((pa - pb) * log(pa / pb), 6).cast("decimal(18,6)")
+            .as("term"))
+        .groupBy("day", "na_n")
+        .agg(round(sum("term").cast("double"), 4).as("psi"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("na_n").as("n_day"), col("psi"),
+          (col("psi") >= 0.1).cast("int").as("alert"))
+        .orderBy("day")
+    },
+
     // Streaming anomaly monitor: the STREAM produces the daily totals
     // (watermarked tumbling window, bounded state); the rolling z-score
     // then runs on the aggregate — the standard online-monitoring

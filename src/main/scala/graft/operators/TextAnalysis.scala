@@ -308,6 +308,25 @@ object TextAnalysis {
       .withColumn("contaminated", (col("overlap_ratio") >= threshold).cast("int"))
   }
 
+  /** In-plan fixtures for `text_code_detect`: the synthetic corpus is
+    * pure lowercase prose (zero code symbols), so these three rows are
+    * what actually exercises the routing thresholds — one document
+    * that flags via the SYMBOL rule alone (no keywords), one via the
+    * KEYWORD rule alone (no symbol characters), one prose document
+    * that must NOT flag. Both engines compute them independently from
+    * the same literals (Spark union / SQL VALUES), so the hash gate
+    * pins the counting kernel and both threshold boundaries. Text is
+    * single-quote-free by construction (embedded in a SQL literal). */
+  val codeDetectFixtures: Seq[(String, String)] = Seq(
+    ("zzfx_code_symbols",
+      "x = (1); y = (2); z = {3}; while (x) { x = x - y; }"),
+    ("zzfx_code_keywords",
+      "def add import sys return value class node function call " +
+        "def run import os return out"),
+    ("zzfx_prose",
+      "the quick brown fox jumps over the lazy dog and wanders far " +
+        "away into the quiet hills before the evening settles"))
+
   def defs: Seq[QueryDef] = Seq(
     // Token & character statistics with a quality signal. Oracle mirrors
     // every step in DuckDB list/regexp functions.
@@ -1301,6 +1320,87 @@ object TextAnalysis {
               struct(col("si"), col("span"))))),
             x => x("span")), " ")).as("clean_md5"))
         .orderBy("doc_id")
+    },
+
+    // CODE-vs-PROSE detection (r15) — the corpus-routing gate every
+    // mixed training-data pipeline runs before tokenizer/quality
+    // stages (code and prose need different tokenizers, dedup
+    // thresholds, and quality filters). Per document: code-symbol
+    // density ({};()= per 1000 chars) and code-keyword density (def /
+    // import / return / class / function per 1000 chars), flagged at
+    // symbol ≥ 15‰ OR keyword ≥ 2‰ — integer-compare thresholds
+    // (sym·1000 ≥ 15·n), never a float boundary. Occurrence counting
+    // is the engine-parity-safe length-difference form
+    // (len − len(replace(s, pat)))/len(pat) — identical in Spark and
+    // DuckDB, no regex dialect in sight. Output per source: doc count,
+    // flagged count, mean + max densities (halfUp4). This synthetic
+    // corpus is PURE lowercase prose (zero code symbols), so the
+    // routing thresholds are exercised by three in-plan FIXTURE
+    // documents (two known-code, one known-prose — the mm self-variant
+    // certification pattern): their hash-pinned output rows must flag
+    // 1/1/0, so a broken threshold or counting kernel cannot hide
+    // behind an all-zero corpus. SCALE: one map-side-combined
+    // aggregate per source; the per-doc projection is a handful of
+    // replace/length passes over each text.
+    QueryDef.sql(
+      "text_code_detect", {
+        def occ(pat: String, esc: String = null) = {
+          val p = if (esc != null) esc else s"'$pat'"
+          s"(length(text) - length(replace(text, $p, ''))) // ${pat.length}"
+        }
+        val sym = Seq("{", "}", ";", "(", ")", "=")
+          .map(c => occ(c)).mkString(" + ")
+        val kw = Seq("def ", "import ", "return ", "class ", "function ")
+          .map(k => occ(k)).mkString(" + ")
+        val fixturesSql = codeDetectFixtures
+          .map { case (src, t) => s"('$src', '$t')" }.mkString(",\n    ")
+        s"""WITH corpus AS (
+          |  SELECT source, text FROM documents
+          |  UNION ALL SELECT * FROM (VALUES
+          |    $fixturesSql) fx(source, text)),
+          |f AS (
+          |  SELECT source, length(text) AS n, $sym AS sym, $kw AS kw
+          |  FROM corpus WHERE length(text) > 0),
+          |d AS (
+          |  SELECT source, n, sym, kw,
+          |    CASE WHEN sym * 1000 >= 15 * n OR kw * 1000 >= 2 * n
+          |         THEN 1 ELSE 0 END AS is_code,
+          |    ${halfUp4Sql("1000 * sym", "n")} AS sym_k,
+          |    ${halfUp4Sql("1000 * kw", "n")} AS kw_k
+          |  FROM f)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(is_code) AS BIGINT) AS n_code,
+          |  ${halfUp4Sql("1000 * SUM(sym)", "SUM(n)")} AS sym_per_kchar,
+          |  ${halfUp4Sql("1000 * SUM(kw)", "SUM(n)")} AS kw_per_kchar,
+          |  MAX(sym_k) AS max_sym_per_kchar,
+          |  MAX(kw_k) AS max_kw_per_kchar
+          |FROM d GROUP BY source ORDER BY source""".stripMargin
+      }) { (s, d) =>
+      def occ(pat: String) =
+        expr(s"(length(text) - length(replace(text, '$pat', '')))" +
+          s" div ${pat.length}")
+      val sym = Seq("{", "}", ";", "(", ")", "=").map(occ).reduce(_ + _)
+      val kw = Seq("def ", "import ", "return ", "class ", "function ")
+        .map(occ).reduce(_ + _)
+      val corpus = Tables.documents(s, d).select("source", "text")
+        .unionAll(s.createDataFrame(codeDetectFixtures)
+          .toDF("source", "text"))
+      val f = corpus.filter(length(col("text")) > 0)
+        .select(col("source"), length(col("text")).as("n"),
+          sym.as("sym"), kw.as("kw"))
+      val dd = f.select(col("source"), col("n"), col("sym"), col("kw"),
+        when(col("sym") * 1000 >= col("n") * 15 ||
+          col("kw") * 1000 >= col("n") * 2, 1).otherwise(0).as("is_code"),
+        halfUp4("1000 * sym", "n").as("sym_k"),
+        halfUp4("1000 * kw", "n").as("kw_k"))
+      dd.groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("is_code").cast("bigint").as("n_code"),
+          halfUp4("1000 * SUM(sym)", "SUM(n)").as("sym_per_kchar"),
+          halfUp4("1000 * SUM(kw)", "SUM(n)").as("kw_per_kchar"),
+          max("sym_k").as("max_sym_per_kchar"),
+          max("kw_k").as("max_kw_per_kchar"))
+        .orderBy("source")
     },
 
     // Frequency-thresholded boilerplate strip — the OTHER production

@@ -91,6 +91,42 @@ class StreamingStateSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("stream_psi_drift: per-day PSI matches a driver-side recompute") {
+    val rows = graft.SparkEntry.queries("stream_psi_drift")(spark, sf0001)
+      .collect()
+    // raw observations, using Spark's own date semantics for the day key
+    val obs = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def bin(v: Double): Int =
+      if (v < 10) 0 else if (v < 25) 1 else if (v < 50) 2
+      else if (v < 100) 3 else 4
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val baseCnt = obs.groupBy(o => bin(o._2)).view.mapValues(_.length.toLong)
+    val nb = obs.length.toLong
+    val byDay = obs.groupBy(_._1)
+    // one output row per observed day, ascending
+    assert(rows.map(_.getString(0)).toSeq == byDay.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (day, nDay, psi, alert) = (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))
+      val dayObs = byDay(day)
+      assert(nDay == dayObs.length.toLong)
+      val dayCnt = dayObs.groupBy(o => bin(o._2)).view
+        .mapValues(_.length.toLong)
+      val expected = rnd((0 until 5).map { b =>
+        val pa = rnd((dayCnt.getOrElse(b, 0L) + 1).toDouble / (nDay + 5), 8)
+        val pb = rnd((baseCnt.getOrElse(b, 0L) + 1).toDouble / (nb + 5), 8)
+        rnd((pa - pb) * math.log(pa / pb), 6)
+      }.sum, 4)
+      assert(psi == expected, s"day $day psi $psi != $expected")
+      assert(psi >= 0.0 && alert == (if (psi >= 0.1) 1 else 0))
+    }
+  }
+
   test("stream_ab_monitor: one-row z readout with both arms populated") {
     val rows = graft.SparkEntry.queries("stream_ab_monitor")(
       spark, sf0001).collect()

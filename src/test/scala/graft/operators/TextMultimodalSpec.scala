@@ -284,6 +284,42 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("code detect: fixtures flag 1/1/0 and match a string recompute") {
+    val rows = graft.SparkEntry.queries("text_code_detect")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the three in-plan fixtures exercise both threshold branches
+    val fx = TextAnalysis.codeDetectFixtures.toMap
+    def occ(t: String, pat: String): Long = {
+      val shrunk = t.replace(pat, "")
+      ((t.length - shrunk.length) / pat.length).toLong
+    }
+    val syms = Seq("{", "}", ";", "(", ")", "=")
+    val kws = Seq("def ", "import ", "return ", "class ", "function ")
+    Seq(("zzfx_code_symbols", 1L), ("zzfx_code_keywords", 1L),
+        ("zzfx_prose", 0L)).foreach { case (src, flagged) =>
+      val r = rows(src)
+      assert(r.getAs[Long]("n_docs") == 1L && r.getAs[Long]("n_code") ==
+        flagged, s"$src flag")
+      // density recompute straight from the literal, no Spark functions
+      val t = fx(src)
+      val (sym, kw) = (syms.map(occ(t, _)).sum, kws.map(occ(t, _)).sum)
+      def hu4(num: Long, den: Long): Double =
+        ((2 * num * 10000 + den) / (2 * den)).toDouble / 10000
+      assert(r.getAs[Double]("sym_per_kchar") == hu4(1000 * sym, t.length))
+      assert(r.getAs[Double]("kw_per_kchar") == hu4(1000 * kw, t.length))
+      val isCode = sym * 1000 >= 15L * t.length || kw * 1000 >= 2L * t.length
+      assert((if (isCode) 1L else 0L) == flagged, s"$src threshold")
+    }
+    // the keyword fixture must flag WITHOUT symbols, proving the OR's
+    // second branch fires on its own
+    assert(rows("zzfx_code_keywords").getAs[Double]("sym_per_kchar") == 0.0)
+    // the synthetic corpus is symbol-free prose: no source flags via
+    // symbols (keyword words could occur by chance; thresholds decide)
+    rows.view.filterKeys(!_.startsWith("zzfx")).values.foreach { r =>
+      assert(r.getAs[Double]("sym_per_kchar") == 0.0)
+    }
+  }
+
   test("cdc chunk kernel equals the spelled-out HOF formulation") {
     graft.functions.GraftFunctions.register(spark)
     val pows = Iterator.iterate(1L)(_ * 31L).take(8).toSeq
