@@ -152,6 +152,10 @@ object Bench {
     // same class: per-commit foreachBatch index appends (the serve path
     // it certifies is timed by sim_ivf_prebuilt's headline row)
     "connector_ivf_ingest",
+    // same class: per-commit foreachBatch index probe + append (the LSH
+    // candidate/verify machinery it serves with is timed by the
+    // dedup_minhash_lsh / dedup_incremental headline rows)
+    "connector_dedup_ingest",
     // same class: per-commit 5-row PSI fold (the quality classifier it
     // scores with is timed by text_quality_classifier's headline row)
     "connector_cdf_drift_monitor",
