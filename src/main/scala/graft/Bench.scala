@@ -89,7 +89,7 @@ object Bench {
     // Round-15 additions: 1-bit quantized retrieval, the IVF nprobe
     // tuning curve, and group-sequential OBF monitoring
     "sim_binary_quantize", "sim_ivf_recall_sweep", "q_gst_obrien_fleming",
-    "text_code_detect",
+    "text_code_detect", "sim_filtered_ann", "mm_audio_vad",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.

@@ -138,6 +138,8 @@ object PlanContract {
     "q_tukey_hsd" -> ((1, OneRow)),
     "q_theta_setops" -> ((2, OneRow)),
     "q_zonemap_prune" -> ((1, OneRow)),
+    // injected runtime bloom-filter build over the 10-row query frame
+    "sim_filtered_ann" -> ((1, OneRow)),
     "sim_hybrid_rrf" -> ((1, BoundedPool)),
     "sim_ivf_pq" -> ((1, OneRow)),
     // the k·|queries|-bounded per-query frame collapsing to the 1-row

@@ -297,6 +297,80 @@ object Multimodal {
         .orderBy("media_id", "window_idx")
     },
 
+    // Voice-activity segmentation (r15) — the silence-trim/segmentation
+    // stage an audio curation pipeline runs between decode and
+    // transcription: per media, a window is ACTIVE iff 2·energy ≥ the
+    // media's max window energy (an integer compare against a
+    // data-derived floor — no magic constant, and every media keeps at
+    // least its loudest window), and consecutive active windows merge
+    // into segments via gaps-islands. Windows/energies come through the
+    // SAME decode seam as mm_audio_energy (a real pipeline swaps in a
+    // codec, keeps the window/segment shape); clipped tail windows have
+    // genuinely lower energy, so trailing-silence trim is exercised on
+    // every media. All-integer features ⇒ the oracle replays verbatim.
+    // SCALE: windows per media are payload-bounded (the per-media
+    // max/row_number windows run over ≤ ceil(len/160) rows after a
+    // media_id-keyed shuffle); segment assembly is one groupBy.
+    QueryDef.sql(
+      "mm_audio_vad",
+      """WITH w AS (
+        |  SELECT doc_id AS media_id, CAST(wi AS INTEGER) AS window_idx,
+        |    CAST(coalesce(list_sum(list_transform(range(1, length(w) + 1),
+        |      i -> CAST((unicode(w[i]) - 64) * (unicode(w[i]) - 64)
+        |        AS BIGINT))), 0) AS BIGINT) AS energy
+        |  FROM (
+        |    SELECT doc_id, wi,
+        |      substring(text, CAST(1 + wi*160 AS INTEGER), 160) AS w
+        |    FROM (
+        |      SELECT doc_id, text,
+        |        unnest(range(0, greatest(CAST(ceil(length(text) / 160.0)
+        |          AS BIGINT), 1))) AS wi
+        |      FROM documents))),
+        |mx AS (SELECT media_id, max(energy) AS mx FROM w GROUP BY 1),
+        |act AS (
+        |  SELECT w.media_id, w.window_idx, w.energy
+        |  FROM w JOIN mx ON mx.media_id = w.media_id
+        |  WHERE w.energy * 2 >= mx.mx),
+        |isl AS (
+        |  SELECT media_id, window_idx, energy,
+        |    window_idx - row_number() OVER (
+        |      PARTITION BY media_id ORDER BY window_idx) AS isl
+        |  FROM act),
+        |seg AS (
+        |  SELECT media_id, isl,
+        |    CAST(min(window_idx) AS INTEGER) AS start_w,
+        |    CAST(max(window_idx) AS INTEGER) AS end_w,
+        |    CAST(COUNT(*) AS INTEGER) AS n_windows,
+        |    CAST(SUM(energy) AS BIGINT) AS seg_energy
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT media_id, CAST(row_number() OVER (
+        |    PARTITION BY media_id ORDER BY start_w) AS INTEGER) AS seg_idx,
+        |  start_w, end_w, n_windows, seg_energy
+        |FROM seg ORDER BY media_id, seg_idx""".stripMargin) { (s, d) =>
+      val wmx = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id")
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("window_idx")
+      val act = audioWindowFeatures(binaryView(Tables.documents(s, d)),
+          win = 160)
+        .select(col("media_id"), col("window_idx"), col("energy"))
+        .withColumn("mx", max("energy").over(wmx))
+        .filter(col("energy") * 2 >= col("mx"))
+      act
+        .withColumn("isl", col("window_idx") - row_number().over(ord))
+        .groupBy("media_id", "isl")
+        .agg(min("window_idx").cast("int").as("start_w"),
+          max("window_idx").cast("int").as("end_w"),
+          count(lit(1)).cast("int").as("n_windows"),
+          sum("energy").as("seg_energy"))
+        .withColumn("seg_idx", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("media_id").orderBy("start_w")).cast("int"))
+        .select("media_id", "seg_idx", "start_w", "end_w", "n_windows",
+          "seg_energy")
+        .orderBy("media_id", "seg_idx")
+    },
+
     // Scene-cut detection on the video-shaped payload: frames = 256-byte
     // windows through the SAME decode seam (a real pipeline swaps in a
     // codec and keeps the frame/feature shape), per-frame integer energy,

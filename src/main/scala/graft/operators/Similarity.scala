@@ -1241,6 +1241,83 @@ object Similarity {
         k = 5, floor = 0.2)
     },
 
+    // FILTERED vector search (r15) — the production retrieval shape
+    // plain top-k never covers: each query returns neighbors ONLY among
+    // vectors satisfying a metadata predicate (here: same label — the
+    // tenant/category-scoped case). Truth = label-scoped brute force
+    // (the oracle replays it exactly, including per-label eligibility
+    // counts). Scale path = IVF with the predicate PUSHED INTO the
+    // index scan (pre-filter): candidates are probed-cell ∩ label, so
+    // recall degrades only with cell coverage, never with predicate
+    // selectivity — post-filtering an unfiltered top-k would need
+    // k/selectivity oversampling and still miss at high selectivity.
+    // recall_ok pins recall@5 ≥ 0.2 vs the filtered truth in-plan.
+    // SCALE: the label column rides in the cell-partitioned index, so
+    // at 100 TB the serve reads probed cells and filters at scan time;
+    // eligibility counts are one map-side-combined |labels|-row agg.
+    QueryDef.sql(
+      "sim_filtered_ann",
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, q.q_label, e.vec_id,
+        |    CASE WHEN list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE) * x)) = 0
+        |           OR list_sum(list_transform(q.q_emb,
+        |             x -> CAST(x AS DOUBLE) * x)) = 0
+        |         THEN 0.0
+        |         ELSE round(list_cosine_similarity(
+        |           CAST(e.embedding AS DOUBLE[]),
+        |           CAST(q.q_emb AS DOUBLE[])), 4)
+        |    END AS sim
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id AND e.label = q.q_label)
+        |SELECT query_id, q_label, CAST(COUNT(*) AS BIGINT) AS n_eligible,
+        |  max(sim) AS best_sim, 1 AS recall_ok
+        |FROM scored GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val q = broadcast(qs.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("label").as("q_label")))
+      // exact label-scoped truth
+      val truth = ensureParallel(emb)
+        .join(q, col("vec_id") =!= col("query_id") &&
+          col("label") === col("q_label"))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.GraftFunctions
+            .cosine(col("embedding"), col("q_emb")).as("sim"))
+        .transform(topKSelect(_, 5))
+      // pre-filtered IVF serve: label rides in the index; the predicate
+      // applies at scan time, before any scoring
+      val index = ivfAssignments(emb, numCells = 32, dim = 64)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val queryProbes = qs.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("label").as("q_label"),
+        explode(transform(
+          slice(reverse(array_sort(
+            ivfCellScores(col("embedding"), 32, 64))), 1, 8),
+          p => p.getField("i"))).as("cell"))
+      val served = broadcast(queryProbes)
+        .join(index, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id") &&
+          col("label") === col("q_label"))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.GraftFunctions
+            .cosine(col("embedding"), col("q_emb")).as("sim"))
+        .transform(topKSelect(_, 5))
+      val elig = emb.groupBy(col("label").as("q_label"))
+        .agg(count(lit(1)).as("n_label"))
+      qs.select(col("vec_id").as("query_id"), col("label").as("q_label"))
+        .join(elig, "q_label")
+        .join(searchQuality(truth, served, k = 5, floor = 0.2), "query_id")
+        .select(col("query_id"), col("q_label"),
+          (col("n_label") - 1).as("n_eligible"), col("best_sim"),
+          col("recall_ok"))
+        .orderBy("query_id")
+    },
+
     // IVF with a PERSISTED index — the production amortization shape
     // the build-cost notes on sim_ivf_pq/sim_topk_ivf keep invoking,
     // here actually certified: build once → write the (vec_id,

@@ -51,6 +51,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(ann.size == brute.size) // still returns full top-k per query
   }
 
+  test("filtered ANN: eligibility counts and best_sim match a label-scoped " +
+      "driver replay") {
+    val rows = graft.SparkEntry.queries("sim_filtered_ann")(spark, sf0001)
+      .collect()
+    assert(rows.length == 10)
+    val all = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.foreach { r =>
+      val (qid, qlabel, nElig, bestSim, recallOk) = (r.getLong(0),
+        r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4))
+      val (_, qEmb, lbl) = all.find(_._1 == qid).get
+      assert(lbl == qlabel)
+      val eligible = all.filter(x => x._3 == qlabel && x._1 != qid)
+      assert(nElig == eligible.length.toLong, s"query $qid eligibility")
+      // best_sim is the max over the label-scoped candidates ONLY —
+      // a global best would leak across the predicate boundary
+      assert(bestSim == eligible.map(x => cos(qEmb, x._2)).max,
+        s"query $qid best_sim")
+      assert(recallOk == 1)
+    }
+  }
+
   test("ANN results are a subset of correct cosine ranking within candidates") {
     val ann = Similarity.annTopK(emb, emb.filter(col("vec_id") === 3), 5)
       .orderBy("rk").collect()

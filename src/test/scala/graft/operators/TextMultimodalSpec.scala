@@ -284,6 +284,39 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("audio VAD: segments are exactly the contiguous runs of active " +
+      "windows") {
+    val wins = graft.SparkEntry.queries("mm_audio_energy")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+      .groupBy(_._1)
+    val segs = graft.SparkEntry.queries("mm_audio_vad")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5)))
+      .groupBy(_._1)
+    assert(segs.keySet == wins.keySet)
+    segs.foreach { case (mid, ss) =>
+      val byIdx = wins(mid).map(w => w._2 -> w._3).toMap
+      val mx = byIdx.values.max
+      val active = byIdx.filter { case (_, e) => e * 2 >= mx }.keys.toSet
+      // driver-side gaps-islands replay over the active set
+      val runs = active.toSeq.sorted
+        .foldLeft(List.empty[List[Int]]) {
+          case (acc @ (h :: t), w) if h.head == w - 1 => (w :: h) :: t
+          case (acc, w) => List(w) :: acc
+        }.reverse.map(_.reverse)
+      val expected = runs.zipWithIndex.map { case (run, i) =>
+        (mid, i + 1, run.head, run.last, run.length,
+          run.map(byIdx(_)).sum)
+      }
+      assert(ss.sortBy(_._2).toSeq == expected,
+        s"media $mid segments differ from the driver replay")
+      // every segment is contiguous and covers the loudest window once
+      assert(expected.exists(s => byIdx(s._3) * 2 >= mx))
+    }
+  }
+
   test("code detect: fixtures flag 1/1/0 and match a string recompute") {
     val rows = graft.SparkEntry.queries("text_code_detect")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
