@@ -1475,6 +1475,172 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // IN-ENGINE CLASSIFIER TRAINING (r15) — full-batch gradient-descent
+    // logistic regression, the training step behind every
+    // CCNet/fastText-style quality classifier (the scoring half is
+    // text_quality_classifier; this is where such weights COME FROM).
+    // Task: DISTILL the hand-written gopher-quality rule into a
+    // differentiable model — label = text_gopher_quality's keep bit,
+    // features = stopword ratio and distinct-word ratio (two of the
+    // rule's own signals), the production rule→classifier pattern
+    // (bootstrap a scalable scorer from a rule-labeled corpus). Both
+    // features are halfUp4 integer ratios CENTERED by their integer
+    // half-up corpus means (conditioning — uncentered GD stalls on the
+    // bias), so every input to the float path is an exact integer
+    // difference over 1e4. Each GD step (η = 8, 6 updates) is ONE
+    // map-side-combined aggregate over the persisted feature frame
+    // (3 gradient sums + loss + accuracy in a single pass); weights are
+    // a 3-number driver scalar between steps — the per-iteration
+    // convergence-scalar pattern (7 bounded collects). Cross-engine
+    // determinism follows the text_drift_psi rounding law: sigmoids
+    // round to 8dp then clamp to [1e-8, 1-1e-8] (log-loss never sees
+    // ln(0)), per-doc gradient/loss terms are 6dp exact decimals summed
+    // exactly, weight updates round to 6dp, readouts to 4dp. Output:
+    // one row per step (0 = init) with the weights AFTER that many
+    // updates and loss/accuracy AT those weights — the gate pins the
+    // whole optimization trajectory, not just the final model (loss
+    // falls 0.693 → ~0.35 at every SF; accuracy reports the honest
+    // base-rate story on this 86/14-imbalanced rule). SCALE: at 100 TB
+    // each step is still one aggregate (the shuffle carries 6 numbers
+    // per partition); steps are sequential by nature, state is 3
+    // doubles.
+    QueryDef.sql(
+      "text_logreg_train", {
+        val swIn = stopwords.map(w => s"'$w'").mkString(", ")
+        def evalCte(i: Int): String =
+          s"""e$i AS (
+            |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |    CAST(SUM(t0) AS DOUBLE) AS g0,
+            |    CAST(SUM(t1) AS DOUBLE) AS g1,
+            |    CAST(SUM(t2) AS DOUBLE) AS g2,
+            |    round(CAST(SUM(lt) AS DOUBLE) / COUNT(*), 4) AS loss,
+            |    ${halfUp4Sql("SUM(at)", "COUNT(*)")} AS acc
+            |  FROM (
+            |    SELECT y,
+            |      CAST(round((y - sig) * 1.0, 6) AS DECIMAL(18,6)) AS t0,
+            |      CAST(round((y - sig) * x1, 6) AS DECIMAL(18,6)) AS t1,
+            |      CAST(round((y - sig) * x2, 6) AS DECIMAL(18,6)) AS t2,
+            |      CAST(round(-(y * ln(sig) + (1 - y) * ln(1 - sig)), 6)
+            |        AS DECIMAL(18,6)) AS lt,
+            |      CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END AS at
+            |    FROM (
+            |      SELECT y, x1, x2, z,
+            |        least(greatest(round(1 / (1 + exp(-z)), 8),
+            |          0.00000001), 0.99999999) AS sig
+            |      FROM (
+            |        SELECT y, x1, x2, w0 + w1 * x1 + w2 * x2 AS z
+            |        FROM fc, s$i))))""".stripMargin
+        def stepCte(i: Int): String =
+          s"""s${i + 1} AS (
+            |  SELECT round(w0 + 8.0 * g0 / n, 6) AS w0,
+            |    round(w1 + 8.0 * g1 / n, 6) AS w1,
+            |    round(w2 + 8.0 * g2 / n, 6) AS w2
+            |  FROM s$i, e$i)""".stripMargin
+        val ctes = (0 to 6).map(evalCte) ++ (0 to 5).map(stepCte)
+        val rows = (0 to 6).map(i =>
+          s"SELECT $i AS step, s$i.w0, s$i.w1, s$i.w2, e$i.loss, " +
+            s"e$i.acc FROM s$i, e$i")
+        s"""WITH wc AS (
+          |  SELECT doc_id, word, COUNT(*) AS cnt
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          |        FROM documents)
+          |  GROUP BY doc_id, word),
+          |f AS (
+          |  SELECT doc_id,
+          |    (2 * SUM(CASE WHEN word IN ($swIn) THEN cnt ELSE 0 END)
+          |       * 10000 + SUM(cnt)) // (2 * SUM(cnt)) AS x1i,
+          |    (2 * COUNT(*) * 10000 + SUM(cnt)) // (2 * SUM(cnt)) AS x2i,
+          |    CAST(SUM(cnt) >= 20
+          |      AND CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) < 0.2
+          |      AND CAST(COUNT(*) AS DOUBLE) / SUM(cnt) > 0.2
+          |      AND SUM(CASE WHEN word IN ($swIn) THEN cnt ELSE 0 END) > 0
+          |      AS INTEGER) AS y
+          |  FROM wc GROUP BY doc_id),
+          |m AS (
+          |  SELECT (2 * SUM(x1i) + COUNT(*)) // (2 * COUNT(*)) AS m1,
+          |    (2 * SUM(x2i) + COUNT(*)) // (2 * COUNT(*)) AS m2
+          |  FROM f),
+          |fc AS (
+          |  SELECT y, CAST(x1i - m1 AS DOUBLE) / 10000.0 AS x1,
+          |    CAST(x2i - m2 AS DOUBLE) / 10000.0 AS x2
+          |  FROM f, m),
+          |s0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+          |${ctes.mkString(",\n")}
+          |${rows.mkString("\nUNION ALL ")}
+          |ORDER BY step""".stripMargin
+      }) { (s, d) =>
+      val sws = stopwords
+      val wc = Tables.documentsPar(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val sums = wc.groupBy("doc_id").agg(
+        sum(when(col("word").isin(sws: _*), col("cnt")).otherwise(0L))
+          .as("swc"),
+        count(lit(1)).as("dn"), sum("cnt").as("n"), max("cnt").as("mx"))
+      // exact integer half-up ratios ×1e4 (the halfUp4 integer form)
+      val rawF = sums.select(
+        expr("(2 * swc * 10000 + n) div (2 * n)").cast("bigint").as("x1i"),
+        expr("(2 * dn * 10000 + n) div (2 * n)").cast("bigint").as("x2i"),
+        (col("n") >= 20 &&
+          col("mx").cast("double") / col("n") < 0.2 &&
+          col("dn").cast("double") / col("n") > 0.2 &&
+          col("swc") > 0).cast("int").as("y"))
+      // integer half-up means for centering: one bounded collect
+      val mRow = rawF.agg(
+        expr("(2 * sum(x1i) + count(1)) div (2 * count(1))")
+          .cast("bigint").as("m1"),
+        expr("(2 * sum(x2i) + count(1)) div (2 * count(1))")
+          .cast("bigint").as("m2")).collect()(0)
+      val (m1, m2) = (mRow.getAs[Long]("m1"), mRow.getAs[Long]("m2"))
+      val f = graft.CacheRegistry.register(rawF
+        .select(col("y"),
+          ((col("x1i") - m1).cast("double") / 10000.0).as("x1"),
+          ((col("x2i") - m2).cast("double") / 10000.0).as("x2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      def round6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var w = Array(0.0, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Double, Double, Double, Double, Double)]
+      (0 to 6).foreach { step =>
+        val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+        val sig = least(greatest(
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 8), lit(0.00000001)),
+          lit(0.99999999))
+        def t(x: Column) =
+          round((col("y") - sig) * x, 6).cast("decimal(18,6)")
+        val lt = round(-(col("y") * log(sig) +
+          (lit(1) - col("y")) * log(lit(1.0) - sig)), 6)
+          .cast("decimal(18,6)")
+        val at = ((z >= 0) === (col("y") === 1)).cast("int")
+        // ONE pass per step: gradient sums + loss + accuracy together
+        // (a 1-row convergence aggregate, collected — 7 bounded rounds)
+        val r = f.select(t(lit(1.0)).as("t0"), t(col("x1")).as("t1"),
+            t(col("x2")).as("t2"), lt.as("lt"), at.as("at"))
+          .agg(count(lit(1)).as("n"),
+            sum("t0").cast("double").as("g0"),
+            sum("t1").cast("double").as("g1"),
+            sum("t2").cast("double").as("g2"),
+            round(sum("lt").cast("double") / count(lit(1)), 4).as("loss"),
+            sum("at").cast("bigint").as("ca"))
+          .collect()(0)
+        val n = r.getAs[Long]("n")
+        // accuracy via the exact halfUp4 integer form
+        val acc = ((2L * r.getAs[Long]("ca") * 10000L + n) / (2L * n))
+          .toDouble / 10000
+        out += ((step, w(0), w(1), w(2), r.getAs[Double]("loss"), acc))
+        if (step < 6) {
+          w = Array(
+            round6(w(0) + 8.0 * r.getAs[Double]("g0") / n),
+            round6(w(1) + 8.0 * r.getAs[Double]("g1") / n),
+            round6(w(2) + 8.0 * r.getAs[Double]("g2") / n))
+        }
+      }
+      import s.implicits._
+      out.toSeq.toDF("step", "w0", "w1", "w2", "loss", "acc")
+        .orderBy("step")
+    },
+
     // Hashed linear quality classifier (fasttext-style): each token is
     // hashed into one of 64 buckets, a fixed md5-seeded integer weight
     // per bucket is summed exactly, and the mean margin goes through a

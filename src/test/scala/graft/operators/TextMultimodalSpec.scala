@@ -284,6 +284,32 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("logreg training: loss falls every step from the exact null model") {
+    val rows = graft.SparkEntry.queries("text_logreg_train")(spark, sf0001)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 7)
+    // step 0 is the null model: zero weights, loss = -ln(0.5) at 4dp
+    val r0 = rows.head
+    assert(r0.getDouble(1) == 0.0 && r0.getDouble(2) == 0.0 &&
+      r0.getDouble(3) == 0.0)
+    assert(r0.getDouble(4) == 0.6931)
+    // full-batch GD at this rate must descend MONOTONICALLY — an
+    // oscillating trajectory means the step size or rounding broke
+    val losses = rows.map(_.getDouble(4)).toSeq
+    assert(losses.zip(losses.tail).forall { case (a, b) => b < a },
+      s"loss not strictly decreasing: $losses")
+    // label parity with the gated gopher rule: the null model predicts
+    // keep=1 for everything, so step-0 accuracy IS the keep base rate
+    val keep = graft.SparkEntry.queries("text_gopher_quality")(
+      spark, sf0001).collect().map(_.getAs[Int]("keep"))
+    val n = keep.length.toLong
+    val base = ((2L * keep.count(_ == 1) * 10000L + n) / (2L * n))
+      .toDouble / 10000
+    assert(r0.getDouble(5) == base)
+    // and training never does worse than always-keep
+    assert(rows.forall(_.getDouble(5) >= base))
+  }
+
   test("audio VAD: segments are exactly the contiguous runs of active " +
       "windows") {
     val wins = graft.SparkEntry.queries("mm_audio_energy")(spark, sf0001)
