@@ -90,7 +90,7 @@ object Bench {
     // tuning curve, and group-sequential OBF monitoring
     "sim_binary_quantize", "sim_ivf_recall_sweep", "q_gst_obrien_fleming",
     "text_code_detect", "sim_filtered_ann", "mm_audio_vad",
-    "text_logreg_train",
+    "text_logreg_train", "q_did_event_study",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.

@@ -81,6 +81,8 @@ object PlanContract {
     "q_decay_ltv" -> ((1, OneRow)),
     "q_decile_lift" -> ((2, BoundedWindow)),
     "q_did_lift" -> ((2, OneRow)),
+    // the 1-row date anchor + the 1-row pooled pre-gap baseline
+    "q_did_event_study" -> ((2, OneRow)),
     "q_ece" -> ((1, OneRow)),
     "q_equidepth_histogram" -> ((2, BoundedWindow)),
     "q_ewma_forecast" -> ((1, BoundedWindow)),

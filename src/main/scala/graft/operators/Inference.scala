@@ -454,6 +454,84 @@ object Inference {
           .as("t_stat"))
     },
 
+    // EVENT-STUDY difference-in-differences (r15): q_did_lift's 2×2
+    // collapses time — this is the per-period version every serious
+    // rollout analysis runs instead, because the PRE-period effects are
+    // the identifying-assumption check (parallel pre-trends ⇒ effects
+    // ≈ 0 before the cutover) and the post-period path shows effect
+    // dynamics, not one pooled number. Same fixture conventions as
+    // q_did_lift (treat = even user_id, cutover = corpus-midpoint day);
+    // periods are relative weeks via floor((day − cut)/7) — floor, not
+    // truncate, so pre weeks bucket correctly on both engines. Effect_k
+    // = (mean_t,k − mean_c,k) − pre_gap, where pre_gap is the pooled
+    // pre-period treated−control gap (the baseline differenced out).
+    // Exact decimal sums; 4dp readouts. SCALE: one map-side-combined
+    // conditional aggregate keyed by rel_week (calendar-bounded frame)
+    // + a 1-row broadcast baseline; the anchor is the q_did_lift 1-row
+    // min/max frame.
+    QueryDef.sql(
+      "q_did_event_study",
+      """WITH anchor AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS mn, MAX(CAST(ts AS DATE)) AS mx
+        |  FROM events WHERE event_type = 'purchase'),
+        |flagged AS (
+        |  SELECT CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+        |      AS INTEGER) AS treat,
+        |    CAST(floor((CAST(ts AS DATE)
+        |        - (a.mn + CAST((a.mx - a.mn) // 2 AS INTEGER))) / 7.0)
+        |      AS INTEGER) AS rel_week,
+        |    value
+        |  FROM events CROSS JOIN anchor a
+        |  WHERE event_type = 'purchase'),
+        |wk AS (
+        |  SELECT rel_week,
+        |    CAST(COUNT(*) FILTER (treat = 1) AS BIGINT) AS n_t,
+        |    CAST(COUNT(*) FILTER (treat = 0) AS BIGINT) AS n_c,
+        |    SUM(CAST(value AS DECIMAL(18,2))) FILTER (treat = 1) AS s_t,
+        |    SUM(CAST(value AS DECIMAL(18,2))) FILTER (treat = 0) AS s_c
+        |  FROM flagged GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(SUM(s_t) AS DOUBLE) / SUM(n_t)
+        |       - CAST(SUM(s_c) AS DOUBLE) / SUM(n_c) AS pre_gap
+        |  FROM wk WHERE rel_week < 0)
+        |SELECT w.rel_week, w.n_t, w.n_c,
+        |  round(CAST(w.s_t AS DOUBLE) / w.n_t, 4) AS mean_t,
+        |  round(CAST(w.s_c AS DOUBLE) / w.n_c, 4) AS mean_c,
+        |  round((CAST(w.s_t AS DOUBLE) / w.n_t
+        |      - CAST(w.s_c AS DOUBLE) / w.n_c) - b.pre_gap, 4) AS effect
+        |FROM wk w, base b ORDER BY w.rel_week""".stripMargin) { (s, d) =>
+      val purch = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+      val anchor = purch.agg(min(to_date(col("ts"))).as("mn"),
+        max(to_date(col("ts"))).as("mx"))
+      val vdec = col("value").cast("decimal(18,2)")
+      val flagged = purch.crossJoin(broadcast(anchor))
+        .select(
+          when(col("user_id") % 2 === 0, 1).otherwise(0).cast("int")
+            .as("treat"),
+          floor(datediff(to_date(col("ts")), date_add(col("mn"),
+            (datediff(col("mx"), col("mn")) / 2).cast("int"))) / 7.0)
+            .cast("int").as("rel_week"),
+          col("value"))
+      val wk = graft.CacheRegistry.register(flagged.groupBy("rel_week")
+        .agg(count(when(col("treat") === 1, 1)).as("n_t"),
+          count(when(col("treat") === 0, 1)).as("n_c"),
+          sum(when(col("treat") === 1, vdec)).as("s_t"),
+          sum(when(col("treat") === 0, vdec)).as("s_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val base = wk.filter(col("rel_week") < 0)
+        .agg((sum("s_t").cast("double") / sum("n_t")
+          - sum("s_c").cast("double") / sum("n_c")).as("pre_gap"))
+      val gap = col("s_t").cast("double") / col("n_t") -
+        col("s_c").cast("double") / col("n_c")
+      wk.crossJoin(broadcast(base))
+        .select(col("rel_week"), col("n_t"), col("n_c"),
+          round(col("s_t").cast("double") / col("n_t"), 4).as("mean_t"),
+          round(col("s_c").cast("double") / col("n_c"), 4).as("mean_c"),
+          round(gap - col("pre_gap"), 4).as("effect"))
+        .orderBy("rel_week")
+    },
+
     // ------------------------------------------------------------------
     // Split-conformal prediction interval for the daily-revenue trend:
     // fit OLS on the even-day split, take the ⌈0.9(n+1)⌉-th smallest

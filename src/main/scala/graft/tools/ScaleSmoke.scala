@@ -144,7 +144,12 @@ object ScaleSmoke {
       // r15 wave (r14 verdict ask #4): the CDF-maintained IVF index —
       // per-commit assignment kernels + cell-partitioned appends compose
       // the IVF cell caps, the exact class the tiers exist for
-      "connector_ivf_ingest")
+      "connector_ivf_ingest",
+      // r15 second wave: the CDF-maintained LSH dedup index (per-commit
+      // touched-bucket probe joins compose the LSH caps; the 10x corpus
+      // has exact-dup cliques by construction), and the label-filtered
+      // IVF serve over the replicated embedding corpus
+      "connector_dedup_ingest", "sim_filtered_ann")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies

@@ -44,6 +44,38 @@ class InferenceSpec extends SparkTestBase {
     assert(armSum == purchases)
   }
 
+  test("q_did_event_study: weeks partition the purchases; pooled pre " +
+      "effect is zero; 2x2 consistency with q_did_lift") {
+    import org.apache.spark.sql.functions.col
+    val rows = run("q_did_event_study").sortBy(_.getAs[Int]("rel_week"))
+    val purchases = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).sum
+      == purchases)
+    // relative weeks are contiguous and span the cutover
+    val wks = rows.map(_.getAs[Int]("rel_week")).toSeq
+    assert(wks == (wks.min to wks.max) && wks.min < 0 && wks.max >= 0)
+    // reconstruct pre_gap from the emitted (4dp-rounded) means and
+    // check every effect is that week's gap minus it — the differencing
+    // identity the estimator is built on (tolerance = rounding only)
+    val pre = rows.filter(_.getAs[Int]("rel_week") < 0)
+    assert(pre.nonEmpty)
+    val preGap =
+      pre.map(r => r.getAs[Double]("mean_t") * r.getAs[Long]("n_t")).sum /
+        pre.map(_.getAs[Long]("n_t")).sum -
+      pre.map(r => r.getAs[Double]("mean_c") * r.getAs[Long]("n_c")).sum /
+        pre.map(_.getAs[Long]("n_c")).sum
+    rows.foreach { r =>
+      val gap = r.getAs[Double]("mean_t") - r.getAs[Double]("mean_c")
+      assert(math.abs(r.getAs[Double]("effect") - (gap - preGap)) < 5e-3,
+        s"week ${r.getAs[Int]("rel_week")} effect != gap - pre_gap")
+    }
+    // and therefore the n_t-weighted pre effects straddle zero
+    val effPre = pre.map(_.getAs[Double]("effect"))
+    assert(effPre.min <= 5e-3 && effPre.max >= -5e-3,
+      s"pre effects one-sided: ${effPre.toSeq}")
+  }
+
   test("q_conformal_interval: calibration coverage is >= the 90% target") {
     val r = run("q_conformal_interval").head
     assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_calib") > 0)
