@@ -90,7 +90,8 @@ object Bench {
     // tuning curve, and group-sequential OBF monitoring
     "sim_binary_quantize", "sim_ivf_recall_sweep", "q_gst_obrien_fleming",
     "text_code_detect", "sim_filtered_ann", "mm_audio_vad",
-    "text_logreg_train", "q_did_event_study",
+    "text_logreg_train", "q_did_event_study", "q_smd_balance",
+    "text_garbled_detect", "graph_clustering_coeff",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.
@@ -160,6 +161,10 @@ object Bench {
     // same class: per-commit 5-row PSI fold (the quality classifier it
     // scores with is timed by text_quality_classifier's headline row)
     "connector_cdf_drift_monitor",
+    // metadata-only by construction (LocalTableScan, zero parquet bytes
+    // — the meta_only_ok plan cert under the gate proves it); timing a
+    // driver-local row emit measures the harness, not the engine
+    "connector_count_pushdown",
     "connector_changes_by_time", "connector_events_window",
     "connector_join_agg", "connector_nested_types",
     "connector_partition_values", "connector_snapshot_diff",

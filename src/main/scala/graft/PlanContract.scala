@@ -73,6 +73,8 @@ object PlanContract {
     "q_conformal_interval" -> ((3, OneRow)),
     "q_count_distinct" -> ((1, OneRow)),
     "q_cuped" -> ((2, OneRow)),
+    // raw-moment + weighted-term 1-row aggs, re-derived per union branch
+    "q_smd_balance" -> ((5, OneRow)),
     // ≤|days| calendar frame (row_number + dcnt) collapsed to 5 looks
     "q_gst_obrien_fleming" -> ((1, BoundedWindow)),
     "q_curation_pipeline" -> ((3, OneRow)),
@@ -169,7 +171,10 @@ object PlanContract {
     * plans (single-sourced with PlanAudit). */
   def auditSet: Seq[String] =
     Bench.headline ++ Seq("connector_filter_pushdown",
-      "connector_partition_values")
+      "connector_partition_values",
+      // the metadata-only COUNT: its audited evidence is the ABSENCE of
+      // any scan exchange (LocalTableScan over pre-computed agg rows)
+      "connector_count_pushdown")
 
   /** Check one query's formatted plan text against the contract.
     * Returns a violation message, or None when in contract. */

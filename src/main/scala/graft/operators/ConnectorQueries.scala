@@ -462,6 +462,50 @@ object ConnectorQueries {
         .orderBy("o_orderpriority")
     },
 
+    // METADATA-ONLY COUNT pushdown (r15; GraftScanBuilder
+    // SupportsPushDownAggregates): COUNT(*) / COUNT(col) grouped by the
+    // partition column are answered from the file listing's
+    // stats.numRecords + partitionValues — the scan plans as
+    // LocalTableScan and reads ZERO parquet bytes. meta_only_ok is a
+    // plan cert: 1 iff BOTH the grouped and the global count compiled
+    // to a parquet-free local scan (the oracle hardcodes 1, so a
+    // regression to a real scan fails the gate even though the counts
+    // would still match). The reference parses stats and discards them
+    // (src/client/action.rs:180-183) — at 100 TB this is the difference
+    // between one metadata POST and a full-table network read.
+    QueryDef.sql(
+      "connector_count_pushdown",
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(o_orderkey) AS BIGINT) AS n_keys,
+        |    CAST(1 AS INTEGER) AS meta_only_ok
+        |  FROM orders GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(o_orderkey) AS BIGINT), CAST(1 AS INTEGER)
+        |  FROM orders)
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      stage(s, d)
+      val t = s.read.format("graft-sharing")
+        .load(s"${profileFor(s, d)}#graft.main.orders_part")
+      val grouped = t.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_keys"))
+      val total = t.agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_keys"))
+        .select(lit("ALL").as("o_orderpriority"), col("n_rows"), col("n_keys"))
+      // plan cert: a pushed count contains a LocalTableScan and NO
+      // parquet/batch scan node anywhere in the executed plan
+      def metaOnly(df: org.apache.spark.sql.DataFrame): Boolean = {
+        val p = df.queryExecution.executedPlan.toString
+        p.contains("LocalTableScan") && !p.contains("BatchScan") &&
+          !p.toLowerCase.contains("parquet")
+      }
+      val ok = metaOnly(grouped) && metaOnly(total)
+      grouped.unionAll(total)
+        .withColumn("meta_only_ok", lit(if (ok) 1 else 0))
+        .orderBy("o_orderpriority")
+    },
+
     // Stats-based file skipping under the gate: orders sliced into four
     // disjoint o_orderkey ranges, each file carrying min/max stats; the
     // pushed key predicate prunes whole files (server-side on the hint,

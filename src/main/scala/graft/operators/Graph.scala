@@ -489,6 +489,81 @@ object Graph {
       e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     },
 
+    // Local clustering coefficient per node (r15): lcc(v) = 2·tri(v) /
+    // (deg(v)·(deg(v)−1)) on the SAME thresholded similarity graph as
+    // graph_triangles — the node-level community-density readout (which
+    // suppliers sit inside tight cliques vs bridge between them). Each
+    // triangle from the ordered wedge-close join contributes its three
+    // vertices to a per-node count; degrees come from the symmetrized
+    // edge list. SCALE: identical capped machinery as graph_triangles;
+    // the per-vertex explode is 3 rows per triangle (triangle-bounded,
+    // never degree-squared), and both count aggregates are
+    // map-side-combined node-keyed shuffles.
+    QueryDef.sql(
+      "graph_clustering_coeff",
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cdeg AS MATERIALIZED (SELECT cust, COUNT(*) AS cdeg FROM pairs GROUP BY cust),
+        |sdeg AS MATERIALIZED (SELECT supp, COUNT(*) AS sdeg FROM pairs GROUP BY supp),
+        |small AS MATERIALIZED (
+        |  SELECT p.cust, p.supp FROM pairs p
+        |  JOIN cdeg USING (cust) WHERE cdeg <= 64),
+        |common AS MATERIALIZED (
+        |  SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
+        |  FROM small a JOIN small b
+        |    ON a.cust = b.cust AND a.supp < b.supp
+        |  GROUP BY a.supp, b.supp),
+        |e AS MATERIALIZED (
+        |  SELECT sa, sb FROM common
+        |  JOIN sdeg da ON common.sa = da.supp
+        |  JOIN sdeg db ON common.sb = db.supp
+        |  WHERE round(CAST(common AS DOUBLE)
+        |    / (da.sdeg + db.sdeg - common), 4) >= 0.22),
+        |tr AS MATERIALIZED (
+        |  SELECT ab.sa AS a, ab.sb AS b, bc.sb AS c
+        |  FROM e ab JOIN e bc ON ab.sb = bc.sa
+        |  JOIN e ac ON ac.sa = ab.sa AND ac.sb = bc.sb),
+        |tcnt AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS node FROM tr
+        |    UNION ALL SELECT b AS node FROM tr
+        |    UNION ALL SELECT c AS node FROM tr) GROUP BY node),
+        |u AS (SELECT sa AS node FROM e UNION ALL SELECT sb AS node FROM e),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM u GROUP BY node)
+        |SELECT d.node AS node, d.deg, COALESCE(t.tri, 0) AS tri,
+        |  round(CAST(2 * COALESCE(t.tri, 0) AS DOUBLE)
+        |    / (d.deg * (d.deg - 1)), 4) AS lcc
+        |FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+        |WHERE d.deg >= 2
+        |ORDER BY lcc DESC, d.node LIMIT 20""".stripMargin) { (s, d) =>
+      val e = CacheRegistry.register(
+        commonNeighborPairs(s, d, maxDeg = 64)
+          .filter(col("jaccard") >= 0.22).select("sa", "sb")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      val tr = e.as("ab")
+        .join(e.as("bc"), col("ab.sb") === col("bc.sa"))
+        .join(e.as("ac"),
+          col("ac.sa") === col("ab.sa") && col("ac.sb") === col("bc.sb"))
+        .select(col("ab.sa").as("a"), col("ab.sb").as("b"),
+          col("bc.sb").as("c"))
+      val tcnt = tr.select(col("a").as("node"))
+        .unionAll(tr.select(col("b").as("node")))
+        .unionAll(tr.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).cast("bigint").as("tri"))
+      val deg = e.select(col("sa").as("node"))
+        .unionAll(e.select(col("sb").as("node")))
+        .groupBy("node").agg(count(lit(1)).cast("bigint").as("deg"))
+      deg.join(tcnt, Seq("node"), "left")
+        .withColumn("tri", coalesce(col("tri"), lit(0L)))
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"), col("tri"),
+          round((col("tri") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)), 4).as("lcc"))
+        .orderBy(desc("lcc"), col("node")).limit(20)
+    },
+
     // Community detection by synchronous min-label propagation, 3
     // exactly-unrolled rounds over the SAME thresholded similarity graph
     // (shared frame — no third orders⋈lineitem scan). Each round is one

@@ -1016,6 +1016,176 @@ object Inference {
     },
 
     // ------------------------------------------------------------------
+    // Covariate-balance audit for the stratified-IPW estimate (r15; the
+    // q_ipw_ate companion every causal pipeline runs BEFORE trusting the
+    // estimate): standardized mean difference (SMD) of each pre-period
+    // covariate between arms, raw and under the same x-strata ATE
+    // weights — |SMD| ≤ 0.25 is the conventional "balanced" read. The
+    // pooled-SD denominator is fixed at the RAW arm SDs (standard
+    // practice: weighting moves means, the yardstick stays baseline).
+    // DETERMINISM: raw moments are exact decimal/integer sums (x·x
+    // bridged to BIGINT like q_cuped); weighted sums are per-stratum
+    // halfUp6 DECIMAL(28,6) terms (the q_ipw_ate law); every double
+    // derives from those exact inputs through an identical expression
+    // tree, so both engines agree bit-for-bit. Zero-variance covariates
+    // yield NULL SMDs (guarded on both engines) rather than ±inf.
+    // SCALE: one conditional aggregate for raw moments + one bin-keyed
+    // map-side-combined aggregate for the weighted terms; everything
+    // downstream is 1-row frames.
+    QueryDef.sql(
+      "q_smd_balance",
+      s"""WITH $prePostSql,
+        |binned AS (
+        |  SELECT CAST(floor(x / 100) AS BIGINT) AS bin, treat, x,
+        |    CAST(x > 0 AS INTEGER) AS act
+        |  FROM byuser),
+        |raw AS (
+        |  SELECT
+        |    CAST(COUNT(*) FILTER (treat = 1) AS BIGINT) AS n_t,
+        |    CAST(COUNT(*) FILTER (treat = 0) AS BIGINT) AS n_c,
+        |    SUM(x) FILTER (treat = 1) AS sx_t,
+        |    SUM(x) FILTER (treat = 0) AS sx_c,
+        |    ${bridgeSql("SUM(x * x) FILTER (treat = 1)")} AS sxx_t,
+        |    ${bridgeSql("SUM(x * x) FILTER (treat = 0)")} AS sxx_c,
+        |    CAST(SUM(act) FILTER (treat = 1) AS BIGINT) AS sa_t,
+        |    CAST(SUM(act) FILTER (treat = 0) AS BIGINT) AS sa_c
+        |  FROM binned),
+        |cells AS (
+        |  SELECT bin,
+        |    CAST(COUNT(*) FILTER (treat = 1) AS BIGINT) AS bn_t,
+        |    CAST(COUNT(*) FILTER (treat = 0) AS BIGINT) AS bn_c,
+        |    SUM(x) FILTER (treat = 1) AS bsx_t,
+        |    SUM(x) FILTER (treat = 0) AS bsx_c,
+        |    CAST(SUM(act) FILTER (treat = 1) AS BIGINT) AS bsa_t,
+        |    CAST(SUM(act) FILTER (treat = 0) AS BIGINT) AS bsa_c
+        |  FROM binned GROUP BY bin),
+        |w AS (
+        |  SELECT CAST(SUM(bn_t + bn_c) AS BIGINT) AS m,
+        |    SUM(CAST(round(CAST(bsx_t AS DOUBLE) * (bn_t + bn_c) / bn_t, 6)
+        |      AS DECIMAL(28,6))) AS wsx_t,
+        |    SUM(CAST(round(CAST(bsx_c AS DOUBLE) * (bn_t + bn_c) / bn_c, 6)
+        |      AS DECIMAL(28,6))) AS wsx_c,
+        |    SUM(CAST(round(CAST(bsa_t AS DOUBLE) * (bn_t + bn_c) / bn_t, 6)
+        |      AS DECIMAL(28,6))) AS wsa_t,
+        |    SUM(CAST(round(CAST(bsa_c AS DOUBLE) * (bn_t + bn_c) / bn_c, 6)
+        |      AS DECIMAL(28,6))) AS wsa_c
+        |  FROM cells WHERE bn_t > 0 AND bn_c > 0),
+        |d AS (
+        |  SELECT r.n_t, r.n_c, w.m,
+        |    CAST(r.sx_t AS DOUBLE) / r.n_t AS mean_t,
+        |    CAST(r.sx_c AS DOUBLE) / r.n_c AS mean_c,
+        |    (r.sxx_t - CAST(r.sx_t AS DOUBLE) * CAST(r.sx_t AS DOUBLE)
+        |      / r.n_t) / (r.n_t - 1) AS var_t,
+        |    (r.sxx_c - CAST(r.sx_c AS DOUBLE) * CAST(r.sx_c AS DOUBLE)
+        |      / r.n_c) / (r.n_c - 1) AS var_c,
+        |    CAST(r.sa_t AS DOUBLE) / r.n_t AS amean_t,
+        |    CAST(r.sa_c AS DOUBLE) / r.n_c AS amean_c,
+        |    (CAST(r.sa_t AS DOUBLE) - CAST(r.sa_t AS DOUBLE)
+        |      * CAST(r.sa_t AS DOUBLE) / r.n_t) / (r.n_t - 1) AS avar_t,
+        |    (CAST(r.sa_c AS DOUBLE) - CAST(r.sa_c AS DOUBLE)
+        |      * CAST(r.sa_c AS DOUBLE) / r.n_c) / (r.n_c - 1) AS avar_c,
+        |    CAST(w.wsx_t AS DOUBLE) / w.m AS wmean_t,
+        |    CAST(w.wsx_c AS DOUBLE) / w.m AS wmean_c,
+        |    CAST(w.wsa_t AS DOUBLE) / w.m AS wamean_t,
+        |    CAST(w.wsa_c AS DOUBLE) / w.m AS wamean_c
+        |  FROM raw r CROSS JOIN w)
+        |SELECT * FROM (
+        |  SELECT 'pre_spend' AS covariate, n_t, n_c, m,
+        |    round(mean_t, 4) AS mean_raw_t, round(mean_c, 4) AS mean_raw_c,
+        |    CASE WHEN (var_t + var_c) / 2 > 0
+        |      THEN round(sqrt((var_t + var_c) / 2), 4) END AS sd_pool,
+        |    CASE WHEN (var_t + var_c) / 2 > 0 THEN round((mean_t - mean_c)
+        |      / sqrt((var_t + var_c) / 2), 4) END AS smd_raw,
+        |    CASE WHEN (var_t + var_c) / 2 > 0 THEN round((wmean_t - wmean_c)
+        |      / sqrt((var_t + var_c) / 2), 4) END AS smd_ipw
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'pre_active', n_t, n_c, m,
+        |    round(amean_t, 4), round(amean_c, 4),
+        |    CASE WHEN (avar_t + avar_c) / 2 > 0
+        |      THEN round(sqrt((avar_t + avar_c) / 2), 4) END,
+        |    CASE WHEN (avar_t + avar_c) / 2 > 0 THEN round((amean_t - amean_c)
+        |      / sqrt((avar_t + avar_c) / 2), 4) END,
+        |    CASE WHEN (avar_t + avar_c) / 2 > 0 THEN round((wamean_t - wamean_c)
+        |      / sqrt((avar_t + avar_c) / 2), 4) END
+        |  FROM d)
+        |ORDER BY covariate""".stripMargin) { (s, d) =>
+      val binned = prePost(s, d)
+        .select(floor(col("x") / lit(100)).cast("bigint").as("bin"),
+          col("treat"), col("x"), (col("x") > 0).cast("int").as("act"))
+      def bridge(c: org.apache.spark.sql.Column) =
+        round(c, 0).cast("long").cast("double")
+      val raw = binned.agg(
+        count(when(col("treat") === 1, 1)).as("n_t"),
+        count(when(col("treat") === 0, 1)).as("n_c"),
+        sum(when(col("treat") === 1, col("x"))).as("sx_t"),
+        sum(when(col("treat") === 0, col("x"))).as("sx_c"),
+        bridge(sum(when(col("treat") === 1, col("x") * col("x"))))
+          .as("sxx_t"),
+        bridge(sum(when(col("treat") === 0, col("x") * col("x"))))
+          .as("sxx_c"),
+        sum(when(col("treat") === 1, col("act"))).cast("bigint").as("sa_t"),
+        sum(when(col("treat") === 0, col("act"))).cast("bigint").as("sa_c"))
+      val cells = binned.groupBy("bin").agg(
+        count(when(col("treat") === 1, 1)).as("bn_t"),
+        count(when(col("treat") === 0, 1)).as("bn_c"),
+        sum(when(col("treat") === 1, col("x"))).as("bsx_t"),
+        sum(when(col("treat") === 0, col("x"))).as("bsx_c"),
+        sum(when(col("treat") === 1, col("act"))).cast("bigint").as("bsa_t"),
+        sum(when(col("treat") === 0, col("act"))).cast("bigint").as("bsa_c"))
+      val bn = col("bn_t") + col("bn_c")
+      def wterm(s0: String, den: String) =
+        sum(round(col(s0).cast("double") * bn / col(den), 6)
+          .cast("decimal(28,6)"))
+      val w = cells.filter(col("bn_t") > 0 && col("bn_c") > 0).agg(
+        sum(bn).cast("bigint").as("m"),
+        wterm("bsx_t", "bn_t").as("wsx_t"),
+        wterm("bsx_c", "bn_c").as("wsx_c"),
+        wterm("bsa_t", "bn_t").as("wsa_t"),
+        wterm("bsa_c", "bn_c").as("wsa_c"))
+      val d2 = raw.crossJoin(broadcast(w)).select(
+        col("n_t"), col("n_c"), col("m"),
+        (col("sx_t").cast("double") / col("n_t")).as("mean_t"),
+        (col("sx_c").cast("double") / col("n_c")).as("mean_c"),
+        ((col("sxx_t") - col("sx_t").cast("double") *
+          col("sx_t").cast("double") / col("n_t")) / (col("n_t") - 1))
+          .as("var_t"),
+        ((col("sxx_c") - col("sx_c").cast("double") *
+          col("sx_c").cast("double") / col("n_c")) / (col("n_c") - 1))
+          .as("var_c"),
+        (col("sa_t").cast("double") / col("n_t")).as("amean_t"),
+        (col("sa_c").cast("double") / col("n_c")).as("amean_c"),
+        ((col("sa_t").cast("double") - col("sa_t").cast("double") *
+          col("sa_t").cast("double") / col("n_t")) / (col("n_t") - 1))
+          .as("avar_t"),
+        ((col("sa_c").cast("double") - col("sa_c").cast("double") *
+          col("sa_c").cast("double") / col("n_c")) / (col("n_c") - 1))
+          .as("avar_c"),
+        (col("wsx_t").cast("double") / col("m")).as("wmean_t"),
+        (col("wsx_c").cast("double") / col("m")).as("wmean_c"),
+        (col("wsa_t").cast("double") / col("m")).as("wamean_t"),
+        (col("wsa_c").cast("double") / col("m")).as("wamean_c"))
+      def smdRow(label: String, mt: String, mc: String, vt: String,
+          vc: String, wmt: String, wmc: String) = {
+        val sd2 = (col(vt) + col(vc)) / 2
+        d2.select(lit(label).as("covariate"), col("n_t"), col("n_c"),
+          col("m"),
+          round(col(mt), 4).as("mean_raw_t"),
+          round(col(mc), 4).as("mean_raw_c"),
+          when(sd2 > 0, round(sqrt(sd2), 4)).as("sd_pool"),
+          when(sd2 > 0, round((col(mt) - col(mc)) / sqrt(sd2), 4))
+            .as("smd_raw"),
+          when(sd2 > 0, round((col(wmt) - col(wmc)) / sqrt(sd2), 4))
+            .as("smd_ipw"))
+      }
+      smdRow("pre_spend", "mean_t", "mean_c", "var_t", "var_c",
+          "wmean_t", "wmean_c")
+        .unionAll(smdRow("pre_active", "amean_t", "amean_c", "avar_t",
+          "avar_c", "wamean_t", "wamean_c"))
+        .orderBy("covariate")
+    },
+
+    // ------------------------------------------------------------------
     // Power analysis for the treated-vs-control purchase comparison:
     // the minimum detectable effect at α=0.05 / power=0.8 given the
     // observed arm variances, and the per-arm n required to detect a 5%

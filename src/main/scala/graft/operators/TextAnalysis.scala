@@ -327,6 +327,24 @@ object TextAnalysis {
       "the quick brown fox jumps over the lazy dog and wanders far " +
         "away into the quiet hills before the evening settles"))
 
+  /** In-plan fixtures for `text_garbled_detect` (same mechanics as
+    * [[codeDetectFixtures]]): the clean synthetic corpus exercises
+    * neither rule, so one mojibake document (non-ASCII density rule),
+    * one vowelless OCR-soup document (vowel-rate rule), and one clean
+    * prose document pin the thresholds at 1/1/0. Single-quote-free and
+    * backslash-free by construction (embedded in SQL literals). */
+  val garbledFixtures: Seq[(String, String)] = Seq(
+    ("zzfx_mojibake",
+      "the café report� shows résumé data with stray " +
+        "Ã© mojibake pairs and a broken’ quote scattered " +
+        "through otherwise ordinary text"),
+    ("zzfx_ocr_soup",
+      "bzzt grrr pfft tsk crwth nth str zzz krk mnt bcd fgh jkl pqrst " +
+        "vwxz brr dzz kpt mgl str nch"),
+    ("zzfx_clean_prose",
+      "the gentle river wound through the valley and carried small " +
+        "boats toward the distant harbor while children watched"))
+
   def defs: Seq[QueryDef] = Seq(
     // Token & character statistics with a quality signal. Oracle mirrors
     // every step in DuckDB list/regexp functions.
@@ -1400,6 +1418,79 @@ object TextAnalysis {
           halfUp4("1000 * SUM(kw)", "SUM(n)").as("kw_per_kchar"),
           max("sym_k").as("max_sym_per_kchar"),
           max("kw_k").as("max_kw_per_kchar"))
+        .orderBy("source")
+    },
+
+    // Encoding-corruption / OCR-garbage screening (r15): the filter
+    // stage that removes mojibake (double-decoded UTF-8), binary spill,
+    // and consonant-soup OCR noise BEFORE quality scoring — rules:
+    // (a) non-printable-ASCII density ≥ 5‰ of chars, or (b) vowel rate
+    // under 250‰ of letters (clean English runs ~380‰; OCR consonant
+    // soup collapses toward 0). Counting kernels are the
+    // engine-parity-safe length-difference forms (codepoint counts in
+    // both engines). The synthetic corpus is clean lowercase prose, so
+    // the thresholds are exercised by three in-plan fixture documents
+    // (mojibake / vowelless / clean — the text_code_detect pattern):
+    // their hash-pinned rows must flag 1/1/0. SCALE: one
+    // map-side-combined aggregate per source; per-doc work is a few
+    // replace/length passes.
+    QueryDef.sql(
+      "text_garbled_detect", {
+        val vow = Seq("a", "e", "i", "o", "u")
+          .map(v => s"(length(text) - length(replace(text, '$v', '')))")
+          .mkString(" + ")
+        val fixturesSql = garbledFixtures
+          .map { case (src, t) => s"('$src', '$t')" }.mkString(",\n    ")
+        s"""WITH corpus AS (
+          |  SELECT source, text FROM documents
+          |  UNION ALL SELECT * FROM (VALUES
+          |    $fixturesSql) fx(source, text)),
+          |f AS (
+          |  SELECT source, length(text) AS n,
+          |    length(regexp_replace(text, '[ -~]', '', 'g')) AS bad,
+          |    length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+          |      AS letters,
+          |    $vow AS vowels
+          |  FROM corpus WHERE length(text) > 0),
+          |d AS (
+          |  SELECT source, n, bad, letters, vowels,
+          |    CASE WHEN bad * 1000 >= 5 * n
+          |           OR (letters > 0 AND vowels * 1000 < 250 * letters)
+          |         THEN 1 ELSE 0 END AS is_garbled,
+          |    ${halfUp4Sql("1000 * bad", "n")} AS bad_k
+          |  FROM f)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(is_garbled) AS BIGINT) AS n_garbled,
+          |  ${halfUp4Sql("1000 * SUM(bad)", "SUM(n)")} AS bad_per_kchar,
+          |  ${halfUp4Sql("1000 * SUM(vowels)", "SUM(letters)")}
+          |    AS vowel_per_kletter,
+          |  MAX(bad_k) AS max_bad_per_kchar
+          |FROM d GROUP BY source ORDER BY source""".stripMargin
+      }) { (s, d) =>
+      val vow = Seq("a", "e", "i", "o", "u")
+        .map(v => expr(s"(length(text) - length(replace(text, '$v', '')))"))
+        .reduce(_ + _)
+      val corpus = Tables.documents(s, d).select("source", "text")
+        .unionAll(s.createDataFrame(garbledFixtures).toDF("source", "text"))
+      val f = corpus.filter(length(col("text")) > 0)
+        .select(col("source"), length(col("text")).as("n"),
+          length(regexp_replace(col("text"), "[ -~]", "")).as("bad"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[a-z]", ""))).as("letters"),
+          vow.as("vowels"))
+      val dd = f.select(col("source"), col("n"), col("bad"),
+        col("letters"), col("vowels"),
+        when(col("bad") * 1000 >= col("n") * 5 ||
+          (col("letters") > 0 && col("vowels") * 1000 < col("letters") * 250),
+          1).otherwise(0).as("is_garbled"),
+        halfUp4("1000 * bad", "n").as("bad_k"))
+      dd.groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("is_garbled").cast("bigint").as("n_garbled"),
+          halfUp4("1000 * SUM(bad)", "SUM(n)").as("bad_per_kchar"),
+          halfUp4("1000 * SUM(vowels)", "SUM(letters)")
+            .as("vowel_per_kletter"),
+          max("bad_k").as("max_bad_per_kchar"))
         .orderBy("source")
     },
 

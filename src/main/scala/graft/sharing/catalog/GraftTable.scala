@@ -4,17 +4,20 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
 
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sharing._
 import graft.sharing.fs.SignedHttpFileSystem
@@ -83,7 +86,8 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private val spark = SparkSession.active
   private var requiredSchema: Option[StructType] = None
@@ -172,9 +176,147 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
     false
   }
 
+  // ---- Metadata-only COUNT pushdown ---------------------------------
+  //
+  // COUNT(*) / COUNT(col) — optionally grouped by partition columns —
+  // is answered ENTIRELY from the file listing when every listed file
+  // carries Delta `stats.numRecords`: the scan becomes a driver-local
+  // row set (LocalTableScanExec) and ZERO parquet bytes are read. At
+  // 100 TB this turns the most common cardinality probe ("how many rows
+  // does this share have / per partition?") from a full-table network
+  // read into one metadata POST. The reference cannot do this: it
+  // parses stats and discards them (src/client/action.rs:180-183) and
+  // reports Statistics::new_unknown (src/datasource/scan.rs:154-156).
+  //
+  // Exactness preconditions (any failure ⇒ refuse, normal scan):
+  //  - no residual filters and no limit hint (Spark only offers the
+  //    aggregate when nothing sits between Aggregate and the scan, but
+  //    the guard is kept local so the pushdown can never silently
+  //    ignore a recorded filter);
+  //  - group-by columns are top-level partition columns (their exact
+  //    values travel as per-file partitionValues — empty string ⇒ NULL,
+  //    the materialization rule of GraftSharing.dataFrameForFiles);
+  //  - COUNT(*) sums numRecords; COUNT(col) needs per-file
+  //    nullCount[col] (data column: numRecords − nullCount; partition
+  //    column: 0 when the file's value is NULL, else numRecords);
+  //    DISTINCT never pushes.
+  // Deletion vectors cannot undermine numRecords here: DV-bearing
+  // shares are rejected at metadata time (Actions.scala reader-feature
+  // gate), so listed files are plain parquet with exact counts.
+  private var pushedAggScan: Option[GraftLocalScan] = None
+  private var aggPlanCache: Option[(Aggregation, Option[GraftLocalScan])] = None
+
+  private def plannedAgg(agg: Aggregation): Option[GraftLocalScan] = {
+    if (!aggPlanCache.exists(_._1 eq agg))
+      aggPlanCache = Some(agg -> planAggregation(agg))
+    aggPlanCache.get._2
+  }
+
+  /** Complete pushdown only: the scan rows ARE the final aggregate
+    * results (no partial-agg re-combination above). */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    plannedAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAggScan = plannedAgg(agg)
+    pushedAggScan.isDefined
+  }
+
+  /** Case-insensitively resolve a single-part field reference to its
+    * canonical schema name. */
+  private def canonical(name: String): Option[StructField] =
+    fullSchema.fields.find(_.name.equalsIgnoreCase(name))
+
+  private def planAggregation(agg: Aggregation): Option[GraftLocalScan] = {
+    if (catalystFilters.nonEmpty || limitHint.nonEmpty) return None
+    val partLower = metadata.partitionColumns.map(_.toLowerCase).toSet
+
+    // group-by: single-part references to partition columns only
+    val groupFields: Seq[Option[StructField]] =
+      agg.groupByExpressions.toSeq.map {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          canonical(f.fieldNames()(0))
+            .filter(sf => partLower(sf.name.toLowerCase))
+        case _ => None
+      }
+    if (groupFields.exists(_.isEmpty)) return None
+    val groupCols = groupFields.flatten
+
+    if (agg.aggregateExpressions.isEmpty) return None
+
+    // per-file contribution of one aggregate function (None ⇒ refuse)
+    def fileCount(f: FileAction, st: StatsPruning.FileStats,
+        func: AggregateFunc): Option[Long] = func match {
+      case _: CountStar => st.numRecords
+      case c: Count if !c.isDistinct => c.column match {
+        case fr: NamedReference if fr.fieldNames.length == 1 =>
+          canonical(fr.fieldNames()(0)).flatMap { sf =>
+            if (partLower(sf.name.toLowerCase)) {
+              val raw = f.partitionValues.getOrElse(sf.name, "")
+              st.numRecords.map(n => if (raw.isEmpty) 0L else n)
+            } else for (n <- st.numRecords; nc <- st.nullCount.get(sf.name))
+              yield n - nc
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+
+    try {
+      // one metadata POST — no hints (no filters recorded), no limit
+      val (_, meta, files) = client.getTableData(ref, None, None, versionAsOf)
+      if (meta.partitionColumns.map(_.toLowerCase).toSet != partLower)
+        return None // metadata drift vs the table handle: refuse
+      val parsed: Seq[Option[(FileAction, StatsPruning.FileStats)]] =
+        files.map(f => f.stats.flatMap(StatsPruning.parse).map(f -> _))
+      if (parsed.exists(_.isEmpty)) return None // a file without stats
+      val withStats = parsed.flatten
+      if (withStats.exists(_._2.numRecords.isEmpty)) return None
+
+      // typed group value via the SAME cast rule the row path uses
+      // (lit(raw).cast(fieldType), empty ⇒ NULL) so grouped counts can
+      // never disagree with a grouped full scan
+      val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      def typedValue(raw: String, sf: StructField): Any =
+        if (raw.isEmpty) null
+        else Cast(Literal(UTF8String.fromString(raw),
+          org.apache.spark.sql.types.StringType), sf.dataType, tz)
+          .eval(InternalRow.empty)
+
+      val groups = withStats
+        .groupBy { case (f, _) =>
+          groupCols.map(sf => f.partitionValues.getOrElse(sf.name, "")) }
+        .toSeq.sortBy(_._1.mkString(" ")) // deterministic row order
+      val rows = groups.map { case (rawVals, gfiles) =>
+        val counts = agg.aggregateExpressions.toSeq.map { func =>
+          gfiles.foldLeft(Option(0L)) { (acc, fs) =>
+            for (a <- acc; c <- fileCount(fs._1, fs._2, func)) yield a + c
+          }
+        }
+        if (counts.exists(_.isEmpty)) return None
+        val groupVals = rawVals.zip(groupCols).map {
+          case (raw, sf) => typedValue(raw, sf) }
+        InternalRow.fromSeq(groupVals ++ counts.map(_.get))
+      }
+      // a GLOBAL aggregate over an empty file list still yields ONE row
+      // of zeros (complete pushdown leaves no Aggregate above to do it)
+      val finalRows =
+        if (rows.isEmpty && groupCols.isEmpty)
+          Seq(InternalRow.fromSeq(agg.aggregateExpressions.toSeq.map(_ => 0L)))
+        else rows
+      val schema = StructType(
+        groupCols.map(sf => StructField(sf.name, sf.dataType, nullable = true)) ++
+          agg.aggregateExpressions.toSeq.zipWithIndex.map { case (_, i) =>
+            StructField(s"count_$i", LongType, nullable = false) })
+      Some(new GraftLocalScan(schema, finalRows.toArray,
+        s"GraftMetadataCount(files=${withStats.size}, groups=${finalRows.size})"))
+    } catch { case _: Exception => None } // refusal is always safe
+  }
+
   /** Build the delegate scan, wrapped for runtime (DPP) file pruning
     * when the table is partitioned — see [[GraftScan]]. */
   override def build(): Scan = {
+    pushedAggScan.foreach(s => return s) // metadata-only count
     val b = delegate.getOrElse(freshDelegate())
     val inner = b.build()
     if (partCols.isEmpty) inner
@@ -186,4 +328,15 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
         paths => builderFor(paths, plannedOpts.get).build())
     }
   }
+}
+
+/** Driver-local scan carrying pre-computed aggregate rows — planned by
+  * [[GraftScanBuilder.pushAggregation]] from file-listing metadata
+  * (`stats.numRecords` + partitionValues); Spark executes it as
+  * LocalTableScanExec, so a pushed COUNT reads zero parquet bytes. */
+final class GraftLocalScan(schema: StructType, rowsArr: Array[InternalRow],
+    desc: String) extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = rowsArr
+  override def description(): String = desc
 }
