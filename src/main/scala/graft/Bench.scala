@@ -91,7 +91,7 @@ object Bench {
     "sim_binary_quantize", "sim_ivf_recall_sweep", "q_gst_obrien_fleming",
     "text_code_detect", "sim_filtered_ann", "mm_audio_vad",
     "text_logreg_train", "q_did_event_study", "q_smd_balance",
-    "text_garbled_detect", "graph_clustering_coeff",
+    "text_garbled_detect", "graph_clustering_coeff", "mm_image_blur",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.

@@ -410,6 +410,86 @@ object Multimodal {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Blur / sharpness screening (r15): variance of the 3×3 Laplacian
+    // over each 8×8 tile — THE classic sharpness statistic (variance of
+    // Laplacian, Pech-Pacheco et al.) used to drop defocused/blank
+    // images before vision training. Per full 64-byte patch the seam
+    // returns (ΣL, ΣL²); sharp_e = 36·ΣL² − (ΣL)² (= 36²·var) stays an
+    // exact integer end-to-end, so the oracle replays it verbatim. A
+    // media is blurry iff even its SHARPEST patch sits under the
+    // threshold (max-based: one in-focus region rescues a mostly-flat
+    // frame). The synthetic text corpus is uniformly "sharp", so the
+    // rule is exercised by two in-plan fixtures: a constant payload
+    // (sharp_e = 0 → blurry) and an alternating checkerboard (large
+    // sharp_e → not). Media under 64 bytes have no full tile and are
+    // excluded in both engines. SCALE: the decode is repartitioned
+    // across the cluster (mm_phash pixel rule); the rollup is one
+    // media-keyed map-side-combined aggregate; output is one row per
+    // media.
+    QueryDef.sql(
+      "mm_image_blur", {
+        def lap(sq: String) = {
+          val center = "4 * unicode(w[CAST((1 + k // 6) * 8 + (1 + k % 6) + 1 AS INTEGER)])"
+          val up = "unicode(w[CAST((k // 6) * 8 + (1 + k % 6) + 1 AS INTEGER)])"
+          val down = "unicode(w[CAST((2 + k // 6) * 8 + (1 + k % 6) + 1 AS INTEGER)])"
+          val left = "unicode(w[CAST((1 + k // 6) * 8 + (k % 6) + 1 AS INTEGER)])"
+          val right = "unicode(w[CAST((1 + k // 6) * 8 + (2 + k % 6) + 1 AS INTEGER)])"
+          val l = s"($center - $up - $down - $left - $right)"
+          val term = if (sq == "sq") s"CAST($l AS BIGINT) * CAST($l AS BIGINT)"
+            else s"CAST($l AS BIGINT)"
+          s"CAST(list_sum(list_transform(range(0, 36), k -> $term)) AS BIGINT)"
+        }
+        s"""WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT * FROM (VALUES
+          |    (900000001, '${"m" * 70}'),
+          |    (900000002, '${"az" * 40}')) fx(doc_id, text)),
+          |p AS (
+          |  SELECT doc_id AS media_id, pi,
+          |    substring(text, CAST(1 + pi * 64 AS INTEGER), 64) AS w
+          |  FROM (
+          |    SELECT doc_id, text,
+          |      unnest(range(0, CAST(length(text) // 64 AS BIGINT))) AS pi
+          |    FROM corpus WHERE length(text) >= 64)),
+          |l AS (
+          |  SELECT media_id, ${lap("lin")} AS sl, ${lap("sq")} AS sl2
+          |  FROM p),
+          |m AS (
+          |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_patches,
+          |    CAST(SUM(36 * sl2 - sl * sl) AS BIGINT) AS tot_sharp_e,
+          |    CAST(MAX(36 * sl2 - sl * sl) AS BIGINT) AS max_sharp_e
+          |  FROM l GROUP BY media_id)
+          |SELECT media_id, n_patches,
+          |  ${TextAnalysis.halfUp4Sql("tot_sharp_e", "n_patches")}
+          |    AS mean_sharp_e,
+          |  max_sharp_e,
+          |  CAST(max_sharp_e < 20000 AS INTEGER) AS blurry
+          |FROM m ORDER BY media_id""".stripMargin
+      }) { (s, d) =>
+      val fixtures = s.createDataFrame(Seq(
+        (900000001L, "m" * 70), (900000002L, "az" * 40)))
+        .toDF("media_id", "text")
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text"))
+        .unionAll(fixtures)
+        .select(col("media_id"), col("text").cast("binary").as("payload"))
+        // CPU-bound decode: spread the corpus across the cluster before
+        // the per-byte kernel (the mm_phash pixel rule)
+        .repartition(s.sparkContext.defaultParallelism)
+      val sharp = (col("sl2") * 36 - col("sl") * col("sl"))
+      laplacianPatches(corpus)
+        .groupBy("media_id")
+        .agg(count(lit(1)).cast("bigint").as("n_patches"),
+          sum(sharp).cast("bigint").as("tot_sharp_e"),
+          max(sharp).cast("bigint").as("max_sharp_e"))
+        .select(col("media_id"), col("n_patches"),
+          TextAnalysis.halfUp4("tot_sharp_e", "n_patches")
+            .as("mean_sharp_e"),
+          col("max_sharp_e"),
+          (col("max_sharp_e") < 20000).cast("int").as("blurry"))
+        .orderBy("media_id")
+    },
+
     // Near-duplicate media by shared patch hashes: the mm_image_patches
     // tiling, distinct patch digests per media, pairs generated PER
     // PATCH BUCKET with boilerplate patches dropped by a deterministic
@@ -1532,5 +1612,47 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, audioWindowSchema)
+  }
+
+  val laplacianPatchSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("patch_idx", IntegerType, nullable = false),
+    StructField("sl", LongType, nullable = false),
+    StructField("sl2", LongType, nullable = false)))
+
+  /** Per-patch Laplacian moments via the partition-parallel decode seam
+    * (see mm_decode_features): each FULL 64-byte window is an 8×8
+    * grayscale tile (pixel = byte & 0xff); for the 36 interior pixels,
+    * L = 4p − up − down − left − right, returning (Σ L, Σ L²). The
+    * sharpness statistic 36·ΣL² − (ΣL)² (36²·var) stays an exact
+    * integer — no float anywhere, so the oracle replays it verbatim.
+    * Clipped tail windows are skipped (a partial tile has no interior). */
+  def laplacianPatches(binary: DataFrame): DataFrame = {
+    val spark = binary.sparkSession
+    val rdd = binary.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("media_id")
+        val p = r.getAs[Array[Byte]]("payload")
+        val nFull = p.length / 64
+        (0 until nFull).iterator.map { pi =>
+          val base = pi * 64
+          var sl = 0L
+          var sl2 = 0L
+          var k = 0
+          while (k < 36) {
+            val rr = 1 + k / 6
+            val cc = 1 + k % 6
+            val pos = base + rr * 8 + cc
+            val l = 4 * (p(pos) & 0xff) - (p(pos - 8) & 0xff) -
+              (p(pos + 8) & 0xff) - (p(pos - 1) & 0xff) - (p(pos + 1) & 0xff)
+            sl += l
+            sl2 += l.toLong * l
+            k += 1
+          }
+          Row(id, pi, sl, sl2)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, laplacianPatchSchema)
   }
 }
