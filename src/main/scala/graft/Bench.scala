@@ -164,7 +164,7 @@ object Bench {
     // metadata-only by construction (LocalTableScan, zero parquet bytes
     // — the meta_only_ok plan cert under the gate proves it); timing a
     // driver-local row emit measures the harness, not the engine
-    "connector_count_pushdown",
+    "connector_count_pushdown", "connector_minmax_pushdown",
     "connector_changes_by_time", "connector_events_window",
     "connector_join_agg", "connector_nested_types",
     "connector_partition_values", "connector_snapshot_diff",

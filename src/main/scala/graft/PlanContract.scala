@@ -174,7 +174,7 @@ object PlanContract {
       "connector_partition_values",
       // the metadata-only COUNT: its audited evidence is the ABSENCE of
       // any scan exchange (LocalTableScan over pre-computed agg rows)
-      "connector_count_pushdown")
+      "connector_count_pushdown", "connector_minmax_pushdown")
 
   /** Check one query's formatted plan text against the contract.
     * Returns a violation message, or None when in contract. */

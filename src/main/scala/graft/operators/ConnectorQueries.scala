@@ -506,6 +506,34 @@ object ConnectorQueries {
         .orderBy("o_orderpriority")
     },
 
+    // METADATA-ONLY MIN/MAX pushdown (r15, the count companion): per
+    // partition, MIN/MAX(o_orderkey) are served from each file's TIGHT
+    // stats envelope (Delta guarantees tightness for non-string types;
+    // string data columns refuse — truncatable) and COUNT rides along —
+    // still a LocalTableScan, zero parquet bytes, cert identical to
+    // connector_count_pushdown. The oracle replays from the unsliced
+    // table, so a stale or loose envelope would hash-mismatch.
+    QueryDef.sql(
+      "connector_minmax_pushdown",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(1 AS INTEGER) AS meta_only_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      stage(s, d)
+      val t = s.read.format("graft-sharing")
+        .load(s"${profileFor(s, d)}#graft.main.orders_part")
+      val df = t.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+      val p = df.queryExecution.executedPlan.toString
+      val ok = p.contains("LocalTableScan") && !p.contains("BatchScan") &&
+        !p.toLowerCase.contains("parquet")
+      df.withColumn("meta_only_ok", lit(if (ok) 1 else 0))
+        .orderBy("o_orderpriority")
+    },
+
     // Stats-based file skipping under the gate: orders sliced into four
     // disjoint o_orderkey ranges, each file carrying min/max stats; the
     // pushed key predicate prunes whole files (server-side on the hint,

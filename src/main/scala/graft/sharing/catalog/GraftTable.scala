@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
@@ -244,72 +244,161 @@ final class GraftScanBuilder(client: DeltaSharingClient, ref: TableRef,
 
     if (agg.aggregateExpressions.isEmpty) return None
 
-    // per-file contribution of one aggregate function (None ⇒ refuse)
-    def fileCount(f: FileAction, st: StatsPruning.FileStats,
-        func: AggregateFunc): Option[Long] = func match {
-      case _: CountStar => st.numRecords
-      case c: Count if !c.isDistinct => c.column match {
-        case fr: NamedReference if fr.fieldNames.length == 1 =>
-          canonical(fr.fieldNames()(0)).flatMap { sf =>
-            if (partLower(sf.name.toLowerCase)) {
-              val raw = f.partitionValues.getOrElse(sf.name, "")
-              st.numRecords.map(n => if (raw.isEmpty) 0L else n)
-            } else for (n <- st.numRecords; nc <- st.nullCount.get(sf.name))
-              yield n - nc
-          }
-        case _ => None
+    // control-flow sentinel: any stat that cannot support an EXACT
+    // answer aborts planning (caught below => normal scan)
+    final case class Refuse() extends Exception
+
+    // MIN/MAX are exact only where Delta stats are TIGHT and the string
+    // rendering is order-unambiguous: integral/floating/decimal/date.
+    // Strings are truncatable in real writers and timestamps have
+    // format drift -- both refused for data columns. Partition-column
+    // MIN/MAX additionally allow strings/booleans (partitionValues are
+    // exact values, never truncated stats).
+    def minMaxSafe(dt: org.apache.spark.sql.types.DataType,
+        isPart: Boolean): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | DateType => true
+        case _: DecimalType => true
+        case StringType | BooleanType => isPart
+        case _ => false
       }
-      case _ => None
+    }
+
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    def typedValue(raw: String, dt: org.apache.spark.sql.types.DataType)
+        : Any = {
+      // the SAME cast rule as the row path (lit(raw).cast(dt)); a
+      // malformed value throws (ANSI) or nulls -- both refuse
+      val v = Cast(Literal(UTF8String.fromString(raw),
+        org.apache.spark.sql.types.StringType), dt, tz)
+        .eval(InternalRow.empty)
+      if (v == null) throw Refuse() else v
+    }
+    def cmpAny(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+    def resolveCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : StructField = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        canonical(nr.fieldNames()(0)).getOrElse(throw Refuse())
+      case _ => throw Refuse()
     }
 
     try {
-      // one metadata POST — no hints (no filters recorded), no limit
+      // result schema first -- refuses unsupported functions before any
+      // network traffic
+      val aggFields = agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (c: Count, i) if !c.isDistinct =>
+          resolveCol(c.column)
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (m: Min, i) =>
+          val sf = resolveCol(m.column)
+          if (!minMaxSafe(sf.dataType, partLower(sf.name.toLowerCase)))
+            throw Refuse()
+          StructField(s"agg_$i", sf.dataType, nullable = true)
+        case (m: Max, i) =>
+          val sf = resolveCol(m.column)
+          if (!minMaxSafe(sf.dataType, partLower(sf.name.toLowerCase)))
+            throw Refuse()
+          StructField(s"agg_$i", sf.dataType, nullable = true)
+        case _ => throw Refuse()
+      }
+
+      // one metadata POST -- no hints (no filters recorded), no limit
       val (_, meta, files) = client.getTableData(ref, None, None, versionAsOf)
       if (meta.partitionColumns.map(_.toLowerCase).toSet != partLower)
         return None // metadata drift vs the table handle: refuse
-      val parsed: Seq[Option[(FileAction, StatsPruning.FileStats)]] =
-        files.map(f => f.stats.flatMap(StatsPruning.parse).map(f -> _))
-      if (parsed.exists(_.isEmpty)) return None // a file without stats
-      val withStats = parsed.flatten
-      if (withStats.exists(_._2.numRecords.isEmpty)) return None
+      val withStats: Seq[(FileAction, StatsPruning.FileStats)] = files.map {
+        f => f -> f.stats.flatMap(StatsPruning.parse).getOrElse(throw Refuse())
+      }
+      if (withStats.exists(_._2.numRecords.isEmpty)) throw Refuse()
+
+      def fileCount(f: FileAction, st: StatsPruning.FileStats,
+          sfOpt: Option[StructField]): Long = sfOpt match {
+        case None => st.numRecords.get // COUNT(*)
+        case Some(sf) if partLower(sf.name.toLowerCase) =>
+          if (f.partitionValues.getOrElse(sf.name, "").isEmpty) 0L
+          else st.numRecords.get
+        case Some(sf) =>
+          st.numRecords.get -
+            st.nullCount.getOrElse(sf.name, throw Refuse())
+      }
+      // per-file MIN/MAX contribution: None = file contributes no rows
+      // for this column (empty file or provably all-NULL); a file with
+      // live rows but no tight envelope refuses the whole pushdown
+      def fileMinMax(f: FileAction, st: StatsPruning.FileStats,
+          sf: StructField, wantMin: Boolean): Option[Any] = {
+        val n = st.numRecords.get
+        if (n == 0L) None
+        else if (partLower(sf.name.toLowerCase)) {
+          val raw = f.partitionValues.getOrElse(sf.name, "")
+          if (raw.isEmpty) None else Some(typedValue(raw, sf.dataType))
+        } else {
+          val env = if (wantMin) st.minValues.get(sf.name)
+            else st.maxValues.get(sf.name)
+          env match {
+            case Some(s) => Some(typedValue(s, sf.dataType))
+            case None =>
+              if (st.nullCount.get(sf.name).contains(n)) None // all NULL
+              else throw Refuse()
+          }
+        }
+      }
+      def evalFunc(func: AggregateFunc,
+          gfiles: Seq[(FileAction, StatsPruning.FileStats)]): Any =
+        func match {
+          case _: CountStar =>
+            gfiles.map { case (f, st) => fileCount(f, st, None) }.sum
+          case c: Count =>
+            val sf = resolveCol(c.column)
+            gfiles.map { case (f, st) => fileCount(f, st, Some(sf)) }.sum
+          case m: Min =>
+            val sf = resolveCol(m.column)
+            gfiles.flatMap { case (f, st) =>
+              fileMinMax(f, st, sf, wantMin = true) }
+              .reduceOption((a, b) => if (cmpAny(a, b) <= 0) a else b)
+              .orNull
+          case m: Max =>
+            val sf = resolveCol(m.column)
+            gfiles.flatMap { case (f, st) =>
+              fileMinMax(f, st, sf, wantMin = false) }
+              .reduceOption((a, b) => if (cmpAny(a, b) >= 0) a else b)
+              .orNull
+          case _ => throw Refuse()
+        }
 
       // typed group value via the SAME cast rule the row path uses
-      // (lit(raw).cast(fieldType), empty ⇒ NULL) so grouped counts can
-      // never disagree with a grouped full scan
-      val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
-      def typedValue(raw: String, sf: StructField): Any =
-        if (raw.isEmpty) null
-        else Cast(Literal(UTF8String.fromString(raw),
-          org.apache.spark.sql.types.StringType), sf.dataType, tz)
-          .eval(InternalRow.empty)
+      // (empty => NULL, the materialization rule)
+      def groupValue(raw: String, sf: StructField): Any =
+        if (raw.isEmpty) null else typedValue(raw, sf.dataType)
 
       val groups = withStats
         .groupBy { case (f, _) =>
           groupCols.map(sf => f.partitionValues.getOrElse(sf.name, "")) }
-        .toSeq.sortBy(_._1.mkString(" ")) // deterministic row order
+        .toSeq.sortBy(_._1.mkString(" ")) // deterministic row order
       val rows = groups.map { case (rawVals, gfiles) =>
-        val counts = agg.aggregateExpressions.toSeq.map { func =>
-          gfiles.foldLeft(Option(0L)) { (acc, fs) =>
-            for (a <- acc; c <- fileCount(fs._1, fs._2, func)) yield a + c
-          }
-        }
-        if (counts.exists(_.isEmpty)) return None
+        val aggVals = agg.aggregateExpressions.toSeq.map(evalFunc(_, gfiles))
         val groupVals = rawVals.zip(groupCols).map {
-          case (raw, sf) => typedValue(raw, sf) }
-        InternalRow.fromSeq(groupVals ++ counts.map(_.get))
+          case (raw, sf) => groupValue(raw, sf) }
+        InternalRow.fromSeq(groupVals ++ aggVals)
       }
       // a GLOBAL aggregate over an empty file list still yields ONE row
-      // of zeros (complete pushdown leaves no Aggregate above to do it)
+      // (counts 0, min/max NULL -- complete pushdown leaves no Aggregate
+      // above to do it)
       val finalRows =
         if (rows.isEmpty && groupCols.isEmpty)
-          Seq(InternalRow.fromSeq(agg.aggregateExpressions.toSeq.map(_ => 0L)))
+          Seq(InternalRow.fromSeq(aggFields.map(f =>
+            if (!f.nullable) 0L else null)))
         else rows
       val schema = StructType(
-        groupCols.map(sf => StructField(sf.name, sf.dataType, nullable = true)) ++
-          agg.aggregateExpressions.toSeq.zipWithIndex.map { case (_, i) =>
-            StructField(s"count_$i", LongType, nullable = false) })
+        groupCols.map(sf =>
+          StructField(sf.name, sf.dataType, nullable = true)) ++ aggFields)
       Some(new GraftLocalScan(schema, finalRows.toArray,
-        s"GraftMetadataCount(files=${withStats.size}, groups=${finalRows.size})"))
+        s"GraftMetadataAgg(files=${withStats.size}, groups=${finalRows.size})"))
     } catch { case _: Exception => None } // refusal is always safe
   }
 

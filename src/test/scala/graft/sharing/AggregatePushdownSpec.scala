@@ -36,10 +36,13 @@ class AggregatePushdownSpec extends SparkTestBase with BeforeAndAfterAll {
       val slice = src.filter(cond).drop("c_nationkey")
       slice.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
       val st = slice.agg(count(lit(1)),
-        sum(col("c_mktsegment").isNull.cast("long"))).collect()(0)
+        sum(col("c_mktsegment").isNull.cast("long")),
+        min("c_custkey"), max("c_custkey")).collect()(0)
       (fileIn(name),
         s"""{"numRecords":${st.getLong(0)},"nullCount":{""" +
-          s""""c_custkey":0,"c_mktsegment":${st.getLong(1)}}}""")
+          s""""c_custkey":0,"c_mktsegment":${st.getLong(1)}},""" +
+          s""""minValues":{"c_custkey":${st.getLong(2)}},""" +
+          s""""maxValues":{"c_custkey":${st.getLong(3)}}}""")
     }
     val (f0, s0) = sliceFor("n0", col("c_nationkey") === 0)
     val (f1, s1) = sliceFor("n1", col("c_nationkey") === 1)
@@ -103,11 +106,30 @@ class AggregatePushdownSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(got == truth, s"got $got, want $truth")
   }
 
-  test("COUNT DISTINCT, MIN, filters, and stats-less files all fall back to a real scan") {
+  test("MIN/MAX over a stats-covered column push; values match the real scan") {
+    val df = direct.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), min("c_custkey").as("mn"),
+        max("c_custkey").as("mx"), min("c_nationkey").as("mnp"))
+    assertMetaOnly(df)
+    val got = df.collect().map(r => Option(r.get(0)) ->
+      (r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    val truth = direct.select("c_nationkey", "c_custkey")
+      .collect().groupBy(r => Option(r.get(0)))
+      .map { case (k, rows) =>
+        k -> (rows.map(_.getLong(1)).min, rows.map(_.getLong(1)).max, k) }
+    assert(got == truth, s"got $got, want $truth")
+  }
+
+  test("COUNT DISTINCT, MIN over a string data column / uncovered column, filters, and stats-less files all fall back") {
     val distinct = direct.agg(countDistinct(col("c_mktsegment")).as("n"))
     assertRealScan(distinct)
-    val mn = direct.agg(min("c_custkey").as("mn"))
-    assertRealScan(mn)
+    // string DATA column: truncatable stats, must refuse even though a
+    // real writer may include an envelope
+    val mnStr = direct.agg(min("c_name").as("mn"))
+    assertRealScan(mnStr)
+    // numeric column with live rows but NO min/max envelope in stats
+    val mnNoEnv = direct.agg(min("c_acctbal").as("mn"))
+    assertRealScan(mnNoEnv)
     val filtered = direct.filter(col("c_custkey") > 10).agg(count(lit(1)).as("n"))
     assertRealScan(filtered)
     val nostats = spark.read.format("graft-sharing")
