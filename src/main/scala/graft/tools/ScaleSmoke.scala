@@ -149,7 +149,11 @@ object ScaleSmoke {
       // touched-bucket probe joins compose the LSH caps; the 10x corpus
       // has exact-dup cliques by construction), and the label-filtered
       // IVF serve over the replicated embedding corpus
-      "connector_dedup_ingest", "sim_filtered_ann")
+      "connector_dedup_ingest", "sim_filtered_ann",
+      // r15 third wave: the per-byte Laplacian decode (repartitioned
+      // corpus projection + media-keyed rollup at 10x media), and the
+      // triangle-explode per-node counts over the shared capped graph
+      "mm_image_blur", "graph_clustering_coeff")
 
   /** Build the replicated corpus if absent: id-shifted copies so join/
     * grouping keys stay distinct per copy; identical texts across copies
