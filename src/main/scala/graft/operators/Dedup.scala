@@ -740,6 +740,57 @@ object Dedup {
       corpusPairs(s, d)
     },
 
+    // Train/test LEAKAGE audit (r15): near-dup pairs that CROSS the
+    // q_hash_split train/val/test boundary — the decontamination check
+    // run before any held-out evaluation is trusted (a test doc with a
+    // ≥0.8-Jaccard twin in train invalidates the measurement even
+    // though both survive within-split dedup). Composes the SHARED
+    // corpus pair frame with the split assignment: per unordered split
+    // pair, the pair count and the worst (max) Jaccard; is_leak marks
+    // cross-split rows. max not avg (order-free — no float summation).
+    // SCALE: the pair frame is the banded-LSH output already derived
+    // once per corpus; the split attach is two doc-keyed equi-joins of
+    // a 2-column projection; the rollup is a ≤6-row aggregate.
+    QueryDef.sql(
+      "dedup_split_leakage",
+      s"""WITH $wordShingleCte,
+        |pairs AS MATERIALIZED (
+        |$jaccardPairsSelect),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |           THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |j AS (
+        |  SELECT least(sa.split, sb.split) AS split_a,
+        |    greatest(sa.split, sb.split) AS split_b, p.jaccard
+        |  FROM pairs p
+        |  JOIN sp sa ON p.doc_a = sa.doc_id
+        |  JOIN sp sb ON p.doc_b = sb.doc_id)
+        |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  MAX(jaccard) AS max_jaccard,
+        |  CAST(split_a <> split_b AS INTEGER) AS is_leak
+        |FROM j GROUP BY split_a, split_b
+        |ORDER BY split_a, split_b""".stripMargin) { (s, d) =>
+      val sp = Tables.documents(s, d)
+        .select(col("doc_id"), Sampling.hashSplit(col("doc_id")).as("split"))
+      corpusPairs(s, d)
+        .join(sp.select(col("doc_id").as("doc_a"),
+          col("split").as("sa")), "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"),
+          col("split").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"), col("jaccard"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          max("jaccard").as("max_jaccard"))
+        .withColumn("is_leak", (col("split_a") =!= col("split_b")).cast("int"))
+        .orderBy("split_a", "split_b")
+    },
+
     // End-user dedup: keep exactly one representative per near-dup
     // cluster (min doc_id) plus every unclustered doc — the "switch
     // your corpus to the deduped view" call a pipeline actually makes.

@@ -410,6 +410,60 @@ object Multimodal {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Caption-to-frame alignment (r15): the cross-modal pairing grid a
+    // caption/audio training pipeline produces — each whitespace token's
+    // char START offset maps it onto the 256-byte frame (the
+    // mm_scene_cut window) of the SAME media's payload, yielding per
+    // (media, frame): token count + first/last token index (the
+    // forced-alignment anchors subtitle/ASR pairing starts from; a real
+    // pipeline swaps char offsets for timestamps, keeps the grid
+    // shape). Offsets are an exact integer prefix sum (Σ len+1 of prior
+    // tokens), so the oracle replays verbatim. SCALE: the running sum
+    // is a PER-MEDIA window (payload-bounded rows after one media-keyed
+    // shuffle — never a corpus-wide window); the rollup is the same
+    // shuffle's aggregate.
+    QueryDef.sql(
+      "mm_caption_align",
+      """WITH tk AS (
+        |  SELECT media_id, CAST(i - 1 AS BIGINT) AS ti,
+        |    CAST(length(toks[i]) AS BIGINT) AS ln
+        |  FROM (
+        |    SELECT doc_id AS media_id,
+        |      unnest(range(1, len(toks) + 1)) AS i, toks
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents))),
+        |off AS (
+        |  SELECT media_id, ti,
+        |    coalesce(SUM(ln + 1) OVER (PARTITION BY media_id ORDER BY ti
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start
+        |  FROM tk),
+        |f AS (
+        |  SELECT media_id, CAST(start // 256 AS INTEGER) AS frame_idx, ti
+        |  FROM off)
+        |SELECT media_id, frame_idx, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(MIN(ti) AS BIGINT) AS first_tok,
+        |  CAST(MAX(ti) AS BIGINT) AS last_tok
+        |FROM f GROUP BY media_id, frame_idx
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("ti")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          posexplode(split(col("text"), " ")).as(Seq("ti", "tok")))
+        .select(col("media_id"), col("ti").cast("bigint").as("ti"),
+          (length(col("tok")) + 1).cast("bigint").as("ln"))
+        .withColumn("start", coalesce(sum("ln").over(w), lit(0L)))
+        .select(col("media_id"),
+          expr("start div 256").cast("int").as("frame_idx"), col("ti"))
+        .groupBy("media_id", "frame_idx")
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+          min("ti").cast("bigint").as("first_tok"),
+          max("ti").cast("bigint").as("last_tok"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // Blur / sharpness screening (r15): variance of the 3×3 Laplacian
     // over each 8×8 tile — THE classic sharpness statistic (variance of
     // Laplacian, Pech-Pacheco et al.) used to drop defocused/blank
