@@ -92,7 +92,8 @@ object Bench {
     "text_code_detect", "sim_filtered_ann", "mm_audio_vad",
     "text_logreg_train", "q_did_event_study", "q_smd_balance",
     "text_garbled_detect", "graph_clustering_coeff", "mm_image_blur",
-    "dedup_split_leakage", "mm_caption_align",
+    "dedup_split_leakage", "mm_caption_align", "q_forecast_backtest",
+    "mm_dominant_color",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.

@@ -88,6 +88,8 @@ object PlanContract {
     "q_ece" -> ((1, OneRow)),
     "q_equidepth_histogram" -> ((2, BoundedWindow)),
     "q_ewma_forecast" -> ((1, BoundedWindow)),
+    // the same calendar-day lag window as q_ewma_forecast, then 1-row agg
+    "q_forecast_backtest" -> ((1, BoundedWindow)),
     "q_fd_audit" -> ((4, OneRow)),
     "q_fdr_bh" -> ((2, BoundedWindow)),
     "q_freshness_audit" -> ((1, OneRow)),

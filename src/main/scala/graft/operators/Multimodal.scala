@@ -464,6 +464,73 @@ object Multimodal {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Dominant-color / palette extraction (r15): consecutive 3-byte
+    // groups read as (r,g,b) pixels, each channel quantized to its top
+    // 2 bits → a 64-entry palette; per media: the modal palette bucket
+    // (ties → smallest bucket id), its share, and the distinct-bucket
+    // count — the thumbnail-palette / near-solid-image screen of an
+    // image ingest (a near-solid image concentrates mass in one
+    // bucket). All-integer until the 4dp share. SCALE: the pixel
+    // explode is len/3 rows per media feeding ONE (media, bucket)
+    // map-side-combined aggregate; the per-media argmax is a
+    // payload-bounded (≤64-row) window after the same shuffle.
+    QueryDef.sql(
+      "mm_dominant_color",
+      """WITH px AS (
+        |  SELECT doc_id AS media_id,
+        |    (unicode(text[CAST(3 * p + 1 AS INTEGER)]) // 64) * 16
+        |      + (unicode(text[CAST(3 * p + 2 AS INTEGER)]) // 64) * 4
+        |      + (unicode(text[CAST(3 * p + 3 AS INTEGER)]) // 64)
+        |      AS bucket
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range(0, CAST(length(text) // 3 AS BIGINT))) AS p
+        |    FROM documents WHERE length(text) >= 3)),
+        |cnt AS (
+        |  SELECT media_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM px GROUP BY media_id, bucket),
+        |top AS (
+        |  SELECT media_id, bucket, n,
+        |    row_number() OVER (PARTITION BY media_id
+        |      ORDER BY n DESC, bucket) AS rk,
+        |    CAST(SUM(n) OVER (PARTITION BY media_id) AS BIGINT)
+        |      AS n_pixels,
+        |    CAST(COUNT(*) OVER (PARTITION BY media_id) AS BIGINT)
+        |      AS n_buckets
+        |  FROM cnt)
+        |SELECT media_id, CAST(bucket AS INTEGER) AS dominant_bucket,
+        |  n_pixels, n_buckets,
+        |  CAST((2 * n * 10000 + n_pixels) // (2 * n_pixels) AS DOUBLE)
+        |    / 10000 AS dominant_share
+        |FROM top WHERE rk = 1 ORDER BY media_id""".stripMargin) { (s, d) =>
+      val px = Tables.documents(s, d).filter(length(col("text")) >= 3)
+        .select(col("doc_id").as("media_id"), col("text"),
+          explode(sequence(lit(0L),
+            expr("CAST(length(text) div 3 AS BIGINT) - 1"))).as("p"))
+        .select(col("media_id"),
+          (expr("ascii(substring(text, CAST(3 * p + 1 AS INT), 1)) div 64")
+            * 16 +
+            expr("ascii(substring(text, CAST(3 * p + 2 AS INT), 1)) div 64")
+              * 4 +
+            expr("ascii(substring(text, CAST(3 * p + 3 AS INT), 1)) div 64"))
+            .as("bucket"))
+      val cnt = px.groupBy("media_id", "bucket")
+        .agg(count(lit(1)).cast("bigint").as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("media_id")
+      val top = cnt
+        .withColumn("rk", row_number().over(
+          w.orderBy(desc("n"), col("bucket"))))
+        .withColumn("n_pixels", sum("n").over(w).cast("bigint"))
+        .withColumn("n_buckets", count(lit(1)).over(w).cast("bigint"))
+      top.filter(col("rk") === 1)
+        .select(col("media_id"), col("bucket").cast("int")
+            .as("dominant_bucket"),
+          col("n_pixels"), col("n_buckets"),
+          (expr("(2 * n * 10000 + n_pixels) div (2 * n_pixels)")
+            .cast("double") / 10000).as("dominant_share"))
+        .orderBy("media_id")
+    },
+
     // Blur / sharpness screening (r15): variance of the 3×3 Laplacian
     // over each 8×8 tile — THE classic sharpness statistic (variance of
     // Laplacian, Pech-Pacheco et al.) used to drop defocused/blank

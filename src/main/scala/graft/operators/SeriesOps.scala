@@ -323,6 +323,89 @@ object SeriesOps {
     },
 
     // ------------------------------------------------------------------
+    // Rolling-origin forecast BACKTEST (r15): the evaluation summary a
+    // forecaster ships with — over every day with a defined one-step
+    // EWMA forecast (the q_ewma_forecast law verbatim), MAE / RMSE /
+    // MAPE of the model vs the same metrics' naive-persistence baseline
+    // (x̂_t = x_{t−1}), and the skill score 1 − MAE/MAE_naive (> 0 ⇔
+    // the model beats persistence). DETERMINISM: per-day errors are
+    // 4dp decimals (model) / exact decimal diffs (naive); squares and
+    // 6dp percentage terms stay decimal through the sums; the handful
+    // of final divisions/sqrt run on exact inputs through identical
+    // expression trees. SCALE: one calendar-bounded window pass + a
+    // 1-row aggregate.
+    QueryDef.sql(
+      "q_forecast_backtest", {
+        val terms = ewmaWeights.zipWithIndex.map { case (c, j) =>
+          s"CAST(round(CAST(${c.toPlainString} AS DECIMAL(13,12))" +
+            s" * lag(x, $j) OVER w, 6) AS DECIMAL(18,6))"
+        }.mkString(" + ")
+        s"""WITH $dailySql,
+          |e AS (
+          |  SELECT day, x,
+          |    CASE WHEN lag(x, ${ewmaLags - 1}) OVER w IS NOT NULL THEN
+          |      CAST(round($terms, 6) AS DECIMAL(18,6))
+          |    END AS ewma6,
+          |    lag(x, 1) OVER w AS xprev
+          |  FROM daily WINDOW w AS (ORDER BY day)),
+          |e2 AS (
+          |  SELECT day, x,
+          |    round(x - lag(ewma6, 1) OVER (ORDER BY day), 4) AS errd,
+          |    CAST(x - xprev AS DECIMAL(18,4)) AS errn
+          |  FROM e),
+          |scored AS (SELECT * FROM e2 WHERE errd IS NOT NULL),
+          |agg AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+          |    SUM(abs(errd)) AS sae, SUM(errd * errd) AS sse,
+          |    SUM(CAST(round(CAST(abs(errd) AS DOUBLE) / CAST(x AS DOUBLE)
+          |      * 100, 6) AS DECIMAL(18,6))) AS sape,
+          |    SUM(abs(errn)) AS sae_n
+          |  FROM scored)
+          |SELECT n_days,
+          |  round(CAST(sae AS DOUBLE) / n_days, 4) AS mae,
+          |  round(sqrt(CAST(sse AS DOUBLE) / n_days), 4) AS rmse,
+          |  round(CAST(sape AS DOUBLE) / n_days, 4) AS mape_pct,
+          |  round(CAST(sae_n AS DOUBLE) / n_days, 4) AS mae_naive,
+          |  round(1 - CAST(sae AS DOUBLE) / CAST(sae_n AS DOUBLE), 4)
+          |    AS skill
+          |FROM agg""".stripMargin
+      }) { (s, d) =>
+      val w = Window.orderBy("day")
+      val weighted = ewmaWeights.zipWithIndex.map { case (c, j) =>
+        round(lit(new java.math.BigDecimal(c.toPlainString))
+          .cast("decimal(13,12)") * lag(col("x"), j).over(w), 6)
+          .cast("decimal(18,6)")
+      }.reduce(_ + _)
+      val e = daily(s, d)
+        .select(col("day"), col("x"),
+          when(lag(col("x"), ewmaLags - 1).over(w).isNotNull,
+            round(weighted, 6).cast("decimal(18,6)")).as("ewma6"),
+          lag(col("x"), 1).over(w).as("xprev"))
+      val scored = e
+        .select(col("day"), col("x"),
+          round(col("x") - lag(col("ewma6"), 1).over(w), 4).as("errd"),
+          (col("x") - col("xprev")).cast("decimal(18,4)").as("errn"))
+        .filter(col("errd").isNotNull)
+      scored.agg(
+          count(lit(1)).cast("bigint").as("n_days"),
+          sum(abs(col("errd"))).as("sae"),
+          sum(col("errd") * col("errd")).as("sse"),
+          sum(round(abs(col("errd")).cast("double") / col("x").cast("double")
+            * 100, 6).cast("decimal(18,6)")).as("sape"),
+          sum(abs(col("errn"))).as("sae_n"))
+        .select(col("n_days"),
+          round(col("sae").cast("double") / col("n_days"), 4).as("mae"),
+          round(sqrt(col("sse").cast("double") / col("n_days")), 4)
+            .as("rmse"),
+          round(col("sape").cast("double") / col("n_days"), 4)
+            .as("mape_pct"),
+          round(col("sae_n").cast("double") / col("n_days"), 4)
+            .as("mae_naive"),
+          round(lit(1) - col("sae").cast("double") /
+            col("sae_n").cast("double"), 4).as("skill"))
+    },
+
+    // ------------------------------------------------------------------
     // Chi-square independence test: is event_type independent of
     // day-of-week? Observed counts over the FULL |types|×|dows| grid
     // (absent cells count 0 and still contribute their expectation),
