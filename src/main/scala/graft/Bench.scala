@@ -93,7 +93,7 @@ object Bench {
     "text_logreg_train", "q_did_event_study", "q_smd_balance",
     "text_garbled_detect", "graph_clustering_coeff", "mm_image_blur",
     "dedup_split_leakage", "mm_caption_align", "q_forecast_backtest",
-    "mm_dominant_color",
+    "mm_dominant_color", "q_active_users",
     // Round-11 additions: every remaining real operator gets a timing
     // signal (round-10 verdict ask #5) — retrieval, dedup-cluster,
     // spatial, fingerprinting, and the asof/quantize/profile family.

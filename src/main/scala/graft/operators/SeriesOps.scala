@@ -90,6 +90,50 @@ object SeriesOps {
   def defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
+    // Active-user rollup (r15): per calendar day, DAU, trailing-7-day
+    // WAU, and the DAU/WAU stickiness ratio — the product-analytics
+    // engagement readout. WAU is computed EXACTLY by contributing each
+    // (user, active-day) pair to the 7 days it covers (a bounded ×7
+    // explode with map-side-combined distinct counting) — never a
+    // per-day distinct-over-range window, which would rescan the event
+    // span per day. Days outside the observed calendar are excluded by
+    // the join back onto real DAU days. SCALE: the distinct frame is
+    // one (day, user) shuffle; the ×7 fan-out is constant; stickiness
+    // is a projection.
+    QueryDef.sql(
+      "q_active_users",
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+        |cover AS (
+        |  SELECT DISTINCT du.day + CAST(k AS INTEGER) AS day, user_id
+        |  FROM du, (SELECT unnest(range(0, 7)) AS k) ks),
+        |wau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+        |  FROM cover GROUP BY day)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day")
+        .agg(count(lit(1)).cast("bigint").as("dau"))
+      val wau = du
+        .select(explode(sequence(lit(0), lit(6))).as("k"),
+          col("day"), col("user_id"))
+        .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).cast("bigint").as("wau"))
+      dau.join(wau, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+        .orderBy("day")
+    },
+
+    // ------------------------------------------------------------------
     // Autocorrelation function at lags 1..7 of the daily value series —
     // the "is there weekly periodicity?" probe. The lagged pairs come
     // from a self-join of the daily frame on `a.day = b.day + k` (the
