@@ -189,7 +189,7 @@ object Bench {
     * timing and dilute regressions in the operator under test. The bench
     * therefore times the raw approximate operator; Verify still runs the
     * certified versions. */
-  private def rawBench(name: String)
+  private[graft] def rawBench(name: String)
       : Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, Multimodal, Similarity}

@@ -185,58 +185,42 @@ object Dedup {
       .withColumn("sig", minhashSignature(spark, col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    // persisted: three consumers (oversized-bucket count, the bounded
-    // self-join, the oversized chain-link) would each re-run the band
-    // explode otherwise; rows are narrow (doc_id, band, bh)
-    val bandsDf = graft.CacheRegistry.register(withSig
+    // r15 (guide §2.4, the q_itemset_pairs recipe): ONE (band, bh)-keyed
+    // aggregate collects each bucket's sorted member list, and BOTH pair
+    // modes explode from it IN-TASK — the bounded buckets (≤ cap) into
+    // ordered positional pairs (identical to the old anti-join +
+    // two-sided self-join: each doc appears once per bucket, so
+    // positional pairs over the sorted list ARE the doc_a < doc_b
+    // pairs), the oversized buckets into the consecutive-member chain
+    // (identical to the old lead() window: adjacent members of the
+    // doc_id-sorted list). The old shape paid a cap groupBy, an
+    // anti-join, a two-sided self-join AND a chain window over the band
+    // frame; this is one exchange of the band rows. The skew bound is
+    // unchanged: a bucket's pair fan-out is cap²-bounded in-task,
+    // exactly the bound the (band, bh)-keyed join gave the same rows.
+    val buckets = graft.CacheRegistry.register(withSig
       .select(col("doc_id"), posexplode(graft.functions.GraftFunctions
         .lshBands(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bh")
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-    // Skew guard: a bucket with more than maxBucketSize docs (degenerate
-    // boilerplate cluster) would turn the self-join into an accidental
-    // O(k²) cross product. The oversized-bucket list is tiny BY
-    // CONSTRUCTION (each entry holds > maxBucketSize docs), so it
-    // broadcasts at any input scale and the anti-join adds no shuffle of
-    // the big side — cheaper than a window over every (band,bh) group.
-    // Skew guard, fully LAZY (constructing the pipeline runs no job —
-    // plan-only consumers like PlanAudit stay free): the oversized key
-    // list is a tiny aggregate BY CONSTRUCTION (each key holds > cap
-    // docs), persisted so its two consumers materialize it once, and
-    // broadcast so neither join reshuffles the band frame. When it is
-    // empty — the common case — AQE collapses both the anti-join (back
-    // to the plain frame) and the chain join (empty relation) at
-    // runtime. (AQE is on by default in Spark 3.2+/4.x and in every
-    // entry point here; with it force-disabled the empty chain branch
-    // degrades to one extra scan of the cached band frame, not a
-    // correctness issue.)
-    val oversized = graft.CacheRegistry.register(bandsDf.groupBy("band", "bh")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucketSize)
-      .select("band", "bh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bounded = bandsDf.join(broadcast(oversized), Seq("band", "bh"),
-      "left_anti")
-    val allPairs = bounded.as("x")
-      .join(bounded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val allPairs = buckets.filter(size(col("ds")) <= maxBucketSize)
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"), explode(expr(
+        "slice(ds, i + 2, size(ds))")).as("doc_b"))
     // Oversized buckets are CHAIN-LINKED instead of dropped: consecutive
     // members by doc_id — O(k) edges instead of O(k²). A genuine near-dup
     // mega-cluster stays CONNECTED (adjacent members pass the Jaccard
     // verify), so the cluster/representative queries remain correct at
     // any clique size; only the pairwise LISTING is abridged for such
-    // cliques (the window sorts only oversized-bucket members, a tiny
-    // fraction by construction).
-    val chainW = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "bh").orderBy("doc_id")
-    val chained = bandsDf.join(broadcast(oversized), Seq("band", "bh"))
-      .withColumn("next_id", lead("doc_id", 1).over(chainW))
-      .filter(col("next_id").isNotNull)
-      .select(col("doc_id").as("doc_a"), col("next_id").as("doc_b"))
+    // cliques.
+    val chained = buckets.filter(size(col("ds")) > maxBucketSize)
+      .select(explode(expr(
+        "transform(slice(ds, 1, size(ds) - 1), (x, i) -> " +
+          "struct(x AS doc_a, ds[i + 1] AS doc_b))")).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
     val candidates = allPairs.unionByName(chained).distinct()
 
     // Staged verify: the minhash-signature estimate (64-long compare)
@@ -1059,31 +1043,32 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(spark, col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bandsDf = graft.CacheRegistry.register(withSig
+    // r15 (guide §2.4, the minhashPairs bucket-basket recipe): ONE
+    // (band, bh)-keyed aggregate collects each bucket's new/old member
+    // lists; the bounded buckets explode the new×old cross IN-TASK, the
+    // oversized buckets pair each new member with the bucket's MIN old
+    // id (head of the sorted old list) — identical candidate set to the
+    // old cap-groupBy + anti-join + new×old self-join + min-old join.
+    val buckets = graft.CacheRegistry.register(withSig
       .select(col("doc_id"), col("is_new"),
         posexplode(graft.functions.GraftFunctions
           .lshBands(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bh")
+      .groupBy("band", "bh")
+      .agg(collect_list(when(col("is_new"), col("doc_id"))).as("ns"),
+        sort_array(collect_list(when(!col("is_new"), col("doc_id"))))
+          .as("os"),
+        count(lit(1)).as("bn"))
+      .filter(size(col("ns")) > 0 && size(col("os")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val oversized = graft.CacheRegistry.register(bandsDf.groupBy("band", "bh")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucketSize)
-      .select("band", "bh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bounded = bandsDf.join(broadcast(oversized), Seq("band", "bh"),
-      "left_anti")
-    val candNormal = bounded.filter(col("is_new")).as("n")
-      .join(bounded.filter(!col("is_new")).as("o"),
-        col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
-      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+    val candNormal = buckets.filter(col("bn") <= maxBucketSize)
+      .select(explode(col("ns")).as("new_id"), col("os"))
+      .select(col("new_id"), explode(col("os")).as("old_id"))
     // oversized buckets: one representative old edge per new member
-    val overBuckets = bandsDf.join(broadcast(oversized), Seq("band", "bh"))
-    val overOldMin = overBuckets.filter(!col("is_new"))
-      .groupBy("band", "bh").agg(min("doc_id").as("old_id"))
-    val candOver = overBuckets.filter(col("is_new"))
-      .join(overOldMin, Seq("band", "bh"))
-      .select(col("doc_id").as("new_id"), col("old_id"))
+    val candOver = buckets.filter(col("bn") > maxBucketSize)
+      .select(explode(col("ns")).as("new_id"),
+        element_at(col("os"), 1).as("old_id"))
     val candidates = candNormal.unionByName(candOver).distinct()
     // staged verify (see minhashPairs): signature-estimate prefilter,
     // then exact Jaccard over the shingle sets

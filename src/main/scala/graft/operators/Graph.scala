@@ -52,7 +52,18 @@ object Graph {
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      edges.join(deg, "src") // (src, dst, deg): per-iteration join input
+      // r15 (guide §2.4 — share one exchange): pin the cached frame's
+      // partitioning to hashpartitioning(src, shuffle.partitions). The
+      // iterative consumers (pagerank, ppr, reachability) all join this
+      // frame on src every iteration; without the pin, AQE coalesces the
+      // build's last exchange to a handful of partitions, the cached
+      // partitioning no longer satisfies the joins' required
+      // distribution, and EVERY iteration re-exchanges the full edge
+      // frame. The explicit count comes from spark.sql.shuffle.partitions
+      // (cpus locally, cluster-sized in production) — scale-adaptive via
+      // conf, not a constant.
+      val n = s.sessionState.conf.numShufflePartitions
+      edges.join(deg, "src").repartition(n, col("src"))
     }
 
   /** Fixed-point PageRank, `iters` exactly-unrolled iterations, over any
@@ -170,11 +181,19 @@ object Graph {
   def tradeBipartite(s: SparkSession, d: String): DataFrame =
     CacheRegistry.sharedFrame(
       s"graph:bipartite:${graft.CacheRegistry.sessionToken(s)}:$d") {
+      // r15 (guide §2.4): every consumer of this frame is cust-keyed
+      // (cdeg groupBys, the deg-cap join, the per-customer pair
+      // self-joins) — pin the cached partitioning to
+      // hashpartitioning(cust, shuffle.partitions) so those consumers'
+      // required distribution is satisfied straight from the cache
+      // instead of re-exchanging the frame per query. Count from conf —
+      // scale-adaptive, not a local constant.
       Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
+        .repartition(s.sessionState.conf.numShufflePartitions, col("cust"))
     }
 
   def commonNeighborPairs(s: SparkSession, d: String,
@@ -188,12 +207,23 @@ object Graph {
     CacheRegistry.sharedFrame(
       s"graph:cnp:${graft.CacheRegistry.sessionToken(s)}:$d:$maxDeg") {
       val edges = tradeBipartite(s, d)
-      val custDeg = edges.groupBy("cust").agg(count(lit(1)).as("cdeg"))
       val suppDeg = edges.groupBy("supp").agg(count(lit(1)).as("sdeg"))
-      val small = edges.join(custDeg, "cust").filter(col("cdeg") <= maxDeg)
-      val common = small.as("a").join(small.as("b"),
-          col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
-        .groupBy(col("a.supp").as("sa"), col("b.supp").as("sb"))
+      // r15 (guide §2.4, the q_itemset_pairs recipe): per-customer pair
+      // generation as ONE cust-keyed aggregate (exchange-free on the
+      // cust-pinned cache) + an IN-TASK explode of C(basket, 2) pairs,
+      // instead of a self-join that exchanged both sides and pushed the
+      // deg²-sized join output through the shuffle machinery. The
+      // deg-cap filter rides the aggregated basket size (size(set) =
+      // the old cdeg — both count DISTINCT (cust, supp) rows). Pair
+      // multiset is identical: (sa < sb) appears once per shared
+      // customer either way, so `common` is unchanged.
+      val common = edges.groupBy("cust")
+        .agg(collect_set(col("supp")).as("ss"))
+        .filter(size(col("ss")) <= maxDeg)
+        .select(explode(col("ss")).as("sa"), col("ss"))
+        .select(col("sa"),
+          explode(filter(col("ss"), x => x > col("sa"))).as("sb"))
+        .groupBy("sa", "sb")
         .agg(count(lit(1)).as("common"))
       common
         .join(broadcast(suppDeg.select(col("supp").as("sa"),
@@ -432,15 +462,23 @@ object Graph {
         |  GROUP BY a.supp, b.supp)
         |SELECT sa, sb, common, ra_e6 FROM ra
         |ORDER BY ra_e6 DESC, sa, sb LIMIT 20""".stripMargin) { (s, d) =>
-      val edges = tradeBipartite(s, d)
-      val cdeg = edges.groupBy("cust").agg(count(lit(1)).as("cdeg"))
-      val small = edges.join(cdeg, "cust").filter(col("cdeg") <= 64)
-        .withColumn("w", expr("(2 * 1000000 + cdeg) div (2 * cdeg)"))
-      small.as("a").join(small.as("b"),
-          col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
-        .groupBy(col("a.supp").as("sa"), col("b.supp").as("sb"))
+      // r15 (guide §2.4, the commonNeighborPairs recipe): one cust-keyed
+      // aggregate (exchange-free on the cust-pinned tradeBipartite
+      // cache) + in-task pair explode replaces the two-sided self-join.
+      // The RA weight depends only on the customer's degree, so it is
+      // computed once per basket (size(set) = the old cdeg) and summed
+      // per pair — identical integer sums, order-free.
+      tradeBipartite(s, d).groupBy("cust")
+        .agg(collect_set(col("supp")).as("ss"))
+        .filter(size(col("ss")) <= 64)
+        .withColumn("w",
+          expr("(2 * 1000000 + size(ss)) div (2 * cast(size(ss) as bigint))"))
+        .select(explode(col("ss")).as("sa"), col("ss"), col("w"))
+        .select(col("sa"),
+          explode(filter(col("ss"), x => x > col("sa"))).as("sb"), col("w"))
+        .groupBy("sa", "sb")
         .agg(count(lit(1)).cast("bigint").as("common"),
-          sum(col("a.w")).cast("bigint").as("ra_e6"))
+          sum(col("w")).cast("bigint").as("ra_e6"))
         .orderBy(desc("ra_e6"), col("sa"), col("sb")).limit(20)
     },
 

@@ -38,18 +38,32 @@ object Itemsets {
         |  ${TextAnalysis.halfUp4Sql("supp * n", "sa.s * sb.s")} AS lift
         |FROM pr JOIN bs sa ON pr.ba = sa.b JOIN bs sb ON pr.bb = sb.b, n
         |ORDER BY supp DESC, ba, bb LIMIT 10""".stripMargin) { (s, d) =>
-      val ob = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct()
-      val obP = graft.CacheRegistry.ensurePersisted(ob)
-      val n = obP.agg(countDistinct("o").cast("bigint").as("n"))
-      val bs = obP.groupBy("b").agg(count(lit(1)).cast("bigint").as("s"))
-      val pr = obP.join(
-          obP.select(col("o"), col("b").as("b2")), "o")
-        .filter(col("b") < col("b2"))
-        .groupBy(col("b").as("ba"), col("b2").as("bb"))
+      // r15 optimization (guide §2.4 — remove shuffles outright): the
+      // old shape shuffled the (order, brand) frame three times —
+      // DISTINCT's exchange on (o, b), then BOTH sides of the order-
+      // keyed self-join re-exchanged on o. One groupBy(o).collect_set
+      // establishes the per-order basket in a SINGLE exchange (the set
+      // dedups map-side, absorbing the DISTINCT), and the C(items,2)
+      // pair generation happens IN-TASK by exploding each basket —
+      // identical pair multiset, since a pair (ba < bb) appears exactly
+      // once per order containing both brands in either formulation.
+      // Same plan serves n (basket count = COUNT DISTINCT o) and the
+      // per-brand supports (explode the sets — set semantics = the old
+      // DISTINCT semantics).
+      val baskets = graft.CacheRegistry.ensurePersisted(
+        Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_orderkey").as("o"))
+          .agg(collect_set(col("p_brand")).as("bset")))
+      val n = baskets.agg(count(lit(1)).cast("bigint").as("n"))
+      val bs = baskets.select(explode(col("bset")).as("b"))
+        .groupBy("b").agg(count(lit(1)).cast("bigint").as("s"))
+      val pr = baskets
+        .select(explode(col("bset")).as("ba"), col("bset"))
+        .select(col("ba"),
+          explode(filter(col("bset"), x => x > col("ba"))).as("bb"))
+        .groupBy("ba", "bb")
         .agg(count(lit(1)).cast("bigint").as("supp"))
       pr.join(broadcast(bs.select(col("b").as("ba"), col("s").as("sa"))),
           "ba")

@@ -659,12 +659,20 @@ object Multimodal {
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val np = patches.groupBy("media_id").agg(count(lit(1)).as("np"))
-      val keep = patches.groupBy("ph").agg(count(lit(1)).as("bs"))
-        .filter(col("bs") <= 16).select("ph")
-      val pairs = patches.join(keep, "ph")
-        .select(col("ph"), col("media_id").as("ma"))
-        .join(patches.select(col("ph"), col("media_id").as("mb")), "ph")
-        .filter(col("ma") < col("mb"))
+      // r15 (guide §2.4, the q_itemset_pairs recipe): stop-patch cap +
+      // pair generation in ONE ph-keyed aggregate — collect each patch
+      // bucket's member list (≤16 by the cap; media_ids unique per
+      // bucket because `patches` is distinct), explode the ordered
+      // positional pairs IN-TASK into the map-side-combined shared
+      // count. The previous shape paid a cap groupBy plus a two-sided
+      // self-join on ph.
+      val pairs = patches
+        .groupBy("ph")
+        .agg(sort_array(collect_list(col("media_id"))).as("ms"))
+        .filter(size(col("ms")) <= 16)
+        .select(posexplode(col("ms")).as(Seq("i", "ma")), col("ms"))
+        .select(col("ma"),
+          explode(slice(col("ms"), col("i") + 2, lit(16))).as("mb"))
         .groupBy("ma", "mb").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 3)
       pairs
@@ -815,18 +823,31 @@ object Multimodal {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nch = chunks.groupBy("doc_id", "kind").agg(count(lit(1)).as("nc"))
-      val keep = chunks.groupBy("ch").agg(count(lit(1)).as("bs"))
-        .filter(col("bs") <= 16).select("ch")
-      val cand = chunks.filter(col("kind") === 1)
-        .select(col("ch"), col("doc_id").as("vid"))
-        .join(keep, "ch")
-        .join(chunks.filter(col("kind") === 0)
-          .select(col("ch"), col("doc_id").as("oid")), "ch")
+      // r15 (guide §2.4, the q_itemset_pairs recipe): bucket cap + the
+      // variant×original candidate pairing in ONE ch-keyed aggregate —
+      // collect each chunk bucket's vid/oid membership (≤16 total by the
+      // cap), explode the cross IN-TASK into the map-side-combined
+      // shared-count aggregate. The previous shape paid a groupBy for
+      // the cap, then a 3-way equi-join on ch that re-exchanged the
+      // chunk frame twice.
+      val cand = chunks
+        .groupBy("ch")
+        .agg(collect_list(when(col("kind") === 1, col("doc_id")))
+            .as("vids"),
+          collect_list(when(col("kind") === 0, col("doc_id")))
+            .as("oids"),
+          count(lit(1)).as("bs"))
+        .filter(col("bs") <= 16)
+        .select(explode(col("vids")).as("vid"), col("oids"))
+        .select(col("vid"), explode(col("oids")).as("oid"))
         .groupBy("vid", "oid").agg(count(lit(1)).as("shared"))
-      val best = cand.withColumn("rn", row_number().over(
-          Window.partitionBy("vid")
-            .orderBy(col("shared").desc, col("oid").asc)))
-        .filter(col("rn") === 1).drop("rn")
+      // best match per variant as one map-side-combinable max-struct agg
+      // ((shared, -oid) lexicographic max = shared desc, oid asc) — the
+      // row_number window sorted every candidate group (r15)
+      val best = cand.groupBy("vid")
+        .agg(max(struct(col("shared"), (-col("oid")).as("noid"))).as("m"))
+        .select(col("vid"), (-col("m.noid")).as("oid"),
+          col("m.shared").as("shared"))
       val tm = Tables.documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("tm5"))
       val scored = graft.CacheRegistry.ensurePersisted(best
@@ -853,10 +874,14 @@ object Multimodal {
               .cast("bigint"), lit(1L)) - 1)).as("pi"))
         .select(col("doc_id"), col("kind"),
           md5(expr("substring(t, CAST(1 + pi*64 AS INT), 64)")).as("ph"))
-        .distinct()
-      val g64 = gp.filter(col("kind") === 1).select("doc_id", "ph")
-        .join(gp.filter(col("kind") === 0).select("doc_id", "ph"),
-          Seq("doc_id", "ph"))
+      // (no separate distinct — g64's (doc_id, ph) groupBy absorbs it)
+      // a grid patch is "shared" iff both kinds of the SAME doc produced
+      // it — one (doc_id, ph)-keyed aggregate with kind flags (the
+      // mm_phash shp recipe) instead of a distinct + self-join (r15)
+      val g64 = gp.groupBy("doc_id", "ph")
+        .agg(max(when(col("kind") === 0, 1).otherwise(0)).as("h0"),
+          max(when(col("kind") === 1, 1).otherwise(0)).as("h1"))
+        .filter(col("h0") === 1 && col("h1") === 1)
         .agg(count(lit(1)).as("n64"))
       val cohort = Tables.documents(s, d)
         .filter(length(col("text")) >= 120).select("doc_id")
@@ -1589,55 +1614,62 @@ object Multimodal {
       // bench family's decode (r14 verdict #1). Parity: the DuckDB
       // oracle keeps the spelled-out SQL (gate pins the kernel every
       // run); AudioKernelSpec pins parity vs the in-Spark HOF stack.
-      val pk = graft.CacheRegistry.register(docsW
+      // the kernel's per-(doc, kind) symbol ARRAY is the persisted form
+      // (r15): both pk (exploded rows for the verify/nf legs) and the
+      // landmark hashes derive from it map-only, so the cache holds 10k
+      // array rows instead of 154k exploded rows
+      val pkArr = graft.CacheRegistry.register(docsW
         .select(col("doc_id"), col("kind"),
-          explode(graft.functions.GraftFunctions.afpSyms(
-            col("w"), col("kind"))).as("fs"))
-        .select(col("doc_id"), col("kind"),
-          col("fs").getField("f").as("f"),
-          col("fs").getField("sym").as("sym"))
+          graft.functions.GraftFunctions.afpSyms(
+            col("w"), col("kind")).as("fs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val pk = pkArr
+        .select(col("doc_id"), col("kind"), explode(col("fs")).as("e"))
+        .select(col("doc_id"), col("kind"),
+          col("e").getField("f").as("f"),
+          col("e").getField("sym").as("sym"))
       // landmark hashes: (sym_t, sym_{t+dt}, dt); 87809 > max sym 87807.
-      // Adjacent frames come from ONE lead() window (20-row partitions)
-      // instead of a pk self-join — frames at distance ≤3 are at most 3
-      // lead positions ahead (frame indices are strictly increasing),
-      // so filtering the 3 leads on actual distance is join-equivalent
-      // with one less exchange
-      val wLead = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id", "kind").orderBy("f")
-      val withLeads = pk.select(
-        col("doc_id") +: col("kind") +: col("f") +: col("sym") +:
-          (1 to 3).map(k => lead(struct(col("f"), col("sym")), k)
-            .over(wLead).as(s"l$k")): _*)
-      // not persisted: the only consumer is chCap, whose hv exchange is
-      // computed once and reused by both sides of the pair self-join
-      val ch = withLeads
-        .select((col("doc_id") * 2 + col("kind")).as("mid"), col("f"),
-          col("sym"),
-          explode(array(col("l1"), col("l2"), col("l3"))).as("l"))
-        .filter(col("l").isNotNull &&
-          col("l.f").between(col("f") + 1, col("f") + 3))
-        .select(col("mid"), col("f"),
-          ((col("sym") * 87809L + col("l.sym")) * 4
-            + (col("l.f") - col("f"))).as("hv"))
-      // boilerplate cap as count-over-window by hv: ONE hv-keyed pass (a
-      // groupBy+semi-join cap costs an extra aggregate); a.hv kept ⇒ its
-      // bucket is kept, so capping both sides is join-equivalent to
-      // capping one. PERSISTED because the pair self-join consumes it
-      // twice and plans the small side as a BroadcastExchange, which
-      // does NOT reuse the left side's shuffle (measured: the whole
-      // lead+cap window chain ran twice without the persist)
-      val chCap = graft.CacheRegistry.ensurePersisted(ch
-        .withColumn("bs", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("hv")))
-        .filter(col("bs") <= 160)
-        .select("hv", "mid", "f"))
-      val pairs = chCap
-        .select(col("hv"), col("mid").as("ma"), col("f").as("fa"))
-        .join(chCap.select(col("hv"), col("mid").as("mb"),
-          col("f").as("fb")), Seq("hv"))
-        .filter(col("ma") < col("mb"))
-        .groupBy(col("ma"), col("mb"), (col("fa") - col("fb")).as("off"))
+      // r15 (guide §2.4): adjacent frames pair up IN-ARRAY (each element
+      // against the ≤3 following elements, which covers every frame at
+      // distance ≤3 because frame indices are strictly increasing) — the
+      // previous lead() window exchanged + sorted the 154k-row exploded
+      // frame just to look 3 positions ahead inside a 20-row partition.
+      // Map-only from the pkArr cache.
+      val ch = pkArr
+        .select((col("doc_id") * 2 + col("kind")).as("mid"), col("fs"))
+        .select(col("mid"), explode(expr(
+          """flatten(transform(fs, (a, i) ->
+            |  transform(filter(slice(fs, i + 2, 3), x -> x.f - a.f <= 3),
+            |    x -> struct(a.f AS f,
+            |      (a.sym * 87809 + x.sym) * 4 + (x.f - a.f) AS hv))))"""
+            .stripMargin)).as("e"))
+        .select(col("mid"), col("e.f").as("f"), col("e.hv").as("hv"))
+      // boilerplate cap + pair generation in ONE hv-keyed aggregate
+      // (r15, guide §2.4 — the q_itemset_pairs recipe): collect each
+      // hash bucket's (mid, f) entries (deterministically bounded at 160
+      // by the cap filter), then explode the ma < mb element pairs
+      // IN-TASK straight into the map-side-combined vote aggregate. The
+      // previous shape paid a count-over-window (exchange + sort) for
+      // the cap AND a two-sided self-join on hv for the pairs; this is
+      // one exchange of the 400k-row hash frame, and the 4.4M candidate
+      // pair rows never cross a shuffle — only the aggregated votes do.
+      // es is mid-sorted so the pair explode can be POSITIONAL (element
+      // i against elements i+1..n via slice) — plain codegen'd
+      // expressions instead of a per-element interpreted HOF filter; the
+      // b.mid > a.mid guard (same-mid entries are adjacent after the
+      // sort) is an ordinary codegen'd Filter
+      val buckets = graft.CacheRegistry.ensurePersisted(ch
+        .groupBy("hv")
+        .agg(sort_array(collect_list(struct(col("mid"), col("f"))))
+          .as("es"))
+        .filter(size(col("es")) <= 160))
+      val pairs = buckets
+        .select(posexplode(col("es")).as(Seq("i", "a")), col("es"))
+        .select(col("a"),
+          explode(slice(col("es"), col("i") + 2, lit(160))).as("b"))
+        .filter(col("b.mid") > col("a.mid"))
+        .groupBy(col("a.mid").as("ma"), col("b.mid").as("mb"),
+          (col("a.f") - col("b.f")).as("off"))
         .agg(count(lit(1)).as("votes"))
       // best offset per pair as ONE map-side-combinable max-struct agg
       // ((votes, -off) lexicographic max = votes desc, off asc) — a

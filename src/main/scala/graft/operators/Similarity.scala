@@ -368,14 +368,26 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
 
   // nearest centroid per vector: min over a struct orders by rounded
-  // distance first, centroid id second (the ulp-proof tiebreak)
+  // distance first, centroid id second (the ulp-proof tiebreak).
+  // r15 optimization (guide §2.3/§2.4): the old shape crossJoined the
+  // corpus against the k-row centroid frame (k× row blowout) and then
+  // SHUFFLED corpus×k rows through a groupBy(vec_id) whose first(v)
+  // dragged the full 64-dim payload across the exchange — per call.
+  // Collapsing the centroids to ONE broadcast row (array of (cid, cen))
+  // and taking array_min over an in-row transform computes the same
+  // (d, cid)-lexicographic argmin — array_min orders structs exactly
+  // like min(struct(...)) — with ZERO exchanges and no row blowup: the
+  // assignment becomes a map-only stage at any corpus size. Called 3-4×
+  // per k-means consumer (training iterations + final assign + IVF
+  // lists), so this removes that many shuffles from sim_kmeans,
+  // dedup_semantic, sim_ivf_pq and sim_centroid_drift.
   private def kmeansAssignTo(corpus: DataFrame, cents: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        round(kmeansDist2(col("v"), col("cen")), 4).as("d"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d"), col("cid"))).as("best"),
-        first(col("v")).as("v"))
+    corpus.crossJoin(broadcast(
+        cents.agg(collect_list(struct(col("cid"), col("cen"))).as("cents"))))
+      .select(col("vec_id"), col("v"),
+        array_min(transform(col("cents"), c =>
+          struct(round(kmeansDist2(col("v"), c.getField("cen")), 4).as("d"),
+            c.getField("cid").as("cid")))).as("best"))
       .select(col("vec_id"), col("v"),
         col("best.cid").as("cluster"), col("best.d").as("dist2"))
 
@@ -445,15 +457,24 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // nearest codebook entry per (vector, subspace) — rounded distance,
-  // centroid-id tiebreak (the same ulp-proof min-struct as k-means)
+  // centroid-id tiebreak (the same ulp-proof min-struct as k-means).
+  // r15 optimization (guide §2.3/§2.4, the kmeansAssignTo recipe): the
+  // old shape joined sub against all 16 per-subspace codebook entries
+  // (16× row blowup) and shuffled corpus×8×16 rows through a
+  // groupBy(vec_id, s) whose first(sv) dragged the sub-vector across
+  // the exchange — twice per PQ consumer (cb0-encode inside codebook
+  // training, cb1-encode for the stored codes). Grouping the codebook
+  // to 8 one-row-per-subspace arrays and taking the in-row array_min
+  // (identical (d, j) lexicographic argmin) makes encoding a map-only
+  // pass over the corpus×8 sub-vector frame.
   private def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.join(broadcast(cb), "s")
-      .select(col("vec_id"), col("s"), col("sv"), col("j"),
-        round(kmeansDist2(col("sv"), col("cen")), 4).as("d"))
-      .groupBy("vec_id", "s")
-      .agg(min(struct(col("d"), col("j"))).as("best"),
-        first(col("sv")).as("sv"))
-      .select(col("vec_id"), col("s"), col("best.j").as("code"),
+    sub.join(broadcast(
+        cb.groupBy("s").agg(collect_list(struct(col("j"), col("cen")))
+          .as("cbs"))), "s")
+      .select(col("vec_id"), col("s"),
+        array_min(transform(col("cbs"), e =>
+          struct(round(kmeansDist2(col("sv"), e.getField("cen")), 4).as("d"),
+            e.getField("j").as("j")))).getField("j").as("code"),
         col("sv"))
 
   /** Refined PQ codebook (cb1 in the oracle): 16 seed sub-vectors per
@@ -527,28 +548,36 @@ object Similarity {
     * replays train/assign/probe/encode/score end-to-end and every
     * neighbor row is hash-certified — stronger than a recall summary. */
   def ivfPqTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10,
-      nprobe: Int = 3): DataFrame = {
+      nprobe: Int = 3, centsOpt: Option[DataFrame] = None,
+      listsOpt: Option[DataFrame] = None): DataFrame = {
     val corpus = kmeansCorpus(emb)
     // the trained coarse quantizer is 8 rows but its PLAN is the whole
     // Lloyd pipeline (crossJoin + posexplode chains); it feeds BOTH the
-    // inverted-list build and the query probes, so checkpoint it once —
-    // train-once/probe-many, exactly like a real index build
-    val cents = kmeansCentroids(emb, k = 8, iters = 2).localCheckpoint()
+    // inverted-list build and the query probes — callers supply the
+    // cross-query shared one (corpusCentroids); otherwise checkpoint a
+    // local train once — train-once/probe-many, like a real index build
+    val cents = centsOpt.getOrElse(
+      kmeansCentroids(emb, k = 8, iters = 2).localCheckpoint())
     // inverted lists: corpus vector → coarse cell (the materialized
-    // cluster column of a real index build)
-    val lists = kmeansAssignTo(corpus, cents)
-      .select(col("vec_id"), col("cluster"))
+    // cluster column of a real index build); callers supply the shared
+    // corpus assignment (corpusKmeans) when they have one
+    val lists = listsOpt.getOrElse(
+      kmeansAssignTo(corpus, cents).select(col("vec_id"), col("cluster")))
     // each query probes its nprobe closest cells — same rounded-distance
-    // + cid-tiebreak ranking as the assignment itself
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("d"), col("cid"))
+    // + cid-tiebreak ranking as the assignment itself. r15: the nprobe
+    // selection is an in-row array_sort+slice over the one-row broadcast
+    // centroid array (ascending struct sort = the old window's ORDER BY
+    // d, cid; slice 1..nprobe = rn <= nprobe) — the row_number window
+    // cost a probe-frame exchange + sort per run for a 10×8-row frame
     val probes = corpus.filter(col("vec_id") < numQueries)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id").as("query_id"), col("cid"),
-        round(kmeansDist2(col("v"), col("cen")), 4).as("d"))
-      .withColumn("pr", row_number().over(w))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("cid").as("cluster"))
+      .crossJoin(broadcast(
+        cents.agg(collect_list(struct(col("cid"), col("cen"))).as("cents"))))
+      .select(col("vec_id").as("query_id"),
+        explode(transform(
+          slice(array_sort(transform(col("cents"), c =>
+            struct(round(kmeansDist2(col("v"), c.getField("cen")), 4).as("d"),
+              c.getField("cid").as("cid")))), 1, nprobe),
+          e => e.getField("cid"))).as("cluster"))
     // candidate set = union of the probed inverted lists; the probe
     // frame is numQueries×nprobe rows — always broadcast
     val cands = lists.join(broadcast(probes), Seq("cluster"))
@@ -648,7 +677,25 @@ object Similarity {
   def corpusKmeans(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.sharedFrame(
       s"sim:kmeans:${graft.CacheRegistry.sessionToken(s)}:$d") {
-      kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+      // assign against the SHARED trained centroids (below) — identical
+      // arithmetic to kmeansAssign(emb, 8, 2), which is definitionally
+      // assignTo(corpus, kmeansCentroids(emb, 8, 2))
+      kmeansAssignTo(kmeansCorpus(Tables.embeddings(s, d)),
+        corpusCentroids(s, d))
+        .select(col("vec_id"), col("cluster"), col("dist2"))
+        .orderBy("vec_id")
+    }
+
+  /** Cross-query shared trained coarse quantizer (k=8, 2 Lloyd iters)
+    * over the corpus embeddings — the k-row centroid frame consumed by
+    * corpusKmeans' assignment AND sim_ivf_pq's probe/list build (r15:
+    * previously each consumer re-ran the training pipeline; the 100 TB
+    * rule is "train the quantizer ONCE per corpus", the same reasoning
+    * as the shared assignment itself). */
+  def corpusCentroids(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.sharedFrame(
+      s"sim:cents:${graft.CacheRegistry.sessionToken(s)}:$d") {
+      kmeansCentroids(Tables.embeddings(s, d), k = 8, iters = 2)
     }
 
   /** SemDeDup: cluster then within-cluster near-duplicate drop — keep
@@ -1753,7 +1800,10 @@ object Similarity {
         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val full = graft.CacheRegistry.register(
-        ivfPqTopK(emb, k = 5, numQueries = 10, nprobe = 3)
+        ivfPqTopK(emb, k = 5, numQueries = 10, nprobe = 3,
+          centsOpt = Some(corpusCentroids(s, d)),
+          listsOpt = Some(
+            corpusKmeans(s, d).select(col("vec_id"), col("cluster"))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // exact-L2 brute top-5 truth: broadcast queries, one corpus scan,
       // bounded TopK aggregator (−d ⇒ nearest; id tiebreak)
