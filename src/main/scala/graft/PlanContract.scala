@@ -46,6 +46,11 @@ object PlanContract {
   val RankOffsets =
     "GlobalRank offset frames (<= #partitions rows ordered by " +
       "partition id) plus vocabulary-bounded type aggregates"
+  val KRowCodebook =
+    "k-row centroid/codebook frame collapsed to ONE broadcast array row " +
+      "(collect_list over k<=8 trained centroids / 8x16 PQ codebook " +
+      "entries) for the in-row argmin kernels — r15 kmeansAssignTo/" +
+      "pqEncode fusion"
 
   /** query name -> (expected SinglePartition mention count in its
     * PLANS.md formatted plan, audited bounded-frame class). */
@@ -57,7 +62,7 @@ object PlanContract {
     "graph_modularity" -> ((1, OneRow)),
     "graph_pagerank" -> ((4, Convergence)),
     "graph_triangles" -> ((2, OneRow)),
-    "mm_afp_prebuilt" -> ((7, OneRow)),
+    "mm_afp_prebuilt" -> ((3, OneRow)),
     "mm_audio_fingerprint" -> ((2, OneRow)),
     // catch-floor counter, cohort count, grid-blindness counter
     "mm_cdc_dedup" -> ((3, OneRow)),
@@ -147,14 +152,19 @@ object PlanContract {
     // injected runtime bloom-filter build over the 10-row query frame
     "sim_filtered_ann" -> ((1, OneRow)),
     "sim_hybrid_rrf" -> ((1, BoundedPool)),
-    "sim_ivf_pq" -> ((1, OneRow)),
+    "sim_ivf_pq" -> ((4, KRowCodebook)),
     // the k·|queries|-bounded per-query frame collapsing to the 1-row
     // mean-recall pair then broadcast back
     "sim_matryoshka_recall" -> ((1, OneRow)),
     // 4 one-row hit-count aggregates + the 4-row probe-grid sweep window
     "sim_ivf_recall_sweep" -> ((5, BoundedWindow)),
     "sim_ivf_prebuilt" -> ((1, OneRow)),
-    "sim_pq_adc" -> ((1, OneRow)),
+    // sim_pq_adc: the r15 in-row pqEncode fusion removed its one
+    // SinglePartition mention (the codebook collapse rides the shared
+    // k-row codebook aggregate, counted under its consumers)
+    "sim_kmeans" -> ((2, KRowCodebook)),
+    "dedup_semantic" -> ((2, KRowCodebook)),
+    "sim_embedding_pipeline" -> ((2, KRowCodebook)),
     "spatial_dbscan" -> ((1, Convergence)),
     "text_bigram_logprob" -> ((1, OneRow)),
     "text_bm25_topk" -> ((1, OneRow)),
