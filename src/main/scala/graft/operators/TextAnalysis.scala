@@ -1542,14 +1542,18 @@ object TextAnalysis {
         |                FROM documents)))
         |      GROUP BY span) WHERE dc > 2) f ON s.span = f.span)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val spans = Tables.documentsPar(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), col("w"),
-          posexplode(sequence(lit(1L),
-            ceil(size(col("w")).cast("double") / 10.0).cast("bigint"))))
-        .select(col("doc_id"), (col("pos") + 1).as("si"),
-          array_join(slice(col("w"),
-            (col("pos") * 10 + 1).cast("int"), lit(10)), " ").as("span"))
+      // persisted (r15): both the boilerplate-dictionary aggregate and
+      // the join-back consume this frame — without the persist the
+      // tokenize + span-tile pass over the corpus ran TWICE per query
+      val spans = graft.CacheRegistry.ensurePersisted(
+        Tables.documentsPar(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("w"),
+            posexplode(sequence(lit(1L),
+              ceil(size(col("w")).cast("double") / 10.0).cast("bigint"))))
+          .select(col("doc_id"), (col("pos") + 1).as("si"),
+            array_join(slice(col("w"),
+              (col("pos") * 10 + 1).cast("int"), lit(10)), " ").as("span")))
       val boiler = spans.groupBy("span")
         .agg(countDistinct(col("doc_id")).as("dc"))
         .filter(col("dc") > 2)
