@@ -63,7 +63,13 @@ object Graph {
       // (cpus locally, cluster-sized in production) — scale-adaptive via
       // conf, not a constant.
       val n = s.sessionState.conf.numShufflePartitions
-      edges.join(deg, "src").repartition(n, col("src"))
+      // r15 opt 2: localCheckpoint AFTER the pin — the checkpointed
+      // LogicalRDD exposes hashpartitioning(src, n) STATICALLY, where
+      // the AQE-wrapped cached plan hid it until materialization and
+      // every iterative consumer planned a defensive re-exchange of the
+      // full edge frame per iteration (plan evidence: Exchange above
+      // InMemoryTableScan in graph_pagerank_after.txt).
+      edges.join(deg, "src").repartition(n, col("src")).localCheckpoint()
     }
 
   /** Fixed-point PageRank, `iters` exactly-unrolled iterations, over any

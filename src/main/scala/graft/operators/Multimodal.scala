@@ -503,30 +503,46 @@ object Multimodal {
         |  CAST((2 * n * 10000 + n_pixels) // (2 * n_pixels) AS DOUBLE)
         |    / 10000 AS dominant_share
         |FROM top WHERE rk = 1 ORDER BY media_id""".stripMargin) { (s, d) =>
-      val px = Tables.documents(s, d).filter(length(col("text")) >= 3)
-        .select(col("doc_id").as("media_id"), col("text"),
-          explode(sequence(lit(0L),
-            expr("CAST(length(text) div 3 AS BIGINT) - 1"))).as("p"))
+      // r15 opt 2 (guide §2.4 — remove shuffles outright): the palette
+      // is per-media-bounded (≤64 buckets), so the modal bucket, pixel
+      // and bucket counts and the share are all per-row functions of
+      // the pixel-bucket array — computed IN-ROW. Modal count = longest
+      // equal-run of the SORTED bucket array; the strictly-greater run
+      // replacement keeps the smallest bucket on ties, matching the old
+      // window's ORDER BY n DESC, bucket. The previous shape exploded
+      // ~len/3 pixel rows per media through a (media, bucket) aggregate
+      // exchange plus two window passes over the same shuffle; this is
+      // one map-only projection plus the output sort.
+      val bArr = expr(
+        """transform(sequence(0L, CAST(length(text) div 3 AS BIGINT) - 1),
+          |  p -> CAST(
+          |    (ascii(substring(text, CAST(3 * p + 1 AS INT), 1)) div 64) * 16
+          |    + (ascii(substring(text, CAST(3 * p + 2 AS INT), 1)) div 64) * 4
+          |    + (ascii(substring(text, CAST(3 * p + 3 AS INT), 1)) div 64)
+          |    AS INT))""".stripMargin)
+      val best = expr(
+        """aggregate(array_sort(ba),
+          |  named_struct('p', CAST(-1 AS INT), 'r', CAST(0 AS BIGINT),
+          |    'm', CAST(0 AS BIGINT), 'mb', CAST(-1 AS INT)),
+          |  (a, x) -> named_struct(
+          |    'p', x,
+          |    'r', IF(x = a.p, a.r + 1, CAST(1 AS BIGINT)),
+          |    'm', GREATEST(a.m, IF(x = a.p, a.r + 1, CAST(1 AS BIGINT))),
+          |    'mb', IF(IF(x = a.p, a.r + 1, CAST(1 AS BIGINT)) > a.m,
+          |      x, a.mb)),
+          |  a -> named_struct('n', a.m, 'b', a.mb))""".stripMargin)
+      // repartition BEFORE the per-row kernel work (the simhashPairs
+      // fingerprint rule): the corpus arrives as one parquet split and
+      // the bucket/sort/run pass is CPU-bound per row
+      Tables.documentsPar(s, d).filter(length(col("text")) >= 3)
+        .select(col("doc_id").as("media_id"), bArr.as("ba"))
+        .select(col("media_id"), best.as("t"),
+          size(col("ba")).cast("bigint").as("n_pixels"),
+          size(array_distinct(col("ba"))).cast("bigint").as("n_buckets"))
         .select(col("media_id"),
-          (expr("ascii(substring(text, CAST(3 * p + 1 AS INT), 1)) div 64")
-            * 16 +
-            expr("ascii(substring(text, CAST(3 * p + 2 AS INT), 1)) div 64")
-              * 4 +
-            expr("ascii(substring(text, CAST(3 * p + 3 AS INT), 1)) div 64"))
-            .as("bucket"))
-      val cnt = px.groupBy("media_id", "bucket")
-        .agg(count(lit(1)).cast("bigint").as("n"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("media_id")
-      val top = cnt
-        .withColumn("rk", row_number().over(
-          w.orderBy(desc("n"), col("bucket"))))
-        .withColumn("n_pixels", sum("n").over(w).cast("bigint"))
-        .withColumn("n_buckets", count(lit(1)).over(w).cast("bigint"))
-      top.filter(col("rk") === 1)
-        .select(col("media_id"), col("bucket").cast("int")
-            .as("dominant_bucket"),
+          col("t.b").cast("int").as("dominant_bucket"),
           col("n_pixels"), col("n_buckets"),
-          (expr("(2 * n * 10000 + n_pixels) div (2 * n_pixels)")
+          (expr("(2 * t.n * 10000 + n_pixels) div (2 * n_pixels)")
             .cast("double") / 10000).as("dominant_share"))
         .orderBy("media_id")
     },

@@ -499,30 +499,80 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  /** ADC lookup table: exact rounded sub-distance of every query
-    * sub-vector to every codebook centroid — |queries|×128 rows,
-    * always broadcast. */
-  private def pqLut(sub: DataFrame, cb1: DataFrame, numQueries: Int): DataFrame =
-    sub.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qv"))
-      .join(broadcast(cb1), "s")
-      .select(col("query_id"), col("s"), col("j"),
-        round(kmeansDist2(col("qv"), col("cen")), 4).as("ld"))
+  /** The trained codebook collapsed to ONE broadcast row — array over
+    * the 8 subspaces (sorted by s) of the per-subspace entry array
+    * (sorted by j) — for the in-row encode/score kernels (the
+    * kmeansAssignTo one-row recipe). */
+  private def pqCodebookRow(cb1: DataFrame): DataFrame =
+    cb1.groupBy("s")
+      .agg(array_sort(collect_list(struct(col("j"), col("cen"))))
+        .as("cbs"))
+      .agg(array_sort(collect_list(struct(col("s"), col("cbs"))))
+        .as("cb"))
 
+  /** In-row PQ codes array (index i ↔ subspace s = i−1) from a full
+    * 64-dim vector against the one-row codebook: the identical
+    * (d, j)-lexicographic argmin as [[pqEncode]], zero exchanges. */
+  private def pqCodesInRow(v: Column, cb: Column): Column =
+    transform(cb, sc =>
+      array_min(transform(sc.getField("cbs"), e =>
+        struct(round(kmeansDist2(
+            slice(v, sc.getField("s") * 8 + 1, lit(8)),
+            e.getField("cen")), 4).as("d"),
+          e.getField("j").as("j")))).getField("j"))
+
+  /** Per-query in-row ADC lookup table: array over subspaces (codebook
+    * order) of (j, ld) entries, ld = the identical rounded sub-distance
+    * the old broadcast LUT frame carried. */
+  private def pqLutInRow(qv: Column, cb: Column): Column =
+    transform(cb, sc =>
+      transform(sc.getField("cbs"), e =>
+        struct(e.getField("j").as("j"),
+          round(kmeansDist2(
+            slice(qv, sc.getField("s") * 8 + 1, lit(8)),
+            e.getField("cen")), 4).as("ld"))))
+
+  /** In-row ADC: the 8 looked-up subspace distances summed as exact
+    * decimals (order-free, same arithmetic as the old
+    * sum(cast(ld as decimal(18,6))) aggregate) then cast to double and
+    * rounded — bit-identical by correct rounding of the same rational. */
+  private def pqAdcInRow(lut: Column, codes: Column): Column =
+    round((0 until 8).map { s =>
+      element_at(
+        filter(element_at(lut, s + 1),
+          e => e.getField("j") === element_at(codes, s + 1)),
+        1).getField("ld").cast("decimal(18,6)")
+    }.reduce(_ + _).cast("double"), 4)
+
+  // r15 opt 2 (guide §2.4): scoring is now MAP-ONLY — per-vector codes
+  // and the per-query LUT are computed in-row against the one-row
+  // broadcast codebook, and each corpus row emits its (query, adc) rows
+  // in-task straight into the bounded top-k aggregate. The previous
+  // shape exchanged a corpus×|queries| scored frame through a
+  // groupBy(query_id, vec_id) before the top-k; only aggregated top-k
+  // partials cross the wire now. The exploded sub frame survives solely
+  // as codebook-TRAINING input (a corpus-wide mean genuinely needs an
+  // aggregate).
   def pqAdcTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
     val sub = pqSub(emb)
     val cb1 = pqCodebook(sub)
-    val codes = pqEncode(sub, cb1).select("vec_id", "s", "code")
-    val lut = pqLut(sub, cb1, numQueries)
-    val scored = codes
-      .join(broadcast(lut),
-        codes("s") === lut("s") && codes("code") === lut("j"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      // decimal sum of the 8 rounded subspace distances — order-free
-      .agg(round(sum(col("ld").cast("decimal(18,6)")).cast("double"), 4)
-        .as("adc"))
-    scored.groupBy("query_id")
+    val cbRow = pqCodebookRow(cb1)
+    val corpus = kmeansCorpus(emb)
+    // every query's in-row LUT, collapsed to ONE broadcast row
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cbRow))
+      .select(struct(col("vec_id").as("query_id"),
+        pqLutInRow(col("v"), col("cb")).as("lut")).as("q"))
+      .agg(collect_list(col("q")).as("qs"))
+    corpus.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), pqCodesInRow(col("v"), col("cb")).as("codes"))
+      .crossJoin(broadcast(queries))
+      .select(col("vec_id"), col("codes"),
+        explode(filter(col("qs"),
+          q => q.getField("query_id") =!= col("vec_id"))).as("q"))
+      .select(col("q.query_id").as("query_id"), col("vec_id"),
+        pqAdcInRow(col("q.lut"), col("codes")).as("adc"))
+      .groupBy("query_id")
       .agg(graft.functions.TopKAggregator.topK(
         -col("adc"), col("vec_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk.entries")))
@@ -548,8 +598,7 @@ object Similarity {
     * replays train/assign/probe/encode/score end-to-end and every
     * neighbor row is hash-certified — stronger than a recall summary. */
   def ivfPqTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10,
-      nprobe: Int = 3, centsOpt: Option[DataFrame] = None,
-      listsOpt: Option[DataFrame] = None): DataFrame = {
+      nprobe: Int = 3, centsOpt: Option[DataFrame] = None): DataFrame = {
     val corpus = kmeansCorpus(emb)
     // the trained coarse quantizer is 8 rows but its PLAN is the whole
     // Lloyd pipeline (crossJoin + posexplode chains); it feeds BOTH the
@@ -558,46 +607,48 @@ object Similarity {
     // local train once — train-once/probe-many, like a real index build
     val cents = centsOpt.getOrElse(
       kmeansCentroids(emb, k = 8, iters = 2).localCheckpoint())
-    // inverted lists: corpus vector → coarse cell (the materialized
-    // cluster column of a real index build); callers supply the shared
-    // corpus assignment (corpusKmeans) when they have one
-    val lists = listsOpt.getOrElse(
-      kmeansAssignTo(corpus, cents).select(col("vec_id"), col("cluster")))
-    // each query probes its nprobe closest cells — same rounded-distance
-    // + cid-tiebreak ranking as the assignment itself. r15: the nprobe
-    // selection is an in-row array_sort+slice over the one-row broadcast
-    // centroid array (ascending struct sort = the old window's ORDER BY
-    // d, cid; slice 1..nprobe = rn <= nprobe) — the row_number window
-    // cost a probe-frame exchange + sort per run for a 10×8-row frame
-    val probes = corpus.filter(col("vec_id") < numQueries)
-      .crossJoin(broadcast(
-        cents.agg(collect_list(struct(col("cid"), col("cen"))).as("cents"))))
-      .select(col("vec_id").as("query_id"),
-        explode(transform(
+    val centsRow =
+      cents.agg(collect_list(struct(col("cid"), col("cen"))).as("cents"))
+    val sub = pqSub(emb)
+    val cb1 = pqCodebook(sub)
+    val cbRow = pqCodebookRow(cb1)
+    // the coarse-assignment argmin (identical (d, cid) ranking as
+    // kmeansAssignTo — the materialized cluster column of a real index)
+    def cellOf(v: Column): Column =
+      array_min(transform(col("cents"), c =>
+        struct(round(kmeansDist2(v, c.getField("cen")), 4).as("d"),
+          c.getField("cid").as("cid")))).getField("cid")
+    // r15 opt 2 (guide §2.4): each query's nprobe probe cells (in-row
+    // array_sort+slice = the old window's ORDER BY d, cid / rn <=
+    // nprobe) AND its in-row ADC LUT ride ONE broadcast row; the corpus
+    // pass computes cell + PQ codes in-row and emits (query, adc) rows
+    // in-task for exactly the probed cells — the lists⋈probes shuffle
+    // join, the cands⋈codes shuffle join and the scored
+    // groupBy(query_id, vec_id) exchange are all gone; only bounded
+    // top-k partials cross the wire.
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(centsRow))
+      .crossJoin(broadcast(cbRow))
+      .select(struct(col("vec_id").as("query_id"),
+        transform(
           slice(array_sort(transform(col("cents"), c =>
             struct(round(kmeansDist2(col("v"), c.getField("cen")), 4).as("d"),
               c.getField("cid").as("cid")))), 1, nprobe),
-          e => e.getField("cid"))).as("cluster"))
-    // candidate set = union of the probed inverted lists; the probe
-    // frame is numQueries×nprobe rows — always broadcast
-    val cands = lists.join(broadcast(probes), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id")
-    // PQ/ADC rescoring restricted to the candidates (same codebook +
-    // LUT arithmetic as sim_pq_adc)
-    val sub = pqSub(emb)
-    val cb1 = pqCodebook(sub)
-    val codes = pqEncode(sub, cb1).select("vec_id", "s", "code")
-    val lut = pqLut(sub, cb1, numQueries)
-    val scored = cands
-      .join(codes, "vec_id")
-      .join(broadcast(lut),
-        cands("query_id") === lut("query_id") &&
-          codes("s") === lut("s") && codes("code") === lut("j"))
-      .groupBy(cands("query_id"), col("vec_id"))
-      .agg(round(sum(col("ld").cast("decimal(18,6)")).cast("double"), 4)
-        .as("adc"))
-    scored.groupBy("query_id")
+          e => e.getField("cid")).as("probes"),
+        pqLutInRow(col("v"), col("cb")).as("lut")).as("q"))
+      .agg(collect_list(col("q")).as("qs"))
+    corpus.crossJoin(broadcast(centsRow))
+      .crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), cellOf(col("v")).as("cluster"),
+        pqCodesInRow(col("v"), col("cb")).as("codes"))
+      .crossJoin(broadcast(queries))
+      .select(col("vec_id"), col("codes"),
+        explode(filter(col("qs"), q =>
+          array_contains(q.getField("probes"), col("cluster")) &&
+            q.getField("query_id") =!= col("vec_id"))).as("q"))
+      .select(col("q.query_id").as("query_id"), col("vec_id"),
+        pqAdcInRow(col("q.lut"), col("codes")).as("adc"))
+      .groupBy("query_id")
       .agg(graft.functions.TopKAggregator.topK(
         -col("adc"), col("vec_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk.entries")))
@@ -1800,10 +1851,12 @@ object Similarity {
         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val full = graft.CacheRegistry.register(
+        // cells recompute in-row against the SHARED trained centroids —
+        // the same (d, cid) argmin corpusKmeans stores, so the index
+        // contents are identical; the map-only recompute replaces the
+        // (vec_id, cluster) shuffle join against the cached assignment
         ivfPqTopK(emb, k = 5, numQueries = 10, nprobe = 3,
-          centsOpt = Some(corpusCentroids(s, d)),
-          listsOpt = Some(
-            corpusKmeans(s, d).select(col("vec_id"), col("cluster"))))
+          centsOpt = Some(corpusCentroids(s, d)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // exact-L2 brute top-5 truth: broadcast queries, one corpus scan,
       // bounded TopK aggregator (−d ⇒ nearest; id tiebreak)

@@ -659,11 +659,15 @@ object TextAnalysis {
         |    AND coalesce(f.dup_5gram_frac, 0.0) < 0.3 AS INTEGER) AS keep
         |FROM w LEFT JOIN bstat b USING (doc_id) LEFT JOIN fstat f USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
-      // three consumers (bstat, fstat, final join) — persist the
-      // tokenized frame once instead of re-scanning + re-splitting
-      val docs = graft.CacheRegistry.register(Tables.documentsPar(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // r15 opt 2 (guide §2.4 — remove shuffles outright): both stats
+      // are per-doc functions of the token array, so they compute
+      // IN-ROW — max bigram multiplicity = longest equal-run of the
+      // SORTED bigram array (multiset count, order irrelevant), and the
+      // dup-5-gram count = n − |array_distinct|. The previous shape
+      // exploded both n-gram frames through two doc_id-keyed aggregate
+      // exchanges and left-joined them back; this is one map-only
+      // projection plus the output sort — embarrassingly parallel at
+      // any corpus size, zero shuffled n-gram bytes.
       // bigrams from zip_with over the shifted copy (null-padded tail
       // pairs concat to null and are filtered); 5-grams via index windows
       // over the toks ATTRIBUTE (cheap element access, no re-split)
@@ -675,28 +679,37 @@ object TextAnalysis {
         transform(sequence(lit(1), size(col("toks")) - 4),
           i => array_join(slice(col("toks"), i, lit(5)), " ")))
         .otherwise(array().cast("array<string>"))
+      // longest equal-run of the sorted array == the old
+      // groupBy(doc_id, g).count().max() (both count the most frequent
+      // bigram's multiplicity); <=> absorbs the NULL-prev seed
+      val maxRun = expr(
+        """aggregate(array_sort(bg),
+          |  named_struct('p', CAST(NULL AS STRING),
+          |    'r', CAST(0 AS BIGINT), 'm', CAST(0 AS BIGINT)),
+          |  (a, x) -> named_struct('p', x,
+          |    'r', IF(x <=> a.p, a.r + 1, CAST(1 AS BIGINT)),
+          |    'm', GREATEST(a.m,
+          |      IF(x <=> a.p, a.r + 1, CAST(1 AS BIGINT)))),
+          |  a -> a.m)""".stripMargin)
       // ratios at 4 decimals via the shared exact-integer half-up law
       // (halfUp4): per-doc denominators are small, where a float
-      // quotient can land on a non-binary-exact .xxxx5 half
-      val bstat = docs
-        .select(col("doc_id"), explode(bigrams).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max("c").as("mx"), sum("c").as("sm"))
-        .select(col("doc_id"), halfUp4("mx", "sm").as("top_bigram_frac"))
-      val fstat = docs
-        .select(col("doc_id"), explode(fivegrams).as("g"))
-        .groupBy("doc_id")
-        .agg(countDistinct("g").as("dd"), count(lit(1)).as("nn"))
-        .select(col("doc_id"), halfUp4("nn - dd", "nn").as("dup_5gram_frac"))
-      docs.select("doc_id")
-        .join(bstat, Seq("doc_id"), "left")
-        .join(fstat, Seq("doc_id"), "left")
+      // quotient can land on a non-binary-exact .xxxx5 half; empty
+      // n-gram arrays take the old no-row left-join branch (0.0)
+      Tables.documentsPar(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), bigrams.as("bg"), fivegrams.as("fg"))
         .select(col("doc_id"),
-          coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
-          coalesce(col("dup_5gram_frac"), lit(0.0)).as("dup_5gram_frac"),
-          (coalesce(col("top_bigram_frac"), lit(0.0)) < 0.2 &&
-            coalesce(col("dup_5gram_frac"), lit(0.0)) < 0.3)
+          maxRun.as("mx"), size(col("bg")).cast("bigint").as("sm"),
+          size(col("fg")).cast("bigint").as("nn"),
+          size(array_distinct(col("fg"))).cast("bigint").as("dd"))
+        .select(col("doc_id"),
+          when(col("sm") > 0, halfUp4("mx", "sm")).otherwise(0.0)
+            .as("top_bigram_frac"),
+          when(col("nn") > 0, halfUp4("nn - dd", "nn")).otherwise(0.0)
+            .as("dup_5gram_frac"))
+        .select(col("doc_id"), col("top_bigram_frac"),
+          col("dup_5gram_frac"),
+          (col("top_bigram_frac") < 0.2 && col("dup_5gram_frac") < 0.3)
             .cast("int").as("keep"))
         .orderBy("doc_id")
     },
