@@ -303,6 +303,8 @@ object GraftFunctions {
         exprs => CdcChunkHashes(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("graft_afp_syms",
         exprs => AfpFrameSymbols(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("graft_phash_dct",
+        exprs => PhashDct(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("graft_lsh_bands",
         exprs => LshBandHashes(exprs(0),
           litNumArg("graft_lsh_bands", exprs, 1, "numBands").intValue,
@@ -350,6 +352,10 @@ object GraftFunctions {
     * symbols of a 336-codepoint window (see [[AfpFrameSymbols]]). */
   def afpSyms(w: Column, kind: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_afp_syms", w, kind)
+  /** struct<fp_lo:bigint,fp_hi:bigint> — fused integer 2D-DCT pHash of
+    * a 256-entry pixel array (see [[PhashDct]]). */
+  def phashDct(pv: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_phash_dct", pv)
   def minhash(shingleHashes: Column, numHashes: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash",
       shingleHashes, org.apache.spark.sql.functions.lit(numHashes))

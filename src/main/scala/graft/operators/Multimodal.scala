@@ -26,10 +26,11 @@ object Multimodal {
     * pre-rounded-weight recipe), so the 2D DCT below is exact integer
     * arithmetic everywhere — no libm call at query time in either
     * engine. */
+  // rendered from the fused kernel's single-source table (the
+  // AfpFrameSymbols convention) so the two engines can never drift
   private val dctK: Seq[(Int, Int, Long)] =
     for { u <- 0 until 8; r <- 0 until 16 }
-      yield (u, r,
-        math.round(1000.0 * math.cos(math.Pi * (2 * r + 1) * u / 32.0)))
+      yield (u, r, graft.functions.PhashDct.K(u * 16 + r))
 
   private val dctKValuesSql: String =
     dctK.map { case (u, r, kv) => s"($u, $r, $kv)" }.mkString(", ")
@@ -1058,41 +1059,21 @@ object Multimodal {
               .otherwise(expr(
                 "transform(sequence(1, 256), i -> ascii(substring(w, i, 1)))"))
               .as("pv")))
-      // Separable 2D DCT with the coefficient table folded into literal
-      // expressions — no join, no pixel shuffle (integer addition is
-      // order-independent, so this is value-identical to the oracle's
-      // row/column two-pass): per (doc, kind, column c), the 8 row-pass
-      // values R(u,c) = Σ_r K(u,r)·p(16r+c) are one codegen'd linear
-      // combination each; the column pass D(u,v) = Σ_c R(u,c)·K(v,c) is
-      // 64 fused sums in one map-side-combined aggregate over the
-      // 16-rows/media frame.
-      val kByU: Map[Int, Array[Long]] = dctK.groupBy(_._1)
-        .map { case (u, rows) =>
-          u -> rows.sortBy(_._2).map(_._3).toArray
-        }
-      val rCols = (0 until 8).map { u =>
-        expr((0 until 16).map { r =>
-          s"(${kByU(u)(r)}) * CAST(pv[16 * $r + c] AS BIGINT)"
-        }.mkString(" + ")).as(s"r_$u")
-      }
-      val rstage = docsW
-        .select(col("doc_id") +: col("kind") +: col("pv") +:
-          explode(sequence(lit(0), lit(15))).as("c") +: Seq.empty: _*)
-        .select(Seq(col("doc_id"), col("kind"), col("c")) ++ rCols: _*)
-      val dAggs = for (u <- 0 until 8; v <- 0 until 8) yield
-        sum(col(s"r_$u") *
-          element_at(lit(kByU(v)), col("c").cast("int") + 1))
-          .cast("bigint").as(s"d_${u}_$v")
-      def packBits(range: Range, base: Int) = range.map { idx =>
-        when(col(s"d_${idx / 8}_${idx % 8}") > 0, 1L << (idx - base))
-          .otherwise(0L)
-      }.reduce(_ + _)
-      val fp = graft.CacheRegistry.register(rstage
-        .groupBy("doc_id", "kind")
-        .agg(dAggs.head, dAggs.tail: _*)
+      // Separable 2D DCT + sign-bit packing fused into ONE codegen'd
+      // kernel call per (doc, kind) row (graft_phash_dct,
+      // ImageExpressions.scala — the AfpFrameSymbols recipe; integer
+      // addition is order-independent, so this is value-identical to
+      // the oracle's row/column two-pass aggregates). r15 opt 2: the
+      // spelled-out formulation exploded 16 row-pass rows per media and
+      // pushed them through a 64-column map-side-combined aggregate —
+      // an exchange of a 16×-fanned frame per run; the fingerprint is
+      // now a map-only projection over the persisted pixel arrays.
+      graft.functions.GraftFunctions.register(s)
+      val fp = graft.CacheRegistry.register(docsW
         .select(col("doc_id"), col("kind"),
-          packBits(0 until 32, 0).cast("bigint").as("fp_lo"),
-          packBits(32 until 64, 32).cast("bigint").as("fp_hi"))
+          graft.functions.GraftFunctions.phashDct(col("pv")).as("f"))
+        .select(col("doc_id"), col("kind"),
+          col("f.fp_lo").as("fp_lo"), col("f.fp_hi").as("fp_hi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val ch = fp
         .select((col("doc_id") * 2 + col("kind")).as("mid"),
