@@ -476,35 +476,50 @@ object Dedup {
         s"${pairs.schema(aCol).dataType}/${pairs.schema(bCol).dataType}")
     val spark = pairs.sparkSession
     val p0 = graft.CacheRegistry.ensurePersisted(pairs)
-    val (rep1, e1raw) = starContract(p0, aCol, bCol)
-    // localCheckpoint per level (same plan-truncation rationale as in
-    // starContract); the frames are materialized by count/collect anyway
-    val e1 = e1raw.distinct().localCheckpoint()
-    val (rep2, e2raw) = starContract(e1, aCol, bCol)
-    val e2 = e2raw.distinct().localCheckpoint()
-    val closure: DataFrame = if (e2.count() <= collectThreshold) {
+    // r15 opt 2: contract only WHILE the edge frame is above the
+    // collect threshold (size-adaptive, same exactness either way) —
+    // the previous shape paid both contraction rounds unconditionally,
+    // which on an already-collectable graph (the sf0.1 spatial core
+    // graph is 194k edges vs the 500k bound) was ~2 s of eager
+    // checkpoint jobs that changed nothing downstream. At scale the
+    // counts are the frames' materialization actions, not extra passes.
+    var cur: DataFrame = p0.select(col(aCol), col(bCol))
+    var size = p0.count()
+    val reps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (size > collectThreshold && reps.size < 2) {
+      val (rep, eRaw) = starContract(cur, aCol, bCol)
+      // localCheckpoint per level (same plan-truncation rationale as in
+      // starContract); the frames are materialized by count anyway
+      cur = eRaw.distinct().localCheckpoint()
+      size = cur.count()
+      reps += rep
+    }
+    val closure: DataFrame = if (size <= collectThreshold) {
       // primitive open-addressing union-find (LongUnionFind): ~16 B per
       // vertex, no boxing — safe headroom if collectThreshold is raised
-      val edges = e2.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val edges = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
       val uf = new LongUnionFind(edges.length * 2)
       edges.foreach { case (a, b) => uf.union(a, b) }
       val labels = uf.labels().toSeq
       // driver-built label table is broadcast-sized by construction
       broadcast(spark.createDataFrame(labels).toDF("id", "cluster_id"))
     } else {
-      connectedComponentsLogStar(e2, aCol, bCol,
+      connectedComponentsLogStar(cur, aCol, bCol,
         maxIter = 30, failOnMaxIter = true)
     }
     // map every ORIGINAL vertex back through the rep chain; each level
     // falls back to the previous when its component fully contracted
     val verts = p0.select(explode(array(col(aCol), col(bCol))).as("id"))
       .distinct()
-    val out = verts
-      .join(rep1.select(col("v").as("id"), col("rep").as("r1")),
-        Seq("id"), "left")
-      .join(rep2.select(col("v").as("r1"), col("rep").as("r2")),
-        Seq("r1"), "left")
-      .withColumn("rfin", coalesce(col("r2"), col("r1"), col("id")))
+    var chained = verts.select(col("id"), col("id").as("rfin"))
+    reps.foreach { rep =>
+      chained = chained
+        .join(rep.select(col("v").as("rfin"), col("rep").as("rnext")),
+          Seq("rfin"), "left")
+        .select(col("id"),
+          coalesce(col("rnext"), col("rfin")).as("rfin"))
+    }
+    val out = chained
       .join(closure.withColumnRenamed("id", "rfin"), Seq("rfin"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), col("rfin")).as("cluster_id"))
