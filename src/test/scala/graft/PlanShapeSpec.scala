@@ -30,11 +30,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
 
-  test("repetition filters: two doc-keyed aggregations, no joins on exploded data") {
+  test("repetition filters: map-only in-row stats, no joins, no aggregate exchange") {
+    // r15 opt 2: both per-doc stats compute IN-ROW from the token array
+    // (sorted-run modal count / array_distinct), so the plan must be a
+    // pure projection chain — no joins, no HashAggregate, and the only
+    // exchanges are the repartition spread and the output sort
     val p = plan("text_repetition")
     assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), s"unexpected join shape:\n$p")
-    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"unexpected join shape:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"per-doc stats should be in-row, not aggregated:\n$p")
+    assert(p.contains("array_sort") && p.contains("array_distinct"),
+      s"expected the in-row sorted-run/distinct kernels:\n$p")
   }
 
   test("salted asof: window runs per (key, salt) — salt present in the sort") {
