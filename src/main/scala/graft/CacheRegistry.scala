@@ -50,6 +50,16 @@ object CacheRegistry {
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** [[sharedFrame]] WITHOUT the persist — for builds that already
+    * materialize their result (localCheckpoint ends in stored RDD
+    * blocks); stacking a persist on top would re-materialize the frame
+    * a second time on first read (measured +3 s on the 10× pagerank
+    * edge build). releaseShared's unpersist is a no-op for these. */
+  def sharedFrameMaterialized(key: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      sharedFrames.getOrElseUpdate(key, build)
+    }
+
   /** Unpersist and forget every cross-query shared frame. */
   def releaseShared(): Unit = synchronized {
     sharedFrames.values.foreach(df =>
@@ -59,9 +69,14 @@ object CacheRegistry {
 
   /** Persist-and-register `df` unless it is ALREADY persisted (e.g. a
     * cross-query shared frame): re-registering would let [[releaseAll]]
-    * unpersist the shared memo out from under later consumers. */
+    * unpersist the shared memo out from under later consumers. A
+    * checkpointed frame (bare LogicalRDD plan) is already materialized
+    * RDD blocks — persisting it would store a second full copy on
+    * first read, so it passes through untouched too. */
   def ensurePersisted(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    if (df.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
+    else if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       register(df.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else df

@@ -152,16 +152,20 @@ object PlanContract {
     // injected runtime bloom-filter build over the 10-row query frame
     "sim_filtered_ann" -> ((1, OneRow)),
     "sim_hybrid_rrf" -> ((1, BoundedPool)),
-    "sim_ivf_pq" -> ((4, KRowCodebook)),
+    // 7 after the r15.2 in-row ADC restructure: the trained-centroid
+    // row, codebook row and per-query probe/LUT row each collapse via a
+    // 1-row collect_list (k ≤ 8 centroids / 8×16 codebook entries / 10
+    // queries — all bounded by construction) then broadcast
+    "sim_ivf_pq" -> ((7, KRowCodebook)),
+    // 3 after the r15.2 in-row ADC restructure (codebook row + query-LUT
+    // row collapses — same bounded frames as sim_ivf_pq's)
+    "sim_pq_adc" -> ((3, KRowCodebook)),
     // the k·|queries|-bounded per-query frame collapsing to the 1-row
     // mean-recall pair then broadcast back
     "sim_matryoshka_recall" -> ((1, OneRow)),
     // 4 one-row hit-count aggregates + the 4-row probe-grid sweep window
     "sim_ivf_recall_sweep" -> ((5, BoundedWindow)),
     "sim_ivf_prebuilt" -> ((1, OneRow)),
-    // sim_pq_adc: the r15 in-row pqEncode fusion removed its one
-    // SinglePartition mention (the codebook collapse rides the shared
-    // k-row codebook aggregate, counted under its consumers)
     "sim_kmeans" -> ((2, KRowCodebook)),
     "dedup_semantic" -> ((2, KRowCodebook)),
     "sim_embedding_pipeline" -> ((2, KRowCodebook)),

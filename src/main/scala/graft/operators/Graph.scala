@@ -41,7 +41,7 @@ object Graph {
     * orders⋈lineitem and re-derives degrees (the 100 TB rule is "derive
     * the graph ONCE", the same reasoning as commonNeighborPairs). */
   private def edgesWithDeg(s: SparkSession, d: String): DataFrame =
-    CacheRegistry.sharedFrame(
+    CacheRegistry.sharedFrameMaterialized(
       s"graph:ewd:${graft.CacheRegistry.sessionToken(s)}:$d") {
       val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
